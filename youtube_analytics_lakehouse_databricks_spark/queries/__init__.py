@@ -1,0 +1,83 @@
+"""Query registry: named (Spark builder, DuckDB oracle SQL) pairs.
+
+Each query re-expresses one operator family from the reference
+(SURVEY.md §2, citations in each docstring) on the driver's synthetic
+testdata tables, plus the beyond-reference training-data operators.
+The oracle SQL is the ANSI equivalent the driver runs on DuckDB; column
+names and value semantics are kept bit-identical (decimal-exact sums,
+matching hash functions, explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect modules on first use.
+    from youtube_analytics_lakehouse_databricks_spark.queries import relational, textops, vectorops  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+_NANO_TS_CACHE: dict[str, list[str]] = {}
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects by default (PARQUET_TYPE_ILLEGAL)."""
+    if path not in _NANO_TS_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            _NANO_TS_CACHE[path] = [
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            _NANO_TS_CACHE[path] = []
+    return _NANO_TS_CACHE[path]
+
+
+def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table; transparently downcast nanosecond timestamps.
+
+    Parquet TIMESTAMP(NANOS) columns are read as nano-epoch longs
+    (spark.sql.legacy.parquet.nanosAsLong) and truncated to microsecond
+    timestamps — the same truncation DuckDB applies, so oracle comparisons
+    stay exact.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nano_ts_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df.select(*[f.name for f in df.schema])

@@ -1,0 +1,518 @@
+"""Relational operator queries mirroring the reference's SQL surface.
+
+Each query maps one operator family from SURVEY.md §2 (reference file:line
+cited per function) onto the driver's TPC-H-ish testdata. Everything is
+declarative DataFrame API — Catalyst handles pushdown/pruning/join choice.
+
+Cross-engine exactness notes (vs the DuckDB oracle):
+- double sums are order-dependent, so aggregates over doubles go through
+  per-row rounding to DECIMAL(18,4) (exact sum) then back to DOUBLE;
+- Spark ``dayofweek`` is 1=Sunday, DuckDB's is 0=Sunday (oracle adds 1);
+- ``sha2(x,256)`` == DuckDB ``sha256(x)`` (lowercase hex, verified);
+- window dedups carry a unique tie-break column so rn=1 is total-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+
+def _units(col):
+    """Round a double expression to integer 1e-4 units using only IEEE
+    double ops (mult, add, floor) that are bit-identical across engines.
+    Engine-native double->decimal casts disagree (Spark rounds the
+    shortest decimal repr, DuckDB the exact binary value), so those are
+    banned in oracle-checked aggregates."""
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def _dsum(col, alias):
+    """Exact cross-engine sum of a double expression: exact bigint sum of
+    1e-4 units, presented as double."""
+    return (F.sum(_units(col)).cast("double") / F.lit(10000.0)).alias(alias)
+
+
+def _davg(col, alias):
+    return ((F.sum(_units(col)).cast("double") / F.lit(10000.0)) / F.count(F.lit(1))).alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(floor(({expr}) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS {alias}"
+
+
+def _davg_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(floor(({expr}) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan / filter (reference A1-A4, S1, P1; pricing-summary shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql("l_quantity", "sum_qty")},
+           {_dsum_sql("l_extendedprice", "sum_base_price")},
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {_dsum_sql("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)", "sum_charge")},
+           {_davg_sql("l_quantity", "avg_qty")},
+           {_davg_sql("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship scan+filter+groupBy aggregate (TPC-H Q1 shape).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: latest-wins window dedup (reference P:48-51 et al., 11 sites)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W1 latest-wins dedup: row_number PARTITION BY key ORDER BY recency DESC, unique tiebreak DESC (P:48-51).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "latest_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W1 variant ordered by unique id only, like the stats-snapshot dedup (P:110-113).",
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2+W3: SCD2 via lag change-detection + lead validity windows (P:132-297)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_event_type",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from_utc,
+           CASE WHEN lead(ts) OVER w IS NULL
+                THEN TIMESTAMP '9999-12-31 23:59:59.999999'
+                ELSE lead(ts) OVER w - INTERVAL 1 MICROSECOND END AS valid_to_utc,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           sha256(concat_ws('||', CAST(user_id AS VARCHAR), event_type,
+                            CAST(epoch_us(ts) AS VARCHAR))) AS version_sk
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc=(
+        "SCD2: lag() change detection (P:213-224) + lead() validity windows with "
+        "valid_to = next - 1 microsecond, open-row sentinel 9999-12-31, "
+        "is_current flag, sha2 surrogate key (P:249-297)."
+    ),
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    next_ts = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from_utc"),
+        F.when(next_ts.isNull(), F.lit("9999-12-31 23:59:59.999999").cast("timestamp"))
+        .otherwise(F.expr("lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - INTERVAL 1 MICROSECOND"))
+        .alias("valid_to_utc"),
+        next_ts.isNull().alias("is_current"),
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.unix_micros("ts").cast("string"),
+            ),
+            256,
+        ).alias("version_sk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# from_json / struct access (P:18-21, 381-385) on the events.props JSON column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_json_extract",
+    """
+    SELECT event_id, user_id, prop_k, prop_k * 2 AS prop_k_doubled
+    FROM (
+      SELECT event_id, user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+      FROM events
+    ) WHERE prop_k IS NOT NULL
+    """,
+    doc="Schema-on-read JSON parsing: from_json + field access + typed cast (P:18-43).",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", "user_id", F.from_json("props", "k INT").getField("k").alias("prop_k")
+    )
+    return parsed.filter(F.col("prop_k").isNotNull()).select(
+        "event_id", "user_id", "prop_k", (F.col("prop_k") * 2).alias("prop_k_doubled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode / generator (P:17-22 explode_outer sites)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_explode_counts",
+    """
+    SELECT token, COUNT(*) AS token_count
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) WHERE token <> ''
+    GROUP BY token
+    """,
+    doc="Array explode + group count: explode(split(text)) (P:17-22 explode_outer pattern).",
+)
+def token_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "token_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: left enrich (J1/J4/J5), anti (J6), cross+top1 (J3/O1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_enriched",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
+           c.c_name, c.c_mktsegment, n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="Left equi-join chain fact->entity->dim (J1/J4/J5, gold_video_*_summary.sql); dims broadcast.",
+)
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation, region = (
+        read(spark, sf_dir, t) for t in ("orders", "customer", "nation", "region")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti-join (left-join-null idiom, warn_new_traffic_source_ids.sql:35-39 / J6).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "daily_orders_with_top_customer",
+    f"""
+    SELECT d.order_date, d.order_cnt, d.total_price, t.top_custkey, t.top_cust_name
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             COUNT(*) AS order_cnt,
+             {_dsum_sql("o_totalprice", "total_price")}
+      FROM orders GROUP BY 1
+    ) d
+    CROSS JOIN (
+      SELECT c_custkey AS top_custkey, c_name AS top_cust_name
+      FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+    ) t
+    """,
+    doc="Cross join with deterministic top-1 subquery (current_channel pattern, P:368-399 / J3+O1).",
+)
+def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read(spark, sf_dir, "orders")
+    customer = read(spark, sf_dir, "customer")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+    )
+    top = (
+        customer.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(1)
+        .select(F.col("c_custkey").alias("top_custkey"), F.col("c_name").alias("top_cust_name"))
+    )
+    return daily.crossJoin(F.broadcast(top))
+
+
+# ---------------------------------------------------------------------------
+# Quality-test predicates (A1/P7, dbt singular tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grain_violations",
+    """
+    SELECT user_id, ts, event_type, COUNT(*) AS dup_cnt
+    FROM events
+    GROUP BY user_id, ts, event_type
+    HAVING COUNT(*) > 1
+    """,
+    doc="Uniqueness-at-grain test: GROUP BY grain HAVING count>1 (test_gold_*_unique.sql / A1).",
+)
+def grain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "ts", "event_type")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+@register(
+    "non_negative_violations",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE COALESCE(value, 0) < 0
+    """,
+    doc="Non-negativity test predicate (test_gold_metrics_non_negative.sql:19-21 / P7).",
+)
+def non_negative_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return ev.filter(F.coalesce(F.col("value"), F.lit(0.0)) < 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops + date dimension (U1, dim_date P:960-983)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_union_dates",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS date FROM orders
+    UNION
+    SELECT CAST(l_shipdate AS DATE) AS date FROM lineitem
+    """,
+    doc="Deduplicating UNION date spine (dim_date, P:962-972 / U1).",
+)
+def distinct_union_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read(spark, sf_dir, "orders")
+    lineitem = read(spark, sf_dir, "lineitem")
+    return (
+        orders.select(F.to_date("o_orderdate").alias("date"))
+        .union(lineitem.select(F.to_date("l_shipdate").alias("date")))
+        .distinct()
+    )
+
+
+@register(
+    "date_dim_attributes",
+    """
+    SELECT date,
+           CAST(EXTRACT(year FROM date) AS INT) AS year,
+           CAST(EXTRACT(month FROM date) AS INT) AS month,
+           CAST(EXTRACT(day FROM date) AS INT) AS day,
+           CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+           (dayofweek(date) + 1) IN (1, 7) AS is_weekend
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS date FROM orders
+      UNION
+      SELECT CAST(l_shipdate AS DATE) AS date FROM lineitem
+    )
+    """,
+    doc="dim_date attributes: year/month/day/dayofweek, weekend = dow IN (1,7) with Spark's 1=Sunday (P:973-983).",
+)
+def date_dim_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = distinct_union_dates(spark, sf_dir)
+    return spine.select(
+        "date",
+        F.year("date").alias("year"),
+        F.month("date").alias("month"),
+        F.dayofmonth("date").alias("day"),
+        F.dayofweek("date").alias("day_of_week"),
+        F.dayofweek("date").isin(1, 7).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: sha2 keys, CASE guards, positional array lookup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_surrogate_keys",
+    """
+    SELECT c_custkey,
+           sha256(concat_ws('||', COALESCE(c_name, ''), COALESCE(c_mktsegment, ''),
+                            CAST(c_nationkey AS VARCHAR))) AS cust_sk,
+           upper(c_mktsegment) AS mktsegment_uc
+    FROM customer
+    """,
+    doc="sha2(concat_ws('||', coalesce(..,''))) surrogate/change-hash keys (P:183-207,261) + upper() (P:556).",
+)
+def customer_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.sha2(
+            F.concat_ws(
+                "||",
+                F.coalesce(F.col("c_name"), F.lit("")),
+                F.coalesce(F.col("c_mktsegment"), F.lit("")),
+                F.col("c_nationkey").cast("string"),
+            ),
+            256,
+        ).alias("cust_sk"),
+        F.upper("c_mktsegment").alias("mktsegment_uc"),
+    )
+
+
+@register(
+    "conditional_metrics",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
+           CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' ELSE 'high' END AS value_bucket,
+           upper(event_type) AS event_type_uc,
+           COALESCE(value, 0) AS value_filled
+    FROM events
+    """,
+    doc="CASE WHEN column guards + coalesce defaults (P:543-570, gold coalesce policy).",
+)
+def conditional_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
+        F.when(F.col("value") < 25, "low").when(F.col("value") < 75, "mid").otherwise("high").alias("value_bucket"),
+        F.upper("event_type").alias("event_type_uc"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+@register(
+    "positional_token_lookup",
+    """
+    SELECT doc_id,
+           CAST(list_position(tokens, 'table') AS BIGINT) AS pos_table,
+           CASE WHEN list_position(tokens, 'table') > 0
+                 AND list_position(tokens, 'table') < len(tokens)
+                THEN tokens[list_position(tokens, 'table') + 1] END AS word_after_table
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    """,
+    doc=(
+        "Header-positional extraction: array_position + element_at with CASE presence guard, "
+        "the analytics-matrix lookup pattern (P:396-410, 543-570). Both engines return 0 for missing."
+    ),
+)
+def positional_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    pos = F.array_position("tokens", "table")
+    return toks.select(
+        "doc_id",
+        pos.alias("pos_table"),
+        F.when(
+            (pos > 0) & (pos < F.size("tokens")),
+            F.element_at("tokens", (pos + 1).cast("int")),
+        ).alias("word_after_table"),
+    )

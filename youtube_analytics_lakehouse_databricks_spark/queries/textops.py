@@ -1,0 +1,318 @@
+"""Training-data text operators: dedup, fingerprints, quality, language-ID.
+
+Beyond-reference operators a 100 TB training-data pipeline needs, built on
+the same declarative substrate (SURVEY.md §7.2 slice 6). Scale design:
+- shingling is a posexplode + window (no driver-side loops);
+- MinHash signatures are plain min() aggregates over hashed shingles —
+  map-side partial aggregation applies, one shuffle per signature;
+- LSH banding turns near-dup search into equi-joins on band keys
+  (shuffle-on-band, never an O(n^2) cross join);
+- the pairwise Jaccard verification joins only within shingle buckets.
+
+Hashing uses sha2/sha256 hex strings (identical across Spark and DuckDB);
+MinHash takes the lexicographic min of the hex digest per seed, which is a
+valid uniform min-hash and avoids engine-specific integer hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+
+N_MINHASH = 8  # seeds 0..7; bands of 2 rows -> 4 bands
+SHINGLE_K = 3
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+_SHINGLE_SQL = """
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               concat_ws(' ', token,
+                         lead(token, 1) OVER (PARTITION BY doc_id ORDER BY ord),
+                         lead(token, 2) OVER (PARTITION BY doc_id ORDER BY ord)) AS shingle,
+               lead(token, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS t2
+        FROM (
+          SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents)
+        )
+      ) WHERE t2 IS NOT NULL
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle): overlapping k=3 word shingles via posexplode + lead."""
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("ord", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    return (
+        toks.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
+    )
+
+
+def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with N_MINHASH lexicographic-min sha256 columns mh0..mhN."""
+    sh = shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("shingle")), 256)).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_oracle_sql() -> str:
+    cols = ",\n           ".join(
+        f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id,
+           {cols}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register(
+    "exact_dedup_documents",
+    """
+    SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content hash, keep min id per cluster.",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "minhash_signatures",
+    _minhash_oracle_sql(),
+    doc=f"MinHash signatures: {N_MINHASH} lexicographic-min sha256 over {SHINGLE_K}-word shingles.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature_df(spark, sf_dir)
+
+
+def _lsh_oracle_sql() -> str:
+    bands = N_MINHASH // 2
+    band_cols = ",\n           ".join(
+        f"sha256(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}" for b in range(bands)
+    )
+    unions = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc_id, {", ".join(f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH))}
+            FROM sh GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sig)
+    {unions}
+    """
+
+
+@register(
+    "lsh_candidate_pairs",
+    _lsh_oracle_sql(),
+    doc="MinHash-LSH banding: band hash equi-join per band, distinct union of candidate pairs.",
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signature_df(spark, sf_dir)
+    bands = N_MINHASH // 2
+    banded = sig.select(
+        "doc_id",
+        *[
+            F.sha2(F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}"), 256).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    ).cache()
+    pairs = None
+    for b in range(bands):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        bb = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct()
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    doc="n-gram Jaccard near-dup: distinct-shingle self-join within buckets, inter/union >= 0.5.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = shingles(spark, sf_dir).distinct().cache()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           CAST(len(tokens) AS INT) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(len(list_filter(tokens, x -> x IN {STOPWORDS})) AS DOUBLE) / len(tokens) AS stopword_ratio,
+           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio
+    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+          FROM documents)
+    """,
+    doc="Quality scoring: token counts, distinct ratio, stopword ratio — all JVM-side array ops.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("tokens"),
+    )
+    n = F.size("tokens")
+    return toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.size(F.expr(f"filter(tokens, x -> x IN ({stop_list}))")).cast("double") / n).alias(
+            "stopword_ratio"
+        ),
+        (F.size(F.array_distinct("tokens")).cast("double") / n).alias("distinct_ratio"),
+    )
+
+
+_LANG_STOPS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+}
+
+
+def _langid_counts_sql() -> str:
+    cols = ",\n           ".join(
+        f"len(list_filter(tokens, x -> x IN {stops})) AS n_{lang}"
+        for lang, stops in _LANG_STOPS.items()
+    )
+    return cols
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr AND n_en > 0 THEN 'en'
+                WHEN n_de >= n_es AND n_de >= n_fr AND n_de > 0 THEN 'de'
+                WHEN n_es >= n_fr AND n_es > 0 THEN 'es'
+                WHEN n_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang,
+           lang AS labeled_lang
+    FROM (
+      SELECT doc_id, lang, {_langid_counts_sql()}
+      FROM (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+            FROM documents)
+    )
+    """,
+    doc="Language-ID n-gram/stopword heuristic: per-language stopword hit counts -> argmax.",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.expr("filter(split(text, ' '), x -> x <> '')").alias("tokens")
+    )
+    counts = toks.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.expr(f"filter(tokens, x -> x IN ({', '.join(repr(s) for s in stops)}))")
+            ).alias(f"n_{lang}")
+            for lang, stops in _LANG_STOPS.items()
+        ],
+    )
+    n = {lang: F.col(f"n_{lang}") for lang in _LANG_STOPS}
+    pred = (
+        F.when((n["en"] >= n["de"]) & (n["en"] >= n["es"]) & (n["en"] >= n["fr"]) & (n["en"] > 0), "en")
+        .when((n["de"] >= n["es"]) & (n["de"] >= n["fr"]) & (n["de"] > 0), "de")
+        .when((n["es"] >= n["fr"]) & (n["es"] > 0), "es")
+        .when(n["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return counts.select("doc_id", pred.alias("predicted_lang"), F.col("lang").alias("labeled_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           CAST(SUM(ord * (ascii(token) * 31 + length(token))) % 1000000007 AS BIGINT)
+             AS fingerprint
+    FROM (
+      SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+    )
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Document fingerprint: position-weighted token hash, order-independent exact "
+        "bigint sum (distributed-safe rolling-hash analogue)."
+    ),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("ord", "token"),
+    )
+    term = (F.col("ord") + 1).cast("long") * (
+        F.ascii("token").cast("long") * 31 + F.length("token").cast("long")
+    )
+    return toks.groupBy("doc_id").agg(
+        (F.sum(term) % 1000000007).cast("long").alias("fingerprint")
+    )

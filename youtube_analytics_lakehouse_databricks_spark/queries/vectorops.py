@@ -1,0 +1,178 @@
+"""Embedding similarity-search operators (ANN over array<float> columns).
+
+Scale design (SURVEY.md slice 6 / training-data ops):
+- Brute-force cosine top-k is the correctness baseline: a broadcast of the
+  query side against a partitioned corpus — O(n*q) but fully JVM-side
+  (zip_with/aggregate fold, whole-stage codegen, no Python in the loop).
+- The scale path is LSH bucketing (sign-random-projection): each vector is
+  hashed to a small bucket key, the join is an equi-join on bucket — the
+  same shuffle-on-key pattern as MinHash-LSH, no cross join at 100 TB.
+- All dot products fold left-to-right over the array in both engines, so
+  doubles are bit-identical; ranking ties are broken on a 1e-6-rounded
+  cosine plus vec_id so rank assignment is stable cross-engine.
+
+Hyperplanes for sign-projection are derived deterministically from
+sha256(plane || dim) parity — no RNG, reproducible on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+
+TOP_K = 5
+N_PLANES = 8
+
+# Left-to-right fold for the dot product: deterministic double arithmetic.
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+# DuckDB equivalents with the same fold order.
+_DOT_DD = "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+_NORM_DD = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (acc, v) -> acc + v))"
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_NORM.format(a="embedding")).alias("norm"),
+    )
+
+
+@register(
+    "embedding_topk_cosine",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {_NORM_DD.format(a="embedding")} AS norm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) AS cosine
+      FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=(
+        "Brute-force cosine top-k ANN baseline: pairwise fold dot product, "
+        "rank on rounded cosine with vec_id tie-break."
+    ),
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _normed(spark, sf_dir).select("vec_id", "embedding", "norm")
+    a = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    "embedding_near_duplicates",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {_NORM_DD.format(a="embedding")} AS norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) AS cosine
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) >= 0.99
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.99).",
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = _normed(spark, sf_dir).select("vec_id", "embedding", "norm")
+    a = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b")
+    )
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )
+
+
+def _plane_weight_sql(engine: str, plane: int) -> str:
+    """Deterministic ±1 weight per (plane, dim): parity of the first hex
+    nibble of sha256('<plane>|<dim>'). dim is the 1-based array position."""
+    sha = "sha256" if engine == "duckdb" else "sha2"
+    arg = f"concat_ws('|', '{plane}', CAST(i AS {'VARCHAR' if engine == 'duckdb' else 'STRING'}))"
+    h = f"{sha}({arg})" if engine == "duckdb" else f"sha2({arg}, 256)"
+    # first hex char -> 0..15 -> parity -> +/-1
+    if engine == "duckdb":
+        nib = f"CASE WHEN strpos('13579bdf', substr({h}, 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
+    else:
+        nib = f"CASE WHEN instr('13579bdf', substr({h}, 1, 1)) > 0 THEN 1.0D ELSE -1.0D END"
+    return nib
+
+
+def _srp_bits_spark(plane: int) -> str:
+    w = _plane_weight_sql("spark", plane)
+    proj = (
+        "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+        f"(x, i) -> CAST(x AS DOUBLE) * ({w})), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
+
+
+def _srp_bits_duckdb(plane: int) -> str:
+    w = _plane_weight_sql("duckdb", plane)
+    proj = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "list_zip(embedding, range(1, len(embedding) + 1)), "
+        f"p -> CAST(p[1] AS DOUBLE) * (CASE WHEN strpos('13579bdf', substr(sha256(concat_ws('|', '{plane}', CAST(p[2] AS VARCHAR))), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)"
+        ")), (acc, v) -> acc + v)"
+    )
+    return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
+
+
+@register(
+    "embedding_lsh_buckets",
+    f"""
+    SELECT vec_id, label,
+           {" || ".join(_srp_bits_duckdb(p) for p in range(N_PLANES))} AS bucket
+    FROM embeddings
+    """,
+    doc=(
+        "Sign-random-projection LSH bucketing: deterministic sha-derived ±1 "
+        "hyperplanes -> bit signature bucket key. The scale path for ANN: "
+        "candidate retrieval becomes an equi-join on bucket."
+    ),
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    bits = [F.expr(_srp_bits_spark(p)) for p in range(N_PLANES)]
+    return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Mirrors the reference's runtime intent (`databricks.yml:21`
+PERFORMANCE_OPTIMIZED, serverless triggered pipeline) with the OSS knobs that
+matter: AQE on (runtime re-plan, skew-join handling), UTC session timezone
+(so results are comparable with UTC-naive engines like DuckDB), Arrow for
+the pandas-UDF slow path, and shuffle partitions sized to cores for local
+runs — on a real cluster, leave `spark.sql.shuffle.partitions` to AQE's
+coalescing with a high initial value instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "youtube_analytics_lakehouse_databricks_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a Delta-style analytics session.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS]`` with shuffle partitions =
+    cores. Cluster deployments pass ``master=None`` with a pre-configured
+    environment and a larger ``shuffle_partitions`` (AQE coalesces down).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # The reference relies on non-ANSI element_at/array_position NULL
+        # semantics (SURVEY §7.4.4); keep ANSI off to match.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read the driver's parquet tables and return DataFrames in order."""
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
