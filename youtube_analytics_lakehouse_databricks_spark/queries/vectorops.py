@@ -67,31 +67,47 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    normed = _normed(spark, sf_dir).select("vec_id", "embedding", "norm")
-    a = normed.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = normed.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-    )
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    """Arrow-vectorized block matmul: the corpus (small side) is broadcast
+    to every task; each mapInPandas batch of query vectors computes one
+    numpy matmul block and emits its top-k rows. No shuffle, no per-pair
+    interpreted expression — the 100 TB shape is 'queries partitioned,
+    corpus broadcast (or LSH-bucketed when the corpus itself is huge)'."""
+    import numpy as np
+    import pandas as pd
+
+    emb = read(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    corpus_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    corpus_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    corpus_norm = np.sqrt((corpus_mat * corpus_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((corpus_ids, corpus_mat, corpus_norm))
+
+    k = TOP_K
+
+    def topk_block(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            cos = np.round((q_mat @ mat.T) / np.outer(q_norm, norms), 6)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(q_ids)):
+                row = cos[i]
+                mask = ids != q_ids[i]
+                cand_ids, cand_cos = ids[mask], row[mask]
+                # rank by (cosine desc, neighbor_id asc) on the rounded value
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([q_ids[i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rank": out_r}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        topk_block, "query_id long, neighbor_id long, cosine double, rank int"
     )
 
 
