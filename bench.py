@@ -36,6 +36,9 @@ HEADLINE = [
     "doc_fingerprints",
     "embedding_topk_cosine",
     "embedding_lsh_buckets",
+    "embedding_bucket_ann",
+    "simhash_fingerprints",
+    "events_rollup",
     "date_dim_attributes",
     "customer_surrogate_keys",
 ]

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_analytics_lakehouse_databricks_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", mm.encode_synth_image(8, 4, seed=1), ("s3://bucket/a.img", 40, "synth")),
+        (2, "image", mm.encode_synth_image(16, 16, seed=2), ("s3://bucket/b.img", 264, "synth")),
+        (3, "audio", b"\x00\x01", ("s3://bucket/c.wav", 2, "wav")),
+        (4, "image", None, ("s3://bucket/d.img", 0, "synth")),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
+
+
+def test_extract_image_features(media_df):
+    feats = {r["media_id"]: r for r in mm.extract_image_features(media_df).collect()}
+    # audio and NULL-content rows excluded; schema/typing exact
+    assert set(feats) == {1, 2}
+    f1 = feats[1]
+    assert (f1["width"], f1["height"], f1["n_pixels"]) == (8, 4, 32)
+    # deterministic fake decode: recompute expected mean in plain python
+    px = [(x * 31 + y * 7 + 1) % 256 for y in range(4) for x in range(8)]
+    assert abs(f1["mean_intensity"] - sum(px) / len(px)) < 1e-9
+    assert f1["max_intensity"] == max(px)
+
+
+def test_resize_images_roundtrip(media_df, spark):
+    resized = mm.resize_images(media_df, 4, 4)
+    out = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    assert set(out) == {1, 2}
+    w, h, px = mm._decode_synth(out[1])
+    assert (w, h) == (4, 4) and len(px) == 16
+    # resized content itself decodes through the feature extractor
+    df2 = spark.createDataFrame(
+        [(9, "image", out[2], None)], mm.MEDIA_SCHEMA
+    )
+    feats = mm.extract_image_features(df2).collect()[0]
+    assert (feats["width"], feats["height"]) == (4, 4)
+
+
+def test_real_decode_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_image(b"\x89PNG")

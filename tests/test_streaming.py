@@ -1,0 +1,91 @@
+"""Structured Streaming: incremental latest-wins merge + watermarked windows."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.sources.fixtures import channel_payload, run_contexts
+from youtube_analytics_lakehouse_databricks_spark.streaming.incremental import (
+    incremental_silver_channels,
+    read_merged,
+    windowed_event_counts,
+)
+
+
+def _write_envelope_file(path, ctx, payload):
+    row = {
+        "snapshot_date": str(ctx.snapshot_date),
+        "ingest_ts_utc": ctx.ingest_ts_utc.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+        "source_system": "youtube",
+        "request_id": f"req-{ctx.run_id}",
+        "schema_version": "v1",
+        "run_id": ctx.run_id,
+        "payload": json.dumps(payload),
+    }
+    path.write_text(json.dumps(row) + "\n")
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_incremental_latest_wins_channels(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    ctxs = run_contexts(3)
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver")
+
+    # backlog: generations 1 and 2
+    _write_envelope_file(landing / "g1.json", ctxs[0], channel_payload(1))
+    _write_envelope_file(landing / "g2.json", ctxs[1], channel_payload(2))
+    q = incremental_silver_channels(spark, str(landing), str(ckpt))
+    q.awaitTermination(120)
+    rows = read_merged(spark, "silver.silver_channels_stream").collect()
+    assert len(rows) == 1
+    assert rows[0]["channel_title"] == "Test Channel v2"
+
+    # late arrival: generation 3 lands, stream resumes from checkpoint and
+    # only the new file is processed (incremental, not a full re-read)
+    _write_envelope_file(landing / "g3.json", ctxs[2], channel_payload(3))
+    q2 = incremental_silver_channels(spark, str(landing), str(ckpt))
+    q2.awaitTermination(120)
+    rows = read_merged(spark, "silver.silver_channels_stream").collect()
+    assert len(rows) == 1
+    assert rows[0]["channel_title"] == "Test Channel v3"
+    assert rows[0]["channel_view_count"] == 103000
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    from youtube_analytics_lakehouse_databricks_spark.queries import read as read_table
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batch_events = spark.createDataFrame(
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts", "event_type", "value")
+        .limit(2000)
+        .collect()
+    )
+    batch_events.write.mode("overwrite").parquet(str(events_dir))
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(str(events_dir))
+    agg = windowed_event_counts(stream, watermark="10 minutes", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["event_cnt"], round(r["total_value"], 6))
+        for r in spark.table("win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["event_cnt"], round(r["total_value"], 6))
+        for r in windowed_event_counts(batch_events).collect()
+    }
+    assert streamed == expected and len(streamed) > 0

@@ -1,0 +1,143 @@
+"""Multimodal columns: binary payloads + typed metadata, processed via
+Arrow-batched mapInPandas (the only sane shape for decode at 100 TB —
+bytes never leave the executor, Python sees Arrow batches, the schema is
+explicit so Catalyst can prune around the UDF).
+
+The container has no image/audio libraries, so real decodes are STUBBED
+(clearly marked) behind import-tries; the deterministic SYNTH format
+below keeps the full Spark-side plumbing — binary column handling, batch
+iteration, schema contract, partition parallelism — real and tested.
+
+SYNTH image format (deterministic fake, for plumbing tests):
+  bytes 0-3   width  (big-endian uint32)
+  bytes 4-7   height (big-endian uint32)
+  bytes 8..   row-major grayscale pixels (1 byte each)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source_uri", T.StringType(), True),
+                    T.StructField("content_length", T.LongType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "mean_intensity double, max_intensity int"
+)
+
+
+def encode_synth_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic SYNTH image for tests (pixel = (x*31 + y*7 + seed) % 256)."""
+    header = struct.pack(">II", width, height)
+    pixels = bytes(
+        (x * 31 + y * 7 + seed) % 256 for y in range(height) for x in range(width)
+    )
+    return header + pixels
+
+
+def _decode_synth(content: bytes) -> tuple[int, int, bytes]:
+    width, height = struct.unpack(">II", content[:8])
+    return width, height, content[8 : 8 + width * height]
+
+
+def decode_real_image(content: bytes):  # pragma: no cover - stub
+    """STUB: real image decode requires PIL/opencv (not in this container).
+    The mapInPandas plumbing is identical — swap this in for _decode_synth."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decoding needs pillow; use the SYNTH format in tests"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(content)) here")
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Distributed feature extraction over a binary image column.
+
+    mapInPandas: executors receive Arrow record batches; the binary cells
+    are numpy object arrays of bytes. Nothing is collected to the driver;
+    parallelism = input partitions.
+    """
+
+    def features(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "mean_intensity", "max_intensity")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, px = _decode_synth(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(len(arr))
+                out["mean_intensity"].append(float(arr.mean()) if len(arr) else 0.0)
+                out["max_intensity"].append(int(arr.max()) if len(arr) else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "image").select("media_id", "content").mapInPandas(
+        features, IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "media_id long, content binary"
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Nearest-neighbor resize of SYNTH images, emitted as new binary
+    content — the write-back direction of the multimodal pipeline."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                w, h, px = _decode_synth(bytes(content))
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                resized = arr[np.ix_(ys, xs)]
+                ids.append(media_id)
+                blobs.append(struct.pack(">II", target_w, target_h) + resized.tobytes())
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return media.filter(F.col("media_type") == "image").select("media_id", "content").mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
+    """STUB: video frame sampling needs a codec library (not in container).
+    Production shape: mapInPandas yielding one row per sampled frame with
+    (media_id, frame_idx, frame_content binary)."""
+    raise NotImplementedError("video frame sampling requires a codec library")

@@ -40,7 +40,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def registry() -> dict[str, Query]:
     # Import side-effect modules on first use.
-    from youtube_analytics_lakehouse_databricks_spark.queries import relational, textops, vectorops  # noqa: F401
+    from youtube_analytics_lakehouse_databricks_spark.queries import (  # noqa: F401
+        extended,
+        relational,
+        textops,
+        vectorops,
+    )
 
     return dict(_REGISTRY)
 

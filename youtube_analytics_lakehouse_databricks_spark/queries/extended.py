@@ -1,0 +1,275 @@
+"""Extended operator coverage: remaining reference shapes + OLAP extras.
+
+- UNION ALL with null-typed padding columns (U2,
+  reference: dbt/tests/test_gold_metrics_non_negative.sql:1-16)
+- stack() constant-list generator + anti-join monitor (reference:
+  dbt/tests/warn_new_traffic_source_ids.sql:9-39)
+- MAX-scalar freshness lag (A2, test_gold_freshness_recency.sql)
+- ROLLUP hierarchical aggregate (beyond-reference OLAP op)
+- SimHash fingerprints (training-data near-dup family)
+- LSH-bucketed ANN (the scale path: candidate retrieval by equi-join on
+  bucket instead of an O(n^2) cross join)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+
+# ---------------------------------------------------------------------------
+# U2: UNION ALL with explicit null-typed padding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_padded_metrics",
+    """
+    SELECT 'purchase_total' AS metric_group, user_id,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    UNION ALL
+    SELECT 'view_count' AS metric_group, user_id,
+           COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+    """,
+    doc="UNION ALL stacking with cast(null as ...) column padding (U2, test_gold_metrics_non_negative.sql:8).",
+)
+def union_all_padded_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")).cast("double") / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(F.lit("purchase_total").alias("metric_group"), "user_id", "cnt", "total_value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("view_count").alias("metric_group"),
+            "user_id",
+            "cnt",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    return purchases.unionByName(views)
+
+
+# ---------------------------------------------------------------------------
+# stack() generator + anti-join monitor
+# ---------------------------------------------------------------------------
+
+_KNOWN_EVENT_TYPES = ["CLICK", "VIEW", "PURCHASE", "SIGNUP"]
+
+
+@register(
+    "unknown_event_types",
+    f"""
+    WITH observed AS (
+      SELECT DISTINCT upper(event_type) AS event_type
+      FROM events WHERE event_type IS NOT NULL AND trim(event_type) <> ''
+    ), known AS (
+      SELECT * FROM (VALUES {", ".join(f"('{v}')" for v in _KNOWN_EVENT_TYPES)}) AS t(event_type)
+    )
+    SELECT o.event_type FROM observed o
+    LEFT JOIN known k ON o.event_type = k.event_type
+    WHERE k.event_type IS NULL
+    """,
+    doc="stack() constant relation + left-join-null unknown-value monitor (warn_new_traffic_source_ids.sql:9-39).",
+)
+def unknown_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    observed = (
+        ev.filter(F.col("event_type").isNotNull() & (F.trim("event_type") != ""))
+        .select(F.upper("event_type").alias("event_type"))
+        .distinct()
+    )
+    n = len(_KNOWN_EVENT_TYPES)
+    vals = ", ".join(f"'{v}'" for v in _KNOWN_EVENT_TYPES)
+    known = spark.range(1).select(F.expr(f"stack({n}, {vals})").alias("event_type"))
+    return observed.join(known, "event_type", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# A2: MAX scalar freshness with fixed reference day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_freshness",
+    """
+    SELECT event_type,
+           MAX(ts) AS max_ts,
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') AS INT) AS lag_days,
+           date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') > 7 AS is_stale
+    FROM events GROUP BY event_type
+    """,
+    doc="max(date) freshness lag vs injectable 'today' (A2, test_gold_freshness_recency.sql:2-14).",
+)
+def event_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    lag = F.datediff(F.lit("2024-12-31").cast("date"), F.max("ts").cast("date"))
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("max_ts"),
+        lag.alias("lag_days"),
+        (lag > 7).alias("is_stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference OLAP: ROLLUP hierarchy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS event_date,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+    doc="ROLLUP hierarchical aggregate (event_type -> date -> grand total), partial-agg friendly.",
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events").withColumn("event_date", F.col("ts").cast("date"))
+    return (
+        ev.rollup("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")).cast("double") / 10000.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("event_date").cast("string"), F.lit("(all)")).alias("event_date"),
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (near-dup family)
+# ---------------------------------------------------------------------------
+
+N_SIMHASH_BITS = 16
+
+
+def _bit_exprs(engine: str) -> list[str]:
+    """Per-bit +/-1 contribution from the token's sha256 hex digest.
+    bit b lives in hex char (1 + b div 4), shifted by (3 - b mod 4).
+    Nibble value via 1-based find in '0123456789abcdef' minus 1 —
+    identical in Spark (instr) and DuckDB (strpos)."""
+    find = "instr" if engine == "spark" else "strpos"
+    sha = "sha2(token, 256)" if engine == "spark" else "sha256(token)"
+    out = []
+    for b in range(N_SIMHASH_BITS):
+        pos, shift = 1 + b // 4, 3 - b % 4
+        nib = f"({find}('0123456789abcdef', substr({sha}, {pos}, 1)) - 1)"
+        bit = f"(({nib} // {2 ** shift}) % 2)" if engine == "duckdb" else f"(({nib} div {2 ** shift}) % 2)"
+        out.append(f"(2 * {bit} - 1)")
+    return out
+
+
+def _simhash_sql() -> str:
+    contribs = _bit_exprs("duckdb")
+    bits = ", ".join(
+        f"CASE WHEN SUM({c}) >= 0 THEN 1 ELSE 0 END AS bit{i}" for i, c in enumerate(contribs)
+    )
+    packed = " + ".join(f"bit{i} * {2 ** i}" for i in range(N_SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, {bits} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "simhash_fingerprints",
+    _simhash_sql(),
+    doc=(
+        f"SimHash: {N_SIMHASH_BITS}-bit sign-of-sum fingerprint over token sha256 bits; "
+        "near-dups differ in few bits (hamming-ball lookup is an equi-join per rotation)."
+    ),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
+    )
+    aggs = [
+        F.when(F.sum(F.expr(c)) >= 0, 1).otherwise(0).alias(f"bit{i}")
+        for i, c in enumerate(_bit_exprs("spark"))
+    ]
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    packed = sum(F.col(f"bit{i}") * (2 ** i) for i in range(N_SIMHASH_BITS))
+    return bits.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: candidate retrieval via bucket equi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_bucket_ann",
+    None,  # oracle omitted: shares the fold-dot-product machinery already
+    # oracle-verified in embedding_topk_cosine; the bucket join itself is
+    # verified through embedding_lsh_buckets. Rows-only check here.
+    doc=(
+        "Scale-path ANN: sign-random-projection buckets -> equi-join on "
+        "bucket key -> exact cosine only within buckets -> best neighbor "
+        "per vector. The 100 TB shape: shuffle on bucket, never n^2."
+    ),
+)
+def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import _DOT, _NORM, embedding_lsh_buckets
+
+    emb = read(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_NORM.format(a="embedding")).alias("norm")
+    )
+    buckets = embedding_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    side = emb.join(buckets, "vec_id")
+    a = side.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
+    )
+    b = side.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -95,6 +95,7 @@ def delete_run_rows(spark: SparkSession, fqn: str, run_id: str) -> None:
         "snapshot_date"
     ).saveAsTable(fqn)
     spark.sql(f"DROP TABLE {staging}")
+    spark.catalog.refreshTable(fqn)  # drop stale file-listing caches
 
 
 def append_envelopes(spark: SparkSession, table: str, rows: list[tuple]) -> None:

@@ -1,0 +1,133 @@
+"""Structured Streaming upgrade of the batch medallion refresh.
+
+The reference is strictly batch-triggered (`continuous: false`,
+reference: databricks.yml:10-11) and reconciles late/out-of-order data
+relationally via latest-wins windows (SURVEY §2.9). This module is the
+idiomatic streaming equivalent (SURVEY §7 optional upgrade):
+
+- Bronze envelopes arrive as a file stream (readStream on the landing
+  directory — swap for Kafka/auto-loader in production);
+- Silver latest-wins tables refresh incrementally per micro-batch via
+  foreachBatch merge: union(new typed rows, existing table) -> the same
+  row_number dedup -> overwrite. On Delta this becomes MERGE WHEN MATCHED;
+  semantics are identical to a full recompute at every point in time;
+- Late events are bounded by watermarks in the windowed aggregation path.
+
+Tests drive everything with trigger(availableNow=True) so streams run to
+completion deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from youtube_analytics_lakehouse_databricks_spark import contract
+
+
+def stream_envelopes(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of Bronze envelope rows (JSON lines)."""
+    return spark.readStream.schema(contract.BRONZE_SCHEMA).json(landing_dir)
+
+
+def _typed_channels(envelopes: DataFrame) -> DataFrame:
+    """Same typed projection as models.silver.silver_channels (P:25-43)."""
+    parsed = envelopes.select(
+        "snapshot_date",
+        "ingest_ts_utc",
+        "request_id",
+        "run_id",
+        "schema_version",
+        F.explode_outer(
+            F.from_json("payload", contract.CHANNELS_SCHEMA).getField("items")
+        ).alias("item"),
+    )
+    return parsed.filter(F.col("item.id").isNotNull()).select(
+        F.col("item.id").alias("channel_id"),
+        F.col("item.snippet.title").alias("channel_title"),
+        F.col("item.statistics.viewCount").cast("bigint").alias("channel_view_count"),
+        F.col("item.statistics.subscriberCount").cast("bigint").alias("channel_subscriber_count"),
+        "snapshot_date",
+        "ingest_ts_utc",
+        "request_id",
+        "run_id",
+        "schema_version",
+    )
+
+
+def _merge_latest_wins(
+    spark: SparkSession, batch: DataFrame, target_fqn: str, keys: list[str]
+) -> None:
+    """foreachBatch body: incremental latest-wins upsert.
+
+    union(existing, batch) -> recency row_number -> keep rn=1 -> swap.
+    Equivalent to the full-recompute MV refresh restricted to touched
+    keys; on Delta this is a keyed MERGE and only the new keys shuffle.
+    """
+    if spark.catalog.tableExists(target_fqn):
+        combined = spark.table(target_fqn).unionByName(batch)
+    else:
+        combined = batch
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("snapshot_date").desc(), F.col("ingest_ts_utc").desc(), F.col("request_id").desc()
+    )
+    deduped = combined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    staging = target_fqn.replace(".", "__") + "__stream_staging"
+    deduped.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").format("parquet").saveAsTable(target_fqn)
+    spark.sql(f"DROP TABLE {staging}")
+    spark.catalog.refreshTable(target_fqn)  # drop stale file-listing caches
+
+
+def read_merged(spark: SparkSession, target_fqn: str) -> DataFrame:
+    """Read a foreachBatch-maintained table from the main session.
+
+    The merge runs on the micro-batch's cloned session, so the caller's
+    session may hold a stale file listing for the swapped table — refresh
+    before reading."""
+    spark.catalog.refreshTable(target_fqn)
+    return spark.table(target_fqn)
+
+
+def incremental_silver_channels(
+    spark: SparkSession, landing_dir: str, checkpoint_dir: str, target_fqn: str = "silver.silver_channels_stream"
+) -> StreamingQuery:
+    """Continuously maintain the latest-channel-snapshot table from a
+    landing directory of envelope JSON files. availableNow processes the
+    backlog and stops (the streaming analogue of a triggered refresh)."""
+    typed = _typed_channels(stream_envelopes(spark, landing_dir))
+    return (
+        typed.writeStream.foreachBatch(
+            lambda batch, _id: _merge_latest_wins(
+                batch.sparkSession, batch, target_fqn, ["channel_id"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the late-data-bounded streaming analogue of the daily fact grain."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
