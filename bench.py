@@ -41,6 +41,11 @@ HEADLINE = [
     "events_rollup",
     "date_dim_attributes",
     "customer_surrogate_keys",
+    "asof_purchase_prior_click",
+    "event_sessionization",
+    "signup_followup_window",
+    "value_percentiles",
+    "json_envelope_roundtrip",
 ]
 
 

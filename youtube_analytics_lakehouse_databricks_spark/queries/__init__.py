@@ -41,6 +41,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, Query]:
     # Import side-effect modules on first use.
     from youtube_analytics_lakehouse_databricks_spark.queries import (  # noqa: F401
+        advanced,
         extended,
         relational,
         textops,

@@ -1,0 +1,241 @@
+"""Advanced relational operators Spark lacks as primitives, composed from
+DataFrame ops (the (a)-path of the custom-operator ladder: composition
+before Pandas UDF before mapPartitions).
+
+- as-of join: union + tag + last(ignorenulls) carry-forward window — one
+  shuffle on the key, no per-row subquery, scales to any history length;
+- sessionization: gap-threshold flag + running sum = session ids, the
+  standard two-window composition;
+- interval (range) join: equi key + time-range predicate;
+- exact interpolated percentiles (matching DuckDB quantile_cont);
+- JSON envelope roundtrip: to_json -> from_json through the reference's
+  envelope schema shape, proving the medallion parse path against a plain
+  projection oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+
+
+@register(
+    "asof_purchase_prior_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts,
+           c.click_id AS prior_click_id, c.ts AS prior_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+    """,
+    doc=(
+        "As-of (backward) join: each purchase matched to the user's most "
+        "recent click at ts' <= ts. Spark composition: tag + union + "
+        "last(ignorenulls) over rowsBetween(unboundedPreceding, 0)."
+    ),
+)
+def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"), F.lit(1).alias("tag"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # clicks sort before purchases at equal ts (tag asc) => ts' <= ts matches
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc(), F.col("click_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        clicks.unionByName(purchases)
+        .withColumn("prior_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "prior_click_ts",
+            F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
+        )
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        "prior_click_id",
+        "prior_click_ts",
+    )
+
+
+@register(
+    "event_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc=(
+        "Sessionization: 30-minute-gap session boundaries via lag + running "
+        "sum of boundary flags, then per-session aggregates. At scale this "
+        "is one shuffle on user_id reused by both windows and the groupBy."
+    ),
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "signup_followup_window",
+    """
+    WITH signups AS (
+      SELECT user_id, event_id AS signup_id, ts AS signup_ts
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT s.signup_id, s.user_id,
+           COUNT(*) AS n_followups,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM signups s
+    JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.signup_ts
+     AND e.ts <= s.signup_ts + INTERVAL 1 HOUR
+    GROUP BY s.signup_id, s.user_id
+    """,
+    doc=(
+        "Interval (range) join: events within (signup_ts, signup_ts + 1h] "
+        "per user — equi key + range predicate; Spark executes the equi "
+        "part as the join key and the range as a post-filter."
+    ),
+)
+def signup_followup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
+    )
+    followups = ev.select(
+        F.col("user_id").alias("f_user_id"),
+        F.col("ts").alias("f_ts"),
+        F.col("event_type").alias("f_type"),
+    )
+    joined = signups.join(
+        followups,
+        on=(F.col("f_user_id") == F.col("user_id"))
+        & (F.col("f_ts") > F.col("signup_ts"))
+        & (F.col("f_ts") <= F.expr("signup_ts + INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_followups"),
+        F.sum(F.when(F.col("f_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(q[1], 6) AS p50, round(q[2], 6) AS p90, round(q[3], 6) AS p99
+    FROM (
+      SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+      FROM events GROUP BY event_type
+    )
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont).",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("q"))
+        .select(
+            "event_type",
+            F.round(F.element_at("q", 1), 6).alias("p50"),
+            F.round(F.element_at("q", 2), 6).alias("p90"),
+            F.round(F.element_at("q", 3), 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "json_envelope_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+    doc=(
+        "Envelope parse-path proof: build a Data-API-shaped items envelope "
+        "with to_json, re-parse with the medallion's from_json schema, "
+        "explode items, extract typed fields (P:17-43 shape) — must equal "
+        "the plain projection."
+    ),
+)
+def json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    enveloped = docs.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").cast("string").alias("id"),
+                        F.struct(
+                            F.col("lang").alias("language"),
+                            F.col("source").alias("origin"),
+                            F.col("n_chars").cast("string").alias("charCount"),
+                        ).alias("snippet"),
+                    )
+                ).alias("items")
+            )
+        ).alias("payload")
+    )
+    schema = (
+        "STRUCT<items: ARRAY<STRUCT<id: STRING, "
+        "snippet: STRUCT<language: STRING, origin: STRING, charCount: STRING>>>>"
+    )
+    parsed = enveloped.select(
+        F.explode_outer(F.from_json("payload", schema).getField("items")).alias("item")
+    )
+    return parsed.filter(F.col("item.id").isNotNull()).select(
+        F.col("item.id").cast("bigint").alias("doc_id"),
+        F.col("item.snippet.language").alias("lang"),
+        F.col("item.snippet.origin").alias("source"),
+        F.col("item.snippet.charCount").cast("bigint").alias("n_chars"),
+    )

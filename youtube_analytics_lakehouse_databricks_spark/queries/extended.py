@@ -241,35 +241,32 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import _DOT, _NORM, embedding_lsh_buckets
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import embedding_lsh_buckets
 
-    emb = read(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.expr(_NORM.format(a="embedding")).alias("norm")
-    )
+    emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     buckets = embedding_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
     side = emb.join(buckets, "vec_id")
-    a = side.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_a"),
-        F.col("norm").alias("norm_a"),
-        "bucket",
-    )
-    b = side.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("norm").alias("norm_b"),
-        "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("query_id", "neighbor_id", "cosine")
+
+    def bucket_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(cos, -np.inf)
+        # best neighbor: max cosine, ties -> smallest neighbor id
+        order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)
+        best = order[:, 0]
+        return pd.DataFrame(
+            {"query_id": ids, "neighbor_id": ids[best], "cosine": cos[np.arange(len(ids)), best]}
+        )
+
+    # One numpy block per bucket group: shuffle on bucket key, vectorized
+    # matmul inside — the grouped-map shape that scales to a huge corpus.
+    return side.groupBy("bucket").applyInPandas(
+        bucket_topk, "query_id long, neighbor_id long, cosine double"
     )
