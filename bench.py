@@ -22,6 +22,10 @@ from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q14_brand_revenue_share",
+    "regex_token_counts",
     "latest_event_per_user",
     "scd2_user_event_type",
     "props_json_extract",

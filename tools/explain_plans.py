@@ -1,0 +1,62 @@
+"""Plan-quality audit: dump formatted plans for headline queries and grep
+for the properties that matter at scale — parquet filter pushdown
+(PushedFilters), column pruning (ReadSchema width), whole-stage codegen
+spans, and broadcast joins on small sides.
+
+Usage: python tools/explain_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIT = [
+    "q1_pricing_summary",
+    "latest_event_per_user",
+    "orders_enriched",
+    "daily_orders_with_top_customer",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "scd2_user_event_type",
+    "event_sessionization",
+]
+
+
+def main() -> None:
+    from youtube_analytics_lakehouse_databricks_spark.queries import registry
+    from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or AUDIT
+    spark = get_spark(app_name="explain")
+    reg = registry()
+    for name in names:
+        df = reg[name].builder(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        n_exch = len(re.findall(r"Exchange", plan))
+        print(f"== {name}")
+        for p in pushed:
+            print(f"   pushed: [{p[:120]}]")
+        for rs in read_schemas:
+            print(f"   read:   {len(rs.split(','))} cols: {rs[:110]}")
+        print(f"   codegen spans={n_codegen} broadcast_joins={n_bhj} sortmerge_joins={n_smj} exchanges={n_exch}")
+        if os.environ.get("FULL"):
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ def registry() -> dict[str, Query]:
         extended,
         relational,
         textops,
+        tpch_like,
         vectorops,
     )
 

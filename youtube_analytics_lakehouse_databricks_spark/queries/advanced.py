@@ -197,6 +197,75 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_matrix_extract",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS row_key, lang AS dim_value,
+           CAST(n_chars AS BIGINT) AS metric_value, source AS extra_dim
+    FROM documents
+    """,
+    doc=(
+        "The reference's analytics-report operator end-to-end: build a "
+        "columnHeaders+rows matrix payload (shuffled header order), parse "
+        "with primitivesAsString, transform(headers, x -> x.name), "
+        "explode_outer(rows), then header-name positional lookup via "
+        "element_at(row, array_position(headers, name)) with typed casts "
+        "(P:374-416) — must reproduce the plain projection."
+    ),
+)
+def analytics_matrix_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark import contract
+
+    docs = read(spark, sf_dir, "documents")
+    # one matrix payload per source partition, rows in shuffled header order
+    payload = docs.groupBy("source").agg(
+        F.to_json(
+            F.struct(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("name"),
+                            F.lit("DIMENSION").alias("columnType"),
+                            F.lit("STRING").alias("dataType"),
+                        )
+                        for n in ["metric", "key", "dim"]
+                    ]
+                ).alias("columnHeaders"),
+                F.collect_list(
+                    F.array(
+                        F.col("n_chars").cast("string"),
+                        F.col("doc_id").cast("string"),
+                        F.col("lang"),
+                    )
+                ).alias("rows"),
+            )
+        ).alias("payload")
+    )
+    parsed = payload.select(
+        "source",
+        F.from_json(
+            "payload", contract.ANALYTICS_MATRIX_SCHEMA, {"primitivesAsString": "true"}
+        ).alias("parsed"),
+    )
+    rows = parsed.select(
+        "source",
+        F.expr("transform(parsed.columnHeaders, x -> x.name)").alias("header_names"),
+        F.explode_outer("parsed.rows").alias("row_values"),
+    )
+
+    def cell(name: str):
+        return F.element_at(
+            "row_values", F.array_position("header_names", name).cast("int")
+        )
+
+    return rows.select(
+        cell("key").alias("row_key"),
+        cell("dim").alias("dim_value"),
+        cell("metric").cast("bigint").alias("metric_value"),
+        F.col("source").alias("extra_dim"),
+    )
+
+
+@register(
     "json_envelope_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars FROM documents

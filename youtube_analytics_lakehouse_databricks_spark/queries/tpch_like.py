@@ -1,0 +1,170 @@
+"""TPC-H-shaped multi-join analytics over the full star schema — breadth
+coverage for every testdata table (part/supplier included) and the join
+strategies that matter at 100 TB: dims broadcast, facts shuffle on keys,
+aggregates push partial (map-side) before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+from youtube_analytics_lakehouse_databricks_spark.queries.relational import _dsum, _dsum_sql
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: segment filter -> 3-way join -> revenue agg -> deterministic top-10.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = (
+        read(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation_name,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: region-pruned 6-way join, same-nation customer/supplier condition.",
+)
+def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, supplier, lineitem, orders, customer = (
+        read(spark, sf_dir, t)
+        for t in ("region", "nation", "supplier", "lineitem", "orders", "customer")
+    )
+    return (
+        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            customer,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q14_brand_revenue_share",
+    f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lineitems,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           {_dsum_sql("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", "economy_revenue")}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q14 shape: fact->part join with conditional revenue share by type.",
+)
+def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            _dsum(rev, "revenue"),
+            _dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)), "economy_revenue"),
+        )
+    )
+
+
+@register(
+    "users_purchase_and_signup_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="INTERSECT set op (beyond the reference's UNION-only surface).",
+)
+def users_purchase_and_signup_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "users_without_errors_except",
+    """
+    SELECT user_id FROM events
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="EXCEPT set op (beyond the reference's UNION-only surface).",
+)
+def users_without_errors_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    # subtract == EXCEPT DISTINCT (any error event removes the user)
+    return ev.select("user_id").subtract(
+        ev.filter(F.col("event_type") == "error").select("user_id")
+    )
+
+
+@register(
+    "regex_token_counts",
+    """
+    SELECT token, COUNT(*) AS token_count
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+    doc="BPE-ish regex tokenizer: alpha/digit runs via regexp_extract_all, counted per token.",
+)
+def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .filter(F.col("token_count") >= 10)
+    )
