@@ -67,12 +67,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # Two timed runs per query, min reported: the first run at a new scale
+    # factor pays one-time JVM costs (codegen JIT, file listing) that land
+    # arbitrarily on one query and dominate variance; min-of-2 measures
+    # steady-state throughput.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = reg[name].builder(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            reg[name].builder(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

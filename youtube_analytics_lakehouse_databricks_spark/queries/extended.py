@@ -241,11 +241,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import embedding_lsh_buckets
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES, plane_matrix
 
     emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = embedding_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    side = emb.join(buckets, "vec_id")
+    dim = len(emb.select("embedding").first()[0])
+    planes = plane_matrix(N_PLANES, dim)  # deterministic sha-derived ±1 rows
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (mat @ planes.T) >= 0
+            pdf = pdf.copy()
+            pdf["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pdf
+
+    side = emb.mapInPandas(
+        bucketize, "vec_id long, embedding array<float>, bucket string"
+    )
 
     def bucket_topk(pdf):
         import numpy as np

@@ -155,6 +155,23 @@ def _plane_weight_sql(engine: str, plane: int) -> str:
     return nib
 
 
+def plane_matrix(n_planes: int, dim: int):
+    """The same deterministic sha-derived ±1 hyperplanes as the SQL path,
+    materialized as a numpy matrix for vectorized bucketing. Sign of the
+    projection may differ from the sequential fold only when the projection
+    is within float ulps of zero — immaterial for bucketing."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for i in range(1, dim + 1):
+            h = hashlib.sha256(f"{p}|{i}".encode()).hexdigest()
+            w[p, i - 1] = 1.0 if h[0] in "13579bdf" else -1.0
+    return w
+
+
 def _srp_bits_spark(plane: int) -> str:
     w = _plane_weight_sql("spark", plane)
     proj = (
