@@ -36,6 +36,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "lsh_verified_near_dups",
     "doc_quality_scores",
     "doc_fingerprints",
     "embedding_topk_cosine",

@@ -1,0 +1,57 @@
+"""Plan-quality regression guards: the properties that matter at 100 TB
+must be visible in the optimized plan, not just hoped for."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from youtube_analytics_lakehouse_databricks_spark.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = registry()[name].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 16-column lineitem pruned to the 7 referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(",") == 6, read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_orders_enrichment_broadcasts_dims(spark):
+    plan = _plan(spark, "orders_enriched")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims are broadcast-sized
+
+
+def test_dedup_windows_share_one_shuffle(spark):
+    import re
+
+    plan = _plan(spark, "scd2_user_event_type")
+    # lag + lead windows share the (user_id) partitioning: exactly one
+    # shuffle exchange feeds both
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+    assert len(exchanges) == 1, plan
+
+
+def test_percentile_stays_jvm_side(spark):
+    plan = _plan(spark, "value_percentiles")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["latest_event_per_user", "minhash_signatures"])
+def test_no_python_udfs_in_relational_paths(spark, name):
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan

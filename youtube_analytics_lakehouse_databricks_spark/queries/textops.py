@@ -191,6 +191,77 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_verified_sql() -> str:
+    sig = ", ".join(
+        f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH)
+    )
+    bands = N_MINHASH // 2
+    band_cols = ", ".join(
+        f"sha256(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}" for b in range(bands)
+    )
+    unions = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sig AS (SELECT doc_id, {sig} FROM sh GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    cand AS (
+{unions}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ds a ON a.doc_id = c.doc_a
+      JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """
+
+
+@register(
+    "lsh_verified_near_dups",
+    _lsh_verified_sql(),
+    doc=(
+        "The full scalable near-dup pipeline: MinHash signatures -> LSH band "
+        "candidates (equi-joins) -> exact Jaccard verification ONLY on "
+        "candidate pairs. At 100 TB the shingle self-join of the brute "
+        "pipeline explodes on hot shingles; this shape verifies O(candidates)."
+    ),
+)
+def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    ds = shingles(spark, sf_dir).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 @register(
     "doc_quality_scores",
     f"""
