@@ -14,8 +14,23 @@ def build_graph() -> PipelineGraph:
     g = PipelineGraph()
     s = [
         ViewDef("dim_country_reference", "silver", (), reference_data.dim_country_reference),
-        ViewDef("silver_channels", "silver", (), silver.silver_channels),
-        ViewDef("silver_video_stats_snapshot", "silver", (), silver.silver_video_stats_snapshot),
+        ViewDef(
+            "silver_channels",
+            "silver",
+            (),
+            silver.silver_channels,
+            incremental_builder=silver.silver_channels,
+            merge_keys=("channel_id",),
+        ),
+        ViewDef(
+            "silver_video_stats_snapshot",
+            "silver",
+            (),
+            silver.silver_video_stats_snapshot,
+            incremental_builder=silver.silver_video_stats_snapshot,
+            merge_keys=("video_id", "fetched_at_utc"),
+            merge_order=("request_id",),
+        ),
         ViewDef("silver_video_metadata_scd2", "silver", (), silver.silver_video_metadata_scd2),
         ViewDef("silver_videos", "silver", ("silver_video_metadata_scd2",), silver.silver_videos),
         ViewDef(
@@ -24,15 +39,42 @@ def build_graph() -> PipelineGraph:
             ("silver_channels",),
             silver.fact_channel_daily_metrics,
         ),
-        ViewDef("fact_video_daily_metrics", "silver", (), silver.fact_video_daily_metrics),
+        ViewDef(
+            "fact_video_daily_metrics",
+            "silver",
+            (),
+            silver.fact_video_daily_metrics,
+            partition_by=("date",),
+            incremental_builder=silver.fact_video_daily_metrics,
+            merge_keys=("video_id", "date"),
+        ),
         ViewDef(
             "fact_video_traffic_source_metrics",
             "silver",
             (),
             silver.fact_video_traffic_source_metrics,
+            partition_by=("date",),
+            incremental_builder=silver.fact_video_traffic_source_metrics,
+            merge_keys=("video_id", "date", "source_id"),
         ),
-        ViewDef("fact_video_country_metrics", "silver", (), silver.fact_video_country_metrics),
-        ViewDef("fact_video_device_metrics", "silver", (), silver.fact_video_device_metrics),
+        ViewDef(
+            "fact_video_country_metrics",
+            "silver",
+            (),
+            silver.fact_video_country_metrics,
+            partition_by=("date",),
+            incremental_builder=silver.fact_video_country_metrics,
+            merge_keys=("video_id", "date", "country_code"),
+        ),
+        ViewDef(
+            "fact_video_device_metrics",
+            "silver",
+            (),
+            silver.fact_video_device_metrics,
+            partition_by=("date",),
+            incremental_builder=silver.fact_video_device_metrics,
+            merge_keys=("video_id", "date", "device_type"),
+        ),
         ViewDef("dim_traffic_source", "silver", (), silver.dim_traffic_source),
         ViewDef("dim_country", "silver", ("dim_country_reference",), silver.dim_country),
         ViewDef("dim_device", "silver", (), silver.dim_device),

@@ -38,9 +38,22 @@ def _recency_order() -> list[Column]:
     ]
 
 
-def _parse_items(spark: SparkSession, table: str, schema: str) -> DataFrame:
-    """Envelope -> explode_outer(from_json(payload).items) AS item (P:10-23)."""
+def _bronze(spark: SparkSession, table: str, since=None) -> DataFrame:
+    """Bronze scan, optionally restricted to envelopes newer than a
+    watermark. The snapshot_date predicate prunes partitions; the
+    ingest_ts predicate is exact (same-day re-runs)."""
     raw = spark.table(table)
+    if since is not None:
+        raw = raw.filter(
+            (F.col("snapshot_date") >= F.lit(since.date() if hasattr(since, "date") else since))
+            & (F.col("ingest_ts_utc") > F.lit(since))
+        )
+    return raw
+
+
+def _parse_items(spark: SparkSession, table: str, schema: str, since=None) -> DataFrame:
+    """Envelope -> explode_outer(from_json(payload).items) AS item (P:10-23)."""
+    raw = _bronze(spark, table, since)
     return raw.select(
         *ENVELOPE_META,
         F.explode_outer(F.from_json("payload", schema).getField("items")).alias("item"),
@@ -58,9 +71,9 @@ def _latest_wins(df: DataFrame, keys: list[str], order: list[Column] | None = No
 # --------------------------------------------------------------------------
 
 
-def silver_channels(spark: SparkSession) -> DataFrame:
+def silver_channels(spark: SparkSession, since=None) -> DataFrame:
     """Latest channel snapshot per channel_id (P:8-71)."""
-    parsed = _parse_items(spark, "bronze.channels_raw", contract.CHANNELS_SCHEMA)
+    parsed = _parse_items(spark, "bronze.channels_raw", contract.CHANNELS_SCHEMA, since)
     typed = parsed.filter(F.col("item.id").isNotNull()).select(
         F.col("item.id").alias("channel_id"),
         F.col("item.snippet.title").alias("channel_title"),
@@ -77,10 +90,10 @@ def silver_channels(spark: SparkSession) -> DataFrame:
     return _latest_wins(typed, ["channel_id"])
 
 
-def silver_video_stats_snapshot(spark: SparkSession) -> DataFrame:
+def silver_video_stats_snapshot(spark: SparkSession, since=None) -> DataFrame:
     """Per-fetch video statistics, dedup key (video_id, fetched_at_utc),
     max request_id wins (P:73-130)."""
-    parsed = _parse_items(spark, "bronze.videos_raw", contract.VIDEO_STATS_SCHEMA)
+    parsed = _parse_items(spark, "bronze.videos_raw", contract.VIDEO_STATS_SCHEMA, since)
     typed = parsed.filter(F.col("item.id").isNotNull()).select(
         F.col("item.id").alias("video_id"),
         F.col("item.snippet.channelId").alias("channel_id"),
@@ -237,11 +250,11 @@ def silver_videos(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _parse_matrix(spark: SparkSession, table: str) -> DataFrame:
+def _parse_matrix(spark: SparkSession, table: str, since=None) -> DataFrame:
     """Envelope -> (header_names, row_values) exploded matrix rows
     (P:374-399). primitivesAsString keeps every cell a string; the typed
     projections below own all casting (SURVEY §7.4.5)."""
-    raw = spark.table(table)
+    raw = _bronze(spark, table, since)
     parsed = raw.select(
         *ENVELOPE_META,
         F.from_json(
@@ -309,9 +322,9 @@ def fact_channel_daily_metrics(spark: SparkSession) -> DataFrame:
     return _latest_wins(typed, ["channel_id", "date"])
 
 
-def fact_video_daily_metrics(spark: SparkSession) -> DataFrame:
+def fact_video_daily_metrics(spark: SparkSession, since=None) -> DataFrame:
     """Video-day analytics (P:445-512)."""
-    rows = _parse_matrix(spark, "bronze.analytics_video_daily_raw")
+    rows = _parse_matrix(spark, "bronze.analytics_video_daily_raw", since)
     typed = rows.select(
         _cell("video").alias("video_id"),
         F.to_date(_cell("day")).alias("date"),
@@ -325,11 +338,11 @@ def fact_video_daily_metrics(spark: SparkSession) -> DataFrame:
     return _latest_wins(typed, ["video_id", "date"])
 
 
-def _fact_video_dimension(spark: SparkSession, table: str, header: str, dim_col: str) -> DataFrame:
+def _fact_video_dimension(spark: SparkSession, table: str, header: str, dim_col: str, since=None) -> DataFrame:
     """Shared shape of the three per-dimension facts (P:514-785): optional
     video/day/metric headers CASE-guarded, dimension value upper()ed,
     non-empty key filter, latest-wins on (video_id, date, dim)."""
-    rows = _parse_matrix(spark, table)
+    rows = _parse_matrix(spark, table, since)
     typed = rows.select(
         _cell_if_present("video").alias("video_id"),
         _date_or_snapshot().alias("date"),
@@ -348,24 +361,24 @@ def _fact_video_dimension(spark: SparkSession, table: str, header: str, dim_col:
     return _latest_wins(typed, ["video_id", "date", dim_col])
 
 
-def fact_video_traffic_source_metrics(spark: SparkSession) -> DataFrame:
+def fact_video_traffic_source_metrics(spark: SparkSession, since=None) -> DataFrame:
     """(P:514-603)"""
     return _fact_video_dimension(
-        spark, "bronze.analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id"
+        spark, "bronze.analytics_video_traffic_source_daily_raw", "insightTrafficSourceType", "source_id", since
     )
 
 
-def fact_video_country_metrics(spark: SparkSession) -> DataFrame:
+def fact_video_country_metrics(spark: SparkSession, since=None) -> DataFrame:
     """(P:605-694)"""
     return _fact_video_dimension(
-        spark, "bronze.analytics_video_country_daily_raw", "country", "country_code"
+        spark, "bronze.analytics_video_country_daily_raw", "country", "country_code", since
     )
 
 
-def fact_video_device_metrics(spark: SparkSession) -> DataFrame:
+def fact_video_device_metrics(spark: SparkSession, since=None) -> DataFrame:
     """(P:696-785)"""
     return _fact_video_dimension(
-        spark, "bronze.analytics_video_device_daily_raw", "deviceType", "device_type"
+        spark, "bronze.analytics_video_device_daily_raw", "deviceType", "device_type", since
     )
 
 

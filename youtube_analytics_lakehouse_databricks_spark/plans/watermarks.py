@@ -1,0 +1,40 @@
+"""Refresh watermarks: per-view high-water mark of processed envelopes.
+
+A tiny ops table (O(views) rows) read once per incremental refresh; the
+same role Delta's MV refresh metadata plays in the reference's managed
+runtime."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession
+
+WATERMARKS_FQN = "ops.refresh_watermarks"
+
+
+def get_watermark(spark: SparkSession, view_fqn: str) -> dt.datetime | None:
+    if not spark.catalog.tableExists(WATERMARKS_FQN):
+        return None
+    rows = (
+        spark.table(WATERMARKS_FQN)
+        .filter(f"view_fqn = '{view_fqn}'")
+        .select("high_water_ts")
+        .collect()
+    )
+    return rows[0][0] if rows else None
+
+
+def set_watermark(spark: SparkSession, view_fqn: str, ts: dt.datetime | None) -> None:
+    if ts is None:
+        return
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops")
+    current: dict[str, dt.datetime] = {}
+    if spark.catalog.tableExists(WATERMARKS_FQN):
+        current = {
+            r["view_fqn"]: r["high_water_ts"] for r in spark.table(WATERMARKS_FQN).collect()
+        }
+    current[view_fqn] = ts
+    spark.createDataFrame(
+        list(current.items()), "view_fqn string, high_water_ts timestamp"
+    ).write.mode("overwrite").format("parquet").saveAsTable(WATERMARKS_FQN)
