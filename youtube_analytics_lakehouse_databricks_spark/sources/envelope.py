@@ -81,21 +81,17 @@ def delete_run_rows(spark: SparkSession, fqn: str, run_id: str) -> None:
     """Idempotency: drop any rows a prior attempt of this run wrote
     (reference: ingest_data_api_to_bronze.py:91-93). Parameterized to avoid
     the reference's string-escaping dance (SURVEY §4 last row)."""
+    from youtube_analytics_lakehouse_databricks_spark import storage
+
     if not spark.catalog.tableExists(fqn):
         return
     existing = spark.table(fqn)
     if existing.filter(F.col("run_id") == F.lit(run_id)).limit(1).count() == 0:
         return
-    # Parquet tables can't DELETE in place; rewrite without the run's rows
-    # via a staging table (overwriting a table being read is rejected).
-    remaining = existing.filter(F.col("run_id") != F.lit(run_id))
-    staging = fqn.replace(".", "__") + "__staging"
-    remaining.write.mode("overwrite").format("parquet").saveAsTable(staging)
-    spark.table(staging).write.mode("overwrite").format("parquet").partitionBy(
-        "snapshot_date"
-    ).saveAsTable(fqn)
-    spark.sql(f"DROP TABLE {staging}")
-    spark.catalog.refreshTable(fqn)  # drop stale file-listing caches
+    # On Delta this is a metadata-level DELETE; on parquet a staged rewrite
+    # of the complement, pruned to the affected snapshot_date partitions.
+    sanitized = run_id.replace("'", "''")
+    storage.delete_where(spark, fqn, f"run_id = '{sanitized}'")
 
 
 def append_envelopes(spark: SparkSession, table: str, rows: list[tuple]) -> None:

@@ -65,19 +65,22 @@ def _merge_latest_wins(
     Equivalent to the full-recompute MV refresh restricted to touched
     keys; on Delta this is a keyed MERGE and only the new keys shuffle.
     """
-    if spark.catalog.tableExists(target_fqn):
-        combined = spark.table(target_fqn).unionByName(batch)
-    else:
-        combined = batch
-    w = Window.partitionBy(*keys).orderBy(
-        F.col("snapshot_date").desc(), F.col("ingest_ts_utc").desc(), F.col("request_id").desc()
+    from youtube_analytics_lakehouse_databricks_spark import storage
+
+    if not spark.catalog.tableExists(target_fqn):
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("snapshot_date").desc(), F.col("ingest_ts_utc").desc(), F.col("request_id").desc()
+        )
+        deduped = batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        storage.write_table(deduped, target_fqn)
+        return
+    storage.merge_upsert(
+        spark,
+        target_fqn,
+        batch,
+        keys,
+        ["snapshot_date", "ingest_ts_utc", "request_id"],
     )
-    deduped = combined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
-    staging = target_fqn.replace(".", "__") + "__stream_staging"
-    deduped.write.mode("overwrite").format("parquet").saveAsTable(staging)
-    spark.table(staging).write.mode("overwrite").format("parquet").saveAsTable(target_fqn)
-    spark.sql(f"DROP TABLE {staging}")
-    spark.catalog.refreshTable(target_fqn)  # drop stale file-listing caches
 
 
 def read_merged(spark: SparkSession, target_fqn: str) -> DataFrame:
