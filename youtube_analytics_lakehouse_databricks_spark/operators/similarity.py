@@ -1,0 +1,131 @@
+"""Similarity-search operators over embedding columns (array<float>).
+
+- cosine_topk: brute-force baseline — corpus broadcast, queries stay
+  partitioned, one numpy block matmul per Arrow batch;
+- srp_plane_matrix + bucket_topk: the LSH scale path — deterministic
+  sign-random-projection buckets, then exact search within buckets via
+  grouped-map matmul (shuffle on bucket key; never O(n^2)).
+
+Ranking uses 1e-6-rounded cosines with id tie-breaks so results are
+stable across summation orders and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Top-k cosine neighbors per vector: (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col).toPandas()
+    corpus_ids = corpus[id_col].to_numpy(dtype=np.int64)
+    corpus_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    corpus_norm = np.sqrt((corpus_mat * corpus_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((corpus_ids, corpus_mat, corpus_norm))
+
+    def topk_block(batches):
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            cos = np.round((q_mat @ mat.T) / np.outer(q_norm, norms), 6)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(q_ids)):
+                mask = ids != q_ids[i]
+                cand_ids, cand_cos = ids[mask], cos[i][mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([q_ids[i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rank": out_r}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        topk_block, "query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
+def srp_plane_matrix(n_planes: int, dim: int):
+    """Deterministic sha256-derived ±1 hyperplanes (reproducible anywhere)."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for i in range(1, dim + 1):
+            h = hashlib.sha256(f"{p}|{i}".encode()).hexdigest()
+            w[p, i - 1] = 1.0 if h[0] in "13579bdf" else -1.0
+    return w
+
+
+def bucket_topk(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> DataFrame:
+    """LSH-bucketed best-neighbor search: bucketize via sign projection,
+    exact cosine only within buckets. Returns (query_id, neighbor_id, cosine)."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = srp_plane_matrix(n_planes, dim)
+
+    def bucketize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ planes.T) >= 0
+            pdf = pdf.copy()
+            pdf["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pdf
+
+    side = df.select(id_col, vec_col).mapInPandas(
+        bucketize, f"{id_col} long, {vec_col} array<float>, bucket string"
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        np.fill_diagonal(cos, -np.inf)
+        order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)
+        best = order[:, 0]
+        return pd.DataFrame(
+            {"query_id": ids, "neighbor_id": ids[best], "cosine": cos[np.arange(len(ids)), best]}
+        )
+
+    return side.groupBy("bucket").applyInPandas(
+        per_bucket, "query_id long, neighbor_id long, cosine double"
+    )
+
+
+def brute_near_duplicates(
+    df: DataFrame, id_col: str, vec_col: str, dot_expr: str, norm_expr: str, threshold: float
+) -> DataFrame:
+    """Exact fold-based near-dup pairs (engine-portable expressions passed
+    in so the oracle can reproduce bit-identical doubles)."""
+    normed = df.select(id_col, vec_col, F.expr(norm_expr.format(a=vec_col)).alias("norm"))
+    a = normed.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), F.col("norm").alias("norm_a")
+    )
+    b = normed.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"), F.col("norm").alias("norm_b")
+    )
+    dot = F.expr(dot_expr.format(a="emb_a", b="emb_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

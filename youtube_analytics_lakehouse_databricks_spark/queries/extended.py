@@ -241,47 +241,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES, plane_matrix
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import bucket_topk
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES
 
-    emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()[0])
-    planes = plane_matrix(N_PLANES, dim)  # deterministic sha-derived ±1 rows
-
-    def bucketize(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            bits = (mat @ planes.T) >= 0
-            pdf = pdf.copy()
-            pdf["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
-            yield pdf
-
-    side = emb.mapInPandas(
-        bucketize, "vec_id long, embedding array<float>, bucket string"
-    )
-
-    def bucket_topk(pdf):
-        import numpy as np
-        import pandas as pd
-
-        if len(pdf) < 2:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        np.fill_diagonal(cos, -np.inf)
-        # best neighbor: max cosine, ties -> smallest neighbor id
-        order = np.lexsort((np.broadcast_to(ids, cos.shape), -cos), axis=1)
-        best = order[:, 0]
-        return pd.DataFrame(
-            {"query_id": ids, "neighbor_id": ids[best], "cosine": cos[np.arange(len(ids)), best]}
-        )
-
-    # One numpy block per bucket group: shuffle on bucket key, vectorized
-    # matmul inside — the grouped-map shape that scales to a huge corpus.
-    return side.groupBy("bucket").applyInPandas(
-        bucket_topk, "query_id long, neighbor_id long, cosine double"
-    )
+    return bucket_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", N_PLANES)

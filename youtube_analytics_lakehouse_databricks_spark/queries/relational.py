@@ -243,14 +243,9 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Array explode + group count: explode(split(text)) (P:17-22 explode_outer pattern).",
 )
 def token_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .count()
-        .withColumnRenamed("count", "token_count")
-    )
+    from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
+
+    return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
 
 # ---------------------------------------------------------------------------

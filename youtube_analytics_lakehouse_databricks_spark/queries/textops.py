@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators import dedup as dedup_ops
+from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
 from youtube_analytics_lakehouse_databricks_spark.queries import read, register
 
 N_MINHASH = 8  # seeds 0..7; bands of 2 rows -> 4 bands
@@ -42,29 +44,13 @@ _SHINGLE_SQL = """
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle): overlapping k=3 word shingles via posexplode + lead."""
-    docs = read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("ord", "token"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("ord")
-    return (
-        toks.withColumn("t1", F.lead("token", 1).over(w))
-        .withColumn("t2", F.lead("token", 2).over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
-    )
+    """(doc_id, shingle) via the reusable operator (k=3)."""
+    return dedup_ops.shingles(read(spark, sf_dir, "documents"), "doc_id", "text", k=SHINGLE_K)
 
 
 def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with N_MINHASH lexicographic-min sha256 columns mh0..mhN."""
-    sh = shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("shingle")), 256)).alias(f"mh{i}")
-        for i in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return dedup_ops.minhash_signatures(shingles(spark, sf_dir), "doc_id", N_MINHASH)
 
 
 def _minhash_oracle_sql() -> str:
@@ -90,11 +76,7 @@ def _minhash_oracle_sql() -> str:
     doc="Exact dedup: hash-groupBy on content hash, keep min id per cluster.",
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_hash"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
-    )
+    return dedup_ops.exact_duplicates(read(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @register(
@@ -131,22 +113,9 @@ def _lsh_oracle_sql() -> str:
     doc="MinHash-LSH banding: band hash equi-join per band, distinct union of candidate pairs.",
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signature_df(spark, sf_dir)
-    bands = N_MINHASH // 2
-    banded = sig.select(
-        "doc_id",
-        *[
-            F.sha2(F.concat_ws("|", f"mh{2 * b}", f"mh{2 * b + 1}"), 256).alias(f"band{b}")
-            for b in range(bands)
-        ],
-    ).cache()
-    pairs = None
-    for b in range(bands):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        bb = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct()
+    return dedup_ops.lsh_candidates(
+        minhash_signature_df(spark, sf_dir), "doc_id", N_MINHASH, rows_per_band=2
+    )
 
 
 @register(
@@ -170,25 +139,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup: distinct-shingle self-join within buckets, inter/union >= 0.5.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ds = shingles(spark, sf_dir).distinct().cache()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return dedup_ops.jaccard_verify(shingles(spark, sf_dir), "doc_id", threshold=0.5)
 
 
 def _lsh_verified_sql() -> str:
@@ -240,26 +191,9 @@ def _lsh_verified_sql() -> str:
     ),
 )
 def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
-    ds = shingles(spark, sf_dir).distinct()
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return dedup_ops.jaccard_verify(sh, "doc_id", threshold=0.5, candidates=cand)
 
 
 @register(
@@ -277,24 +211,7 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quality scoring: token counts, distinct ratio, stopword ratio — all JVM-side array ops.",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    toks = docs.select(
-        "doc_id",
-        "text",
-        F.expr("filter(split(text, ' '), x -> x <> '')").alias("tokens"),
-    )
-    n = F.size("tokens")
-    return toks.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        (F.size(F.expr(f"filter(tokens, x -> x IN ({stop_list}))")).cast("double") / n).alias(
-            "stopword_ratio"
-        ),
-        (F.size(F.array_distinct("tokens")).cast("double") / n).alias("distinct_ratio"),
-    )
+    return text_ops.quality_scores(read(spark, sf_dir, "documents"), "doc_id", "text", STOPWORDS)
 
 
 _LANG_STOPS = {
@@ -333,28 +250,10 @@ def _langid_counts_sql() -> str:
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.expr("filter(split(text, ' '), x -> x <> '')").alias("tokens")
+    pred = text_ops.lang_id(docs, "doc_id", "text", _LANG_STOPS)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "predicted_lang", F.col("lang").alias("labeled_lang")
     )
-    counts = toks.select(
-        "doc_id",
-        "lang",
-        *[
-            F.size(
-                F.expr(f"filter(tokens, x -> x IN ({', '.join(repr(s) for s in stops)}))")
-            ).alias(f"n_{lang}")
-            for lang, stops in _LANG_STOPS.items()
-        ],
-    )
-    n = {lang: F.col(f"n_{lang}") for lang in _LANG_STOPS}
-    pred = (
-        F.when((n["en"] >= n["de"]) & (n["en"] >= n["es"]) & (n["en"] >= n["fr"]) & (n["en"] > 0), "en")
-        .when((n["de"] >= n["es"]) & (n["de"] >= n["fr"]) & (n["de"] > 0), "de")
-        .when((n["es"] >= n["fr"]) & (n["es"] > 0), "es")
-        .when(n["fr"] > 0, "fr")
-        .otherwise("unknown")
-    )
-    return counts.select("doc_id", pred.alias("predicted_lang"), F.col("lang").alias("labeled_lang"))
 
 
 @register(
@@ -376,14 +275,4 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("ord", "token"),
-    )
-    term = (F.col("ord") + 1).cast("long") * (
-        F.ascii("token").cast("long") * 31 + F.length("token").cast("long")
-    )
-    return toks.groupBy("doc_id").agg(
-        (F.sum(term) % 1000000007).cast("long").alias("fingerprint")
-    )
+    return text_ops.positional_fingerprints(read(spark, sf_dir, "documents"), "doc_id", "text")

@@ -159,12 +159,8 @@ def users_without_errors_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="BPE-ish regex tokenizer: alpha/digit runs via regexp_extract_all, counted per token.",
 )
 def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("token_count"))
-        .filter(F.col("token_count") >= 10)
+    from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
+
+    return text_ops.token_counts(
+        read(spark, sf_dir, "documents"), "text", pattern="[a-z]+|[0-9]+", min_count=10
     )

@@ -67,48 +67,11 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-vectorized block matmul: the corpus (small side) is broadcast
-    to every task; each mapInPandas batch of query vectors computes one
-    numpy matmul block and emits its top-k rows. No shuffle, no per-pair
-    interpreted expression — the 100 TB shape is 'queries partitioned,
-    corpus broadcast (or LSH-bucketed when the corpus itself is huge)'."""
-    import numpy as np
-    import pandas as pd
+    """Delegates to the reusable ANN operator (corpus broadcast + Arrow
+    block matmul; see operators/similarity.py for the 100 TB shape)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
 
-    emb = read(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    corpus_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    corpus_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    corpus_norm = np.sqrt((corpus_mat * corpus_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((corpus_ids, corpus_mat, corpus_norm))
-
-    k = TOP_K
-
-    def topk_block(batches):
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-            cos = np.round((q_mat @ mat.T) / np.outer(q_norm, norms), 6)
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for i in range(len(q_ids)):
-                row = cos[i]
-                mask = ids != q_ids[i]
-                cand_ids, cand_cos = ids[mask], row[mask]
-                # rank by (cosine desc, neighbor_id asc) on the rounded value
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_q.extend([q_ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rank": out_r}
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        topk_block, "query_id long, neighbor_id long, cosine double, rank int"
-    )
+    return cosine_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=TOP_K)
 
 
 @register(
@@ -126,18 +89,10 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-duplicate pairs (cosine >= 0.99).",
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    normed = _normed(spark, sf_dir).select("vec_id", "embedding", "norm")
-    a = normed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a")
-    )
-    b = normed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b")
-    )
-    dot = F.expr(_DOT.format(a="emb_a", b="emb_b"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.99)
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import brute_near_duplicates
+
+    return brute_near_duplicates(
+        read(spark, sf_dir, "embeddings"), "vec_id", "embedding", _DOT, _NORM, threshold=0.99
     )
 
 
@@ -156,20 +111,9 @@ def _plane_weight_sql(engine: str, plane: int) -> str:
 
 
 def plane_matrix(n_planes: int, dim: int):
-    """The same deterministic sha-derived ±1 hyperplanes as the SQL path,
-    materialized as a numpy matrix for vectorized bucketing. Sign of the
-    projection may differ from the sequential fold only when the projection
-    is within float ulps of zero — immaterial for bucketing."""
-    import hashlib
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import srp_plane_matrix
 
-    import numpy as np
-
-    w = np.empty((n_planes, dim))
-    for p in range(n_planes):
-        for i in range(1, dim + 1):
-            h = hashlib.sha256(f"{p}|{i}".encode()).hexdigest()
-            w[p, i - 1] = 1.0 if h[0] in "13579bdf" else -1.0
-    return w
+    return srp_plane_matrix(n_planes, dim)
 
 
 def _srp_bits_spark(plane: int) -> str:
