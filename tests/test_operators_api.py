@@ -1,0 +1,90 @@
+"""Reusable operator API over hand-built frames (not the bench tables)."""
+
+from __future__ import annotations
+
+from youtube_analytics_lakehouse_databricks_spark.operators import dedup, similarity, text
+
+
+def test_exact_duplicates_clusters(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "id long, body string"
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_duplicates(df, "body", "id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words in this one nothing shared at all here now"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    sh = dedup.shingles(df, "id", "text", k=3)
+    sig = dedup.minhash_signatures(sh, "id", n_hashes=8)
+    cand = dedup.lsh_candidates(sig, "id", n_hashes=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    verified = dedup.jaccard_verify(sh, "id", threshold=0.5, candidates=cand).collect()
+    assert len(verified) == 1 and verified[0]["doc_a"] == 1 and verified[0]["jaccard"] > 0.7
+
+
+def test_shingle_k_parameter(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    assert {r["shingle"] for r in dedup.shingles(df, "id", "text", k=2).collect()} == {
+        "a b", "b c", "c d",
+    }
+    assert {r["shingle"] for r in dedup.shingles(df, "id", "text", k=4).collect()} == {"a b c d"}
+
+
+def test_cosine_topk_identity_neighbors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),  # nearly identical to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(df, "vec_id", "embedding", k=1).collect()
+    }
+    assert top1[1] == 2 and top1[2] == 1
+
+
+def test_bucket_topk_pairs_same_direction_vectors(spark):
+    rows = [(i, [1.0 + 0.001 * i, 0.5, -0.25, 0.1]) for i in range(6)] + [
+        (99, [-1.0, -0.5, 0.25, -0.1])  # opposite direction -> other bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.bucket_topk(df, "vec_id", "embedding", n_planes=4)
+    rows_out = out.collect()
+    by_q = {r["query_id"]: r for r in rows_out}
+    # the co-directional cluster finds neighbors; cosines ~1
+    assert all(by_q[i]["cosine"] > 0.999 for i in range(6))
+    # the lone opposite vector has no bucket peers -> absent
+    assert 99 not in by_q
+
+
+def test_text_operators(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "der hund und die katze und der ball")],
+        "id long, text string",
+    )
+    q = {r["id"]: r for r in text.quality_scores(df, "id", "text").collect()}
+    assert q[1]["n_tokens"] == 5 and q[1]["n_distinct_tokens"] == 4
+    assert abs(q[1]["stopword_ratio"] - 3 / 5) < 1e-9  # the, and, the
+
+    lang = {r["id"]: r["predicted_lang"] for r in text.lang_id(df, "id", "text").collect()}
+    assert lang[1] == "en" and lang[2] == "de"
+
+    counts = {
+        r["token"]: r["token_count"] for r in text.token_counts(df, "text", min_count=2).collect()
+    }
+    assert counts["the"] == 2 and counts["und"] == 2 and counts["der"] == 2
+
+    fp = text.positional_fingerprints(df, "id", "text").collect()
+    assert len(fp) == 2 and all(r["fingerprint"] >= 0 for r in fp)
+    # order sensitivity: swapping tokens changes the fingerprint
+    df2 = spark.createDataFrame([(1, "cat the and the hat")], "id long, text string")
+    fp1 = {r["id"]: r["fingerprint"] for r in text.positional_fingerprints(df, "id", "text").collect()}
+    fp2 = {r["id"]: r["fingerprint"] for r in text.positional_fingerprints(df2, "id", "text").collect()}
+    assert fp1[1] != fp2[1]
