@@ -42,6 +42,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_lsh_buckets",
     "embedding_bucket_ann",
+    "embedding_ivf_ann",
     "simhash_fingerprints",
     "events_rollup",
     "date_dim_attributes",

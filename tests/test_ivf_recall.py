@@ -1,0 +1,47 @@
+"""IVF ANN quality: top-1 recall vs brute force on the clustered
+embeddings table (labels mark ground-truth clusters)."""
+
+from __future__ import annotations
+
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk, ivf_topk
+from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_top1_recall(spark):
+    """Full probe == brute force exactly; partial probe trades recall for
+    a fraction of the work (these embeddings are near-random in 64-d, so
+    partial-probe recall is bounded by the probe fraction — ANN physics)."""
+    emb = read(spark, SF_DIR, "embeddings")
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, "vec_id", "embedding", k=1).collect()
+    }
+
+    def recall(n_cells, n_probe):
+        ivf = {
+            r["query_id"]: r["neighbor_id"]
+            for r in ivf_topk(emb, "vec_id", "embedding", n_cells=n_cells, n_probe=n_probe, k=1).collect()
+        }
+        assert set(ivf) == set(brute)  # every query answered
+        return sum(1 for q in brute if ivf[q] == brute[q]) / len(brute)
+
+    assert recall(8, 8) == 1.0  # probing every cell == exact search
+    partial = recall(8, 3)
+    assert partial >= 0.55, f"top-1 recall {partial:.2f} probing 3/8 cells"
+
+
+def test_ivf_rank_contract(spark):
+    emb = read(spark, SF_DIR, "embeddings")
+    rows = ivf_topk(emb, "vec_id", "embedding", n_cells=8, n_probe=2, k=3).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        ranks = [r["rank"] for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)

@@ -245,3 +245,19 @@ def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES
 
     return bucket_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", N_PLANES)
+
+
+@register(
+    "embedding_ivf_ann",
+    None,  # iterative k-means quantizer -> not SQL-expressible; rows-only.
+    doc=(
+        "IVF ANN: sample-trained deterministic k-means coarse quantizer, "
+        "corpus sharded into centroid cells, queries probe the 2 nearest "
+        "cells, exact rank within cells + global re-rank. The third ANN "
+        "strategy next to brute-force and SRP-LSH."
+    ),
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
