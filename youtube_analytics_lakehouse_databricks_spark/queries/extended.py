@@ -229,11 +229,34 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bucket_ann_sql() -> str:
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import _DOT_DD, _NORM_DD, _srp_bits_duckdb
+
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES  # noqa: PLC0415
+
+    bucket = " || ".join(_srp_bits_duckdb(p) for p in range(N_PLANES))
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket} AS bucket,
+             {_NORM_DD.format(a="embedding")} AS norm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
 @register(
     "embedding_bucket_ann",
-    None,  # oracle omitted: shares the fold-dot-product machinery already
-    # oracle-verified in embedding_topk_cosine; the bucket join itself is
-    # verified through embedding_lsh_buckets. Rows-only check here.
+    _bucket_ann_sql(),
     doc=(
         "Scale-path ANN: sign-random-projection buckets -> equi-join on "
         "bucket key -> exact cosine only within buckets -> best neighbor "
