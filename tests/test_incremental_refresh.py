@@ -77,3 +77,34 @@ def test_incremental_delta_scan_is_pruned(spark):
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "GreaterThan(ingest_ts_utc" in plan, plan
     assert df.limit(1).count() == 0  # everything already processed
+
+
+def test_scd2_incremental_equals_full(spark):
+    """The SCD2 splice (typed-stage append + affected-key rebuild) must be
+    indistinguishable from a full recompute, including version windows."""
+    from youtube_analytics_lakehouse_databricks_spark.models import silver
+
+    ensure_schemas(spark)
+    for fqn in [
+        "silver.video_metadata_typed",
+        "silver.silver_video_metadata_scd2",
+        "ops.refresh_watermarks",
+        "bronze.videos_raw",  # this test owns the full bronze history
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+    ctxs = run_contexts(3)
+    ingest(spark, FixtureSource(gen=1), ctxs[0])
+    assert silver.scd2_incremental_refresh(spark, "auto") == "bootstrap"
+    ingest(spark, FixtureSource(gen=2), ctxs[1])
+    assert silver.scd2_incremental_refresh(spark, "auto") == "merged"
+    ingest(spark, FixtureSource(gen=3), ctxs[2])
+    assert silver.scd2_incremental_refresh(spark, "auto") == "merged"
+    incr = _snapshot(spark, "silver.silver_video_metadata_scd2")
+
+    full = silver.silver_video_metadata_scd2(spark)
+    cols = sorted(full.columns)
+    full_rows = sorted(tuple(str(v) for v in r) for r in full.select(*cols).collect())
+    assert incr == full_rows
+
+    # idempotent: nothing new -> noop
+    assert silver.scd2_incremental_refresh(spark, "auto") == "noop"

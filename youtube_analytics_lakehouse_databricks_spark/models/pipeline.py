@@ -31,7 +31,13 @@ def build_graph() -> PipelineGraph:
             merge_keys=("video_id", "fetched_at_utc"),
             merge_order=("request_id",),
         ),
-        ViewDef("silver_video_metadata_scd2", "silver", (), silver.silver_video_metadata_scd2),
+        ViewDef(
+            "silver_video_metadata_scd2",
+            "silver",
+            (),
+            silver.silver_video_metadata_scd2,
+            custom_incremental=lambda spark: silver.scd2_incremental_refresh(spark, "auto"),
+        ),
         ViewDef("silver_videos", "silver", ("silver_video_metadata_scd2",), silver.silver_videos),
         ViewDef(
             "fact_channel_daily_metrics",

@@ -136,16 +136,12 @@ _SCD2_HASH_FIELDS = [
 ]
 
 
-def silver_video_metadata_scd2(spark: SparkSession) -> DataFrame:
-    """SCD2 video metadata history (P:132-297).
-
-    Change detection: sha2 over coalesce(CAST(col AS STRING),'') joined
-    with '||' (NULL and '' intentionally collapse, P:183-207); a new
-    version starts when the hash differs from lag() (P:210-224); validity
-    windows via lead(): valid_to = next_valid_from - 1 microsecond, open
-    version gets the 9999-12-31 sentinel and is_current=TRUE (P:249-291).
-    """
-    parsed = _parse_items(spark, "bronze.videos_raw", contract.VIDEO_METADATA_SCHEMA)
+def video_metadata_typed(spark: SparkSession, since=None) -> DataFrame:
+    """The typed+hashed pre-window stage of the SCD2 build (P:134-208):
+    parse -> flat projection -> metadata_hash. Persisting this stage
+    append-only is what makes SCD2 incrementally refreshable — history
+    rebuilds read typed rows, never re-parse JSON."""
+    parsed = _parse_items(spark, "bronze.videos_raw", contract.VIDEO_METADATA_SCHEMA, since)
     typed = parsed.filter(F.col("item.id").isNotNull()).select(
         F.col("item.id").alias("video_id"),
         F.col("item.snippet.channelId").alias("channel_id"),
@@ -170,7 +166,7 @@ def silver_video_metadata_scd2(spark: SparkSession) -> DataFrame:
         F.col("ingest_ts_utc").alias("observed_at_utc"),
         *ENVELOPE_META,
     )
-    hashed = typed.withColumn(
+    return typed.withColumn(
         "metadata_hash",
         F.sha2(
             F.concat_ws(
@@ -179,6 +175,12 @@ def silver_video_metadata_scd2(spark: SparkSession) -> DataFrame:
             256,
         ),
     )
+
+
+def scd2_from_typed(hashed: DataFrame) -> DataFrame:
+    """The window stage of the SCD2 build over typed+hashed rows
+    (P:210-297): lag change detection, lead validity windows, -1µs close,
+    sentinel open row, surrogate key."""
     w = Window.partitionBy("video_id").orderBy(
         F.col("observed_at_utc").asc(), F.col("request_id").asc()
     )
@@ -213,6 +215,74 @@ def silver_video_metadata_scd2(spark: SparkSession) -> DataFrame:
         F.col("next_valid_from_utc").isNull().alias("is_current"),
         *ENVELOPE_META,
     )
+
+
+def silver_video_metadata_scd2(spark: SparkSession) -> DataFrame:
+    """SCD2 video metadata history (P:132-297), full recompute.
+
+    Change detection: sha2 over coalesce(CAST(col AS STRING),'') joined
+    with '||' (NULL and '' intentionally collapse, P:183-207); a new
+    version starts when the hash differs from lag() (P:210-224); validity
+    windows via lead(): valid_to = next_valid_from - 1 microsecond, open
+    version gets the 9999-12-31 sentinel and is_current=TRUE (P:249-291).
+    """
+    return scd2_from_typed(video_metadata_typed(spark))
+
+
+def scd2_incremental_refresh(
+    spark: SparkSession,
+    since,
+    typed_fqn: str = "silver.video_metadata_typed",
+    target_fqn: str = "silver.silver_video_metadata_scd2",
+) -> str:
+    """Incremental SCD2: O(new envelopes) parse + O(affected history) rebuild.
+
+    1. Parse only envelopes newer than the watermark, append to the
+       persisted typed stage (JSON parsed exactly once per envelope, ever).
+    2. Affected keys = distinct video_id in the new typed rows.
+    3. Rebuild the SCD2 windows for affected keys from the typed stage
+       (no JSON re-parse) and splice: untouched keys keep their rows.
+
+    Duplicate typed rows from watermark replays are harmless: the lag
+    change-detection drops a row whose hash equals its predecessor, so the
+    rebuild is idempotent.
+
+    Returns 'bootstrap' | 'noop' | 'merged'. Manages its own watermark
+    when ``since`` is the sentinel "auto".
+    """
+    from youtube_analytics_lakehouse_databricks_spark import storage
+    from youtube_analytics_lakehouse_databricks_spark.plans.watermarks import get_watermark, set_watermark
+
+    auto = since == "auto"
+    if auto:
+        since = get_watermark(spark, target_fqn)
+    if not spark.catalog.tableExists(typed_fqn) or not spark.catalog.tableExists(target_fqn):
+        storage.write_table(video_metadata_typed(spark), typed_fqn)
+        storage.write_table(scd2_from_typed(spark.table(typed_fqn)), target_fqn)
+        if auto:
+            set_watermark(
+                spark,
+                target_fqn,
+                spark.table(typed_fqn).agg(F.max("ingest_ts_utc")).collect()[0][0],
+            )
+        return "bootstrap"
+    delta = video_metadata_typed(spark, since)
+    if delta.limit(1).count() == 0:
+        return "noop"
+    delta.write.mode("append").format(storage.TABLE_FORMAT).saveAsTable(typed_fqn)
+    affected = delta.select("video_id").distinct()
+    rebuilt = scd2_from_typed(
+        spark.table(typed_fqn).join(F.broadcast(affected), "video_id", "left_semi")
+    )
+    untouched = spark.table(target_fqn).join(F.broadcast(affected), "video_id", "left_anti")
+    storage.swap_overwrite(spark, untouched.unionByName(rebuilt), target_fqn)
+    if auto:
+        set_watermark(
+            spark,
+            target_fqn,
+            spark.table(typed_fqn).agg(F.max("ingest_ts_utc")).collect()[0][0],
+        )
+    return "merged"
 
 
 def silver_videos(spark: SparkSession) -> DataFrame:

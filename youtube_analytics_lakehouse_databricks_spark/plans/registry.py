@@ -36,6 +36,10 @@ class ViewDef:
     incremental_builder: Callable[[SparkSession, object], DataFrame] | None = None
     merge_keys: tuple[str, ...] = ()
     merge_order: tuple[str, ...] = ("snapshot_date", "ingest_ts_utc", "request_id")
+    # Escape hatch for views whose incremental logic isn't a latest-wins
+    # merge (e.g. SCD2 history splicing): called instead of the generic
+    # path, returns the mode string and manages its own watermark.
+    custom_incremental: Callable[[SparkSession], str] | None = None
 
     @property
     def fqn(self) -> str:
@@ -90,6 +94,9 @@ class PipelineGraph:
 
         modes: dict[str, str] = {}
         for view in self.topo_order():
+            if view.custom_incremental is not None:
+                modes[view.fqn] = view.custom_incremental(spark)
+                continue
             can_merge = (
                 view.incremental_builder is not None
                 and view.merge_keys
