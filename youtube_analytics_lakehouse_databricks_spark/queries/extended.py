@@ -271,6 +271,33 @@ def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_user_counts",
+    None,  # HLL/KLL sketches are approximate by design -> rows-only check;
+    # the accompanying test bounds the error against exact counts.
+    doc=(
+        "Sketch aggregates for 100 TB profiling: HyperLogLog distinct "
+        "users and KLL-style approximate quantiles per event_type, one "
+        "pass, fixed memory — next to their exact counterparts."
+    ),
+)
+def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("approx_percentile(value, array(0.5D, 0.99D), 1000)").alias("approx_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        F.element_at("approx_q", 1).alias("approx_p50"),
+        F.element_at("approx_q", 2).alias("approx_p99"),
+        "n_events",
+    )
+
+
+@register(
     "embedding_ivf_ann",
     None,  # iterative k-means quantizer -> not SQL-expressible; rows-only.
     doc=(

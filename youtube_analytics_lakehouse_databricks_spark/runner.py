@@ -110,3 +110,25 @@ def run_pipeline(
         finalize_run(spark, ctx.run_id, status, dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
         report["status"] = status
     return report
+
+
+def main() -> None:
+    """CLI: run the full pipeline on the deterministic fixture source
+    (three generations) and print the structured report as JSON."""
+    import json
+
+    from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+    from youtube_analytics_lakehouse_databricks_spark.sources.envelope import ingest as _ingest
+    from youtube_analytics_lakehouse_databricks_spark.sources.fixtures import FixtureSource, run_contexts
+
+    spark = get_spark(app_name="youtube_analytics_lakehouse_databricks_spark-runner")
+    ctxs = run_contexts(3)
+    ensure_schemas(spark)
+    _ingest(spark, FixtureSource(gen=1), ctxs[0])
+    _ingest(spark, FixtureSource(gen=2), ctxs[1])
+    report = run_pipeline(spark, FixtureSource(gen=3), ctxs[2], today="2025-08-04", optimize=True)
+    print(json.dumps(report, default=str, indent=2))
+
+
+if __name__ == "__main__":
+    main()
