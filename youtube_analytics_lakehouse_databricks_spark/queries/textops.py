@@ -191,8 +191,10 @@ def _lsh_verified_sql() -> str:
     ),
 )
 def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir)
-    cand = lsh_candidate_pairs(spark, sf_dir)
+    # one shingle pass feeds signatures, candidates, and the verify join
+    sh = shingles(spark, sf_dir).cache()
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", N_MINHASH)
+    cand = dedup_ops.lsh_candidates(sig, "doc_id", N_MINHASH, rows_per_band=2)
     return dedup_ops.jaccard_verify(sh, "doc_id", threshold=0.5, candidates=cand)
 
 
