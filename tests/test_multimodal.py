@@ -44,6 +44,27 @@ def test_resize_images_roundtrip(media_df, spark):
     assert (feats["width"], feats["height"]) == (4, 4)
 
 
+def test_extract_audio_features(spark):
+    import math
+
+    samples = [0, 1000, -1000, 1000, -1000, 0, 500, -500]
+    rows = [
+        (10, "audio", mm.encode_synth_audio(8000, samples), None),
+        (11, "image", mm.encode_synth_image(2, 2), None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_audio_features(df).collect()}
+    assert set(feats) == {10}
+    f = feats[10]
+    assert f["n_samples"] == 8
+    assert abs(f["duration_s"] - 8 / 8000) < 1e-12
+    assert f["peak"] == 1000
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(f["rms"] - expected_rms) < 1e-9
+
+
 def test_real_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_real_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_audio(b"RIFF")

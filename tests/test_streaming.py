@@ -57,6 +57,30 @@ def test_incremental_latest_wins_channels(spark, tmp_path):
 
 
 @pytest.mark.filterwarnings("ignore")
+def test_incremental_video_daily_fact_matches_batch(spark, tmp_path):
+    """The streaming twin of fact_video_daily_metrics converges to exactly
+    the batch MV's latest-wins result over the same envelopes."""
+    from youtube_analytics_lakehouse_databricks_spark.sources.fixtures import video_daily_payload
+    from youtube_analytics_lakehouse_databricks_spark.streaming.incremental import incremental_fact_video_daily
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ctxs = run_contexts(3)
+    days = ["2025-08-01", "2025-08-02"]
+    for i, ctx in enumerate(ctxs):
+        _write_envelope_file(landing / f"g{i}.json", ctx, video_daily_payload(i + 1, days))
+    q = incremental_fact_video_daily(spark, str(landing), str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    rows = read_merged(spark, "silver.fact_video_daily_stream").collect()
+    # 3 videos x 2 days, latest generation (3) wins every key
+    assert len(rows) == 6
+    by_key = {(r["video_id"], str(r["date"])): r for r in rows}
+    assert by_key[("vid_001", "2025-08-01")]["views"] == 43  # 40 + gen3 + idx0
+    assert all(r["snapshot_date"].day == 3 for r in rows)
+    assert all(r["average_view_duration_seconds"] == 98.5 for r in rows)
+
+
+@pytest.mark.filterwarnings("ignore")
 def test_windowed_event_counts_matches_batch(spark, tmp_path):
     from youtube_analytics_lakehouse_databricks_spark.queries import read as read_table
 

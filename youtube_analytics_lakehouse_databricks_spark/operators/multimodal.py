@@ -141,3 +141,62 @@ def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:  # pragma: n
     Production shape: mapInPandas yielding one row per sampled frame with
     (media_id, frame_idx, frame_content binary)."""
     raise NotImplementedError("video frame sampling requires a codec library")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, duration_s double, rms double, "
+    "peak int, zero_crossings long"
+)
+
+# SYNTH audio: 4-byte big-endian sample rate, then signed 16-bit PCM mono.
+
+
+def encode_synth_audio(sample_rate: int, samples: list[int]) -> bytes:
+    import struct as _struct
+
+    return _struct.pack(">I", sample_rate) + b"".join(
+        _struct.pack(">h", s) for s in samples
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Waveform feature extraction over a binary audio column: RMS, peak,
+    zero-crossing rate, duration. Same Arrow-batched shape as images; a
+    real deployment swaps the SYNTH decode for soundfile/librosa (not in
+    this container — decode_real_audio below is the marked stub)."""
+
+    def features(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "duration_s", "rms", "peak", "zero_crossings")}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < 4:
+                    continue
+                raw = bytes(content)
+                rate = struct.unpack(">I", raw[:4])[0]
+                pcm = np.frombuffer(raw[4:], dtype=">i2").astype(np.float64)
+                out["media_id"].append(media_id)
+                out["n_samples"].append(len(pcm))
+                out["duration_s"].append(len(pcm) / rate if rate else 0.0)
+                out["rms"].append(float(np.sqrt((pcm * pcm).mean())) if len(pcm) else 0.0)
+                out["peak"].append(int(np.abs(pcm).max()) if len(pcm) else 0)
+                out["zero_crossings"].append(int((np.diff(np.signbit(pcm)) != 0).sum()) if len(pcm) > 1 else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio").select("media_id", "content").mapInPandas(
+        features, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def decode_real_audio(content: bytes):  # pragma: no cover - stub
+    """STUB: real audio decode requires soundfile/librosa (not in this
+    container). The mapInPandas plumbing above is identical."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real audio decoding needs soundfile; use the SYNTH format in tests"
+        ) from e
+    raise NotImplementedError("wire soundfile.read(io.BytesIO(content)) here")

@@ -112,6 +112,71 @@ def incremental_silver_channels(
     )
 
 
+def _typed_video_daily(envelopes: DataFrame) -> DataFrame:
+    """Streaming version of the analytics-matrix fact projection
+    (models.silver.fact_video_daily_metrics, P:445-512): primitivesAsString
+    parse, header-name positional extraction, typed casts."""
+    parsed = envelopes.select(
+        "snapshot_date",
+        "ingest_ts_utc",
+        "request_id",
+        "run_id",
+        "schema_version",
+        F.from_json(
+            "payload", contract.ANALYTICS_MATRIX_SCHEMA, {"primitivesAsString": "true"}
+        ).alias("parsed"),
+    )
+    rows = parsed.select(
+        "snapshot_date",
+        "ingest_ts_utc",
+        "request_id",
+        "run_id",
+        "schema_version",
+        F.expr("transform(parsed.columnHeaders, x -> x.name)").alias("header_names"),
+        F.explode_outer("parsed.rows").alias("row_values"),
+    )
+
+    def cell(name: str):
+        return F.element_at("row_values", F.array_position("header_names", name).cast("int"))
+
+    return rows.select(
+        cell("video").alias("video_id"),
+        F.to_date(cell("day")).alias("date"),
+        cell("views").cast("bigint").alias("views"),
+        cell("likes").cast("bigint").alias("likes"),
+        cell("comments").cast("bigint").alias("comments"),
+        cell("estimatedMinutesWatched").cast("bigint").alias("estimated_minutes_watched"),
+        cell("averageViewDuration").cast("double").alias("average_view_duration_seconds"),
+        "snapshot_date",
+        "ingest_ts_utc",
+        "request_id",
+        "run_id",
+        "schema_version",
+    ).filter(F.col("video_id").isNotNull() & F.col("date").isNotNull())
+
+
+def incremental_fact_video_daily(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    target_fqn: str = "silver.fact_video_daily_stream",
+) -> StreamingQuery:
+    """Continuously maintain the (video_id, date) daily fact from a landing
+    directory of analytics-report envelopes — the streaming twin of the
+    batch fact_video_daily_metrics MV, same latest-wins merge."""
+    typed = _typed_video_daily(stream_envelopes(spark, landing_dir))
+    return (
+        typed.writeStream.foreachBatch(
+            lambda batch, _id: _merge_latest_wins(
+                batch.sparkSession, batch, target_fqn, ["video_id", "date"]
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     watermark: str = "10 minutes",
