@@ -61,7 +61,8 @@ def init_run_log(spark: SparkSession, ctx: RunContext, **extra: str) -> None:
         extra.get("job_id"),
         extra.get("job_run_id"),
         extra.get("task_run_id"),
-        extra.get("created_by", "youtube_analytics_lakehouse_databricks_spark"),
+        extra.get("created_by")
+        or spark.sql("SELECT current_user()").collect()[0][0],  # init_run_context.py:69
         extra.get("context_json"),
     )
     df = spark.createDataFrame([row], RUN_LOG_SCHEMA)

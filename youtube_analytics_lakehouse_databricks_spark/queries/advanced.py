@@ -171,6 +171,75 @@ def signup_followup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "supplier_balance_ranks",
+    """
+    SELECT s_suppkey, s_nationkey,
+           CAST(rank() OVER w AS BIGINT) AS balance_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS balance_dense_rank,
+           CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+           round(percent_rank() OVER w, 6) AS balance_pct_rank
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+    doc="Rank-family windows (rank/dense_rank/ntile/percent_rank) — beyond the reference's row_number-only surface.",
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = read(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("bigint").alias("balance_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("balance_dense_rank"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+    )
+
+
+@register(
+    "cumulative_customer_revenue",
+    """
+    SELECT o_custkey, order_date, daily_total,
+           CAST(SUM(day_units) OVER (PARTITION BY o_custkey ORDER BY order_date
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 10000.0 AS cumulative_total
+    FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS daily_total,
+             SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS day_units
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    )
+    """,
+    doc=(
+        "Aggregate-over-window with an explicit ROWS frame (running "
+        "per-customer revenue) — frame specs are absent from the "
+        "reference's surface; exact integer-unit running sums."
+    ),
+)
+def cumulative_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.queries.relational import _units
+
+    orders = read(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    ).agg(
+        (F.sum(_units(F.col("o_totalprice"))).cast("double") / 10000.0).alias("daily_total"),
+        F.sum(_units(F.col("o_totalprice"))).alias("day_units"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "order_date",
+        "daily_total",
+        (F.sum("day_units").over(w).cast("double") / 10000.0).alias("cumulative_total"),
+    )
+
+
+@register(
     "value_percentiles",
     """
     SELECT event_type,
