@@ -485,6 +485,54 @@ def conditional_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timestamp_parse_roundtrip",
+    """
+    SELECT event_id, ts,
+           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f')
+             AS ts_roundtrip,
+           CAST(ts AS DATE) AS ts_date
+    FROM events
+    """,
+    doc="String<->timestamp parsing: to_timestamp(date_format(...)) microsecond round-trip (P:32 to_timestamp, P:404 to_date).",
+)
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    return ev.select(
+        "event_id",
+        "ts",
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("ts_roundtrip"),
+        F.to_date("ts").alias("ts_date"),
+    )
+
+
+@register(
+    "latest_purchasing_user",
+    """
+    SELECT user_id, last_purchase_ts, last_event_ts
+    FROM (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
+             MAX(ts) AS last_event_ts
+      FROM events GROUP BY user_id
+    )
+    ORDER BY COALESCE(last_purchase_ts, last_event_ts) DESC, user_id ASC
+    LIMIT 1
+    """,
+    doc="Top-1 by COALESCE-ordered recency (O3, post_deploy_smoke_checks.py:240-245 latest-run-status idiom).",
+)
+def latest_purchasing_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase_ts"),
+        F.max("ts").alias("last_event_ts"),
+    )
+    return agg.orderBy(
+        F.coalesce("last_purchase_ts", "last_event_ts").desc(), F.col("user_id").asc()
+    ).limit(1)
+
+
+@register(
     "positional_token_lookup",
     """
     SELECT doc_id,
