@@ -79,6 +79,52 @@ def test_incremental_delta_scan_is_pruned(spark):
     assert df.limit(1).count() == 0  # everything already processed
 
 
+def test_backfill_of_older_snapshot_is_merged(spark):
+    """A late re-ingest carrying an OLDER snapshot_date but a newer
+    ingest_ts (the reference's rolling-lookback pattern) must still flow
+    through the incremental merge — the snapshot predicate is pruning
+    with a margin, not a correctness filter."""
+    import datetime as dt
+
+    from youtube_analytics_lakehouse_databricks_spark.sources.envelope import RunContext
+
+    from youtube_analytics_lakehouse_databricks_spark import contract
+
+    ensure_schemas(spark)
+    graph = build_graph()
+    # this test owns the full bronze + silver state
+    for fqn in [
+        *MERGE_VIEWS,
+        "ops.refresh_watermarks",
+        *[f"bronze.{t}" for t in contract.BRONZE_TABLES],
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {fqn}")
+    ctxs = run_contexts(2)
+    ingest(spark, FixtureSource(gen=1), ctxs[0])
+    ingest(spark, FixtureSource(gen=2), ctxs[1])
+    graph.refresh_incremental(spark)
+    before = spark.table("silver.silver_channels").collect()[0]
+    assert before["channel_title"] == "Test Channel v2"
+
+    # backfill: snapshot_date DAY 1 (older than the watermark's day 2)
+    # but ingested now — under latest-wins it must lose to gen2's newer
+    # snapshot, and crucially it must be *seen* by the merge (not dropped)
+    backfill = RunContext(
+        run_id="run-backfill",
+        snapshot_date=dt.date(2025, 8, 1),
+        ingest_ts_utc=dt.datetime(2025, 8, 2, 23, 0, 0),
+    )
+    ingest(spark, FixtureSource(gen=9), backfill)
+    modes = graph.refresh_incremental(spark)
+    assert modes["silver.silver_channels"] == "merged"
+    after = spark.table("silver.silver_channels").collect()[0]
+    # gen2's snapshot_date (day 2) still wins the recency order
+    assert after["channel_title"] == "Test Channel v2"
+    # but the backfill's stats rows landed in the per-fetch snapshot table
+    stats = spark.table("silver.silver_video_stats_snapshot")
+    assert stats.filter("run_id = 'run-backfill'").count() > 0
+
+
 def test_scd2_incremental_equals_full(spark):
     """The SCD2 splice (typed-stage append + affected-key rebuild) must be
     indistinguishable from a full recompute, including version windows."""

@@ -38,14 +38,23 @@ def _recency_order() -> list[Column]:
     ]
 
 
+# Partition-pruning margin for incremental scans: new envelopes may carry
+# snapshot_dates up to this many days older than their ingest time (the
+# reference re-ingests a rolling lookback window, default 7 days —
+# ingest_analytics_api_to_bronze.py:46; 30 gives ample slack for backfills).
+BACKFILL_LOOKBACK_DAYS = 30
+
+
 def _bronze(spark: SparkSession, table: str, since=None) -> DataFrame:
     """Bronze scan, optionally restricted to envelopes newer than a
-    watermark. The snapshot_date predicate prunes partitions; the
-    ingest_ts predicate is exact (same-day re-runs)."""
+    watermark. Correctness comes from the exact ingest_ts predicate; the
+    snapshot_date predicate only prunes partitions and keeps a lookback
+    margin so late backfills of older snapshots are still picked up."""
     raw = spark.table(table)
     if since is not None:
+        since_date = since.date() if hasattr(since, "date") else since
         raw = raw.filter(
-            (F.col("snapshot_date") >= F.lit(since.date() if hasattr(since, "date") else since))
+            (F.col("snapshot_date") >= F.date_sub(F.lit(since_date), BACKFILL_LOOKBACK_DAYS))
             & (F.col("ingest_ts_utc") > F.lit(since))
         )
     return raw
