@@ -49,7 +49,12 @@ def registry() -> dict[str, Query]:
         vectorops,
     )
 
-    return dict(_REGISTRY)
+    # Oracle-checked queries first (registration order), rows-only checks
+    # last: downstream gates iterate in dict order under a bounded budget,
+    # so the strongest checks must never be starved by the weaker ones.
+    oracled = {n: q for n, q in _REGISTRY.items() if q.oracle is not None}
+    rows_only = {n: q for n, q in _REGISTRY.items() if q.oracle is None}
+    return {**oracled, **rows_only}
 
 
 _NANO_TS_CACHE: dict[str, list[str]] = {}

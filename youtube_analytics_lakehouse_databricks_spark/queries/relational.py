@@ -155,8 +155,8 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type,
            ts AS valid_from_utc,
            CASE WHEN lead(ts) OVER w IS NULL
-                THEN TIMESTAMP '9999-12-31 23:59:59.999999'
-                ELSE lead(ts) OVER w - INTERVAL 1 MICROSECOND END AS valid_to_utc,
+                THEN 253402300799999999
+                ELSE epoch_us(lead(ts) OVER w) - 1 END AS valid_to_us,
            (lead(ts) OVER w IS NULL) AS is_current,
            sha256(concat_ws('||', CAST(user_id AS VARCHAR), event_type,
                             CAST(epoch_us(ts) AS VARCHAR))) AS version_sk
@@ -166,7 +166,11 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "SCD2: lag() change detection (P:213-224) + lead() validity windows with "
         "valid_to = next - 1 microsecond, open-row sentinel 9999-12-31, "
-        "is_current flag, sha2 surrogate key (P:249-297)."
+        "is_current flag, sha2 surrogate key (P:249-297). valid_to is presented "
+        "as epoch-micros BIGINT (253402300799999999 == the reference's "
+        "9999-12-31 23:59:59.999999 sentinel) because the comparison harness's "
+        "nanosecond pandas timestamps cannot represent year 9999; the engine-side "
+        "SCD2 model (models/silver.py) keeps the TIMESTAMP sentinel untouched."
     ),
 )
 def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,13 +183,16 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     next_ts = F.lead("ts").over(w2)
+    # Sentinel as epoch-micros: unix_micros(TIMESTAMP'9999-12-31 23:59:59.999999').
+    # valid_to = next_valid_from - 1 microsecond, exactly P:284-291, in BIGINT space.
+    sentinel_us = 253402300799999999
     return changes.select(
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from_utc"),
-        F.when(next_ts.isNull(), F.lit("9999-12-31 23:59:59.999999").cast("timestamp"))
-        .otherwise(F.expr("lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - INTERVAL 1 MICROSECOND"))
-        .alias("valid_to_utc"),
+        F.when(next_ts.isNull(), F.lit(sentinel_us))
+        .otherwise(F.unix_micros(next_ts) - F.lit(1))
+        .alias("valid_to_us"),
         next_ts.isNull().alias("is_current"),
         F.sha2(
             F.concat_ws(

@@ -113,36 +113,29 @@ def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "users_purchase_and_signup_intersect",
+    "purchase_signup_users_minus_errors",
     """
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'signup'
-    """,
-    doc="INTERSECT set op (beyond the reference's UNION-only surface).",
-)
-def users_purchase_and_signup_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "signup").select("user_id")
-    return a.intersect(b)
-
-
-@register(
-    "users_without_errors_except",
-    """
-    SELECT user_id FROM events
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'signup'
+    )
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'error'
     """,
-    doc="EXCEPT set op (beyond the reference's UNION-only surface).",
+    doc=(
+        "INTERSECT + EXCEPT set ops in one query (beyond the reference's "
+        "UNION-only surface): users who both purchased and signed up, minus "
+        "users who ever errored."
+    ),
 )
-def users_without_errors_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def purchase_signup_users_minus_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    # subtract == EXCEPT DISTINCT (any error event removes the user)
-    return ev.select("user_id").subtract(
-        ev.filter(F.col("event_type") == "error").select("user_id")
-    )
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signed_up = ev.filter(F.col("event_type") == "signup").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    # intersect == INTERSECT DISTINCT; subtract == EXCEPT DISTINCT
+    return purchased.intersect(signed_up).subtract(errored)
 
 
 @register(
