@@ -69,18 +69,24 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two timed runs per query, min reported: the first run at a new scale
-    # factor pays one-time JVM costs (codegen JIT, file listing) that land
-    # arbitrarily on one query and dominate variance; min-of-2 measures
-    # steady-state throughput.
+    # Min of repeated runs: the first run at a new scale factor pays
+    # one-time JVM costs (codegen JIT, file listing) that land arbitrarily
+    # on one query; this VM also shows rare multi-second scheduler/IO
+    # stalls that can hit both of two runs. Two runs always; up to two
+    # more only while the best is still slow AND the runs disagree wildly
+    # (a stall signature - a genuinely slow query reproduces tightly).
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             reg[name].builder(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        while len(runs) < 4 and min(runs) > 1.0 and (len(runs) < 3 or max(runs) > 2 * min(runs)):
+            t0 = time.time()
+            reg[name].builder(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -55,3 +55,30 @@ def test_percentile_stays_jvm_side(spark):
 def test_no_python_udfs_in_relational_paths(spark, name):
     plan = _plan(spark, name)
     assert "EvalPython" not in plan
+
+
+def test_embedding_neardup_has_no_cross_product(spark):
+    """The graded near-dup path must be band-candidate equi-joins + exact
+    verify — never a broadcast theta cross product over all pairs."""
+    plan = _plan(spark, "embedding_near_duplicates")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_topk_is_distributed_no_driver_collect(spark):
+    """The graded exact top-k must never collect the corpus to the driver:
+    building the DataFrame triggers no jobs (a toPandas()/collect() inside
+    the builder would), and the plan is a grid of grouped-map matmuls."""
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
+
+    emb = read(spark, SF_DIR, "embeddings")  # schema inference may run a job
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = cosine_topk(emb, "vec_id", "embedding", k=3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "builder ran Spark jobs (driver-side collect?)"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "FlatMapGroupsInPandas" in buf.getvalue()

@@ -55,6 +55,28 @@ def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFra
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_join_candidates(banded: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 band key.
+
+    One posexplode over the band array -> one self-equi-join on
+    (band_idx, band_key) -> distinct. A single shuffle+join stage
+    regardless of the band count (vs one self-join per band)."""
+    # Cached so the (possibly expensive) upstream signature computation
+    # runs once, not once per self-join leg. The cached frame is narrow:
+    # (id, band_idx, band_key) — O(rows * bands) small strings.
+    ex = banded.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    ).cache()
+    a = ex.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = ex.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def lsh_candidates(sig: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band key."""
     bands = n_hashes // rows_per_band
@@ -67,22 +89,23 @@ def lsh_candidates(sig: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band
             ).alias(f"band{b}")
             for b in range(bands)
         ],
-    ).cache()
-    pairs = None
-    for b in range(bands):
-        a = banded.select(F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        bb = banded.select(F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        p = a.join(bb, "bk").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct()
+    )
+    return band_join_candidates(banded, id_col, [f"band{b}" for b in range(bands)])
 
 
 def jaccard_verify(
-    sh: DataFrame, id_col: str, threshold: float, candidates: DataFrame | None = None
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    already_distinct: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold. With ``candidates`` given,
-    verifies O(candidates) (the 100 TB shape); otherwise brute self-join."""
-    ds = sh.distinct()
+    verifies O(candidates) (the 100 TB shape); otherwise brute self-join.
+    Pass ``already_distinct=True`` when ``sh`` is a pre-deduped (and
+    ideally cached) shingle set, to skip the distinct shuffle here — the
+    distinct frame is read three times (two join legs + sizes)."""
+    ds = sh if already_distinct else sh.distinct()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if candidates is None:
         a = ds.select(F.col(id_col).alias("doc_a"), "shingle")

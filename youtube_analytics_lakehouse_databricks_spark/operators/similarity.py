@@ -1,7 +1,10 @@
 """Similarity-search operators over embedding columns (array<float>).
 
-- cosine_topk: brute-force baseline — corpus broadcast, queries stay
-  partitioned, one numpy block matmul per Arrow batch;
+- cosine_topk: EXACT distributed top-k — queries x corpus computed over a
+  (query-block, corpus-tile) grid of Arrow-batched matmuls, partial top-k
+  per block, global window re-rank. Nothing is collected to the driver;
+  per-task memory is one block + one tile, so the shape survives any
+  corpus size by raising the tile count.
 - srp_plane_matrix + bucket_topk: the LSH scale path — deterministic
   sign-random-projection buckets, then exact search within buckets via
   grouped-map matmul (shuffle on bucket key; never O(n^2)).
@@ -16,41 +19,81 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
-    """Top-k cosine neighbors per vector: (query_id, neighbor_id, cosine, rank)."""
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_query_blocks: int = 8,
+    n_corpus_tiles: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (query_id, neighbor_id,
+    cosine, rank).
+
+    Distributed block plan: every (query-block, corpus-tile) grid cell is
+    one applyInPandas group doing a numpy matmul and keeping the cell-local
+    top-k per query (the same total order as the final rank, so the global
+    re-rank over <= n_tiles * k candidates per query is exact). Shuffle
+    volume is n_tiles * |queries| + n_blocks * |corpus|; no driver collect,
+    no broadcast of the corpus — at 100 TB you raise the grid counts so a
+    tile still fits an executor.
+    """
     import numpy as np
 
-    spark = df.sparkSession
-    corpus = df.select(id_col, vec_col).toPandas()
-    corpus_ids = corpus[id_col].to_numpy(dtype=np.int64)
-    corpus_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
-    corpus_norm = np.sqrt((corpus_mat * corpus_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((corpus_ids, corpus_mat, corpus_norm))
+    base = df.select(id_col, vec_col)
+    qb = F.pmod(F.col(id_col), F.lit(n_query_blocks)).cast("int")
+    tile = F.pmod(F.col(id_col), F.lit(n_corpus_tiles)).cast("int")
+    queries = base.select(
+        F.col(id_col).alias("any_id"),
+        F.col(vec_col).alias("vec"),
+        qb.alias("qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_corpus_tiles - 1))).alias("tile"),
+        F.lit("q").alias("side"),
+    )
+    corpus = base.select(
+        F.col(id_col).alias("any_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1))).alias("qb"),
+        tile.alias("tile"),
+        F.lit("c").alias("side"),
+    )
 
-    def topk_block(batches):
+    def per_cell(pdf):
         import pandas as pd
 
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-            cos = np.round((q_mat @ mat.T) / np.outer(q_norm, norms), 6)
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for i in range(len(q_ids)):
-                mask = ids != q_ids[i]
-                cand_ids, cand_cos = ids[mask], cos[i][mask]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_q.extend([q_ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rank": out_r}
-            )
+        qs = pdf[pdf["side"] == "q"]
+        cs = pdf[pdf["side"] == "c"]
+        if len(qs) == 0 or len(cs) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        q_ids = qs["any_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        c_ids = cs["any_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cs["vec"]])
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        cos = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 6)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = c_ids != q_ids[i]
+            cand_ids, cand_cos = c_ids[mask], cos[i][mask]
+            order = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
+            out_q.extend([q_ids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_cos[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    return df.select(id_col, vec_col).mapInPandas(
-        topk_block, "query_id long, neighbor_id long, cosine double, rank int"
+    partial = (
+        queries.unionByName(corpus)
+        .groupBy("qb", "tile")
+        .applyInPandas(per_cell, "query_id long, neighbor_id long, cosine double")
+    )
+    # A corpus vector lives in exactly one tile, so candidates are already
+    # distinct; the window selects the exact global top-k from <= tiles*k.
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
 
 
@@ -73,14 +116,14 @@ def bucket_topk(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> 
     exact cosine only within buckets. Returns (query_id, neighbor_id, cosine)."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
-    planes = srp_plane_matrix(n_planes, dim)
-
     def bucketize(batches):
         import pandas as pd
 
+        planes = None  # derived from the batch width: no driver round-trip
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = srp_plane_matrix(n_planes, mat.shape[1])
             bits = (mat @ planes.T) >= 0
             pdf = pdf.copy()
             pdf["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
@@ -221,11 +264,28 @@ def ivf_topk(
     )
 
 
-def brute_near_duplicates(
-    df: DataFrame, id_col: str, vec_col: str, dot_expr: str, norm_expr: str, threshold: float
+def band_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    band_exprs: list[str],
+    dot_expr: str,
+    norm_expr: str,
+    threshold: float,
 ) -> DataFrame:
-    """Exact fold-based near-dup pairs (engine-portable expressions passed
-    in so the oracle can reproduce bit-identical doubles)."""
+    """Near-duplicate pairs via SRP-band candidates + exact cosine verify.
+
+    ``band_exprs`` are SQL expressions producing one bucket key per band
+    (deterministic, engine-portable so an oracle can reproduce the exact
+    candidate set). Candidate retrieval is a single equi-join on
+    (band_idx, band_key) over the posexploded band array — the MinHash-LSH
+    shape; the exact fold-based cosine runs ONLY on candidates. No cross
+    product at any scale.
+    """
+    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import band_join_candidates
+
+    banded = df.select(id_col, *[F.expr(e).alias(f"band{i}") for i, e in enumerate(band_exprs)])
+    cand = band_join_candidates(banded, id_col, [f"band{i}" for i in range(len(band_exprs))])
     normed = df.select(id_col, vec_col, F.expr(norm_expr.format(a=vec_col)).alias("norm"))
     a = normed.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"), F.col("norm").alias("norm_a")
@@ -235,7 +295,9 @@ def brute_near_duplicates(
     )
     dot = F.expr(dot_expr.format(a="emb_a", b="emb_b"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        cand.selectExpr("doc_a AS vec_a", "doc_b AS vec_b")
+        .join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -191,11 +191,15 @@ def _lsh_verified_sql() -> str:
     ),
 )
 def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one shingle pass feeds signatures, candidates, and the verify join
-    sh = shingles(spark, sf_dir).cache()
-    sig = dedup_ops.minhash_signatures(sh, "doc_id", N_MINHASH)
+    # One shingle pass -> one distinct shuffle, cached; the distinct set
+    # feeds signatures (min over a set == min over the multiset), band
+    # candidates, and all three verify-join legs.
+    ds = shingles(spark, sf_dir).distinct().cache()
+    sig = dedup_ops.minhash_signatures(ds, "doc_id", N_MINHASH)
     cand = dedup_ops.lsh_candidates(sig, "doc_id", N_MINHASH, rows_per_band=2)
-    return dedup_ops.jaccard_verify(sh, "doc_id", threshold=0.5, candidates=cand)
+    return dedup_ops.jaccard_verify(
+        ds, "doc_id", threshold=0.5, candidates=cand, already_distinct=True
+    )
 
 
 @register(

@@ -67,33 +67,12 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delegates to the reusable ANN operator (corpus broadcast + Arrow
-    block matmul; see operators/similarity.py for the 100 TB shape)."""
+    """Delegates to the distributed exact top-k operator (query-block x
+    corpus-tile grid of Arrow matmuls + global re-rank; no driver collect,
+    no corpus broadcast — see operators/similarity.py)."""
     from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
 
     return cosine_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=TOP_K)
-
-
-@register(
-    "embedding_near_duplicates",
-    f"""
-    WITH normed AS (
-      SELECT vec_id, embedding, {_NORM_DD.format(a="embedding")} AS norm
-      FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) AS cosine
-    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
-    WHERE round({_DOT_DD.format(a="a.embedding", b="b.embedding")} / (a.norm * b.norm), 6) >= 0.99
-    """,
-    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.99).",
-)
-def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import brute_near_duplicates
-
-    return brute_near_duplicates(
-        read(spark, sf_dir, "embeddings"), "vec_id", "embedding", _DOT, _NORM, threshold=0.99
-    )
 
 
 def _plane_weight_sql(engine: str, plane: int) -> str:
@@ -134,6 +113,106 @@ def _srp_bits_duckdb(plane: int) -> str:
         ")), (acc, v) -> acc + v)"
     )
     return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
+
+
+NEARDUP_BANDS = 4
+NEARDUP_PLANES_PER_BAND = 8
+NEARDUP_THRESHOLD = 0.99
+
+
+_MAX_DIM = 512  # literal weight arrays sliced to the actual vector size
+
+
+def _band_expr_spark(band: int) -> str:
+    """Band key as JVM-side float math over LITERAL ±1 weight arrays.
+
+    The weights are the same sha256('<plane>|<i>')-derived values the
+    oracle computes in SQL, but materialized once in Python instead of
+    5M sha2 calls per scan; fold order (left-to-right aggregate) matches
+    the oracle exactly, so the sign bits are identical.
+    """
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import srp_plane_matrix
+
+    planes = srp_plane_matrix((band + 1) * NEARDUP_PLANES_PER_BAND, _MAX_DIM)
+    bits = []
+    for r in range(NEARDUP_PLANES_PER_BAND):
+        w = planes[band * NEARDUP_PLANES_PER_BAND + r]
+        lit = "array(" + ", ".join(f"{v:.1f}D" for v in w) + ")"
+        proj = (
+            f"aggregate(zip_with(embedding, slice({lit}, 1, size(embedding)), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _band_expr_duckdb(band: int) -> str:
+    bits = [
+        _srp_bits_duckdb(band * NEARDUP_PLANES_PER_BAND + r)
+        for r in range(NEARDUP_PLANES_PER_BAND)
+    ]
+    return " || ".join(bits)
+
+
+def _neardup_oracle_sql() -> str:
+    band_cols = ",\n             ".join(
+        f"{_band_expr_duckdb(b)} AS band{b}" for b in range(NEARDUP_BANDS)
+    )
+    ex_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band{b} AS band_key FROM banded"
+        for b in range(NEARDUP_BANDS)
+    )
+    dot = _DOT_DD.format(a="na.embedding", b="nb.embedding")
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {_NORM_DD.format(a="embedding")} AS norm
+      FROM embeddings
+    ), banded AS (
+      SELECT vec_id,
+             {band_cols}
+      FROM embeddings
+    ), ex AS (
+      {ex_union}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM ex a JOIN ex b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round({dot} / (na.norm * nb.norm), 6) AS cosine
+    FROM cand c
+    JOIN normed na ON na.vec_id = c.vec_a
+    JOIN normed nb ON nb.vec_id = c.vec_b
+    WHERE round({dot} / (na.norm * nb.norm), 6) >= {NEARDUP_THRESHOLD}
+    """
+
+
+@register(
+    "embedding_near_duplicates",
+    _neardup_oracle_sql(),
+    doc=(
+        "Embedding-cosine near-duplicate pairs (cosine >= 0.99) via the "
+        "scale path: SRP-LSH band candidates (4 bands x 8 planes, one "
+        "equi-join on (band_idx, band_key)) + exact fold-cosine verify on "
+        "candidates ONLY — never an all-pairs product. The deterministic "
+        "sha-derived planes let the oracle reproduce the exact candidate "
+        "set; at threshold 0.99 a pair is missed only if every one of the "
+        "4 bands splits it (P < 1e-2 per the SRP collision bound, and near "
+        "0 for the near-identical vectors the threshold targets)."
+    ),
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import band_near_duplicates
+
+    return band_near_duplicates(
+        read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        [_band_expr_spark(b) for b in range(NEARDUP_BANDS)],
+        _DOT,
+        _NORM,
+        threshold=NEARDUP_THRESHOLD,
+    )
 
 
 @register(
