@@ -87,11 +87,15 @@ def test_scd2_windows_tile_without_overlap(rows):
     data, seen = [], set()
     for k, d, h, r, v in rows:
         ts = dt.datetime(2025, 1, 1 + d, h)
-        # ties on (key, observed_at, request_id) with different content are
-        # pathological input (undefined order in the reference too) — skip
-        if (k, ts, r) in seen:
+        # Two observations of one key at the same microsecond are
+        # pathological input: the reference closes a version at
+        # next_valid_from - 1µs (P:286), so a same-instant successor yields
+        # a negative window there exactly as here. The real ingest can't
+        # produce them (observed_at is per-run ingest time), so the
+        # generator excludes them rather than asserting on undefined input.
+        if (k, ts) in seen:
             continue
-        seen.add((k, ts, r))
+        seen.add((k, ts))
         data.append((f"vid{k}", v, ts, dt.date(2025, 1, 1 + d), ts, f"req-{r}", "run", "v1"))
     df = spark.createDataFrame(
         data,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from youtube_analytics_lakehouse_databricks_spark import storage
+
 
 def optimize_tables(
     spark: SparkSession,
@@ -21,7 +23,14 @@ def optimize_tables(
     target_partitions: int | None = None,
 ) -> dict[str, str]:
     """Compact each table; skip non-tables; 'error'/'skipped'/'optimized'
-    per fqn, raising only in strict mode (optimize_tables.py:110-132)."""
+    per fqn, raising only in strict mode (optimize_tables.py:110-132).
+
+    The rewrite goes through storage.swap_overwrite, which captures and
+    re-applies the table's existing partition layout — compacting a
+    snapshot_date-partitioned Bronze table must NOT drop its partitioning,
+    or the next partitioned append fails with a layout mismatch.
+    On Delta the whole body becomes `OPTIMIZE {fqn}` (metadata compaction,
+    no rewrite-by-read needed)."""
     results: dict[str, str] = {}
     for fqn in fqns:
         try:
@@ -32,15 +41,13 @@ def optimize_tables(
             if (table.tableType or "").upper() == "VIEW":
                 results[fqn] = "skipped_view"  # optimize_tables.py:91-94
                 continue
+            if storage.TABLE_FORMAT == "delta":
+                spark.sql(f"OPTIMIZE {fqn}")
+                results[fqn] = "optimized"
+                continue
             df = spark.table(fqn)
             n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
-            df.coalesce(n).write.mode("overwrite").format("parquet").saveAsTable(
-                f"{fqn}__compacted"
-            )
-            spark.table(f"{fqn}__compacted").write.mode("overwrite").format(
-                "parquet"
-            ).saveAsTable(fqn)
-            spark.sql(f"DROP TABLE {fqn}__compacted")
+            storage.swap_overwrite(spark, df.coalesce(n), fqn)
             results[fqn] = "optimized"
         except Exception as e:  # lenient mode records and continues
             if strict:

@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from youtube_analytics_lakehouse_databricks_spark import storage
 from youtube_analytics_lakehouse_databricks_spark.sources.envelope import RunContext
 
 RUN_LOG_FQN = "ops.run_context_log"
@@ -71,11 +72,13 @@ def init_run_log(spark: SparkSession, ctx: RunContext, **extra: str) -> None:
         for c in existing_cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast(dict(FINALIZE_COLUMNS)[c]))
-        df.select(*existing_cols).write.mode("append").format("parquet").saveAsTable(RUN_LOG_FQN)
+        # One layout everywhere (create/append/rewrite all partition by
+        # snapshot_date, the reference's declared layout —
+        # init_run_context.py:123): a partitioned append against the
+        # bootstrap-created table must match or Spark rejects it.
+        storage.write_table(df.select(*existing_cols), RUN_LOG_FQN, "append", ("snapshot_date",))
     else:
-        df.write.mode("overwrite").format("parquet").partitionBy("snapshot_date").saveAsTable(
-            RUN_LOG_FQN
-        )
+        storage.write_table(df, RUN_LOG_FQN, "overwrite", ("snapshot_date",))
 
 
 def _ensure_finalize_columns(spark: SparkSession) -> None:
@@ -138,6 +141,6 @@ def latest_run_status(spark: SparkSession) -> str | None:
 
 def _overwrite_run_log(spark: SparkSession, df) -> None:
     rows = df.collect()  # run log is O(runs) tiny — driver-side rewrite is fine
-    spark.createDataFrame(rows, df.schema).write.mode("overwrite").format("parquet").saveAsTable(
-        RUN_LOG_FQN
+    storage.write_table(
+        spark.createDataFrame(rows, df.schema), RUN_LOG_FQN, "overwrite", ("snapshot_date",)
     )

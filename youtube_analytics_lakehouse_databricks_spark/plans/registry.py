@@ -69,13 +69,12 @@ class PipelineGraph:
         if only is not None:
             wanted = self._with_upstream(only)
             order = [v for v in order if v.name in wanted]
+        from youtube_analytics_lakehouse_databricks_spark import storage
+
         refreshed = []
         for view in order:
             df = view.builder(spark)
-            writer = df.write.mode("overwrite")
-            if view.partition_by:
-                writer = writer.partitionBy(*view.partition_by)
-            writer.format("parquet").saveAsTable(view.fqn)
+            storage.write_table(df, view.fqn, "overwrite", view.partition_by)
             refreshed.append(view.fqn)
         return refreshed
 
@@ -90,6 +89,7 @@ class PipelineGraph:
         from O(history) into O(new envelopes); on Delta the swap becomes a
         keyed MERGE and only touched partitions rewrite.
         """
+        from youtube_analytics_lakehouse_databricks_spark import storage
         from youtube_analytics_lakehouse_databricks_spark.plans.watermarks import get_watermark, set_watermark
 
         modes: dict[str, str] = {}
@@ -103,11 +103,7 @@ class PipelineGraph:
                 and spark.catalog.tableExists(view.fqn)
             )
             if not can_merge:
-                df = view.builder(spark)
-                writer = df.write.mode("overwrite")
-                if view.partition_by:
-                    writer = writer.partitionBy(*view.partition_by)
-                writer.format("parquet").saveAsTable(view.fqn)
+                storage.write_table(view.builder(spark), view.fqn, "overwrite", view.partition_by)
                 modes[view.fqn] = (
                     "bootstrap" if view.incremental_builder is not None else "full"
                 )
@@ -119,27 +115,17 @@ class PipelineGraph:
             if delta.limit(1).count() == 0:
                 modes[view.fqn] = "noop"
                 continue
-            existing = spark.table(view.fqn)
-            combined = existing.unionByName(delta)
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            w = Window.partitionBy(*view.merge_keys).orderBy(
-                *[F.col(c).desc() for c in view.merge_order]
+            # Latest-wins upsert: on Delta this is a keyed MERGE touching
+            # only matched files; on parquet it is union + window + swap —
+            # identical result (storage.merge_upsert).
+            storage.merge_upsert(
+                spark,
+                view.fqn,
+                delta,
+                keys=list(view.merge_keys),
+                order=list(view.merge_order),
+                partition_by=view.partition_by,
             )
-            merged = (
-                combined.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            staging = view.fqn.replace(".", "__") + "__merge_staging"
-            merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
-            writer = spark.table(staging).write.mode("overwrite").format("parquet")
-            if view.partition_by:
-                writer = writer.partitionBy(*view.partition_by)
-            writer.saveAsTable(view.fqn)
-            spark.sql(f"DROP TABLE {staging}")
-            spark.catalog.refreshTable(view.fqn)
             set_watermark(spark, view.fqn, _max_ingest(spark.table(view.fqn)))
             modes[view.fqn] = "merged"
         return modes

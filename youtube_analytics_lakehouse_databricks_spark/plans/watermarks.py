@@ -2,13 +2,22 @@
 
 A tiny ops table (O(views) rows) read once per incremental refresh; the
 same role Delta's MV refresh metadata plays in the reference's managed
-runtime."""
+runtime.
+
+Concurrency contract: the refresh pipeline is a SINGLE WRITER (the
+reference's job orchestration runs one pipeline refresh at a time —
+databricks.yml triggered jobs). ``set_watermark`` rewrites the whole
+table, so two concurrent refreshes could lose each other's update; that
+is acceptable because under-watermarking only causes an idempotent
+re-merge, but do not run two refreshes of the same warehouse in parallel.
+"""
 
 from __future__ import annotations
 
 import datetime as dt
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 WATERMARKS_FQN = "ops.refresh_watermarks"
 
@@ -18,7 +27,7 @@ def get_watermark(spark: SparkSession, view_fqn: str) -> dt.datetime | None:
         return None
     rows = (
         spark.table(WATERMARKS_FQN)
-        .filter(f"view_fqn = '{view_fqn}'")
+        .filter(F.col("view_fqn") == F.lit(view_fqn))  # Column predicate: no string interpolation
         .select("high_water_ts")
         .collect()
     )
@@ -35,6 +44,10 @@ def set_watermark(spark: SparkSession, view_fqn: str, ts: dt.datetime | None) ->
             r["view_fqn"]: r["high_water_ts"] for r in spark.table(WATERMARKS_FQN).collect()
         }
     current[view_fqn] = ts
-    spark.createDataFrame(
-        list(current.items()), "view_fqn string, high_water_ts timestamp"
-    ).write.mode("overwrite").format("parquet").saveAsTable(WATERMARKS_FQN)
+    from youtube_analytics_lakehouse_databricks_spark import storage
+
+    storage.write_table(
+        spark.createDataFrame(list(current.items()), "view_fqn string, high_water_ts timestamp"),
+        WATERMARKS_FQN,
+        "overwrite",
+    )

@@ -29,7 +29,7 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youtube_analytics_lakehouse_databricks_spark import contract
+from youtube_analytics_lakehouse_databricks_spark import contract, storage
 
 
 @dataclass(frozen=True)
@@ -100,7 +100,7 @@ def append_envelopes(spark: SparkSession, table: str, rows: list[tuple]) -> None
     mode = "append" if spark.catalog.tableExists(fqn) else "overwrite"
     # Bronze layout: partitioned by snapshot_date so downstream date
     # predicates prune files (bootstrap_unity_catalog.sql:26 et al.).
-    df.write.mode(mode).format("parquet").partitionBy("snapshot_date").saveAsTable(fqn)
+    storage.write_table(df, fqn, mode, ("snapshot_date",))
 
 
 def ingest(spark: SparkSession, source: PayloadSource, ctx: RunContext) -> dict[str, int]:

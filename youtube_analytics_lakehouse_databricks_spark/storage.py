@@ -64,32 +64,50 @@ def merge_upsert(
 ) -> None:
     """Latest-wins upsert of ``updates`` into ``target_fqn``.
 
-    Delta: MERGE ... WHEN MATCHED AND source is newer THEN UPDATE
-    WHEN NOT MATCHED THEN INSERT (touched files only).
-    Parquet: union + row_number + swap — identical result.
+    Delta: MERGE ... WHEN MATCHED AND source is strictly newer THEN UPDATE
+    WHEN NOT MATCHED THEN INSERT (touched files only). "Newer" is the exact
+    lexicographic tuple comparison over ``order`` — a>b OR (a=b AND ...) —
+    and the updates are pre-deduplicated to one row per key (Delta MERGE
+    errors on multiple source matches), so the result is identical to the
+    parquet fallback's union + row_number.
+    Parquet: union + row_number + swap.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
     if TABLE_FORMAT == "delta":
         from delta.tables import DeltaTable
 
+        deduped = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         tgt = DeltaTable.forName(spark, target_fqn)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        newer = " OR ".join(
-            f"s.{c} > t.{c}" for c in order
-        )  # lexicographic recency approximated per column; exact form built by caller if needed
+        newer = _lexicographic_newer("s", "t", order)
         (
             tgt.alias("t")
-            .merge(updates.alias("s"), cond)
+            .merge(deduped.alias("s"), cond)
             .whenMatchedUpdateAll(condition=newer)
             .whenNotMatchedInsertAll()
             .execute()
         )
         return
-    from pyspark.sql import Window
-
     combined = spark.table(target_fqn).unionByName(updates)
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order])
     merged = combined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     swap_overwrite(spark, merged, target_fqn, partition_by)
+
+
+def _lexicographic_newer(s: str, t: str, order: list[str]) -> str:
+    """SQL condition: tuple (s.o1, s.o2, ...) > (t.o1, t.o2, ...) in
+    lexicographic order — s.o1 > t.o1 OR (s.o1 = t.o1 AND s.o2 > t.o2) ...
+    NULL-safe is not needed: order columns are NOT NULL envelope metadata."""
+    terms = []
+    for i, c in enumerate(order):
+        eqs = [f"{s}.{order[j]} = {t}.{order[j]}" for j in range(i)]
+        terms.append("(" + " AND ".join([*eqs, f"{s}.{c} > {t}.{c}"]) + ")")
+    return " OR ".join(terms)
 
 
 def table_partitioning(spark: SparkSession, fqn: str) -> tuple[str, ...]:
