@@ -63,8 +63,37 @@ def test_extract_audio_features(spark):
     assert abs(f["rms"] - expected_rms) < 1e-9
 
 
+def test_sample_video_frames(spark):
+    video = mm.encode_synth_video(4, 2, n_frames=7, seed=3)
+    rows = [
+        (20, "video", video, None),
+        (21, "image", mm.encode_synth_image(2, 2), None),  # excluded
+        (22, "video", None, None),  # NULL content skipped
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(2)
+    frames = {r["frame_idx"]: r for r in mm.sample_video_frames(df, every_n=3).collect()}
+    # every 3rd frame of 7, frame 0 always included
+    assert sorted(frames) == [0, 3, 6]
+    f3 = frames[3]
+    assert (f3["media_id"], f3["n_frames"], f3["width"], f3["height"]) == (20, 7, 4, 2)
+    px = [(x * 31 + y * 7 + 3 * 13 + 3) % 256 for y in range(2) for x in range(4)]
+    assert abs(f3["mean_intensity"] - sum(px) / len(px)) < 1e-9
+    # sampled frames compose with the image operators downstream
+    frames_df = mm.sample_video_frames(df, every_n=3).select(
+        (mm.F.col("media_id") * 100 + mm.F.col("frame_idx")).alias("media_id"),
+        mm.F.lit("image").alias("media_type"),
+        mm.F.col("frame_content").alias("content"),
+        mm.F.lit(None).cast(mm.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    feats = mm.extract_image_features(frames_df).collect()
+    assert {r["media_id"] for r in feats} == {2000, 2003, 2006}
+    assert all((r["width"], r["height"]) == (4, 2) for r in feats)
+
+
 def test_real_decode_is_clearly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_real_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         mm.decode_real_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_video(b"\x00\x00\x00 ftyp")

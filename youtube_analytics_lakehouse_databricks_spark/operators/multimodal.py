@@ -136,11 +136,85 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
-def frame_sample_stub(media: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
-    """STUB: video frame sampling needs a codec library (not in container).
-    Production shape: mapInPandas yielding one row per sampled frame with
-    (media_id, frame_idx, frame_content binary)."""
-    raise NotImplementedError("video frame sampling requires a codec library")
+# SYNTH video: 12-byte header (frame count, width, height — big-endian
+# uint32 each) + n_frames row-major grayscale frames back to back. A real
+# deployment swaps _decode_synth_video for the codec stub below; the
+# Spark-side shape (binary in, one row PER SAMPLED FRAME out, Arrow
+# batches, no driver involvement) is identical.
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_intensity double, frame_content binary"
+)
+
+
+def encode_synth_video(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic SYNTH video (frame f pixel = (x*31 + y*7 + f*13 + seed) % 256)."""
+    header = struct.pack(">III", n_frames, width, height)
+    frames = b"".join(
+        bytes((x * 31 + y * 7 + f * 13 + seed) % 256 for y in range(height) for x in range(width))
+        for f in range(n_frames)
+    )
+    return header + frames
+
+
+def _decode_synth_video(content: bytes) -> tuple[int, int, int, bytes]:
+    n_frames, width, height = struct.unpack(">III", content[:12])
+    return n_frames, width, height, content[12:]
+
+
+def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Distributed frame sampling: one output row per kept frame (every
+    ``every_n``-th, always including frame 0), carrying the frame bytes as
+    a SYNTH image plus a cheap per-frame feature. The generator shape
+    (one input row -> many output rows inside mapInPandas) is the 100 TB
+    pattern for frame extraction: bytes stay on executors, downstream
+    image operators consume frame_content directly."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ("media_id", "frame_idx", "n_frames", "width", "height",
+                "mean_intensity", "frame_content")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) < 12:
+                    continue
+                n_frames, w, h, px = _decode_synth_video(bytes(content))
+                frame_len = w * h
+                for f in range(0, n_frames, every_n):
+                    frame = px[f * frame_len : (f + 1) * frame_len]
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(n_frames)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_intensity"].append(float(arr.mean()) if len(arr) else 0.0)
+                    # emit as SYNTH image so resize/feature ops compose
+                    out["frame_content"].append(struct.pack(">II", w, h) + frame)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "video").select("media_id", "content").mapInPandas(
+        sample, FRAME_SAMPLE_SCHEMA
+    )
+
+
+def decode_real_video(content: bytes):  # pragma: no cover - stub
+    """STUB: real video decode requires a codec library (pyav/opencv, not
+    in this container). sample_video_frames' mapInPandas plumbing is
+    identical — swap _decode_synth_video for the codec here."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real video decoding needs pyav/opencv; use the SYNTH format in tests"
+        ) from e
+    raise NotImplementedError("wire av.open(io.BytesIO(content)) frame iteration here")
 
 
 AUDIO_FEATURES_SCHEMA = (

@@ -14,6 +14,7 @@ from pyspark.sql import SparkSession
 
 from youtube_analytics_lakehouse_databricks_spark import contract
 from youtube_analytics_lakehouse_databricks_spark.models.pipeline import build_graph
+from youtube_analytics_lakehouse_databricks_spark.ops.contract_check import validate_bronze_contract
 from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import optimize_tables
 from youtube_analytics_lakehouse_databricks_spark.ops.run_log import finalize_run, init_run_log
 from youtube_analytics_lakehouse_databricks_spark.ops.smoke import smoke_checks
@@ -86,6 +87,16 @@ def run_pipeline(
     status = "success"
     try:
         report["ingested"] = ingest(spark, source, ctx)
+        # Catalog contract gate (unity_catalog_setup.py:195-236): only the
+        # tables this run touched — a fresh warehouse may not have all 8.
+        report["contract_errors"] = validate_bronze_contract(
+            spark, tables=sorted(report["ingested"])
+        )
+        if report["contract_errors"]:
+            raise RuntimeError(
+                "Bronze contract validation failed:\n"
+                + "\n".join(f" - {e}" for e in report["contract_errors"])
+            )
         graph = build_graph()
         report["refreshed"] = graph.refresh(spark)
         results = gold_quality_checks(spark, today=today)
