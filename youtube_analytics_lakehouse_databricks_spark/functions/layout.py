@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import storage
+
 
 def save_bucketed(
     df: DataFrame,
@@ -24,7 +26,7 @@ def save_bucketed(
     """Persist as a bucketed (and optionally sorted) managed table."""
     writer = (
         df.write.mode("overwrite")
-        .format("parquet")
+        .format(storage.BUCKET_FORMAT)
         .bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:

@@ -107,7 +107,10 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP (session tz is
+    # pinned UTC so the cast is exact).
+    ts_ltz = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
     gaps = ev.withColumn(
         "is_new",
         F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),

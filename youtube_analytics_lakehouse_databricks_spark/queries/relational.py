@@ -191,7 +191,10 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").alias("valid_from_utc"),
         F.when(next_ts.isNull(), F.lit(sentinel_us))
-        .otherwise(F.unix_micros(next_ts) - F.lit(1))
+        # events.ts is TIMESTAMP_NTZ in the parquet; unix_micros wants
+        # TIMESTAMP. The session tz is pinned UTC, so the cast is exact and
+        # matches DuckDB's epoch_us over the same naive timestamps.
+        .otherwise(F.unix_micros(next_ts.cast("timestamp")) - F.lit(1))
         .alias("valid_to_us"),
         next_ts.isNull().alias("is_current"),
         F.sha2(
@@ -199,7 +202,7 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "||",
                 F.col("user_id").cast("string"),
                 F.col("event_type"),
-                F.unix_micros("ts").cast("string"),
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
             ),
             256,
         ).alias("version_sk"),
