@@ -24,8 +24,9 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_query_blocks: int = 8,
-    n_corpus_tiles: int = 8,
+    n_query_blocks: int | None = None,
+    n_corpus_tiles: int | None = None,
+    target_tile_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (query_id, neighbor_id,
     cosine, rank).
@@ -35,12 +36,28 @@ def cosine_topk(
     top-k per query (the same total order as the final rank, so the global
     re-rank over <= n_tiles * k candidates per query is exact). Shuffle
     volume is n_tiles * |queries| + n_blocks * |corpus|; no driver collect,
-    no broadcast of the corpus — at 100 TB you raise the grid counts so a
-    tile still fits an executor.
+    no broadcast of the corpus.
+
+    When the grid counts are omitted they are sized from the corpus row
+    count and vector width so one tile holds ~``target_tile_bytes`` of
+    float64 — a small corpus runs as one matmul with zero duplication, a
+    100 TB corpus fans out to however many tiles keep per-task memory
+    bounded. The result is exact for any grid, so sizing is purely a
+    physical-plan choice.
     """
+    import math
+
     import numpy as np
 
     base = df.select(id_col, vec_col)
+    if n_query_blocks is None or n_corpus_tiles is None:
+        first = base.first()
+        dim = len(first[1]) if first is not None else 1
+        n_rows = base.count()
+        rows_per_tile = max(1, target_tile_bytes // (dim * 8))
+        auto = max(1, math.ceil(n_rows / rows_per_tile))
+        n_query_blocks = n_query_blocks or auto
+        n_corpus_tiles = n_corpus_tiles or auto
     qb = F.pmod(F.col(id_col), F.lit(n_query_blocks)).cast("int")
     tile = F.pmod(F.col(id_col), F.lit(n_corpus_tiles)).cast("int")
     queries = base.select(
