@@ -77,6 +77,10 @@ def main() -> None:
     # (a stall signature - a genuinely slow query reproduces tightly).
     timings: dict[str, float] = {}
     for name in names:
+        # Queries must not inherit each other's cached/pinned state:
+        # accumulated storage memory from earlier queries degraded
+        # later, byte-identical ones (round-2 regression).
+        spark.catalog.clearCache()
         runs = []
         for _ in range(2):
             t0 = time.time()

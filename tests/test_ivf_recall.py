@@ -32,6 +32,31 @@ def test_ivf_top1_recall(spark):
     assert partial >= 0.55, f"top-1 recall {partial:.2f} probing 3/8 cells"
 
 
+def test_registered_ivf_query_self_validates(spark):
+    """The registered embedding_ivf_ann query emits in_exact_topk and
+    recall_at_k; check them against an independently computed exact top-k."""
+    from youtube_analytics_lakehouse_databricks_spark.queries import registry
+
+    emb = read(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    rows = registry()["embedding_ivf_ann"].builder(spark, SF_DIR).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r["in_exact_topk"] == ((r["query_id"], r["neighbor_id"]) in exact)
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        want = round(sum(1 for r in rs if r["in_exact_topk"]) / len(rs), 3)
+        assert all(abs(r["recall_at_k"] - want) < 1e-9 for r in rs)
+    # with 2/16 cells probed on near-random 64-d vectors recall is modest
+    # but must be far above chance; the exact-probe case is covered above
+    mean_recall = sum(rs[0]["recall_at_k"] for rs in by_q.values()) / len(by_q)
+    assert mean_recall >= 0.2, mean_recall
+
+
 def test_ivf_rank_contract(spark):
     emb = read(spark, SF_DIR, "embeddings")
     rows = ivf_topk(emb, "vec_id", "embedding", n_cells=8, n_probe=2, k=3).collect()

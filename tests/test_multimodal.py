@@ -90,10 +90,123 @@ def test_sample_video_frames(spark):
     assert all((r["width"], r["height"]) == (4, 2) for r in feats)
 
 
-def test_real_decode_is_clearly_stubbed():
+def test_real_png_roundtrip_and_mixed_table(spark):
+    px = bytes((x * 31 + y * 7 + 1) % 256 for y in range(4) for x in range(8))
+    png = mm.encode_png_gray(8, 4, px)
+    w, h, out = mm.decode_real_image(png)
+    assert (w, h, out) == (8, 4, px)
+    # PNG and SYNTH payloads mix in one binary column; identical pixel
+    # content yields identical features through either codec
+    rows = [
+        (30, "image", png, None),
+        (31, "image", mm.encode_synth_image(8, 4, seed=1), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+    assert feats[30]["mean_intensity"] == feats[31]["mean_intensity"]
+    assert feats[30]["max_intensity"] == feats[31]["max_intensity"]
+
+
+def test_real_png_unfilters_all_filter_types():
+    """Decode scanlines forward-filtered with each PNG filter (0..4)."""
+    import struct
+    import zlib
+
+    width, height = 6, 5
+    px = [[(x * 13 + y * 29) % 256 for x in range(width)] for y in range(height)]
+
+    def forward_filter(f, line, prev):
+        out = []
+        for i, v in enumerate(line):
+            a = line[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if f == 0:
+                out.append(v & 0xFF)
+            elif f == 1:
+                out.append((v - a) & 0xFF)
+            elif f == 2:
+                out.append((v - b) & 0xFF)
+            elif f == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = [0] * width
+    for y in range(height):
+        f = y % 5
+        raw += bytes([f]) + forward_filter(f, px[y], prev)
+        prev = px[y]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = mm.decode_real_image(png)
+    assert (w, h) == (width, height)
+    assert out == bytes(v for row in px for v in row)
+
+
+def test_real_png_rgb_reduces_to_luma():
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 2x1 RGB: pure red, pure white
+    raw = b"\x00" + bytes([255, 0, 0, 255, 255, 255])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = mm.decode_real_image(png)
+    assert (w, h) == (2, 1)
+    assert out[0] == (299 * 255 + 500) // 1000  # 601 luma of red
+    assert out[1] == 255
+
+
+def test_real_wav_roundtrip_and_features(spark):
+    import math
+
+    samples = [0, 1000, -1000, 1000, -1000, 0, 500, -500]
+    wav = mm.encode_wav(8000, samples)
+    rate, pcm = mm.decode_real_audio(wav)
+    assert rate == 8000 and list(pcm) == samples
+    # stereo averages to mono
+    stereo = mm.encode_wav(8000, [100, 300, -100, -300], channels=2)
+    _, mono = mm.decode_real_audio(stereo)
+    assert list(mono) == [200, -200]
+    # WAV payloads flow through the audio feature extractor unchanged
+    df = spark.createDataFrame([(40, "audio", wav, None)], mm.MEDIA_SCHEMA)
+    f = mm.extract_audio_features(df).collect()[0]
+    assert f["n_samples"] == 8 and f["peak"] == 1000
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(f["rms"] - expected_rms) < 1e-9
+
+
+def test_unsupported_payloads_clearly_rejected():
     with pytest.raises(NotImplementedError):
-        mm.decode_real_image(b"\x89PNG")
+        mm.decode_real_image(b"JFIF not a png")
     with pytest.raises(NotImplementedError):
-        mm.decode_real_audio(b"RIFF")
-    with pytest.raises(NotImplementedError):
+        mm.decode_real_audio(b"OggS not riff")
+    with pytest.raises(NotImplementedError):  # video decode is still a stub
         mm.decode_real_video(b"\x00\x00\x00 ftyp")

@@ -27,6 +27,60 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert len(verified) == 1 and verified[0]["doc_a"] == 1 and verified[0]["jaccard"] > 0.7
 
 
+def test_shingle_sets_and_array_minhash_match_exploded(spark):
+    """The zero-shuffle array formulations agree exactly with the
+    exploded groupBy ones (min over set == min over multiset); docs
+    shorter than k shingles are absent from both."""
+    df = spark.createDataFrame(
+        [(1, "a b c d c b a b c"), (2, "x y"), (3, "p q r")], "id long, text string"
+    )
+    sh = dedup.shingles(df, "id", "text", k=3)
+    sets = {r["id"]: r for r in dedup.shingle_sets(df, "id", "text", k=3).collect()}
+    exploded = {}
+    for r in sh.collect():
+        exploded.setdefault(r["id"], set()).add(r["shingle"])
+    assert set(sets[2]["shset"]) == set() and sets[2]["n_shingles"] == 0
+    for i in (1, 3):
+        assert set(sets[i]["shset"]) == exploded[i]
+        assert sets[i]["n_shingles"] == len(exploded[i])
+
+    sig_agg = {r["id"]: r for r in dedup.minhash_signatures(sh, "id", n_hashes=4).collect()}
+    sig_arr = {
+        r["id"]: r
+        for r in dedup.minhash_from_sets(
+            dedup.shingle_sets(df, "id", "text", k=3), "id", n_hashes=4
+        ).collect()
+    }
+    assert set(sig_agg) == set(sig_arr) == {1, 3}  # doc 2 (< k tokens) in neither
+    for i in (1, 3):
+        for j in range(4):
+            assert sig_agg[i][f"mh{j}"] == sig_arr[i][f"mh{j}"]
+
+
+def test_jaccard_verify_sets_matches_exploded_verify(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words in this one nothing shared at all here now"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    sh = dedup.shingles(df, "id", "text", k=3)
+    # positive threshold: a zero-overlap candidate pair is (correctly)
+    # absent from both formulations (the exploded inner join drops it;
+    # the set form computes 0.0 and the filter drops it)
+    via_rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify(sh, "id", threshold=0.1, candidates=cand).collect()
+    }
+    via_sets = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify_sets(
+            dedup.shingle_sets(df, "id", "text", k=3), "id", cand, threshold=0.1
+        ).collect()
+    }
+    assert via_rows == via_sets and via_rows[(1, 2)] > 0.7
+    assert (1, 3) not in via_sets
+
+
 def test_shingle_k_parameter(spark):
     df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
     assert {r["shingle"] for r in dedup.shingles(df, "id", "text", k=2).collect()} == {

