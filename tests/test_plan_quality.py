@@ -65,6 +65,35 @@ def test_embedding_neardup_has_no_cross_product(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_candidates_no_cross_product_single_band_shuffle(spark):
+    """Candidate generation must be the bucket-groupBy shape: no join at
+    all (pair expansion is JVM-side over each bucket's id list), so no
+    cross product can ever appear, and no EvalPython either."""
+    plan = _plan(spark, "lsh_candidate_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan  # bucket collect + expand replaces the self-join
+
+
+def test_embedding_hints_come_from_parquet_footer_not_jobs(spark):
+    """Grid hints resolve from driver-side parquet footer metadata, and
+    the hinted operator build runs zero Spark jobs (the only job a
+    registry build ever runs is spark.read's one-footer schema read)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import _embedding_hints
+
+    n_rows, dim = _embedding_hints(SF_DIR)
+    assert n_rows and n_rows > 0 and dim and dim > 0
+    emb = read(spark, SF_DIR, "embeddings")  # schema inference may run a job
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    cosine_topk(emb, "vec_id", "embedding", k=3, n_rows_hint=n_rows, dim_hint=dim)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "hinted build ran Spark jobs"
+
+
 def test_embedding_topk_is_distributed_no_driver_collect(spark):
     """The graded exact top-k must never collect the corpus to the driver:
     building the DataFrame triggers no jobs (a toPandas()/collect() inside

@@ -93,3 +93,19 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df.select(*[f.name for f in df.schema])
+
+
+def read_fanned(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """read() + fan-out to >= defaultParallelism partitions, ONLY when the
+    scan is narrower than the cluster. For pipelines whose per-row compute
+    (crypto hashing, Arrow matmuls) dwarfs their input bytes: a small file
+    scans as one partition and serializes on a single core, so the tiny
+    shuffle buys full-width parallelism. At 100 TB the scan already has
+    thousands of partitions and the condition is false — no reshuffle is
+    ever paid at scale. (Partition count comes from the physical plan on
+    the driver; no job runs.)"""
+    base = read(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    return base

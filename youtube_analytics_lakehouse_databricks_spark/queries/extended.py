@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+from youtube_analytics_lakehouse_databricks_spark.queries import read, read_fanned, register
 
 # ---------------------------------------------------------------------------
 # U2: UNION ALL with explicit null-typed padding
@@ -211,7 +211,8 @@ def _simhash_sql() -> str:
     ),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
+    # 16 sha2 folds per token: per-row crypto dwarfs input bytes -> fan out
+    docs = read_fanned(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
     )
@@ -267,7 +268,8 @@ def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.operators.similarity import bucket_topk
     from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import N_PLANES
 
-    return bucket_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", N_PLANES)
+    # fan the scan so the Arrow bucketize pass isn't single-partition
+    return bucket_topk(read_fanned(spark, sf_dir, "embeddings"), "vec_id", "embedding", N_PLANES)
 
 
 @register(
@@ -338,7 +340,8 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
     )
 
-    emb = read(spark, sf_dir, "embeddings")
+    # fan the scan so the fused Arrow assignment pass isn't single-partition
+    emb = read_fanned(spark, sf_dir, "embeddings")
     ivf = ivf_topk(emb, "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
     exact = cosine_topk(emb, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")

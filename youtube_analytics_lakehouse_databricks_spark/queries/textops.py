@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from youtube_analytics_lakehouse_databricks_spark.operators import dedup as dedup_ops
 from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
-from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+from youtube_analytics_lakehouse_databricks_spark.queries import read, read_fanned, register
 
 N_MINHASH = 8  # seeds 0..7; bands of 2 rows -> 4 bands
 SHINGLE_K = 3
@@ -46,17 +46,10 @@ _SHINGLE_SQL = """
 
 
 def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents scan, rebalanced to defaultParallelism partitions.
-
-    The shingle/MinHash pipelines do heavy per-row compute (sha2 per
-    shingle x seed) relative to their input bytes; a small parquet file
-    scans as ONE partition, serializing all of it on one core. The
-    explicit repartition costs one tiny shuffle of the raw text and buys
-    full-width parallelism; at 100 TB the scan already yields thousands
-    of partitions and this is a cheap rebalance of same-sized splits."""
-    return read(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents scan for the compute-heavy shingle/MinHash pipelines:
+    fanned out only when the scan is narrower than the cluster (see
+    queries.read_fanned)."""
+    return read_fanned(spark, sf_dir, "documents")
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,6 +160,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup: distinct-shingle self-join within buckets, inter/union >= 0.5.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Measured note: deriving the legs from per-doc set ARRAYS (explode
+    # of array_distinct) is ~2x slower here despite fewer shuffles — the
+    # interpreted transform() lambda dominates; the codegen'd explode +
+    # one distinct shuffle per leg wins. Keep the multiset formulation.
     return dedup_ops.jaccard_verify(shingles(spark, sf_dir), "doc_id", threshold=0.5)
 
 

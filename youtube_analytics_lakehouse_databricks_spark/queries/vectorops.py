@@ -44,6 +44,23 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_hints(sf_dir: str) -> tuple[int | None, int | None]:
+    """(n_rows, dim) from the parquet FOOTER + first batch — driver-side
+    file metadata, no Spark job — so cosine_topk can bound tile bytes on
+    top of its parallelism floor. Returns (None, None) if anything about
+    the layout surprises us (the operator then floors on parallelism)."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        n_rows = f.metadata.num_rows
+        first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(first.column(0)[0])
+        return n_rows, dim
+    except Exception:
+        return None, None
+
+
 @register(
     "embedding_topk_cosine",
     f"""
@@ -69,10 +86,19 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delegates to the distributed exact top-k operator (query-block x
     corpus-tile grid of Arrow matmuls + global re-rank; no driver collect,
-    no corpus broadcast — see operators/similarity.py)."""
+    no corpus broadcast — see operators/similarity.py). Grid hints come
+    from parquet footer metadata, not Spark jobs."""
     from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
 
-    return cosine_topk(read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=TOP_K)
+    n_rows, dim = _embedding_hints(sf_dir)
+    return cosine_topk(
+        read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=TOP_K,
+        n_rows_hint=n_rows,
+        dim_hint=dim,
+    )
 
 
 def _plane_weight_sql(engine: str, plane: int) -> str:
