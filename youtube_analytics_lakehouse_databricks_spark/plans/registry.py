@@ -60,50 +60,54 @@ class PipelineGraph:
         ts = TopologicalSorter({n: set(v.deps) & set(self.views) for n, v in self.views.items()})
         return [self.views[n] for n in ts.static_order()]
 
+    def _run_levels(self, fn, wanted: set[str], max_workers: int) -> list:
+        """Walk the dependency graph level by level, running ``fn(view)``
+        for same-depth views concurrently on a thread pool (Spark's
+        scheduler interleaves the submitted jobs) — parity with the
+        reference's dbt `threads: 4` (dbt/profiles.yml:12). Each level is
+        a barrier, so a view never builds before its deps are written.
+        Returns fn results in deterministic (level, registration) order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        graph = {n: set(self.views[n].deps) & wanted for n in self.views if n in wanted}
+        ts = TopologicalSorter(graph)
+        ts.prepare()
+        reg_order = {n: i for i, n in enumerate(self.views)}
+        results: list = []
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while ts.is_active():
+                level = sorted(ts.get_ready(), key=reg_order.__getitem__)
+                results.extend(pool.map(lambda n: fn(self.views[n]), level))
+                for name in level:
+                    ts.done(name)
+        return results
+
     def refresh(
         self, spark: SparkSession, only: set[str] | None = None, max_workers: int = 4
     ) -> list[str]:
         """Full refresh in dependency order; returns refreshed FQNs.
-
-        Independent views at the same topological depth refresh
-        concurrently on a small thread pool (Spark's scheduler interleaves
-        the submitted jobs) — parity with the reference's dbt `threads: 4`
-        (dbt/profiles.yml:12). Each level is a barrier, so a view never
-        builds before its deps are written. ``only`` restricts to a subset
-        *plus* everything upstream of it, mirroring a scoped refresh.
+        Same-depth views refresh concurrently (see _run_levels). ``only``
+        restricts to a subset *plus* everything upstream of it, mirroring
+        a scoped pipeline refresh.
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         from youtube_analytics_lakehouse_databricks_spark import storage
 
         wanted = set(self.views) if only is None else self._with_upstream(only)
-        graph = {
-            n: set(self.views[n].deps) & wanted for n in self.views if n in wanted
-        }
-        ts = TopologicalSorter(graph)
-        ts.prepare()
-        reg_order = {n: i for i, n in enumerate(self.views)}
 
-        def _write(name: str) -> str:
-            view = self.views[name]
+        def _write(view: ViewDef) -> str:
             storage.write_table(view.builder(spark), view.fqn, "overwrite", view.partition_by)
             return view.fqn
 
-        refreshed: list[str] = []
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            while ts.is_active():
-                level = sorted(ts.get_ready(), key=reg_order.__getitem__)
-                refreshed.extend(pool.map(_write, level))
-                for name in level:
-                    ts.done(name)
-        return refreshed
+        return self._run_levels(_write, wanted, max_workers)
 
-    def refresh_incremental(self, spark: SparkSession) -> dict[str, str]:
+    def refresh_incremental(self, spark: SparkSession, max_workers: int = 4) -> dict[str, str]:
         """Incremental refresh: views with merge support process only
         bronze envelopes newer than their stored watermark and merge into
         the existing table (union + latest-wins + swap — the same math as
         a full recompute, restricted to touched keys); everything else
-        fully recomputes. Returns {fqn: 'merged'|'full'|'bootstrap'}.
+        fully recomputes. Same-depth views refresh concurrently (each
+        touches only its own table; watermark writes are serialized by a
+        lock inside set_watermark). Returns {fqn: mode}.
 
         At 100 TB this turns the nightly refresh of the big fact tables
         from O(history) into O(new envelopes); on Delta the swap becomes a
@@ -112,11 +116,9 @@ class PipelineGraph:
         from youtube_analytics_lakehouse_databricks_spark import storage
         from youtube_analytics_lakehouse_databricks_spark.plans.watermarks import get_watermark, set_watermark
 
-        modes: dict[str, str] = {}
-        for view in self.topo_order():
+        def _one(view: ViewDef) -> tuple[str, str]:
             if view.custom_incremental is not None:
-                modes[view.fqn] = view.custom_incremental(spark)
-                continue
+                return view.fqn, view.custom_incremental(spark)
             can_merge = (
                 view.incremental_builder is not None
                 and view.merge_keys
@@ -124,17 +126,14 @@ class PipelineGraph:
             )
             if not can_merge:
                 storage.write_table(view.builder(spark), view.fqn, "overwrite", view.partition_by)
-                modes[view.fqn] = (
-                    "bootstrap" if view.incremental_builder is not None else "full"
-                )
                 if view.incremental_builder is not None:
                     set_watermark(spark, view.fqn, _max_ingest(spark.table(view.fqn)))
-                continue
+                    return view.fqn, "bootstrap"
+                return view.fqn, "full"
             since = get_watermark(spark, view.fqn)
             delta = view.incremental_builder(spark, since)
             if delta.limit(1).count() == 0:
-                modes[view.fqn] = "noop"
-                continue
+                return view.fqn, "noop"
             # Latest-wins upsert: on Delta this is a keyed MERGE touching
             # only matched files; on parquet it is union + window + swap —
             # identical result (storage.merge_upsert).
@@ -147,8 +146,9 @@ class PipelineGraph:
                 partition_by=view.partition_by,
             )
             set_watermark(spark, view.fqn, _max_ingest(spark.table(view.fqn)))
-            modes[view.fqn] = "merged"
-        return modes
+            return view.fqn, "merged"
+
+        return dict(self._run_levels(_one, set(self.views), max_workers))
 
     def _with_upstream(self, names: set[str]) -> set[str]:
         out: set[str] = set()

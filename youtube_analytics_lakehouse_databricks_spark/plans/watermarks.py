@@ -4,17 +4,22 @@ A tiny ops table (O(views) rows) read once per incremental refresh; the
 same role Delta's MV refresh metadata plays in the reference's managed
 runtime.
 
-Concurrency contract: the refresh pipeline is a SINGLE WRITER (the
-reference's job orchestration runs one pipeline refresh at a time —
-databricks.yml triggered jobs). ``set_watermark`` rewrites the whole
-table, so two concurrent refreshes could lose each other's update; that
-is acceptable because under-watermarking only causes an idempotent
-re-merge, but do not run two refreshes of the same warehouse in parallel.
+Concurrency contract: the refresh pipeline is a SINGLE WRITER PROCESS
+(the reference's job orchestration runs one pipeline refresh at a time —
+databricks.yml triggered jobs). Within that process, same-depth views
+refresh on a thread pool, so ``set_watermark``'s read-modify-write of the
+whole table is serialized with an in-process lock (losing a concurrent
+update would drop ANOTHER view's fresh watermark row, forcing it into a
+harmless but wasteful re-merge). Do not run two refreshes of the same
+warehouse from different processes.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import threading
+
+_WRITE_LOCK = threading.Lock()
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -37,17 +42,18 @@ def get_watermark(spark: SparkSession, view_fqn: str) -> dt.datetime | None:
 def set_watermark(spark: SparkSession, view_fqn: str, ts: dt.datetime | None) -> None:
     if ts is None:
         return
-    spark.sql("CREATE DATABASE IF NOT EXISTS ops")
-    current: dict[str, dt.datetime] = {}
-    if spark.catalog.tableExists(WATERMARKS_FQN):
-        current = {
-            r["view_fqn"]: r["high_water_ts"] for r in spark.table(WATERMARKS_FQN).collect()
-        }
-    current[view_fqn] = ts
-    from youtube_analytics_lakehouse_databricks_spark import storage
+    with _WRITE_LOCK:
+        spark.sql("CREATE DATABASE IF NOT EXISTS ops")
+        current: dict[str, dt.datetime] = {}
+        if spark.catalog.tableExists(WATERMARKS_FQN):
+            current = {
+                r["view_fqn"]: r["high_water_ts"] for r in spark.table(WATERMARKS_FQN).collect()
+            }
+        current[view_fqn] = ts
+        from youtube_analytics_lakehouse_databricks_spark import storage
 
-    storage.write_table(
-        spark.createDataFrame(list(current.items()), "view_fqn string, high_water_ts timestamp"),
-        WATERMARKS_FQN,
-        "overwrite",
-    )
+        storage.write_table(
+            spark.createDataFrame(list(current.items()), "view_fqn string, high_water_ts timestamp"),
+            WATERMARKS_FQN,
+            "overwrite",
+        )

@@ -175,7 +175,11 @@ def _bit_exprs(engine: str) -> list[str]:
     Nibble value via 1-based find in '0123456789abcdef' minus 1 —
     identical in Spark (instr) and DuckDB (strpos)."""
     find = "instr" if engine == "spark" else "strpos"
-    sha = "sha2(token, 256)" if engine == "spark" else "sha256(token)"
+    # Spark side reads a pre-materialized digest COLUMN (tsha): one sha2
+    # per token instead of 16 (one per bit expression) — CSE is not
+    # guaranteed across aggregate expressions. DuckDB CSEs the repeated
+    # sha256 itself, and the oracle values are identical either way.
+    sha = "tsha" if engine == "spark" else "sha256(token)"
     out = []
     for b in range(N_SIMHASH_BITS):
         pos, shift = 1 + b // 4, 3 - b % 4
@@ -211,11 +215,12 @@ def _simhash_sql() -> str:
     ),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 16 sha2 folds per token: per-row crypto dwarfs input bytes -> fan out
+    # per-row crypto dwarfs input bytes -> fan out; digest materialized
+    # once per token, the 16 bit aggs only slice nibbles from it
     docs = read_fanned(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
-    )
+    ).select("doc_id", F.sha2(F.col("token"), 256).alias("tsha"))
     aggs = [
         F.when(F.sum(F.expr(c)) >= 0, 1).otherwise(0).alias(f"bit{i}")
         for i, c in enumerate(_bit_exprs("spark"))
