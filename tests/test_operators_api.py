@@ -118,6 +118,22 @@ def test_bucket_topk_pairs_same_direction_vectors(spark):
     assert 99 not in by_q
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (worst diameter per node count), a 2-node island,
+    and an implicit singleton via self-referencing edge all get the min
+    reachable id as their component."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (10, 11), (20, 20)], "a long, b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_text_operators(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat"), (2, "der hund und die katze und der ball")],

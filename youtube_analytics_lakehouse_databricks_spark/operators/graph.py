@@ -1,0 +1,66 @@
+"""Graph operators over edge DataFrames.
+
+connected_components: iterative deterministic min-label propagation —
+the missing last step of a near-duplicate pipeline (candidate pairs ->
+verified pairs -> CLUSTERS -> one canonical doc per cluster).
+
+Scale design: each round is one join + one aggregation shuffled on the
+node key; rounds needed = graph diameter (near-dup clusters are tiny and
+dense, so 2-4 rounds in practice; the alternating large-star/small-star
+scheme from the MapReduce CC literature bounds it at O(log n) for
+adversarial chains). Lineage is truncated every round with an eager
+localCheckpoint so the plan does not grow with iterations — the standard
+Spark idiom for iterative algorithms (GraphX/Pregel does the same).
+Convergence is detected with a cheap LIMIT 1 existence job per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component is the
+    MINIMUM node id reachable from the node (deterministic canonical
+    label, engine-portable). Edges are treated as undirected."""
+    a, b = F.col(src).alias("node"), F.col(dst).alias("node")
+    nodes = edges.select(a).unionByName(edges.select(b)).distinct()
+    sym = (
+        edges.select(F.col(src).alias("nbr"), F.col(dst).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("nbr"), F.col(src).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge lineage (often an expensive
+        # dedup pipeline) is materialized ONCE, not once per round
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("nbr"), "component"), "nbr")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_labels.join(
+                labels.select("node", F.col("component").alias("old")), "node"
+            )
+            .filter(F.col("component") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    return labels

@@ -228,6 +228,47 @@ def lsh_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.jaccard_verify_sets(sets, "doc_id", cand, threshold=0.5)
 
 
+def _neardup_components_sql() -> str:
+    """Recursive-CTE oracle: component = MIN doc id reachable over the
+    verified near-dup pairs (the same pairs as lsh_verified_near_dups)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """
+
+
+@register(
+    "neardup_components",
+    _neardup_components_sql(),
+    doc=(
+        "Near-duplicate CLUSTERS: connected components over the verified "
+        "near-dup pairs via iterative min-label propagation (component = "
+        "min reachable doc_id — the canonical keeper id per cluster). The "
+        "last step of a 100 TB dedup pipeline: candidates -> verified "
+        "pairs -> clusters -> keep one doc per cluster. Oracle is a "
+        "recursive CTE over the same pairs."
+    ),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
+
+    pairs = lsh_verified_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 @register(
     "doc_quality_scores",
     f"""
