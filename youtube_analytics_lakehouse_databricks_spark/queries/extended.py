@@ -277,6 +277,42 @@ def embedding_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_topk(read_fanned(spark, sf_dir, "embeddings"), "vec_id", "embedding", N_PLANES)
 
 
+SAMPLE_PER_STRATUM = 50
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT event_type, event_id, user_id, value FROM (
+      SELECT event_type, event_id, user_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+    doc=(
+        f"Deterministic stratified sampling for dataset curation: "
+        f"{SAMPLE_PER_STRATUM} rows per event_type, chosen by ordering on "
+        "a content hash (reproducible on any engine/cluster, unlike "
+        "rand()-based sampling). One window shuffle on the stratum key; "
+        "at 100 TB swap the exact top-N for a hash-threshold filter "
+        "(sha < p * MAX) to avoid ranking entirely."
+    ),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.sha2(F.col("event_id").cast("string"), 256), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select("event_type", "event_id", "user_id", "value")
+    )
+
+
 @register(
     "sketch_user_counts",
     None,  # HLL/KLL sketches are approximate by design -> rows-only check;
