@@ -118,6 +118,15 @@ def test_bucket_topk_pairs_same_direction_vectors(spark):
     assert 99 not in by_q
 
 
+def test_normalize_text_canonicalizes_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "  HELLO?? world  ")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["norm_text"] for r in text.normalize_text(df, "id", "text").collect()}
+    assert out == {1: "hello world", 2: "hello world", 3: "hello world"}
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain (worst diameter per node count), a 2-node island,
     and an implicit singleton via self-referencing edge all get the min

@@ -270,6 +270,70 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalized_text_hashes",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+    doc=(
+        "Canonical-text normalization for dedup: lowercase, punctuation "
+        "stripped, whitespace collapsed — then sha256 of the canonical "
+        "form, so cosmetic variants land in the same exact-dedup cluster. "
+        "One narrow projection, no shuffle."
+    ),
+)
+def normalized_text_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    normed = text_ops.normalize_text(read(spark, sf_dir, "documents"), "doc_id", "text")
+    return normed.select(
+        "doc_id", "norm_text", F.sha2(F.col("norm_text"), 256).alias("norm_hash")
+    )
+
+
+@register(
+    "dedup_keepers",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_verified_sql()}),
+    nodes AS (
+      SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           (d.doc_id = COALESCE(c.component, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+    doc=(
+        "The dedup DECISION table: every document with its near-dup "
+        "cluster id and keep = (doc is the cluster's canonical min id); "
+        "docs in no cluster keep themselves. `WHERE keep` is the filter a "
+        "100 TB curation pipeline applies before training. Composes with "
+        "exact_dedup_documents for byte-identical dups."
+    ),
+)
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents").select("doc_id")
+    comp = neardup_components(spark, sf_dir).withColumnRenamed("component", "c")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("c", "doc_id").alias("component"),
+        (F.col("doc_id") == F.coalesce("c", "doc_id")).alias("keep"),
+    )
+
+
+@register(
     "doc_quality_scores",
     f"""
     SELECT doc_id,
