@@ -113,3 +113,39 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(batch_events).collect()
     }
     assert streamed == expected and len(streamed) > 0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery: the same events written twice (plus an
+    extra duplicate batch) collapse to one row per event_id, matching
+    batch-exact dedup; state is watermark-bounded."""
+    from youtube_analytics_lakehouse_databricks_spark.queries import read as read_table
+    from youtube_analytics_lakehouse_databricks_spark.streaming.incremental import dedup_event_stream
+
+    events_dir = tmp_path / "dedup_events"
+    events_dir.mkdir()
+    base = spark.createDataFrame(
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "ts", "event_type", "value")
+        .limit(500)
+        .collect()
+    )
+    # two deliveries of the same payload = duplicate event_ids on disk
+    base.write.mode("overwrite").parquet(str(events_dir))
+    base.write.mode("append").parquet(str(events_dir))
+
+    stream = spark.readStream.schema(base.schema).parquet(str(events_dir))
+    q = (
+        dedup_event_stream(stream, keys=("event_id",), watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_stream").collect()
+    ids = [r["event_id"] for r in out]
+    assert len(ids) == len(set(ids)), "stream emitted duplicate event_ids"
+    assert set(ids) == {r["event_id"] for r in base.collect()}

@@ -177,6 +177,26 @@ def incremental_fact_video_daily(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop key-duplicate events arriving
+    within the watermark horizon — the streaming counterpart of the batch
+    exact-dedup family (at-least-once sources re-deliver envelopes; this
+    bounds the dedup state instead of keeping every key forever).
+
+    Uses dropDuplicatesWithinWatermark when the runtime has it (Spark
+    3.5+): state for a key is evictable once the watermark passes it,
+    so state size tracks the late-data horizon, not the stream length.
+    Falls back to plain dropDuplicates (unbounded state) otherwise."""
+    with_wm = events.withWatermark("ts", watermark)
+    if hasattr(with_wm, "dropDuplicatesWithinWatermark"):
+        return with_wm.dropDuplicatesWithinWatermark(list(keys))
+    return with_wm.dropDuplicates(list(keys))
+
+
 def windowed_event_counts(
     events: DataFrame,
     watermark: str = "10 minutes",
