@@ -11,7 +11,8 @@ parallelism aligned with data size instead of file count.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from youtube_analytics_lakehouse_databricks_spark import storage
 
@@ -54,3 +55,69 @@ def optimize_tables(
                 raise
             results[fqn] = f"error: {e}"
     return results
+
+
+Z_BITS = 16  # bits per dimension in the interleaved key
+
+
+def _zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append a `__zval` column: Morton (Z-order) interleave of each
+    column's equal-frequency rank.
+
+    Ranks come from percent_rank() so arbitrary types and skewed
+    distributions quantize evenly into 2^Z_BITS buckets; the bit
+    interleave is a codegen'd integer expression (no UDFs). One window
+    sort per column — acceptable for a maintenance rewrite (Delta's
+    OPTIMIZE ZORDER also globally re-sorts the data it rewrites)."""
+    from pyspark.sql import Window
+
+    out = df
+    max_bucket = (1 << Z_BITS) - 1
+    for i, c in enumerate(cols):
+        r = F.percent_rank().over(Window.orderBy(F.col(c)))
+        out = out.withColumn(
+            f"__zr{i}", F.least(F.floor(r * (1 << Z_BITS)), F.lit(max_bucket)).cast("long")
+        )
+    ndim = len(cols)
+    parts = [
+        f"(((__zr{i} >> {b}) & 1) << {b * ndim + i})"
+        for i in range(ndim)
+        for b in range(Z_BITS)
+    ]
+    zval = F.expr(" + ".join(parts))
+    return out.withColumn("__zval", zval).drop(*[f"__zr{i}" for i in range(ndim)])
+
+
+def zorder_rewrite(
+    spark: SparkSession, fqn: str, cols: list[str], n_files: int | None = None
+) -> None:
+    """OPTIMIZE ZORDER BY emulation for parquet tables: rewrite the table
+    range-partitioned and sorted on the Morton interleave of ``cols``, so
+    each output file covers a tight hyper-rectangle in the z-ordered key
+    space and parquet min/max footer stats skip files for predicates on
+    ANY of the clustered columns (reference runs Delta OPTIMIZE, whose
+    ZORDER variant this mirrors; job_tasks/ops/optimize_tables.py).
+
+    On Delta the body becomes `OPTIMIZE {fqn} ZORDER BY (cols)`. The
+    parquet path materializes the clustered rows with an eager
+    localCheckpoint before overwriting (a staging-table round trip would
+    re-scan and could merge the carefully ranged files); at 100 TB swap
+    the checkpoint for a staging LOCATION + atomic metastore repoint."""
+    if storage.TABLE_FORMAT == "delta":
+        spark.sql(f"OPTIMIZE {fqn} ZORDER BY ({', '.join(cols)})")
+        return
+    df = spark.table(fqn)
+    part = storage.table_partitioning(spark, fqn)
+    n = n_files or max(1, df.rdd.getNumPartitions())
+    clustered = (
+        _zvalue(df, cols)
+        .repartitionByRange(n, F.col("__zval"))
+        .sortWithinPartitions("__zval")
+        .drop("__zval")
+        .localCheckpoint(eager=True)
+    )
+    writer = clustered.write.mode("overwrite").format(storage.TABLE_FORMAT)
+    if part:
+        writer = writer.partitionBy(*part)
+    writer.saveAsTable(fqn)
+    spark.catalog.refreshTable(fqn)
