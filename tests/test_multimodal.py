@@ -203,10 +203,37 @@ def test_real_wav_roundtrip_and_features(spark):
     assert abs(f["rms"] - expected_rms) < 1e-9
 
 
+def test_real_y4m_video_roundtrip_and_sampling(spark):
+    """Real YUV4MPEG2 payloads decode and flow through frame sampling
+    exactly like SYNTH ones — same sampled indices, same luma features."""
+    w, h = 4, 2
+    lumas = [
+        bytes((x * 31 + y * 7 + f * 13 + 3) % 256 for y in range(h) for x in range(w))
+        for f in range(7)
+    ]
+    y4m = mm.encode_y4m(w, h, lumas)
+    n, dw, dh, planes = mm.decode_real_video(y4m)
+    assert (n, dw, dh) == (7, w, h)
+    assert planes == b"".join(lumas)
+    rows = [
+        (50, "video", y4m, None),
+        (51, "video", mm.encode_synth_video(w, h, n_frames=7, seed=3), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_video_frames(df, every_n=3).collect()
+    by_media: dict = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert sorted(by_media[50]) == sorted(by_media[51]) == [0, 3, 6]
+    for f in (0, 3, 6):  # same pixel recipe -> identical features via either codec
+        assert by_media[50][f]["mean_intensity"] == by_media[51][f]["mean_intensity"]
+        assert bytes(by_media[50][f]["frame_content"]) == bytes(by_media[51][f]["frame_content"])
+
+
 def test_unsupported_payloads_clearly_rejected():
     with pytest.raises(NotImplementedError):
         mm.decode_real_image(b"JFIF not a png")
     with pytest.raises(NotImplementedError):
         mm.decode_real_audio(b"OggS not riff")
-    with pytest.raises(NotImplementedError):  # video decode is still a stub
+    with pytest.raises(NotImplementedError):  # compressed video needs a codec lib
         mm.decode_real_video(b"\x00\x00\x00 ftyp")
