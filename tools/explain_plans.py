@@ -44,7 +44,12 @@ def main() -> None:
         plan = buf.getvalue()
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        # AQE finalizes codegen stages only at execution: run the query,
+        # then count distinct *(N) codegen-stage markers in the executed
+        # plan (pre-execution explain always reports 0 under AQE).
+        df.collect()  # count() would execute a different plan instance
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        n_codegen = len(set(re.findall(r"\*\((\d+)\)", executed)))
         n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
         n_smj = len(re.findall(r"SortMergeJoin", plan))
         n_exch = len(re.findall(r"Exchange", plan))
