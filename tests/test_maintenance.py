@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import zorder_rewrite
+from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import optimize_tables, zorder_rewrite
 
 
 def test_zorder_rewrite_clusters_files(spark):
@@ -52,3 +52,22 @@ def test_zorder_rewrite_clusters_files(spark):
     # the rewrite is a layout change only: same rows
     assert spark.table("silver.zorder_demo").count() == n
     assert spark.table("silver.zorder_demo").agg(F.sum("payload")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_optimize_tables_routes_zorder(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver")
+    spark.range(1000).select(
+        (F.col("id") % 100).alias("a"), F.col("id").alias("payload")
+    ).write.mode("overwrite").format("parquet").saveAsTable("silver.zopt_demo")
+    spark.range(10).write.mode("overwrite").format("parquet").saveAsTable("silver.zopt_plain")
+    results = optimize_tables(
+        spark,
+        ["silver.zopt_demo", "silver.zopt_plain", "silver.zopt_missing"],
+        zorder_cols={"silver.zopt_demo": ["a", "payload"]},
+    )
+    assert results == {
+        "silver.zopt_demo": "optimized_zorder",
+        "silver.zopt_plain": "optimized",
+        "silver.zopt_missing": "skipped_missing",
+    }
+    assert spark.table("silver.zopt_demo").count() == 1000

@@ -22,16 +22,21 @@ def optimize_tables(
     fqns: list[str],
     strict: bool = False,
     target_partitions: int | None = None,
+    zorder_cols: dict[str, list[str]] | None = None,
 ) -> dict[str, str]:
     """Compact each table; skip non-tables; 'error'/'skipped'/'optimized'
     per fqn, raising only in strict mode (optimize_tables.py:110-132).
 
-    The rewrite goes through storage.swap_overwrite, which captures and
-    re-applies the table's existing partition layout — compacting a
-    snapshot_date-partitioned Bronze table must NOT drop its partitioning,
-    or the next partitioned append fails with a layout mismatch.
-    On Delta the whole body becomes `OPTIMIZE {fqn}` (metadata compaction,
-    no rewrite-by-read needed)."""
+    Tables listed in ``zorder_cols`` get the ZORDER clustering rewrite
+    (zorder_rewrite below) instead of plain compaction — the same opt-in
+    shape as Delta's `OPTIMIZE ... ZORDER BY`.
+
+    The compaction rewrite goes through storage.swap_overwrite, which
+    captures and re-applies the table's existing partition layout —
+    compacting a snapshot_date-partitioned Bronze table must NOT drop its
+    partitioning, or the next partitioned append fails with a layout
+    mismatch. On Delta the whole body becomes `OPTIMIZE {fqn}` (metadata
+    compaction, no rewrite-by-read needed)."""
     results: dict[str, str] = {}
     for fqn in fqns:
         try:
@@ -41,6 +46,10 @@ def optimize_tables(
             table = spark.catalog.getTable(fqn)
             if (table.tableType or "").upper() == "VIEW":
                 results[fqn] = "skipped_view"  # optimize_tables.py:91-94
+                continue
+            if zorder_cols and fqn in zorder_cols:
+                zorder_rewrite(spark, fqn, zorder_cols[fqn])
+                results[fqn] = "optimized_zorder"
                 continue
             if storage.TABLE_FORMAT == "delta":
                 spark.sql(f"OPTIMIZE {fqn}")
