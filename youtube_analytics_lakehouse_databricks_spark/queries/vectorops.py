@@ -258,3 +258,60 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
     bits = [F.expr(_srp_bits_spark(p)) for p in range(N_PLANES)]
     return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
+
+
+# --- int8 quantization: the 4x storage cut for 100 TB embedding corpora ---
+
+_Q_SCALE = "greatest({mx}, CAST(1e-30 AS DOUBLE))"
+
+
+@register(
+    "embedding_int8_quantization",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      CAST(1e-30 AS DOUBLE)) AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(embedding, x -> CAST(abs(round(CAST(x AS DOUBLE) / scale * 127)) AS BIGINT))),
+                (acc, v) -> acc + v) AS BIGINT) AS q_l1,
+           round(list_reduce(list_prepend(0.0,
+                list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale * 127) * scale / 127))),
+                (acc, v) -> acc + v) / len(embedding), 6) AS recon_mae
+    FROM q
+    """,
+    doc=(
+        "Symmetric per-vector int8 quantization audit: max-abs scale, L1 "
+        "of the quantized codes (exact integer, engine-portable), and "
+        "mean reconstruction error — the 4x storage cut applied to "
+        "embedding corpora before ANN at 100 TB, with its error budget "
+        "measured in the same query. All JVM-side array math; the fold "
+        "order matches the oracle so doubles are bit-identical."
+    ),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    mx = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    scale = _Q_SCALE.format(mx=mx)
+    q_l1 = (
+        "aggregate(transform(embedding, x -> CAST(abs(round(CAST(x AS DOUBLE) / __scale * 127)) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    recon = (
+        "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / __scale * 127) * __scale / 127)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"
+    )
+    return (
+        emb.select("vec_id", "embedding", F.expr(scale).alias("__scale"))
+        .select(
+            "vec_id",
+            F.round(F.col("__scale"), 6).alias("scale_r"),
+            F.expr(q_l1).alias("q_l1"),
+            F.round(F.expr(recon), 6).alias("recon_mae"),
+        )
+    )
