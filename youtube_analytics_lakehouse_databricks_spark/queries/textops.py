@@ -269,6 +269,68 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+TFIDF_TOP_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    doc=(
+        f"TF-IDF top-{TFIDF_TOP_K} terms per document: term frequency x "
+        "ln(N/df), ranked on the 6-dp-rounded score with a token "
+        "tie-break so ranking is exact cross-engine. Three shuffles "
+        "(doc-term agg, term df agg broadcast back, per-doc window) — "
+        "the classic corpus-relevance primitive for quality filtering "
+        "and topic surfacing at 100 TB."
+    ),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_fanned(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # df_counts is the VOCABULARY — can be huge at 100 TB, so no broadcast
+    # hint; AQE picks broadcast only when the runtime size allows it.
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 @register(
     "normalized_text_hashes",
     """
