@@ -24,16 +24,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_supplier_volume",
-    "q14_brand_revenue_share",
     "regex_token_counts",
-    "latest_event_per_user",
+    "latest_events_dedup",
     "scd2_user_event_type",
     "props_json_extract",
     "orders_enriched",
     "daily_orders_with_top_customer",
     "token_explode_counts",
     "exact_dedup_documents",
-    "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "lsh_verified_near_dups",

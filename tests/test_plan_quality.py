@@ -51,7 +51,7 @@ def test_percentile_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-@pytest.mark.parametrize("name", ["latest_event_per_user", "minhash_signatures"])
+@pytest.mark.parametrize("name", ["latest_events_dedup", "exact_dedup_documents"])
 def test_no_python_udfs_in_relational_paths(spark, name):
     plan = _plan(spark, name)
     assert "EvalPython" not in plan

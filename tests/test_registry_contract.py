@@ -21,7 +21,10 @@ ITERATIVE = {"neardup_components", "dedup_keepers"}
 
 def test_every_builder_constructs_and_every_oracle_parses(spark):
     reg = registry()
-    assert len(reg) >= 56
+    # The driver's CORRECTNESS gate checks at most 50 queries per round;
+    # every registered query must get a driver row, so the registry must
+    # never outgrow that budget (consolidate overlapping queries instead).
+    assert 45 <= len(reg) <= 50, len(reg)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(

@@ -18,10 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 AUDIT = [
     "q1_pricing_summary",
-    "latest_event_per_user",
+    "latest_events_dedup",
     "orders_enriched",
     "daily_orders_with_top_customer",
-    "minhash_signatures",
+    "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "scd2_user_event_type",
     "event_sessionization",
@@ -47,7 +47,13 @@ def main() -> None:
         # AQE finalizes codegen stages only at execution: run the query,
         # then count distinct *(N) codegen-stage markers in the executed
         # plan (pre-execution explain always reports 0 under AQE).
-        df.collect()  # count() would execute a different plan instance
+        # Drain toLocalIterator instead of collect(): it executes this
+        # exact plan instance but holds at most one partition on the
+        # driver, so wide results can't OOM a diagnostic that only needs
+        # the plan (count()/noop-write would execute a different
+        # QueryExecution and leave this one un-finalized).
+        for _ in df.toLocalIterator():
+            pass
         executed = df._jdf.queryExecution().executedPlan().toString()
         n_codegen = len(set(re.findall(r"\*\((\d+)\)", executed)))
         n_bhj = len(re.findall(r"BroadcastHashJoin", plan))

@@ -24,19 +24,23 @@ def _tokens(text_col: str):
     return F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
 
 
-def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, norm_text): canonical text for hashing/dedup — lowercase,
-    punctuation stripped to spaces, whitespace collapsed, trimmed. One
-    narrow projection (regexp_replace chain in codegen, no shuffle);
-    run BEFORE exact/MinHash dedup so cosmetic variants collide."""
-    norm = F.trim(
+def norm_expr(text_col: str):
+    """Canonical-text Column: lowercase, punctuation stripped to spaces,
+    whitespace collapsed, trimmed — a codegen'd regexp_replace chain."""
+    return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
             " +",
             " ",
         )
     )
-    return df.select(id_col, norm.alias("norm_text"))
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, norm_text): canonical text for hashing/dedup — one narrow
+    projection, no shuffle; run BEFORE exact/MinHash dedup so cosmetic
+    variants collide."""
+    return df.select(id_col, norm_expr(text_col).alias("norm_text"))
 
 
 def quality_scores(

@@ -93,47 +93,48 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "latest_event_per_user",
+    "latest_events_dedup",
     """
-    SELECT user_id, event_id, ts, event_type, value
+    SELECT 'user' AS grain, user_id, event_type, event_id, ts, value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
-    doc="W1 latest-wins dedup: row_number PARTITION BY key ORDER BY recency DESC, unique tiebreak DESC (P:48-51).",
-)
-def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "value")
-    )
-
-
-@register(
-    "latest_event_per_user_type",
-    """
-    SELECT user_id, event_type, event_id, ts, value
+    UNION ALL
+    SELECT 'user_type' AS grain, user_id, event_type, event_id, ts, value
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id, event_type
                                    ORDER BY event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
     """,
-    doc="W1 variant ordered by unique id only, like the stats-snapshot dedup (P:110-113).",
+    doc=(
+        "W1 latest-wins dedup, both reference orderings in one result, "
+        "tagged by grain: full recency order with unique tiebreak DESC "
+        "(P:48-51) and the stats-snapshot id-only order (P:110-113)."
+    ),
 )
-def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def latest_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+    cols = ["user_id", "event_type", "event_id", "ts", "value"]
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
     )
+    w_user_type = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("event_id").desc()
+    )
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(w_user))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("user").alias("grain"), *cols)
+    )
+    per_user_type = (
+        ev.withColumn("rn", F.row_number().over(w_user_type))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("user_type").alias("grain"), *cols)
+    )
+    return per_user.unionByName(per_user_type)
 
 
 # ---------------------------------------------------------------------------
@@ -351,38 +352,51 @@ def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "grain_violations",
+    "dq_violations",
     """
-    SELECT user_id, ts, event_type, COUNT(*) AS dup_cnt
+    SELECT 'duplicate_grain' AS check_name, user_id, event_type,
+           CAST(NULL AS BIGINT) AS event_id, ts,
+           CAST(COUNT(*) AS DOUBLE) AS metric
     FROM events
     GROUP BY user_id, ts, event_type
     HAVING COUNT(*) > 1
-    """,
-    doc="Uniqueness-at-grain test: GROUP BY grain HAVING count>1 (test_gold_*_unique.sql / A1).",
-)
-def grain_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", "ts", "event_type")
-        .agg(F.count(F.lit(1)).alias("dup_cnt"))
-        .filter(F.col("dup_cnt") > 1)
-    )
-
-
-@register(
-    "non_negative_violations",
-    """
-    SELECT event_id, user_id, event_type, value
+    UNION ALL
+    SELECT 'negative_value' AS check_name, user_id, event_type, event_id,
+           CAST(NULL AS TIMESTAMP) AS ts, value AS metric
     FROM events
     WHERE COALESCE(value, 0) < 0
     """,
-    doc="Non-negativity test predicate (test_gold_metrics_non_negative.sql:19-21 / P7).",
+    doc=(
+        "Data-quality violations, both reference test predicates in one "
+        "typed-null-padded UNION ALL: uniqueness-at-grain GROUP BY HAVING "
+        "count>1 (test_gold_*_unique.sql / A1) and the non-negativity "
+        "predicate (test_gold_metrics_non_negative.sql:19-21 / P7)."
+    ),
 )
-def non_negative_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    return ev.filter(F.coalesce(F.col("value"), F.lit(0.0)) < 0).select(
-        "event_id", "user_id", "event_type", "value"
+    dup_grain = (
+        ev.groupBy("user_id", "ts", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+        .filter(F.col("metric") > 1)
+        .select(
+            F.lit("duplicate_grain").alias("check_name"),
+            "user_id",
+            "event_type",
+            F.lit(None).cast("long").alias("event_id"),
+            "ts",
+            "metric",
+        )
     )
+    negative = ev.filter(F.coalesce(F.col("value"), F.lit(0.0)) < 0).select(
+        F.lit("negative_value").alias("check_name"),
+        "user_id",
+        "event_type",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("value").alias("metric"),
+    )
+    return dup_grain.unionByName(negative)
 
 
 # ---------------------------------------------------------------------------
@@ -390,16 +404,10 @@ def non_negative_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "distinct_union_dates",
-    """
-    SELECT CAST(o_orderdate AS DATE) AS date FROM orders
-    UNION
-    SELECT CAST(l_shipdate AS DATE) AS date FROM lineitem
-    """,
-    doc="Deduplicating UNION date spine (dim_date, P:962-972 / U1).",
-)
 def distinct_union_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicating UNION date spine (dim_date, P:962-972 / U1) — the
+    first stage of date_dim_attributes, which is the driver-verified
+    query for this shape."""
     orders = read(spark, sf_dir, "orders")
     lineitem = read(spark, sf_dir, "lineitem")
     return (

@@ -74,39 +74,46 @@ def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_signatures(shingles(spark, sf_dir), "doc_id", N_MINHASH)
 
 
-def _minhash_oracle_sql() -> str:
-    cols = ",\n           ".join(
-        f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH)
-    )
-    return f"""
-    WITH sh AS ({_SHINGLE_SQL})
-    SELECT doc_id,
-           {cols}
-    FROM sh GROUP BY doc_id
-    """
-
-
 @register(
     "exact_dedup_documents",
     """
-    SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS dup_count
-    FROM documents
-    GROUP BY sha256(text)
+    WITH normed AS (
+      SELECT doc_id, sha256(text) AS text_hash,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT sha256(norm_text) AS norm_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count,
+           COUNT(DISTINCT text_hash) AS distinct_raw_hashes
+    FROM normed
+    GROUP BY sha256(norm_text)
     """,
-    doc="Exact dedup: hash-groupBy on content hash, keep min id per cluster.",
+    doc=(
+        "Exact + canonical dedup in one pass: lowercase/punct-strip/"
+        "ws-collapse normalization, then hash-groupBy on the canonical "
+        "hash (keep min id per cluster) with the distinct RAW content-hash "
+        "count per cluster — so both byte-exact dups (raw count < rows) "
+        "and cosmetic variants (distinct_raw_hashes > 1) are visible. One "
+        "narrow projection + one hash-groupBy shuffle; subsumes the former "
+        "normalized_text_hashes query."
+    ),
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_ops.exact_duplicates(read(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-@register(
-    "minhash_signatures",
-    _minhash_oracle_sql(),
-    doc=f"MinHash signatures: {N_MINHASH} lexicographic-min sha256 over {SHINGLE_K}-word shingles.",
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signature_df(spark, sf_dir)
+    docs = read(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+        text_ops.norm_expr("text").alias("norm_text"),
+    )
+    return (
+        normed.groupBy(F.sha2(F.col("norm_text"), 256).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.countDistinct("text_hash").alias("distinct_raw_hashes"),
+        )
+    )
 
 
 def _lsh_oracle_sql() -> str:
@@ -328,30 +335,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "token", "tfidf", F.col("rnk").cast("int").alias("rnk"))
-    )
-
-
-@register(
-    "normalized_text_hashes",
-    """
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g')) AS norm_text,
-           sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                      ' +', ' ', 'g'))) AS norm_hash
-    FROM documents
-    """,
-    doc=(
-        "Canonical-text normalization for dedup: lowercase, punctuation "
-        "stripped, whitespace collapsed — then sha256 of the canonical "
-        "form, so cosmetic variants land in the same exact-dedup cluster. "
-        "One narrow projection, no shuffle."
-    ),
-)
-def normalized_text_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    normed = text_ops.normalize_text(read(spark, sf_dir, "documents"), "doc_id", "text")
-    return normed.select(
-        "doc_id", "norm_text", F.sha2(F.col("norm_text"), 256).alias("norm_hash")
     )
 
 

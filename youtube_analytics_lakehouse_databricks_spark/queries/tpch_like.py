@@ -51,28 +51,38 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_supplier_volume",
     f"""
     SELECT n.n_name AS nation_name,
-           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+           COUNT(*) AS n_lineitems,
+           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           {_dsum_sql("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", "economy_revenue")}
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
     JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
     """,
-    doc="TPC-H Q5 shape: region-pruned 6-way join, same-nation customer/supplier condition.",
+    doc=(
+        "TPC-H Q5 + Q14 shapes in one star query: region-pruned 7-way join "
+        "with the same-nation customer/supplier condition, plus the "
+        "fact->part conditional revenue share (CASE-sum ratio numerator) "
+        "per nation. Dims broadcast; the fact shuffles once per join key."
+    ),
 )
 def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region, nation, supplier, lineitem, orders, customer = (
+    region, nation, supplier, lineitem, part, orders, customer = (
         read(spark, sf_dir, t)
-        for t in ("region", "nation", "supplier", "lineitem", "orders", "customer")
+        for t in ("region", "nation", "supplier", "lineitem", "part", "orders", "customer")
     )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         F.broadcast(region.filter(F.col("r_name") == "ASIA"))
         .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(supplier), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             customer,
@@ -80,34 +90,13 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "revenue"))
-    )
-
-
-@register(
-    "q14_brand_revenue_share",
-    f"""
-    SELECT p.p_brand,
-           COUNT(*) AS n_lineitems,
-           {_dsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
-           {_dsum_sql("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", "economy_revenue")}
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_brand
-    """,
-    doc="TPC-H Q14 shape: fact->part join with conditional revenue share by type.",
-)
-def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = read(spark, sf_dir, "lineitem")
-    part = read(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
             _dsum(rev, "revenue"),
-            _dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)), "economy_revenue"),
+            _dsum(
+                F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)),
+                "economy_revenue",
+            ),
         )
     )
 
