@@ -129,24 +129,48 @@ def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFra
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def band_join_candidates(banded: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
+DEFAULT_MAX_BUCKET_SIZE = 1024
+
+
+def _banded_exploded(banded: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
+    return banded.select(
+        id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+
+
+def band_join_candidates(
+    banded: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 band key.
 
     One posexplode over the band array -> groupBy (band_idx, band_key)
     collecting each bucket's sorted id list -> JVM-side pair expansion
     via nested transform. ONE shuffle on the band key, and the upstream
     (possibly expensive) signature computation runs exactly once — no
-    self-join legs, no cache to pin. A hot bucket expands to O(|bucket|^2)
-    pairs in one task, which is inherent to LSH candidate generation in
-    any formulation (the self-join co-locates the same bucket too)."""
-    ex = banded.select(
-        id_col, F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
-    )
+    self-join legs, no cache to pin.
+
+    Hot-bucket guard: buckets larger than ``max_bucket_size`` are DROPPED
+    before pair expansion, the standard production-dedup skew cap. A band
+    key shared by a huge fraction of the corpus (boilerplate, near-empty
+    docs) carries no discriminating information, but would otherwise
+    expand to O(|bucket|^2) pairs inside one task — 10^4 docs on one key
+    is 5*10^7 pairs, 10^6 would be 5*10^11 and a guaranteed executor
+    death at 100 TB. The guard bounds any task's output at
+    ~max_bucket_size^2/2 pairs; the aggregation buffer stays O(bucket)
+    (linear, not quadratic). Audit the dropped keys with
+    ``oversized_band_buckets`` (same arguments). Pass ``None`` to disable.
+    """
+    ex = _banded_exploded(banded, id_col, band_cols)
     buckets = (
         ex.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     # ids is sorted, so pairing each element with its successors yields
     # exactly the doc_a < doc_b pairs.
     pairs = buckets.select(
@@ -160,8 +184,34 @@ def band_join_candidates(banded: DataFrame, id_col: str, band_cols: list[str]) -
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
-def lsh_candidates(sig: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one band key."""
+def oversized_band_buckets(
+    banded: DataFrame,
+    id_col: str,
+    band_cols: list[str],
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(band_idx, band_key, bucket_size) for every bucket the candidate
+    generator drops under ``max_bucket_size`` — the skew audit to run (and
+    log/persist) alongside dedup so dropped keys are never silent. Count
+    aggregation only (map-side combined): never materializes id lists."""
+    ex = _banded_exploded(banded, id_col, band_cols)
+    return (
+        ex.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one band key,
+    with hot buckets above ``max_bucket_size`` dropped (see
+    band_join_candidates)."""
     bands = n_hashes // rows_per_band
     banded = sig.select(
         id_col,
@@ -173,7 +223,9 @@ def lsh_candidates(sig: DataFrame, id_col: str, n_hashes: int = 8, rows_per_band
             for b in range(bands)
         ],
     )
-    return band_join_candidates(banded, id_col, [f"band{b}" for b in range(bands)])
+    return band_join_candidates(
+        banded, id_col, [f"band{b}" for b in range(bands)], max_bucket_size=max_bucket_size
+    )
 
 
 def jaccard_verify(
