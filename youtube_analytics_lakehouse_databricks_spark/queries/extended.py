@@ -215,9 +215,11 @@ def _simhash_sql() -> str:
     ),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row crypto dwarfs input bytes -> fan out; digest materialized
-    # once per token, the 16 bit aggs only slice nibbles from it
-    docs = read_fanned(spark, sf_dir, "documents")
+    # per-row crypto dwarfs input bytes -> fan out BY doc_id (the bit
+    # aggregation groups on it, so the fan-out exchange is the agg's
+    # distribution too); digest materialized once per token, the 16 bit
+    # aggs only slice nibbles from it
+    docs = read_fanned(spark, sf_dir, "documents", by="doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
     ).select("doc_id", F.sha2(F.col("token"), 256).alias("tsha"))

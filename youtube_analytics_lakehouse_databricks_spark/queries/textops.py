@@ -48,8 +48,10 @@ _SHINGLE_SQL = """
 def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan for the compute-heavy shingle/MinHash pipelines:
     fanned out only when the scan is narrower than the cluster (see
-    queries.read_fanned)."""
-    return read_fanned(spark, sf_dir, "documents")
+    queries.read_fanned). Fanned BY doc_id: every downstream aggregation
+    here groups on doc_id, so the fan-out exchange doubles as the
+    aggregation's distribution and the per-doc agg shuffle is elided."""
+    return read_fanned(spark, sf_dir, "documents", by="doc_id")
 
 
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
