@@ -48,8 +48,13 @@ def test_registered_ivf_query_self_validates(spark):
     for r in rows:
         assert r["in_exact_topk"] == ((r["query_id"], r["neighbor_id"]) in exact)
         by_q.setdefault(r["query_id"], []).append(r)
+    # denominator is the EXACT top-k size per query (recall), not however
+    # many rows IVF retrieved (which would be precision)
+    exact_n: dict = {}
+    for q, _n in exact:
+        exact_n[q] = exact_n.get(q, 0) + 1
     for q, rs in by_q.items():
-        want = round(sum(1 for r in rs if r["in_exact_topk"]) / len(rs), 3)
+        want = round(sum(1 for r in rs if r["in_exact_topk"]) / exact_n[q], 3)
         assert all(abs(r["recall_at_k"] - want) < 1e-9 for r in rs)
     # with 2/16 cells probed on near-random 64-d vectors recall is modest
     # but must be far above chance; the exact-probe case is covered above

@@ -66,26 +66,26 @@ def optimize_tables(
     return results
 
 
-Z_BITS = 16  # bits per dimension in the interleaved key
+Z_BITS = 8  # bits per dimension in the interleaved key (256 range buckets)
 
 
 def _zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
     """Append a `__zval` column: Morton (Z-order) interleave of each
-    column's equal-frequency rank.
+    column's equal-frequency range-bucket id.
 
-    Ranks come from percent_rank() so arbitrary types and skewed
-    distributions quantize evenly into 2^Z_BITS buckets; the bit
-    interleave is a codegen'd integer expression (no UDFs). One window
-    sort per column — acceptable for a maintenance rewrite (Delta's
-    OPTIMIZE ZORDER also globally re-sorts the data it rewrites)."""
-    from pyspark.sql import Window
-
+    Fully distributed: one repartitionByRange exchange per column, then
+    spark_partition_id() IS the bucket id (range partitions are ordered by
+    key and sized equal-frequency by the partitioner's sampling — the same
+    sampled range boundaries Delta's OPTIMIZE ZORDER uses). No global
+    single-task window sort, so the pass scales to arbitrary table sizes;
+    works for any orderable type (dates, strings, numerics). 2^Z_BITS
+    buckets per dimension bounds the tile resolution, which is plenty to
+    distinguish per-file hyper-rectangles up to ~2^(Z_BITS*ndim) files."""
     out = df
-    max_bucket = (1 << Z_BITS) - 1
+    n_buckets = 1 << Z_BITS
     for i, c in enumerate(cols):
-        r = F.percent_rank().over(Window.orderBy(F.col(c)))
-        out = out.withColumn(
-            f"__zr{i}", F.least(F.floor(r * (1 << Z_BITS)), F.lit(max_bucket)).cast("long")
+        out = out.repartitionByRange(n_buckets, F.col(c)).withColumn(
+            f"__zr{i}", F.spark_partition_id().cast("long")
         )
     ndim = len(cols)
     parts = [

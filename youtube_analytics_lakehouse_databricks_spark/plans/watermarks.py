@@ -28,14 +28,20 @@ WATERMARKS_FQN = "ops.refresh_watermarks"
 
 
 def get_watermark(spark: SparkSession, view_fqn: str) -> dt.datetime | None:
-    if not spark.catalog.tableExists(WATERMARKS_FQN):
-        return None
-    rows = (
-        spark.table(WATERMARKS_FQN)
-        .filter(F.col("view_fqn") == F.lit(view_fqn))  # Column predicate: no string interpolation
-        .select("high_water_ts")
-        .collect()
-    )
+    # Reads take the same lock as set_watermark: the overwrite saveAsTable in
+    # write_table is drop-and-rewrite (not atomic), so an unlocked read racing
+    # a same-level sibling's set_watermark could hit a transient missing-table
+    # window and silently return None, forcing a spurious full re-merge. The
+    # table is O(views) rows, so serializing reads costs nothing.
+    with _WRITE_LOCK:
+        if not spark.catalog.tableExists(WATERMARKS_FQN):
+            return None
+        rows = (
+            spark.table(WATERMARKS_FQN)
+            .filter(F.col("view_fqn") == F.lit(view_fqn))  # Column predicate: no string interpolation
+            .select("high_water_ts")
+            .collect()
+        )
     return rows[0][0] if rows else None
 
 

@@ -386,13 +386,23 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the scan so the fused Arrow assignment pass isn't single-partition
     emb = read_fanned(spark, sf_dir, "embeddings")
     ivf = ivf_topk(emb, "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
+    # n_exact rides along on the exact side so recall's denominator is the
+    # exact top-k size (min(k, corpus-1)), not however many rows IVF happened
+    # to retrieve — avg over retrieved rows would report precision, not recall.
     exact = cosine_topk(emb, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
+    exact = exact.withColumn(
+        "n_exact", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+    )
     w = Window.partitionBy("query_id")
+    hits = F.sum(F.col("in_exact_topk").cast("double")).over(w)
+    # max() recovers n_exact for rows the left join left null; a query with
+    # zero exact hits has null n_exact everywhere but its recall is 0 anyway.
+    denom = F.max("n_exact").over(w)
     return (
         ivf.join(exact, ["query_id", "neighbor_id"], "left")
         .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
-        .withColumn("recall_at_k", F.round(F.avg(F.col("in_exact_topk").cast("double")).over(w), 3))
+        .withColumn("recall_at_k", F.coalesce(F.round(hits / denom, 3), F.lit(0.0)))
         .select("query_id", "neighbor_id", "cosine", "rank", "in_exact_topk", "recall_at_k")
     )
