@@ -237,3 +237,57 @@ def test_unsupported_payloads_clearly_rejected():
         mm.decode_real_audio(b"OggS not riff")
     with pytest.raises(NotImplementedError):  # compressed video needs a codec lib
         mm.decode_real_video(b"\x00\x00\x00 ftyp")
+
+
+def test_mp4_metadata_parse():
+    """Box-walk metadata from a codec-less mp4 container fixture."""
+    blob = mm.encode_minimal_mp4(640, 360, 12.5, timescale=1000)
+    m = mm.parse_mp4_metadata(blob)
+    assert m["major_brand"] == "isom"
+    assert abs(m["duration_s"] - 12.5) < 1e-9
+    assert (m["width"], m["height"], m["n_tracks"]) == (640, 360, 1)
+    # decode (vs metadata) still requires a codec and still says so
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_video(blob)
+    with pytest.raises(NotImplementedError):
+        mm.parse_mp4_metadata(b"\x00" * 32)
+
+
+def test_sample_video_frames_degrades_on_mp4(spark):
+    """A shard mixing decodable (y4m) and codec-only (mp4) video yields
+    frames for the former and ONE metadata row (no frame bytes) for the
+    latter — never an error."""
+    y4m = mm.encode_y4m(4, 2, [bytes(range(8)), bytes(range(8, 16))])
+    mp4 = mm.encode_minimal_mp4(1280, 720, 3.0)
+    df = spark.createDataFrame(
+        [(20, "video", y4m, None), (21, "video", mp4, None)], mm.MEDIA_SCHEMA
+    )
+    rows = mm.sample_video_frames(df, every_n=1).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[20]) == 2 and all(r["frame_content"] for r in by_id[20])
+    (meta,) = by_id[21]
+    assert meta["frame_idx"] == -1 and meta["n_frames"] == 0
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["frame_content"] is None and meta["mean_intensity"] is None
+
+
+def test_video_container_metadata(spark):
+    """Uniform inventory row across mp4 / y4m / SYNTH / junk payloads."""
+    rows = [
+        (30, "video", mm.encode_minimal_mp4(320, 240, 7.25), None),
+        (31, "video", mm.encode_y4m(6, 4, [bytes(24)] * 3), None),
+        (32, "video", mm.encode_synth_video(5, 3, 4), None),
+        (33, "video", b"\xde\xad\xbe\xef" * 8, None),
+        (34, "image", mm.encode_synth_image(2, 2), None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.video_container_metadata(df).collect()}
+    assert set(out) == {30, 31, 32, 33}
+    m = out[30]
+    assert m["container"] == "mp4" and m["major_brand"] == "isom"
+    assert abs(m["duration_s"] - 7.25) < 1e-9 and (m["width"], m["height"]) == (320, 240)
+    assert out[31]["container"] == "y4m" and out[31]["n_frames"] == 3
+    assert out[32]["container"] == "synth" and (out[32]["width"], out[32]["height"]) == (5, 3)
+    assert out[33]["container"] == "unknown" and out[33]["width"] is None
