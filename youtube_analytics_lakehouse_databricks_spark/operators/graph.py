@@ -11,7 +11,9 @@ scheme from the MapReduce CC literature bounds it at O(log n) for
 adversarial chains). Lineage is truncated every round with an eager
 localCheckpoint so the plan does not grow with iterations — the standard
 Spark idiom for iterative algorithms (GraphX/Pregel does the same).
-Convergence is detected with a cheap LIMIT 1 existence job per round.
+Convergence detection rides along in the label projection itself (an
+``improved`` flag column), so the per-round existence check is a LIMIT 1
+scan of the already-materialized checkpoint — no extra join or shuffle.
 """
 
 from __future__ import annotations
@@ -42,6 +44,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the improved flag is computed in the SAME projection the
+        # checkpoint materializes (new < old ⟺ nbr_min < old), so the
+        # convergence probe below reads checkpointed rows with a pushed
+        # LIMIT — no join against the previous labels, no extra shuffle
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -49,18 +55,14 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
                     "component"
                 ),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "improved"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new_labels.join(
-                labels.select("node", F.col("component").alias("old")), "node"
-            )
-            .filter(F.col("component") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        improved = new_labels.filter("improved").limit(1).count()
+        labels = new_labels.drop("improved")
         if improved == 0:
             break
     return labels
