@@ -71,3 +71,46 @@ def test_optimize_tables_routes_zorder(spark):
         "silver.zopt_missing": "skipped_missing",
     }
     assert spark.table("silver.zopt_demo").count() == 1000
+
+
+def test_zorder_date_string_fact_shape(spark):
+    """ZORDER on the (date, dimension-key) shape the runner defaults use:
+    non-numeric columns cluster too (range buckets work for any orderable
+    type), and per-file min/max spans tighten on BOTH columns — the stats
+    that let footer pruning skip files for either predicate family."""
+    import datetime as dt
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS silver")
+    n = 60_000
+    df = spark.range(n).select(
+        F.date_add(F.lit(dt.date(2025, 1, 1)), (F.col("id") % 365).cast("int")).alias("date"),
+        F.concat(F.lit("vid_"), F.format_string("%03d", (F.col("id") * 131) % 500)).alias("video_id"),
+        F.col("id").alias("views"),
+    )
+    df.write.mode("overwrite").format("parquet").saveAsTable("silver.zorder_fact_demo")
+
+    def spans():
+        rows = (
+            spark.table("silver.zorder_fact_demo")
+            .select(F.input_file_name().alias("f"), "date", "video_id")
+            .groupBy("f")
+            .agg(
+                F.datediff(F.max("date"), F.min("date")).alias("rd"),
+                F.countDistinct("video_id").alias("rv"),
+            )
+            .collect()
+        )
+        return (
+            sum(r["rd"] for r in rows) / len(rows),
+            sum(r["rv"] for r in rows) / len(rows),
+        )
+
+    d_before, v_before = spans()
+    zorder_rewrite(spark, "silver.zorder_fact_demo", ["date", "video_id"], n_files=16)
+    d_after, v_after = spans()
+    # id-ordered writes span nearly the whole year and key domain per file;
+    # after clustering each file covers a tight (date x key) rectangle
+    assert d_after < 200 and d_after < d_before / 1.5, (d_before, d_after)
+    assert v_after < 300 and v_after < v_before / 1.5, (v_before, v_after)
+    n_rows = spark.table("silver.zorder_fact_demo").count()
+    assert n_rows == n

@@ -27,7 +27,7 @@ def pipeline_run(spark):
     ctxs = run_contexts(3)
     ingest(spark, FixtureSource(gen=1), ctxs[0])
     ingest(spark, FixtureSource(gen=2), ctxs[1])
-    report = run_pipeline(spark, FixtureSource(gen=3), ctxs[2], today=TODAY)
+    report = run_pipeline(spark, FixtureSource(gen=3), ctxs[2], today=TODAY, optimize=True)
     return report
 
 
@@ -35,6 +35,18 @@ def test_runner_reports_success(pipeline_run):
     assert pipeline_run["status"] == "success"
     assert len(pipeline_run["refreshed"]) == 19  # 14 silver + 5 gold
     assert pipeline_run["ingested"]["videos_raw"] == 1
+
+
+def test_runner_optimize_zorders_gold_facts(pipeline_run, spark):
+    """The optimize stage compacts bronze and ZORDERs every gold fact on
+    its (date, dimension key) defaults; tables stay readable after."""
+    opt = pipeline_run["optimize"]
+    from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import ZORDER_DEFAULTS
+
+    for fqn in ZORDER_DEFAULTS:
+        assert opt[fqn] == "optimized_zorder", (fqn, opt[fqn])
+        assert spark.table(fqn).count() > 0
+    assert all(v.startswith(("optimized", "skipped")) for v in opt.values()), opt
 
 
 def test_silver_channels_latest_wins(spark):

@@ -1,0 +1,236 @@
+"""Scaling curve for the dedup chain and ANN paths: 1x vs 10x.
+
+Backs the 100 TB design claims with measurements at two corpus scales:
+a deterministic generator (same statistical shape as the driver's
+documents/embeddings tables — zipf vocab, ~45 tokens/doc, 10% near-dup
+variants, 16-cluster 64-d embeddings) emits 1x (5k docs / 2k vecs,
+sf0.1-sized) and 10x (50k docs / 20k vecs) corpora, then every stage of
+the near-dup pipeline plus all three ANN strategies run at both scales
+with wall time and shuffle bytes recorded per stage (Spark UI REST API;
+the UI is enabled just for this tool).
+
+The 10x corpus also plants a HOT KEY: 3% of docs (1,500 at 10x) share
+byte-identical boilerplate text, so all of them land in the same LSH
+band buckets — above the 1024-doc bucket cap. That demonstrates the
+skew guard's effect: candidate counts stay bounded (the boilerplate
+cluster is exactly what exact-hash dedup already catches upstream) and
+the oversized_band_buckets audit surfaces the dropped keys.
+
+Usage: python tools/scaling_curve.py [--markdown]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+VOCAB = 5_000
+HOT_FRACTION = 0.03  # byte-identical boilerplate docs (10x only)
+OUT_ROOT = "/tmp/sparkgraft_scale"
+
+
+def generate(mult: int, outdir: str, hot: bool) -> None:
+    """Deterministic corpus at ``mult``x: documents.parquet + embeddings.parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    n_docs, n_vecs = BASE_DOCS * mult, BASE_VECS * mult
+    words = np.array([f"tok{i:04d}" for i in range(VOCAB)])
+    # zipf-ish weights: common words dominate like natural text
+    w = 1.0 / np.arange(1, VOCAB + 1) ** 0.8
+    w /= w.sum()
+
+    texts: list[str] = []
+    n_hot = int(n_docs * HOT_FRACTION) if hot else 0
+    boilerplate = " ".join(words[rng.choice(VOCAB, size=40, p=w)])
+    for i in range(n_docs):
+        if i < n_hot:
+            texts.append(boilerplate)  # byte-identical: the hot LSH key
+            continue
+        n_tok = int(np.clip(rng.normal(45, 15), 10, 100))
+        toks = words[rng.choice(VOCAB, size=n_tok, p=w)]
+        if i % 10 == 9 and i > n_hot:  # 10% near-dup variants of the previous doc
+            base = texts[-1].split(" ")
+            k = max(1, len(base) // 20)
+            idx = rng.choice(len(base), size=k, replace=False)
+            for j in idx:
+                base[j] = words[rng.choice(VOCAB, p=w)]
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(toks))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_docs, pa.string()),
+            "source": pa.array([f"src{i % 5}" for i in range(n_docs)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    centers = rng.normal(0, 1, size=(16, 64))
+    labels = rng.integers(0, 16, size=n_vecs)
+    vecs = (centers[labels] + rng.normal(0, 0.6, size=(n_vecs, 64))).astype(np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    os.makedirs(outdir, exist_ok=True)
+    pq.write_table(docs, f"{outdir}/documents.parquet")
+    pq.write_table(emb, f"{outdir}/embeddings.parquet")
+
+
+class StageMeter:
+    """Shuffle byte deltas from the Spark UI REST API between checkpoints."""
+
+    def __init__(self, spark):
+        self.app = spark.sparkContext.applicationId
+        self.port = spark.sparkContext.getConf().get("spark.ui.port", "4040")
+        self._bus = spark.sparkContext._jsc.sc().listenerBus()
+        self.last = self._totals()
+
+    def _totals(self) -> tuple[int, int]:
+        # the status store is fed by an ASYNC listener bus: without the
+        # drain, a fast query's stages land in the NEXT stage's delta
+        self._bus.waitUntilEmpty()
+        url = f"http://localhost:{self.port}/api/v1/applications/{self.app}/stages?status=complete"
+        stages = json.load(urllib.request.urlopen(url))
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            # executorCpuTime (ns of CPU actually burned) is the noise-
+            # immune work metric: co-tenant steal inflates wall clock but
+            # not cycles consumed, so it is what the scaling ratio reads
+            sum(s.get("executorCpuTime", 0) for s in stages),
+        )
+
+    def delta(self) -> tuple[int, int]:
+        cur = self._totals()
+        d = (cur[0] - self.last[0], cur[1] - self.last[1])
+        self.last = cur
+        return d
+
+
+def _stage_builders(spark) -> dict:
+    from youtube_analytics_lakehouse_databricks_spark.operators import dedup as dedup_ops
+    from youtube_analytics_lakehouse_databricks_spark.queries import registry
+    from youtube_analytics_lakehouse_databricks_spark.queries import textops
+
+    reg = registry()
+
+    def sig_stage(s, d):
+        return textops.minhash_signature_df(s, d)
+
+    def audit_stage(s, d):
+        sig = textops.minhash_signature_df(s, d)
+        bands = textops.N_MINHASH // 2
+        banded = sig.selectExpr(
+            "doc_id",
+            *[
+                f"sha2(concat_ws('|', mh{2 * b}, mh{2 * b + 1}), 256) AS band{b}"
+                for b in range(bands)
+            ],
+        )
+        return dedup_ops.oversized_band_buckets(
+            banded, "doc_id", [f"band{b}" for b in range(bands)]
+        )
+
+    stages = {
+        "exact_dedup": reg["exact_dedup_documents"].builder,
+        "minhash_signatures": sig_stage,
+        "lsh_candidates": reg["lsh_candidate_pairs"].builder,
+        "oversized_buckets_audit": audit_stage,
+        "lsh_verified_pairs": reg["lsh_verified_near_dups"].builder,
+        "components_keepers": reg["dedup_keepers"].builder,
+        "ann_brute_topk": reg["embedding_topk_cosine"].builder,
+        "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
+        "ann_ivf": reg["embedding_ivf_ann"].builder,
+    }
+    return stages
+
+
+def run_interleaved(spark, dirs: dict[int, str], n_pairs: int = 3) -> dict[int, dict]:
+    """Per stage, alternate (1x, 10x, 1x, 10x, ...) back to back so both
+    scales face the SAME noisy-neighbor conditions, then take the min per
+    scale. On a quiet box this equals plain min-of-N; under co-tenant
+    load it keeps the RATIO honest even when absolute times are inflated.
+    Shuffle bytes are deterministic and recorded from the first run."""
+    stages = _stage_builders(spark)
+    meter = StageMeter(spark)
+    results: dict[int, dict] = {m: {} for m in dirs}
+    for name, builder in stages.items():
+        acc = {m: {"runs": [], "sw": 0, "rows": 0} for m in dirs}
+        for i in range(n_pairs):
+            for m, d in dirs.items():
+                spark.catalog.clearCache()
+                meter.delta()  # reset baseline
+                t0 = time.time()
+                rows = builder(spark, d).count()
+                acc[m]["runs"].append(time.time() - t0)
+                sw, _cpu = meter.delta()
+                if i == 0:
+                    acc[m]["sw"], acc[m]["rows"] = sw, rows
+        for m in dirs:
+            a = acc[m]
+            results[m][name] = {
+                "sec": round(min(a["runs"]), 2),
+                "rows": a["rows"],
+                "shuffle_write_mb": round(a["sw"] / 1e6, 2),
+            }
+        fastest = {m: round(min(acc[m]["runs"]), 2) for m in dirs}
+        print(f"{name}: {fastest}", file=sys.stderr)
+    return results
+
+
+def main() -> None:
+    from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+
+    dirs = {}
+    for mult in (1, 10):
+        d = f"{OUT_ROOT}/x{mult}"
+        if not os.path.exists(f"{d}/embeddings.parquet"):
+            print(f"generating {mult}x corpus ...", file=sys.stderr)
+            generate(mult, d, hot=(mult == 10))
+        dirs[mult] = d
+
+    spark = get_spark(app_name="scaling_curve", extra_conf={"spark.ui.enabled": "true"})
+    # warmup: JIT/codegen on the small corpus so neither scale pays it
+    for builder in _stage_builders(spark).values():
+        builder(spark, dirs[1]).count()
+    results = run_interleaved(spark, dirs)
+
+    print(json.dumps(results, indent=2))
+    if "--markdown" in sys.argv:
+        print()
+        print(
+            "| stage | 1x wall s | 10x wall s | wall ratio | 1x shuffle MB | "
+            "10x shuffle MB | shuffle ratio | 1x rows | 10x rows |"
+        )
+        print("|---|---|---|---|---|---|---|---|---|")
+        for name in results[1]:
+            a, b = results[1][name], results[10][name]
+            w_r = round(b["sec"] / a["sec"], 1) if a["sec"] else float("inf")
+            sh_r = (
+                round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1)
+                if a["shuffle_write_mb"]
+                else float("inf")
+            )
+            print(
+                f"| {name} | {a['sec']} | {b['sec']} | {w_r}x | "
+                f"{a['shuffle_write_mb']} | {b['shuffle_write_mb']} | {sh_r}x | "
+                f"{a['rows']} | {b['rows']} |"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 
 from youtube_analytics_lakehouse_databricks_spark import storage
 
+# Default OPTIMIZE ZORDER surface for the warehouse's gold fact tables:
+# cluster each on (date, dimension key) — the two predicate families
+# analysts actually filter by — so parquet footer min/max stats skip
+# files for EITHER column. Mirrors the reference's OPTIMIZE allowlist
+# (job_tasks/ops/optimize_tables.py:17-52) with the per-table ZORDER BY
+# opt-in Delta exposes; the runner passes this map on its optimize step.
+ZORDER_DEFAULTS: dict[str, list[str]] = {
+    "gold.gold_channel_daily_summary": ["date", "channel_id"],
+    "gold.gold_video_daily_summary": ["date", "video_id"],
+    "gold.gold_video_country_daily_summary": ["date", "country_code"],
+    "gold.gold_video_device_daily_summary": ["date", "device_type"],
+    "gold.gold_video_traffic_source_daily_summary": ["date", "source_id"],
+}
+
 
 def optimize_tables(
     spark: SparkSession,

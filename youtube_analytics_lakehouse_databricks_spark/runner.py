@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 from youtube_analytics_lakehouse_databricks_spark import contract
 from youtube_analytics_lakehouse_databricks_spark.models.pipeline import build_graph
 from youtube_analytics_lakehouse_databricks_spark.ops.contract_check import validate_bronze_contract
-from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import optimize_tables
+from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import ZORDER_DEFAULTS, optimize_tables
 from youtube_analytics_lakehouse_databricks_spark.ops.run_log import finalize_run, init_run_log
 from youtube_analytics_lakehouse_databricks_spark.ops.smoke import smoke_checks
 from youtube_analytics_lakehouse_databricks_spark.plans.registry import ensure_schemas
@@ -110,8 +110,13 @@ def run_pipeline(
             status = "failed"
             report["failed_checks"] = hard_failures
         if optimize:
+            # Bronze: plain small-file compaction. Gold facts: ZORDER on
+            # (date, dimension key) so per-file min/max stats prune scans
+            # for either predicate family (ZORDER_DEFAULTS).
             report["optimize"] = optimize_tables(
-                spark, [f"bronze.{t}" for t in contract.BRONZE_TABLES]
+                spark,
+                [f"bronze.{t}" for t in contract.BRONZE_TABLES] + sorted(ZORDER_DEFAULTS),
+                zorder_cols=ZORDER_DEFAULTS,
             )
         report["smoke"] = smoke_checks(spark, today=today)
     except Exception:
