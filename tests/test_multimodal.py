@@ -291,3 +291,27 @@ def test_video_container_metadata(spark):
     assert out[31]["container"] == "y4m" and out[31]["n_frames"] == 3
     assert out[32]["container"] == "synth" and (out[32]["width"], out[32]["height"]) == (5, 3)
     assert out[33]["container"] == "unknown" and out[33]["width"] is None
+
+
+def test_webm_metadata_parse():
+    """EBML walk on a codec-less webm fixture: doc type, duration from
+    TimestampScale x Duration, dims from the video TrackEntry."""
+    blob = mm.encode_minimal_webm(1920, 1080, 4.5)
+    m = mm.parse_webm_metadata(blob)
+    assert m["doc_type"] == "webm"
+    assert abs(m["duration_s"] - 4.5) < 1e-9
+    assert (m["width"], m["height"], m["n_tracks"]) == (1920, 1080, 1)
+    with pytest.raises(NotImplementedError):
+        mm.parse_webm_metadata(b"\x00" * 16)
+
+
+def test_webm_degrades_and_inventories(spark):
+    """webm joins mp4 in the graceful-degrade contract for sampling and
+    the container inventory."""
+    webm = mm.encode_minimal_webm(640, 480, 2.0)
+    df = spark.createDataFrame([(40, "video", webm, None)], mm.MEDIA_SCHEMA)
+    (meta,) = mm.sample_video_frames(df, every_n=1).collect()
+    assert meta["frame_idx"] == -1 and (meta["width"], meta["height"]) == (640, 480)
+    assert meta["frame_content"] is None
+    (inv,) = mm.video_container_metadata(df).collect()
+    assert inv["container"] == "webm" and abs(inv["duration_s"] - 2.0) < 1e-9

@@ -292,11 +292,15 @@ def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
                 if content is None or len(content) < 12:
                     continue
                 raw = bytes(content)
-                if _is_mp4(raw):
-                    # Codec-less container: degrade to ONE metadata row
-                    # (frame_idx = -1, no frame bytes) instead of killing
-                    # the shard — dims/duration come from the box walk.
-                    m = parse_mp4_metadata(raw)
+                if _is_mp4(raw) or raw[:4] == _EBML_MAGIC:
+                    # Codec-less container (mp4/webm): degrade to ONE
+                    # metadata row (frame_idx = -1, no frame bytes) instead
+                    # of killing the shard — dims come from the box walk.
+                    m = (
+                        parse_mp4_metadata(raw)
+                        if _is_mp4(raw)
+                        else parse_webm_metadata(raw)
+                    )
                     out["media_id"].append(media_id)
                     out["frame_idx"].append(-1)
                     out["n_frames"].append(0)
@@ -513,6 +517,116 @@ def encode_minimal_mp4(
     return ftyp + box(b"moov", mvhd + box(b"trak", tkhd)) + box(b"mdat", bytes(8))
 
 
+# -- Matroska/webm (EBML) container metadata, pure stdlib ---------------
+#
+# Same degrade-gracefully contract as mp4: the EBML tree is stdlib-
+# walkable even though the codec payload is not. Elements are
+# (vint id, vint size, payload); we descend only Segment -> Info
+# (TimestampScale, Duration) and Tracks -> TrackEntry -> Video
+# (PixelWidth/PixelHeight).
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _read_vint(raw: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at pos -> (value, next_pos). Element
+    IDs keep the length-marker bit (matches spec notation); sizes strip it."""
+    first = raw[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 8 - first.bit_length() + 1
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | raw[pos + i]
+    return val, pos + length
+
+
+def _ebml_children(raw: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        try:
+            eid, p = _read_vint(raw, pos, keep_marker=True)
+            size, body = _read_vint(raw, p, keep_marker=False)
+        except (ValueError, IndexError):
+            return
+        # "unknown size" (all value bits set) => element runs to end
+        stop = end if size == (1 << (7 * (body - p))) - 1 else min(end, body + size)
+        yield eid, body, stop
+        pos = stop
+
+
+def parse_webm_metadata(content: bytes) -> dict:
+    """{doc_type, duration_s, width, height, n_tracks} from a
+    Matroska/webm payload without a codec. Raises NotImplementedError on
+    non-EBML bytes."""
+    raw = bytes(content)
+    if raw[:4] != _EBML_MAGIC:
+        raise NotImplementedError("not an EBML (webm/mkv) payload")
+    meta: dict = {"doc_type": None, "duration_s": None, "width": 0, "height": 0, "n_tracks": 0}
+    timestamp_scale, duration_ticks = 1_000_000, None  # EBML default: 1 ms
+    for eid, s, e in _ebml_children(raw, 0, len(raw)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cs, ce in _ebml_children(raw, s, e):
+                if cid == 0x4282:  # DocType
+                    meta["doc_type"] = raw[cs:ce].rstrip(b"\x00").decode("ascii", "replace")
+        elif eid == 0x18538067:  # Segment
+            for cid, cs, ce in _ebml_children(raw, s, e):
+                if cid == 0x1549A966:  # Info
+                    for iid, is_, ie in _ebml_children(raw, cs, ce):
+                        if iid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                            timestamp_scale = int.from_bytes(raw[is_:ie], "big")
+                        elif iid == 0x4489:  # Duration (float ticks)
+                            width_b = ie - is_
+                            duration_ticks = struct.unpack(
+                                ">f" if width_b == 4 else ">d", raw[is_:ie]
+                            )[0]
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, ts, te in _ebml_children(raw, cs, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        meta["n_tracks"] += 1
+                        for vid, vs, ve in _ebml_children(raw, ts, te):
+                            if vid != 0xE0:  # Video
+                                continue
+                            for pid, ps, pe in _ebml_children(raw, vs, ve):
+                                if pid == 0xB0:
+                                    meta["width"] = max(
+                                        meta["width"], int.from_bytes(raw[ps:pe], "big")
+                                    )
+                                elif pid == 0xBA:
+                                    meta["height"] = max(
+                                        meta["height"], int.from_bytes(raw[ps:pe], "big")
+                                    )
+    if duration_ticks is not None:
+        meta["duration_s"] = duration_ticks * timestamp_scale / 1e9
+    return meta
+
+
+def encode_minimal_webm(width: int, height: int, duration_s: float) -> bytes:
+    """Minimal EBML/webm fixture (header + Segment{Info, Tracks{TrackEntry
+    {Video}}}) — container metadata, no codec stream; the test-fixture
+    counterpart of encode_minimal_mp4."""
+
+    def vint_size(n: int) -> bytes:  # 1-byte size marker when it fits
+        if n < 0x7F:
+            return bytes([0x80 | n])
+        return bytes([0x40 | (n >> 8), n & 0xFF])  # 2-byte form
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        eid_b = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eid_b + vint_size(len(payload)) + payload
+
+    header = elem(0x1A45DFA3, elem(0x4282, b"webm"))
+    info = elem(
+        0x1549A966,
+        elem(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+        + elem(0x4489, struct.pack(">d", duration_s * 1000.0)),
+    )
+    video = elem(0xE0, elem(0xB0, width.to_bytes(2, "big")) + elem(0xBA, height.to_bytes(2, "big")))
+    tracks = elem(0x1654AE6B, elem(0xAE, video))
+    return header + elem(0x18538067, info + tracks)
+
+
 VIDEO_METADATA_SCHEMA = (
     "media_id long, container string, major_brand string, duration_s double, "
     "width int, height int, n_frames int, n_tracks int"
@@ -547,6 +661,10 @@ def video_container_metadata(media: DataFrame) -> DataFrame:
                     m = parse_mp4_metadata(raw)
                     emit(media_id, "mp4", m["major_brand"], m["duration_s"],
                          m["width"], m["height"], None, m["n_tracks"])
+                elif raw[:4] == _EBML_MAGIC:
+                    m = parse_webm_metadata(raw)
+                    emit(media_id, m["doc_type"] or "webm", m["doc_type"],
+                         m["duration_s"], m["width"], m["height"], None, m["n_tracks"])
                 elif raw[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
                     nf, w, h, _ = decode_real_video(raw)
                     emit(media_id, "y4m", None, None, w, h, nf, 1)
