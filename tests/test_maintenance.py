@@ -114,3 +114,17 @@ def test_zorder_date_string_fact_shape(spark):
     assert v_after < 300 and v_after < v_before / 1.5, (v_before, v_after)
     n_rows = spark.table("silver.zorder_fact_demo").count()
     assert n_rows == n
+
+
+def test_zvalue_plan_is_distributed(spark):
+    """Regression: the z-value ranking must never funnel the table through
+    a single task (the old global percent_rank window). The plan should
+    carry range exchanges and NO Window operator at all."""
+    from youtube_analytics_lakehouse_databricks_spark.ops.maintenance import _zvalue
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 11).alias("b")
+    )
+    plan = _zvalue(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan, plan
