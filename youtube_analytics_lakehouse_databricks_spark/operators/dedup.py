@@ -76,20 +76,36 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
+SLICES_PER_DIGEST = 4  # four 16-hex-char (64-bit) minhashes per sha256
+
+
 def minhash_from_sets(ds: DataFrame, id_col: str, n_hashes: int = 8, set_col: str = "shset") -> DataFrame:
     """MinHash signature columns mh0..mhN-1 computed per row from the
-    shingle-set array: array_min over sha2 of seed-prefixed shingles.
-    min over the distinct set == min over the multiset, so signatures are
-    identical to the exploded groupBy formulation — with NO shuffle at
-    all (each doc row is independent). Docs with an empty set are dropped,
-    matching the groupBy shape (no shingle rows -> no signature row)."""
-    cols = [
-        F.expr(
-            f"array_min(transform({set_col}, x -> sha2(concat('{i}', '|', x), 256)))"
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
-    return ds.filter(F.size(set_col) > 0).select(id_col, *cols)
+    shingle-set array, using the sliced-digest derivation (see
+    minhash_signatures): one seeded digest array per 4 hashes, then
+    array_min over each 16-hex-char slice. min over the distinct set ==
+    min over the multiset, so signatures are identical to the exploded
+    groupBy formulation — with NO shuffle at all (each doc row is
+    independent). Docs with an empty set are dropped, matching the
+    groupBy shape (no shingle rows -> no signature row). The digest
+    arrays are separate bound projections referenced 4x each, so
+    CollapseProject keeps the barrier and sha2 runs once per seed."""
+    out = ds.filter(F.size(set_col) > 0)
+    n_seeds = -(-n_hashes // SLICES_PER_DIGEST)
+    for seed in range(n_seeds):
+        out = out.withColumn(
+            f"__dg{seed}",
+            F.expr(f"transform({set_col}, x -> sha2(concat('{seed}', '|', x), 256))"),
+        )
+    cols = []
+    for i in range(n_hashes):
+        seed, sl = divmod(i, SLICES_PER_DIGEST)
+        cols.append(
+            F.expr(
+                f"array_min(transform(__dg{seed}, d -> substring(d, {1 + 16 * sl}, 16)))"
+            ).alias(f"mh{i}")
+        )
+    return out.select(id_col, *cols)
 
 
 def jaccard_verify_sets(
@@ -121,11 +137,23 @@ def jaccard_verify_sets(
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
-    """One row per id with n lexicographic-min sha256 columns mh0..mhN-1."""
-    aggs = [
-        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("shingle")), 256)).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    """One row per id with n lexicographic-min minhash columns mh0..mhN-1.
+
+    Sliced-digest derivation: each SEEDED sha256 digest (64 hex chars) is
+    cut into four disjoint 16-hex-char (64-bit) slices — four independent
+    uniform hash functions for ONE sha2 evaluation, so n minhashes cost
+    ceil(n/4) sha2 calls per shingle instead of n. sha2 over the shingle
+    corpus is the dominant CPU cost of signature computation at any
+    scale; subexpression elimination in the codegen'd partial aggregation
+    evaluates each seeded digest once across its four min() aggregates.
+    Lexicographic min of a fixed-width slice is a valid uniform min-hash;
+    64 bits keeps slice-collision probability negligible for any
+    realistic shingle-set size."""
+    aggs = []
+    for i in range(n_hashes):
+        seed, sl = divmod(i, SLICES_PER_DIGEST)
+        digest = F.sha2(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")), 256)
+        aggs.append(F.min(F.substring(digest, 1 + 16 * sl, 16)).alias(f"mh{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 

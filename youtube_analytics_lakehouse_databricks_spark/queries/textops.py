@@ -45,6 +45,19 @@ _SHINGLE_SQL = """
 """
 
 
+def _minhash_sql_cols() -> str:
+    """DuckDB mirror of operators.dedup.minhash_signatures' sliced-digest
+    derivation: mh_i = min over shingles of the i%4-th 16-hex-char slice
+    of the seeded (seed = i//4) sha256 digest."""
+    cols = []
+    for i in range(N_MINHASH):
+        seed, sl = divmod(i, 4)
+        cols.append(
+            f"min(substr(sha256(concat_ws('|', '{seed}', shingle)), {1 + 16 * sl}, 16)) AS mh{i}"
+        )
+    return ", ".join(cols)
+
+
 def _docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan for the compute-heavy shingle/MinHash pipelines:
     fanned out only when the scan is narrower than the cluster (see
@@ -66,8 +79,10 @@ def shingle_set_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per doc with N_MINHASH lexicographic-min sha256 columns
-    mh0..mhN — exploded shingles + min() aggregates. The agg formulation
+    """One row per doc with N_MINHASH sliced-digest minhash columns
+    mh0..mhN — exploded shingles + min() aggregates over 16-hex-char
+    slices of 2 seeded sha256 digests (4x less hashing than one digest
+    per hash function; see operators.dedup). The agg formulation
     beats the per-row array_min(transform(...)) one ~4x in practice: the
     sha2-over-shingle work runs in whole-stage codegen with map-side
     partial aggregation, while higher-order-function lambdas are
@@ -130,7 +145,7 @@ def _lsh_oracle_sql() -> str:
     )
     return f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (SELECT doc_id, {", ".join(f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH))}
+    sig AS (SELECT doc_id, {_minhash_sql_cols()}
             FROM sh GROUP BY doc_id),
     banded AS (SELECT doc_id, {band_cols} FROM sig)
     {unions}
@@ -177,9 +192,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_sql() -> str:
-    sig = ", ".join(
-        f"min(sha256(concat_ws('|', '{i}', shingle))) AS mh{i}" for i in range(N_MINHASH)
-    )
+    sig = _minhash_sql_cols()
     bands = N_MINHASH // 2
     band_cols = ", ".join(
         f"sha256(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}" for b in range(bands)
