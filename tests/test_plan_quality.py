@@ -74,6 +74,13 @@ def test_lsh_candidates_no_cross_product_single_band_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan  # bucket collect + expand replaces the self-join
+    # exactly 3 exchanges end to end: the doc_id fan-out (which doubles as
+    # the signature agg's distribution, eliding that shuffle), the band-key
+    # groupBy, and the final pair distinct — any 4th means a regression
+    import re as _re
+
+    exchanges = _re.findall(r"^\(\d+\) Exchange", plan, flags=_re.MULTILINE)
+    assert len(exchanges) == 3, plan
 
 
 def test_embedding_hints_come_from_parquet_footer_not_jobs(spark):
