@@ -93,6 +93,18 @@ def main() -> None:
     for name in names:
         runs: list[tuple[float, bool]] = []  # (sec, contaminated)
 
+        # Shuffle files from prior queries pile up until the JVM happens
+        # to GC (ContextCleaner is reference-triggered; Spark's own
+        # periodicGC default is 30 min — never inside a bench). Measured
+        # on this suite: ~1,000 accumulated block files made the SAME
+        # query 2-4x slower; an explicit GC between queries keeps every
+        # query measured against a clean block manager, exactly what a
+        # long-lived production session gets from periodicGC.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
         def once() -> None:
             # Queries must not inherit each other's cached/pinned state:
             # accumulated storage memory from earlier queries degraded
