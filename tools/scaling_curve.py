@@ -172,6 +172,13 @@ def run_interleaved(spark, dirs: dict[int, str], n_pairs: int = 3) -> dict[int, 
         acc = {m: {"runs": [], "sw": 0, "rows": 0} for m in dirs}
         for i in range(n_pairs):
             for m, d in dirs.items():
+                # purge dead shuffle state: accumulation makes later
+                # stages 2-4x slower (see bench.py) and would corrupt
+                # the scaling ratios this tool exists to measure
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
                 spark.catalog.clearCache()
                 meter.delta()  # reset baseline
                 t0 = time.time()
