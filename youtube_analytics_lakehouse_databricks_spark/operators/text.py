@@ -114,3 +114,106 @@ def token_counts(df: DataFrame, text_col: str, pattern: str | None = None, min_c
         .agg(F.count(F.lit(1)).alias("token_count"))
         .filter(F.col("token_count") >= min_count)
     )
+
+
+# -- PII redaction ------------------------------------------------------
+#
+# The scrub every training-data pipeline runs before anything ships to a
+# tokenizer. Pure regexp_replace/regexp_count chains — codegen'd JVM
+# expressions, one narrow projection, no shuffle, no Python.
+
+PII_PATTERNS = {
+    # order matters: emails before bare number runs, cards before phones
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"(?<!\d)(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}(?!\d)",
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, redacted_text, n_email, n_ipv4, n_card, n_ssn, n_phone,
+    pii_total): each PII family replaced by a typed placeholder like
+    <EMAIL>, with per-family match counts so curation can threshold or
+    drop documents instead of (or as well as) scrubbing them."""
+    # F.lit(pattern) bypasses SQL string-literal parsing, so the regex
+    # backslashes survive verbatim
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    out = df.select(id_col, redacted.alias("redacted_text"), *counts)
+    total = sum((F.col(f"n_{n}") for n in PII_PATTERNS), F.lit(0))
+    return out.withColumn("pii_total", total.cast("int"))
+
+
+# -- Repetition / shape quality flags (Gopher- and C4-style rules) ------
+
+
+def repetition_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_top_token_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.3,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_frac: float = 0.1,
+) -> DataFrame:
+    """Per-doc repetition and shape metrics with pass/fail flags — the
+    classic rule family for filtering machine-generated or boilerplate
+    text before training. All per-row JVM array math, no shuffle:
+
+    - top_token_frac: most frequent token's share (computed as the max
+      run length over the SORTED token array — O(n log n) per row, never
+      the O(n^2) distinct-x-count nested loop);
+    - dup_bigram_frac: 1 - distinct/total adjacent bigrams;
+    - mean_word_len bounds; symbol_frac (non-alphanumeric share).
+    """
+    toks = df.select(id_col, text_col, _tokens(text_col).alias("toks"))
+    n = F.size("toks")
+    # max run length in sorted order == max token multiplicity
+    top_run = F.expr(
+        "aggregate(array_sort(toks), struct('' AS prev, 0L AS run, 0L AS best), "
+        "(acc, x) -> struct(x AS prev, "
+        "IF(x = acc.prev, acc.run + 1, 1L) AS run, "
+        "GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, 1L)) AS best), "
+        "acc -> acc.best)"
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    metrics = toks.select(
+        id_col,
+        n.alias("n_tokens"),
+        (top_run.cast("double") / n).alias("top_token_frac"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+        (
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") / n
+        ).alias("mean_word_len"),
+        (
+            F.expr(f"length(regexp_replace({text_col}, '[A-Za-z0-9 ]', ''))").cast("double")
+            / F.length(text_col)
+        ).alias("symbol_frac"),
+    )
+    return metrics.select(
+        "*",
+        (
+            (F.col("top_token_frac") <= max_top_token_frac)
+            & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+            & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+            & (F.col("symbol_frac") <= max_symbol_frac)
+        ).alias("passes_repetition_rules"),
+    )
