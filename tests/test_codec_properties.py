@@ -63,3 +63,43 @@ def test_y4m_roundtrip_any_frames(w, h, n_frames, data):
     n, dw, dh, planes = mm.decode_real_video(mm.encode_y4m(w, h, frames))
     assert (n, dw, dh) == (n_frames, w, h)
     assert planes == b"".join(frames)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_bmp_roundtrip_any_pixels(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    dw, dh, out = mm.decode_real_bmp(mm.encode_bmp(w, h, px))
+    assert (dw, dh, out) == (w, h, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+def test_gif_roundtrip_any_pixels(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    dw, dh, out = mm.decode_real_gif(mm.encode_gif_gray(w, h, px))
+    assert (dw, dh, out) == (w, h, px)

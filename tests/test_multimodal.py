@@ -315,3 +315,56 @@ def test_webm_degrades_and_inventories(spark):
     assert meta["frame_content"] is None
     (inv,) = mm.video_container_metadata(df).collect()
     assert inv["container"] == "webm" and abs(inv["duration_s"] - 2.0) < 1e-9
+
+
+def test_real_bmp_roundtrip(spark):
+    """24bpp BMP (bottom-up, padded rows) decodes to the same luma
+    contract; mixed with PNG and SYNTH in one table."""
+    px = bytes((x * 13 + y * 29) % 256 for y in range(5) for x in range(7))
+    blob = mm.encode_bmp(7, 5, px)
+    w, h, out = mm.decode_real_bmp(blob)
+    assert (w, h) == (7, 5) and out == px  # gray BGR -> same luma back
+    rows = [(50, "image", blob, None), (51, "image", mm.encode_synth_image(3, 3), None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+    assert (feats[50]["width"], feats[50]["height"]) == (7, 5)
+    assert abs(feats[50]["mean_intensity"] - sum(px) / len(px)) < 1e-9
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_bmp(b"not a bmp")
+
+
+def test_real_gif_roundtrip(spark):
+    """GIF89a with full LZW decode (variable code width, CLEAR handling)
+    round-trips through the grayscale palette."""
+    px = bytes((x * 7 + y * 3) % 256 for y in range(4) for x in range(6))
+    blob = mm.encode_gif_gray(6, 4, px)
+    w, h, out = mm.decode_real_gif(blob)
+    assert (w, h) == (6, 4) and out == px
+    df = spark.createDataFrame([(60, "image", blob, None)], mm.MEDIA_SCHEMA)
+    (f,) = mm.extract_image_features(df).collect()
+    assert (f["width"], f["height"], f["n_pixels"]) == (6, 4, 24)
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_gif(b"\x00" * 20)
+
+
+def test_gif_lzw_kwkwk_case():
+    """The LZW corner where a code references the entry being defined
+    (KwKwK): decode a hand-built compressed stream that triggers it."""
+    # encode "aaaa" with real LZW (min_code=2): CLEAR, a(0), then code 6
+    # (=aa, defined by the decoder while reading it), END
+    min_code = 2
+    clear, end = 4, 5
+
+    bits = []
+    def emit(code, size):
+        for i in range(size):
+            bits.append((code >> i) & 1)
+    emit(clear, 3); emit(0, 3); emit(6, 3); emit(end, 3)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i:i+8]):
+            b |= bit << j
+        data.append(b)
+    out = mm._gif_lzw_decode(bytes(data), min_code)
+    assert out == b"\x00\x00\x00"  # a + aa (the KwKwK expansion)

@@ -172,12 +172,195 @@ def decode_real_image(content: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(gray)
 
 
+_BMP_MAGIC = b"BM"
+_GIF_MAGIC = b"GIF8"
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Real BMP encoder (BITMAPINFOHEADER, 24bpp uncompressed, bottom-up,
+    4-byte-padded rows) from grayscale luma — pure stdlib test fixture."""
+    stride_pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(width):
+            v = pixels[y * width + x]
+            row += bytes((v, v, v))  # BGR
+        rows.append(bytes(row) + b"\x00" * stride_pad)
+    data = b"".join(rows)
+    off = 14 + 40
+    file_hdr = _BMP_MAGIC + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + data
+
+
+def decode_real_bmp(content: bytes) -> tuple[int, int, bytes]:
+    """REAL BMP decode on pure stdlib: 24bpp uncompressed
+    (BITMAPINFOHEADER or later), bottom-up or top-down, BGR reduced to
+    the same 601 luma contract as PNG. Raises NotImplementedError for
+    non-BMP bytes, other bit depths, or RLE compression."""
+    import numpy as np
+
+    raw = bytes(content)
+    if raw[:2] != _BMP_MAGIC:
+        raise NotImplementedError("not a BMP payload")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    hsize = struct.unpack_from("<I", raw, 14)[0]
+    if hsize < 40:
+        raise NotImplementedError("BMP subset: BITMAPINFOHEADER or later")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("BMP subset: 24bpp uncompressed only")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    grid = np.frombuffer(raw, np.uint8, count=h * stride, offset=off).reshape(h, stride)
+    bgr = grid[:, : w * 3].reshape(h, w, 3).astype(np.int32)
+    if not top_down:
+        bgr = bgr[::-1]
+    luma = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0] + 500) // 1000
+    return w, h, luma.astype(np.uint8).tobytes()
+
+
+def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real GIF89a encoder (256-entry grayscale palette, uncompressed-
+    style LZW: CLEAR before every literal keeps encoder and decoder code
+    tables trivially in sync) — pure stdlib test fixture."""
+    hdr = b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += size
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    for p in pixels:
+        emit(clear, min_code + 1)
+        emit(p, min_code + 1)
+    emit(end, min_code + 1)
+    if n_acc:
+        bits.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(bits) - i)]) + bytes(bits[i : i + 255])
+        for i in range(0, len(bits), 255)
+    )
+    return hdr + palette + img_desc + bytes([min_code]) + blocks + b"\x00" + b"\x3b"
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code, prev = end + 1, None
+    out = bytearray()
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        code = 0
+        for i in range(code_size):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, code_size, prev = end + 1, min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        else:  # the KwKwK case
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def decode_real_gif(content: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF decode on pure stdlib: header + color tables + block walk
+    + full LZW decompression (variable code width, CLEAR/END, the KwKwK
+    case). First image frame only, composed onto the logical screen;
+    palette colors reduce to 601 luma. Raises NotImplementedError for
+    non-GIF bytes or interlaced images."""
+    raw = bytes(content)
+    if raw[:4] != _GIF_MAGIC:
+        raise NotImplementedError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", raw, 6)
+    flags = raw[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 3 * (2 ** ((flags & 7) + 1))
+        gct = raw[pos : pos + n]
+        pos += n
+    while pos < len(raw):
+        b0 = raw[pos]
+        if b0 == 0x21:  # extension block: label, then sub-blocks
+            pos += 2
+            while raw[pos] != 0:
+                pos += raw[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", raw, pos + 1)
+            iflags = raw[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("GIF subset: interlace not supported")
+            ct = gct
+            if iflags & 0x80:
+                n = 3 * (2 ** ((iflags & 7) + 1))
+                ct = raw[pos : pos + n]
+                pos += n
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while raw[pos] != 0:
+                n = raw[pos]
+                data += raw[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            canvas = bytearray(w * h)
+            for row in range(ih):
+                for col in range(iw):
+                    p = idx[row * iw + col] * 3
+                    luma = (299 * ct[p] + 587 * ct[p + 1] + 114 * ct[p + 2] + 500) // 1000
+                    canvas[(iy + row) * w + (ix + col)] = luma
+            return w, h, bytes(canvas)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError("GIF: unrecognized block")
+    raise NotImplementedError("GIF: no image data found")
+
+
 def _decode_image(content: bytes) -> tuple[int, int, bytes]:
-    """Format-sniffing decode: real PNG when the magic matches, SYNTH
-    otherwise — one binary column carries both."""
+    """Format-sniffing decode: real PNG/BMP/GIF when a magic matches,
+    SYNTH otherwise — one binary column carries all of them."""
     content = bytes(content)
     if content[:8] == _PNG_MAGIC:
         return decode_real_image(content)
+    if content[:2] == _BMP_MAGIC:
+        return decode_real_bmp(content)
+    if content[:4] == _GIF_MAGIC:
+        return decode_real_gif(content)
     return _decode_synth(content)
 
 
