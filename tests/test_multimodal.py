@@ -368,3 +368,28 @@ def test_gif_lzw_kwkwk_case():
         data.append(b)
     out = mm._gif_lzw_decode(bytes(data), min_code)
     assert out == b"\x00\x00\x00"  # a + aa (the KwKwK expansion)
+
+
+def test_foreign_bytes_never_kill_a_shard(spark):
+    """A crawl shard mixing valid and foreign payloads across all three
+    modalities completes: junk image cells yield auditable null-metric
+    rows, junk audio/video cells are skipped — never a task failure."""
+    junk = b"\xfe\xed\xfa\xce" * 10  # wrong magic, wrong length for SYNTH
+    rows = [
+        (70, "image", mm.encode_synth_image(4, 4), None),
+        (71, "image", junk, None),
+        (72, "audio", mm.encode_synth_audio(8000, [1, -1, 2, -2]), None),
+        (73, "audio", junk + b"\x01", None),  # odd payload length
+        (74, "video", mm.encode_synth_video(3, 2, 2), None),
+        (75, "video", junk, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+    assert feats[70]["width"] == 4
+    assert 71 in feats and feats[71]["width"] is None  # audited, not dropped
+    audio = {r["media_id"] for r in mm.extract_audio_features(df).collect()}
+    assert audio == {72}
+    video = {r["media_id"] for r in mm.sample_video_frames(df, 1).collect()}
+    assert video == {74}
+    resized = {r["media_id"] for r in mm.resize_images(df, 2, 2).collect()}
+    assert resized == {70}

@@ -64,7 +64,13 @@ def encode_synth_image(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def _decode_synth(content: bytes) -> tuple[int, int, bytes]:
+    if len(content) < 8:
+        raise NotImplementedError("unrecognized image payload (too short)")
     width, height = struct.unpack(">II", content[:8])
+    # the header must account for the payload exactly — otherwise this is
+    # foreign bytes that would silently "decode" to absurd dimensions
+    if width <= 0 or height <= 0 or len(content) != 8 + width * height:
+        raise NotImplementedError("unrecognized image payload (not SYNTH)")
     return width, height, content[8 : 8 + width * height]
 
 
@@ -381,7 +387,16 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, px = _decode_image(bytes(content))
+                try:
+                    w, h, px = _decode_image(bytes(content))
+                except NotImplementedError:
+                    # undecodable cell: emit an auditable null-metrics row
+                    # instead of killing the whole Arrow task (a 100 TB
+                    # crawl shard always contains some foreign bytes)
+                    out["media_id"].append(media_id)
+                    for k in ("width", "height", "n_pixels", "mean_intensity", "max_intensity"):
+                        out[k].append(None)
+                    continue
                 arr = np.frombuffer(px, dtype=np.uint8)
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -412,7 +427,10 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                w, h, px = _decode_image(bytes(content))
+                try:
+                    w, h, px = _decode_image(bytes(content))
+                except NotImplementedError:
+                    continue  # undecodable cell: skip, don't kill the shard
                 arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
@@ -449,7 +467,16 @@ def encode_synth_video(width: int, height: int, n_frames: int, seed: int = 0) ->
 
 
 def _decode_synth_video(content: bytes) -> tuple[int, int, int, bytes]:
+    if len(content) < 12:
+        raise NotImplementedError("unrecognized video payload (too short)")
     n_frames, width, height = struct.unpack(">III", content[:12])
+    if (
+        width <= 0
+        or height <= 0
+        or n_frames < 0
+        or len(content) != 12 + n_frames * width * height
+    ):
+        raise NotImplementedError("unrecognized video payload (not SYNTH)")
     return n_frames, width, height, content[12:]
 
 
@@ -492,7 +519,10 @@ def sample_video_frames(media: DataFrame, every_n: int) -> DataFrame:
                     out["mean_intensity"].append(None)
                     out["frame_content"].append(None)
                     continue
-                n_frames, w, h, px = _decode_video(raw)
+                try:
+                    n_frames, w, h, px = _decode_video(raw)
+                except NotImplementedError:
+                    continue  # foreign bytes: skip the cell, not the shard
                 frame_len = w * h
                 for f in range(0, n_frames, every_n):
                     frame = px[f * frame_len : (f + 1) * frame_len]
@@ -902,12 +932,17 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 if content is None or len(content) < 4:
                     continue
                 raw = bytes(content)
-                if raw[:4] == b"RIFF":
-                    rate, pcm16 = decode_real_audio(raw)
-                    pcm = pcm16.astype(np.float64)
-                else:
-                    rate = struct.unpack(">I", raw[:4])[0]
-                    pcm = np.frombuffer(raw[4:], dtype=">i2").astype(np.float64)
+                try:
+                    if raw[:4] == b"RIFF":
+                        rate, pcm16 = decode_real_audio(raw)
+                        pcm = pcm16.astype(np.float64)
+                    else:
+                        rate = struct.unpack(">I", raw[:4])[0]
+                        if rate <= 0 or len(raw[4:]) % 2:
+                            raise NotImplementedError("not a SYNTH audio payload")
+                        pcm = np.frombuffer(raw[4:], dtype=">i2").astype(np.float64)
+                except Exception:
+                    continue  # undecodable cell: skip, don't kill the shard
                 out["media_id"].append(media_id)
                 out["n_samples"].append(len(pcm))
                 out["duration_s"].append(len(pcm) / rate if rate else 0.0)
