@@ -393,3 +393,18 @@ def test_foreign_bytes_never_kill_a_shard(spark):
     assert video == {74}
     resized = {r["media_id"] for r in mm.resize_images(df, 2, 2).collect()}
     assert resized == {70}
+
+
+def test_jpeg_metadata_degrade(spark):
+    """JPEG dims parse from the SOF marker walk without a DCT decoder;
+    the feature extractor emits a metadata row (dims, null intensities)."""
+    blob = mm.encode_minimal_jpeg(800, 600)
+    m = mm.parse_jpeg_metadata(blob)
+    assert (m["width"], m["height"], m["n_components"]) == (800, 600, 1)
+    assert m["progressive"] is False
+    with pytest.raises(NotImplementedError):
+        mm.parse_jpeg_metadata(b"\x00" * 16)
+    df = spark.createDataFrame([(80, "image", blob, None)], mm.MEDIA_SCHEMA)
+    (f,) = mm.extract_image_features(df).collect()
+    assert (f["width"], f["height"]) == (800, 600)
+    assert f["n_pixels"] is None and f["mean_intensity"] is None

@@ -357,6 +357,58 @@ def decode_real_gif(content: bytes) -> tuple[int, int, bytes]:
     raise NotImplementedError("GIF: no image data found")
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def parse_jpeg_metadata(content: bytes) -> dict:
+    """Marker-walk metadata from a JPEG payload without a DCT decoder:
+    {width, height, n_components, progressive}. Full pixel decode needs
+    huffman+IDCT (a codec lib), so like mp4/webm the pipeline degrades
+    to container metadata; dims come from the first SOF segment. Raises
+    NotImplementedError on non-JPEG bytes."""
+    raw = bytes(content)
+    if raw[:3] != _JPEG_MAGIC:
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            break
+        marker = raw[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry the frame header
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(raw[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(raw[pos + 7 : pos + 9], "big")
+            return {
+                "width": w,
+                "height": h,
+                "n_components": raw[pos + 9],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # start of scan: entropy data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise NotImplementedError("JPEG: no SOF frame header found")
+
+
+def encode_minimal_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG fixture: SOI + APP0/JFIF + SOF0 + EOI — a container
+    with a frame header but no entropy-coded stream (dims parse, decode
+    can't). Pure stdlib, test fixture only."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return _JPEG_MAGIC[:2] + app0 + sof0 + b"\xff\xd9"
+
+
 def _decode_image(content: bytes) -> tuple[int, int, bytes]:
     """Format-sniffing decode: real PNG/BMP/GIF when a magic matches,
     SYNTH otherwise — one binary column carries all of them."""
@@ -387,14 +439,25 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
+                raw = bytes(content)
                 try:
-                    w, h, px = _decode_image(bytes(content))
+                    w, h, px = _decode_image(raw)
                 except NotImplementedError:
-                    # undecodable cell: emit an auditable null-metrics row
-                    # instead of killing the whole Arrow task (a 100 TB
-                    # crawl shard always contains some foreign bytes)
+                    # undecodable cell: degrade to metadata where the
+                    # container is parseable (JPEG dims via SOF walk),
+                    # else an auditable null-metrics row — never a task
+                    # failure (a 100 TB crawl always has foreign bytes)
+                    meta_w = meta_h = None
+                    if raw[:3] == _JPEG_MAGIC:
+                        try:
+                            m = parse_jpeg_metadata(raw)
+                            meta_w, meta_h = m["width"], m["height"]
+                        except NotImplementedError:
+                            pass
                     out["media_id"].append(media_id)
-                    for k in ("width", "height", "n_pixels", "mean_intensity", "max_intensity"):
+                    out["width"].append(meta_w)
+                    out["height"].append(meta_h)
+                    for k in ("n_pixels", "mean_intensity", "max_intensity"):
                         out[k].append(None)
                     continue
                 arr = np.frombuffer(px, dtype=np.uint8)
