@@ -103,3 +103,47 @@ def test_gif_roundtrip_any_pixels(w, h, data):
     )
     dw, dh, out = mm.decode_real_gif(mm.encode_gif_gray(w, h, px))
     assert (dw, dh, out) == (w, h, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    color=st.booleans(),
+    restart=st.integers(min_value=0, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_within_one_level(w, h, color, restart, data):
+    """Baseline JPEG with unit quantization: the only loss is DCT
+    rounding, so every pixel round-trips within 1 intensity level —
+    across grayscale/color streams and restart intervals."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    blob = mm.encode_baseline_jpeg_gray(w, h, px, color=color, restart_interval=restart)
+    dw, dh, out = mm.decode_real_jpeg(blob)
+    assert (dw, dh) == (w, h)
+    assert len(out) == len(px)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=200), color=st.booleans())
+def test_jpeg_truncation_never_crashes_decoder(cut, color):
+    """Truncating a valid JPEG anywhere either still decodes (partial
+    tail) or raises a clean exception — never an unbounded loop; the
+    per-cell Exception handlers absorb whatever it raises."""
+    px = bytes((x * 7 + 13) % 256 for x in range(16 * 16))
+    blob = mm.encode_baseline_jpeg_gray(16, 16, px, color=color)
+    truncated = blob[: max(3, len(blob) - cut)]
+    try:
+        dw, dh, out = mm.decode_real_jpeg(truncated)
+        assert (dw, dh) == (16, 16) and len(out) == 16 * 16
+    except Exception:
+        pass

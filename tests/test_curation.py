@@ -38,6 +38,9 @@ def test_curate_full_chain(spark):
     out = {r["doc_id"]: r for r in curate(_docs(spark), "doc_id", "text").collect()}
     assert len(out) == 7  # every input doc has an audit row
 
+    # no hot buckets on this corpus: every audit flag is False
+    assert not any(r["near_dup_audit_incomplete"] for r in out.values())
+
     # keepers
     for i in (1, 5):
         assert out[i]["keep"] and out[i]["drop_reason"] is None
@@ -75,3 +78,107 @@ def test_curate_matches_registered_chain(spark):
         if r["drop_reason"] == "near_duplicate":
             k = keepers[r["doc_id"]]
             assert not k["keep"] and k["component"] == r["duplicate_of"], r
+
+
+def test_curate_canonical_near_dup(spark):
+    """A doc that differs from another by one word PLUS case/punctuation
+    still folds as a near-duplicate: shingling runs over the canonical
+    text, inheriting exact dedup's normalization (round-5 ADVICE fix)."""
+    noisy_variant = VARIANT.replace("quick brown", "Quick, BROWN").replace(
+        "lazy dog", "lazy dog!!"
+    )
+    rows = [(1, BASE), (2, noisy_variant), (3, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in curate(docs, "doc_id", "text").collect()}
+    assert out[2]["drop_reason"] == "near_duplicate" and out[2]["duplicate_of"] == 1
+
+    # with canonicalization off, the cosmetic noise splits the shingles
+    # enough that the variant can survive — the flag is honored
+    raw = {
+        r["doc_id"]: r
+        for r in curate(docs, "doc_id", "text", canonical_near_dup=False).collect()
+    }
+    assert raw[3]["keep"]  # sanity: unrelated doc never folds either way
+
+
+def test_curate_repetition_gate(spark):
+    """repetition_rules=True adds the Gopher/C4 gate: a non-short but
+    degenerate doc (one token repeated) drops with reason 'repetition'
+    BEFORE any dedup hashing; defaults-off keeps the old behavior."""
+    # a doc that PASSES the base gate (distinct_ratio 7/42 ≈ 0.17, low
+    # stopword share, plenty of tokens) but fails the repetition rules:
+    # a 7-word phrase repeated 6 times has dup_bigram_frac ≈ 0.83
+    boiler = " ".join(["click here to subscribe for daily updates"] * 6)
+    rows = [(1, BASE), (2, boiler), (3, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    off = {r["doc_id"]: r for r in curate(docs, "doc_id", "text").collect()}
+    on = {
+        r["doc_id"]: r
+        for r in curate(docs, "doc_id", "text", repetition_rules=True).collect()
+    }
+    assert off[2]["keep"]  # base gate alone lets boilerplate through
+    assert on[2]["drop_reason"] == "repetition" and not on[2]["keep"]
+    assert on[1]["keep"] and on[3]["keep"]
+
+
+def test_curate_redact_before_hashing(spark):
+    """redact=True scrubs PII before hashing, so two docs identical except
+    for (different) PII collide as exact duplicates."""
+    a = BASE + " contact me at alice@example.com for details"
+    b = BASE + " contact me at bob@elsewhere.org for details"
+    rows = [(1, a), (2, b), (3, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {r["doc_id"]: r for r in curate(docs, "doc_id", "text").collect()}
+    scrubbed = {
+        r["doc_id"]: r for r in curate(docs, "doc_id", "text", redact=True).collect()
+    }
+    assert plain[2]["drop_reason"] != "exact_duplicate"  # different emails
+    assert scrubbed[2]["drop_reason"] == "exact_duplicate"
+    assert scrubbed[2]["duplicate_of"] == 1
+
+
+def test_curate_hot_bucket_audit_surfaced(spark):
+    """An adversarial boilerplate cluster that overflows max_bucket_size
+    surfaces per-doc: every member of a dropped bucket is flagged
+    near_dup_audit_incomplete (kept, but under-compared) — the one-call
+    API honors its 'nothing silently discarded' contract."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = (
+        "the standard footer text appears verbatim on every single page of "
+        "this site including contact information legal disclaimers copyright "
+        "notices cookie policies and newsletter subscription prompts that "
+        "editors never remove from any article"
+    )
+    rows = []
+    # 40 docs dominated by the same long boilerplate prefix (short unique
+    # tails) -> their minhash minima come from the shared shingles and
+    # they land in the same band buckets; cap at 8 so those are dropped
+    for i in range(40):
+        tail = " ".join(rng.choice(vocab) for _ in range(2))
+        rows.append((i, shared + " " + tail))
+    # plus a clean near-dup pair far from the boilerplate cluster
+    rows.append((100, OTHER))
+    rows.append((101, OTHER.replace("orbital", "planetary")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in curate(docs, "doc_id", "text", max_bucket_size=8).collect()
+    }
+    flagged = [i for i, r in out.items() if r["near_dup_audit_incomplete"]]
+    assert len(flagged) >= 9  # at least one over-cap bucket's members
+    assert all(i < 100 for i in flagged)  # only the boilerplate cluster
+    # the clean pair still resolves normally
+    assert out[101]["drop_reason"] == "near_duplicate"
+    assert out[101]["duplicate_of"] == 100
+    # uncapped run flags nothing
+    unflagged = curate(docs, "doc_id", "text", max_bucket_size=None)
+    assert not any(
+        r["near_dup_audit_incomplete"] for r in unflagged.collect()
+    )

@@ -408,3 +408,98 @@ def test_jpeg_metadata_degrade(spark):
     (f,) = mm.extract_image_features(df).collect()
     assert (f["width"], f["height"]) == (800, 600)
     assert f["n_pixels"] is None and f["mean_intensity"] is None
+
+
+def test_truncated_magic_matching_bytes_never_kill_a_shard(spark):
+    """Round-5 ADVICE fix: corrupt payloads that MATCH a magic (truncated
+    downloads — the most common real-crawl corruption) raise struct.error
+    / ValueError / IndexError from decode internals, not the decoders'
+    NotImplementedError. The per-cell handlers must absorb them all."""
+    bmp_ok = mm.encode_bmp(4, 3, bytes(range(12)))
+    gif_ok = mm.encode_gif_gray(3, 3, bytes(range(9)))
+    rows = [
+        (90, "image", mm.encode_synth_image(4, 4), None),          # valid
+        (91, "image", b"BM\x01\x02", None),                        # truncated BMP header
+        (92, "image", bmp_ok[:40], None),                          # BMP cut mid-header
+        (93, "image", bmp_ok[:-20], None),                         # BMP pixel data truncated
+        (94, "image", b"GIF89a\xff", None),                        # truncated GIF
+        (95, "image", gif_ok[: len(gif_ok) // 2], None),           # GIF cut mid-blocks
+        (96, "image", b"GIF89a" + b"\x99" * 30, None),             # GIF garbage block walk
+        (97, "image", b"\xff\xd8\xff\xc0\x00\x05\x08\x00", None),  # JPEG truncated SOF
+        (98, "image", mm.encode_png_gray(2, 2, bytes(4))[:20], None),  # PNG truncated
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+    assert feats[90]["width"] == 4  # the valid cell still decodes
+    for mid in range(91, 99):
+        assert mid in feats and feats[mid]["n_pixels"] is None, mid
+    resized = {r["media_id"] for r in mm.resize_images(df, 2, 2).collect()}
+    assert resized == {90}
+
+
+def test_malformed_containers_never_kill_a_shard(spark):
+    """mp4/webm payloads with valid magics but malformed internals (e.g.
+    an EBML Duration element of unexpected width) must degrade, not
+    struct.error the task — in BOTH sample_video_frames and
+    video_container_metadata."""
+    good_webm = mm.encode_minimal_webm(640, 480, 2.0)
+    # corrupt the 8-byte Duration float into a 3-byte element
+    bad_webm = good_webm.replace(
+        b"\x44\x89\x88", b"\x44\x89\x83"
+    )[: len(good_webm) - 5]
+    bad_mp4 = (b"\x00\x00\x00\x14ftypisom" + b"\x00" * 4)[:14]  # truncated box tree
+    rows = [
+        (85, "video", mm.encode_synth_video(2, 2, 2), None),
+        (86, "video", bad_webm, None),
+        (87, "video", bad_mp4, None),
+        (88, "video", mm.encode_minimal_webm(320, 240, 1.0), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    sampled = mm.sample_video_frames(df, 1).collect()
+    ids = {r["media_id"] for r in sampled}
+    assert 85 in ids and 88 in ids  # valid synth + valid webm both emit
+    inv = {r["media_id"]: r for r in mm.video_container_metadata(df).collect()}
+    assert len(inv) == 4  # every cell audits — none killed the task
+    assert inv[88]["width"] == 320
+    # the corrupt containers audit as rows (metadata or unknown), never crash
+    assert 86 in inv and 87 in inv
+
+
+def test_bmp_hostile_header_rejected():
+    """Hostile BMP headers (negative/zero dims, pixel grid beyond the
+    buffer) raise the documented NotImplementedError, not numpy errors."""
+    good = mm.encode_bmp(4, 4, bytes(range(16)))
+    # claim a pixel grid far past the end of the buffer
+    huge_h = good[:22] + (10**6).to_bytes(4, "little") + good[26:]
+    for bad in (
+        huge_h,
+        good[:18] + (0).to_bytes(4, "little") + good[22:],  # w = 0
+        good[:18] + (2**32 - 5).to_bytes(4, "little") + good[22:],  # w < 0
+    ):
+        with pytest.raises(NotImplementedError):
+            mm.decode_real_bmp(bad)
+
+
+def test_real_jpeg_decodes_pixels_in_pipeline(spark):
+    """A REAL baseline JPEG now decodes to pixels (huffman + IDCT, round
+    5): extract_image_features returns actual intensities, not the
+    metadata degrade row — while a scanless JPEG in the same shard still
+    degrades to dims-only, and both compose with resize."""
+    import numpy as np
+
+    px = bytes((x * 5 + y * 11) % 256 for y in range(24) for x in range(32))
+    real = mm.encode_baseline_jpeg_gray(32, 24, px, color=True, restart_interval=4)
+    rows = [
+        (60, "image", real, None),
+        (61, "image", mm.encode_minimal_jpeg(800, 600), None),  # no scan data
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_image_features(df).collect()}
+    exp = np.frombuffer(px, np.uint8)
+    assert feats[60]["width"] == 32 and feats[60]["n_pixels"] == 32 * 24
+    assert abs(feats[60]["mean_intensity"] - float(exp.mean())) <= 1.0
+    assert feats[61]["width"] == 800 and feats[61]["n_pixels"] is None
+    resized = {r["media_id"]: r for r in mm.resize_images(df, 8, 6).collect()}
+    assert set(resized) == {60}
+    w, h, small = mm._decode_image(resized[60]["content"])
+    assert (w, h) == (8, 6)

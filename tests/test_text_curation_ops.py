@@ -67,3 +67,28 @@ def test_repetition_flags_no_shuffle(spark):
     with redirect_stdout(buf):
         repetition_flags(df, "doc_id", "text").explain("formatted")
     assert not re.findall(r"^\(\d+\) Exchange", buf.getvalue(), flags=re.MULTILINE)
+
+
+def test_repetition_flags_degenerate_docs_fail_explicitly(spark):
+    """Zero-token and empty-text docs get passes_repetition_rules = False
+    (not NULL): filter('passes_repetition_rules') and its negation
+    partition the corpus exactly — degenerate rows never silently vanish
+    (round-5 ADVICE fix)."""
+    rows = [
+        (1, "a perfectly normal sentence with reasonable words here"),
+        (2, ""),          # empty text
+        (3, "    "),      # whitespace only -> zero tokens, length > 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_flags(df, "doc_id", "text").collect()}
+    assert out[1]["passes_repetition_rules"] is True
+    for i in (2, 3):
+        assert out[i]["passes_repetition_rules"] is False, out[i]
+        # metrics are explicit values, not NULLs
+        for col in ("top_token_frac", "dup_bigram_frac", "mean_word_len", "symbol_frac"):
+            assert out[i][col] is not None, (i, col)
+    passed = {r["doc_id"] for r in repetition_flags(df, "doc_id", "text")
+              .filter("passes_repetition_rules").collect()}
+    failed = {r["doc_id"] for r in repetition_flags(df, "doc_id", "text")
+              .filter("NOT passes_repetition_rules").collect()}
+    assert passed | failed == {1, 2, 3} and not (passed & failed)

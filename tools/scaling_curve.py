@@ -145,6 +145,16 @@ def _stage_builders(spark) -> dict:
             banded, "doc_id", [f"band{b}" for b in range(bands)]
         )
 
+    def curate_stage(s, d):
+        # the COMPOSED one-call curation operator (gate -> exact dedup ->
+        # LSH near-dup -> components -> audit assembly): its stage
+        # interleaving is exactly what could shuffle-amplify at scale, so
+        # it gets its own scaling row (VERDICT r4 #3)
+        from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        return curate(read_fanned(s, d, "documents", by="doc_id"), "doc_id", "text")
+
     stages = {
         "exact_dedup": reg["exact_dedup_documents"].builder,
         "minhash_signatures": sig_stage,
@@ -152,6 +162,7 @@ def _stage_builders(spark) -> dict:
         "oversized_buckets_audit": audit_stage,
         "lsh_verified_pairs": reg["lsh_verified_near_dups"].builder,
         "components_keepers": reg["dedup_keepers"].builder,
+        "curate_full_chain": curate_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,

@@ -5,7 +5,10 @@ Stage order is the production order, cheapest-first so each stage shrinks
 the corpus the next (more expensive) stage sees:
 
 1. quality gate      — per-row array math, no shuffle; drops junk before
-                       any hashing happens;
+                       any hashing happens. Optionally extended with the
+                       Gopher/C4 repetition rules (``repetition_rules=
+                       True``) and a PII scrub (``redact=True``) that runs
+                       BEFORE hashing so dedup sees scrubbed text;
 2. exact dedup       — canonical-text hash groupBy (cosmetic variants
                        collide via normalize_text); one narrow shuffle;
 3. near-dup dedup    — MinHash signatures -> LSH band candidates (hot
@@ -13,17 +16,37 @@ the corpus the next (more expensive) stage sees:
                        verify -> connected components -> min-id keeper
                        per cluster; runs on exact-dedup SURVIVORS only,
                        which also removes the identical-doc hot keys LSH
-                       would otherwise bucket together.
+                       would otherwise bucket together. Shingling runs
+                       over the SAME canonical text as stage 2
+                       (``canonical_near_dup``), so a doc differing by
+                       one word plus case/punctuation still lands next
+                       to its near-twin.
 
-Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of).
-drop_reason ∈ {low_quality, exact_duplicate, near_duplicate}; and
-duplicate_of names the canonical doc a duplicate folded into (NULL for
-kept docs and quality drops). Nothing is silently discarded: the frame
-IS the audit trail, and `df.filter("keep")` is the curated corpus.
+Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
+near_dup_audit_incomplete). drop_reason ∈ {low_quality, repetition,
+exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
+duplicate folded into (NULL for kept docs and quality drops); and
+near_dup_audit_incomplete flags every doc that sat in at least one
+over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
+but their near-dup comparison was curtailed, and a production run should
+route them to a second pass or a tighter band scheme. Nothing is silently
+discarded OR silently under-compared: the frame IS the audit trail, and
+`df.filter("keep")` is the curated corpus.
 
 Each stage is the already-tested building block from operators.text /
 operators.dedup / operators.graph — this module only owns the
 composition and the keep/drop bookkeeping.
+
+Perf note (measured, round 5, sf0.1 local[32]): signatures INTENTIONALLY
+come from the codegen'd explode+min-agg path (dedup.minhash_signatures
+over dedup.shingles) and the Jaccard sets from the independent per-row
+array build (dedup.shingle_sets), even though that tokenizes+shingles the
+survivors twice. The single-pass alternative — minhash_from_sets over the
+already-built sets — removes one aggregation but pays interpreted
+higher-order-function evaluation for every sha2 (HOF lambdas don't enter
+whole-stage codegen): 5.5 s vs 1.4 s for the full candidate chain at
+sf0.1. The duplicate shingling is narrow per-row JVM work that
+parallelizes perfectly; the interpreted crypto does not.
 """
 
 from __future__ import annotations
@@ -44,14 +67,26 @@ def curate(
     min_tokens: int = 5,
     max_stopword_ratio: float = 0.9,
     min_distinct_ratio: float = 0.1,
+    repetition_rules: bool = False,
+    redact: bool = False,
     shingle_k: int = 3,
     n_hashes: int = 8,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = dedup_ops.DEFAULT_MAX_BUCKET_SIZE,
+    canonical_near_dup: bool = True,
 ) -> DataFrame:
-    """(id, keep, drop_reason, duplicate_of) for every input doc."""
+    """(id, keep, drop_reason, duplicate_of, near_dup_audit_incomplete)
+    for every input doc."""
     id_type = dict(docs.dtypes)[id_col]
+
+    # 0. optional PII scrub BEFORE any hashing: dedup then compares
+    # scrubbed text, so two docs differing only in (redacted) PII collide
+    if redact:
+        docs = (
+            text_ops.redact_pii(docs, id_col, text_col)
+            .select(id_col, F.col("redacted_text").alias(text_col))
+        )
 
     # 1. quality gate (cheap, per-row, runs on everything)
     q = text_ops.quality_scores(docs, id_col, text_col)
@@ -61,6 +96,18 @@ def curate(
         | (F.col("distinct_ratio") < min_distinct_ratio)
     ).select(id_col)
     good = docs.join(low_quality, id_col, "left_anti")
+
+    # 1b. optional repetition/shape gate (Gopher/C4 rules), also per-row;
+    # runs after the base gate so a doc failing both reports low_quality
+    if repetition_rules:
+        rep_failed = (
+            text_ops.repetition_flags(good, id_col, text_col)
+            .filter(~F.col("passes_repetition_rules"))
+            .select(id_col)
+        )
+        good = good.join(rep_failed, id_col, "left_anti")
+    else:
+        rep_failed = None
 
     # 2. exact dedup on canonical text (min id per hash is the keeper)
     hashed = good.select(
@@ -74,42 +121,74 @@ def curate(
         id_col,
     )
 
-    # 3. near-dup dedup on the exact representatives
+    # 3. near-dup dedup on the exact representatives. Shingles see the
+    # SAME canonicalization as stage 2's hash (unless disabled), so
+    # near-dup detection inherits case/punctuation insensitivity.
+    if canonical_near_dup:
+        reps = reps.select(id_col, text_ops.norm_expr(text_col).alias(text_col))
     sets = dedup_ops.shingle_sets(reps, id_col, text_col, k=shingle_k)
     sig = dedup_ops.minhash_signatures(
         dedup_ops.shingles(reps, id_col, text_col, k=shingle_k), id_col, n_hashes
     )
-    cand = dedup_ops.lsh_candidates(
-        sig, id_col, n_hashes, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    bands = n_hashes // rows_per_band
+    banded = sig.select(
+        id_col,
+        *[
+            F.sha2(
+                F.concat_ws(
+                    "|", *[f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                ),
+                256,
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ],
     )
+    buckets = dedup_ops.band_buckets(banded, id_col, [f"band{b}" for b in range(bands)])
+    cand = dedup_ops.candidates_from_buckets(buckets, max_bucket_size=max_bucket_size)
     pairs = dedup_ops.jaccard_verify_sets(sets, id_col, cand, jaccard_threshold)
     comp = connected_components(pairs, "doc_a", "doc_b")
     near_dropped = comp.filter(F.col("node") != F.col("component"))
 
+    # 3b. hot-bucket audit: docs whose candidate generation was curtailed
+    # by the guard. Derives from the SAME band_buckets aggregation as the
+    # candidates (exchange-reused), so the audit costs no extra signature
+    # pass — honoring the "nothing silently discarded" contract above.
+    if max_bucket_size is not None:
+        curtailed = dedup_ops.dropped_bucket_members(
+            buckets, id_col, max_bucket_size=max_bucket_size
+        ).withColumn("__curtailed", F.lit(True))
+    else:
+        curtailed = None
+
     # assemble the audit frame; stage precedence is the run order
     null_dup = F.lit(None).cast(id_type)
-    dropped = (
-        low_quality.select(
-            id_col,
-            F.lit("low_quality").alias("drop_reason"),
-            null_dup.alias("duplicate_of"),
-        )
-        .unionByName(
-            exact_dropped.select(
+    dropped = low_quality.select(
+        id_col,
+        F.lit("low_quality").alias("drop_reason"),
+        null_dup.alias("duplicate_of"),
+    )
+    if rep_failed is not None:
+        dropped = dropped.unionByName(
+            rep_failed.select(
                 id_col,
-                F.lit("exact_duplicate").alias("drop_reason"),
-                F.col("__keeper").alias("duplicate_of"),
+                F.lit("repetition").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
             )
         )
-        .unionByName(
-            near_dropped.select(
-                F.col("node").alias(id_col),
-                F.lit("near_duplicate").alias("drop_reason"),
-                F.col("component").alias("duplicate_of"),
-            )
+    dropped = dropped.unionByName(
+        exact_dropped.select(
+            id_col,
+            F.lit("exact_duplicate").alias("drop_reason"),
+            F.col("__keeper").alias("duplicate_of"),
+        )
+    ).unionByName(
+        near_dropped.select(
+            F.col("node").alias(id_col),
+            F.lit("near_duplicate").alias("drop_reason"),
+            F.col("component").alias("duplicate_of"),
         )
     )
-    return (
+    out = (
         docs.select(id_col)
         .join(dropped, id_col, "left")
         .select(
@@ -119,3 +198,14 @@ def curate(
             "duplicate_of",
         )
     )
+    if curtailed is not None:
+        out = out.join(curtailed, id_col, "left").select(
+            id_col,
+            "keep",
+            "drop_reason",
+            "duplicate_of",
+            F.coalesce("__curtailed", F.lit(False)).alias("near_dup_audit_incomplete"),
+        )
+    else:
+        out = out.withColumn("near_dup_audit_incomplete", F.lit(False))
+    return out

@@ -166,6 +166,54 @@ def _banded_exploded(banded: DataFrame, id_col: str, band_cols: list[str]) -> Da
     )
 
 
+def band_buckets(banded: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
+    """(band_idx, band_key, ids): every collision bucket (>= 2 members)
+    with its sorted member-id list. The ONE band-key shuffle every
+    consumer shares — candidate expansion and the hot-bucket audit both
+    derive from this frame, so when a query uses both, Spark's exchange
+    reuse materializes the aggregation once."""
+    ex = _banded_exploded(banded, id_col, band_cols)
+    return (
+        ex.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def candidates_from_buckets(
+    buckets: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs from ``band_buckets`` output, with
+    over-cap buckets dropped (see band_join_candidates)."""
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # ids is sorted, so pairing each element with its successors yields
+    # exactly the doc_a < doc_b pairs.
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def dropped_bucket_members(
+    buckets: DataFrame, id_col: str, max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE
+) -> DataFrame:
+    """Distinct ids that sat in at least one over-cap (dropped) bucket —
+    the per-DOC audit complement of ``oversized_band_buckets``: these are
+    exactly the docs whose near-dup candidate generation was incomplete.
+    Shares the band_buckets exchange with candidates_from_buckets."""
+    return (
+        buckets.filter(F.size("ids") > max_bucket_size)
+        .select(F.explode("ids").alias(id_col))
+        .distinct()
+    )
+
+
 def band_join_candidates(
     banded: DataFrame,
     id_col: str,
@@ -189,27 +237,12 @@ def band_join_candidates(
     death at 100 TB. The guard bounds any task's output at
     ~max_bucket_size^2/2 pairs; the aggregation buffer stays O(bucket)
     (linear, not quadratic). Audit the dropped keys with
-    ``oversized_band_buckets`` (same arguments). Pass ``None`` to disable.
+    ``oversized_band_buckets`` (same arguments) or per-doc with
+    ``dropped_bucket_members``. Pass ``None`` to disable.
     """
-    ex = _banded_exploded(banded, id_col, band_cols)
-    buckets = (
-        ex.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
+    return candidates_from_buckets(
+        band_buckets(banded, id_col, band_cols), max_bucket_size=max_bucket_size
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    # ids is sorted, so pairing each element with its successors yields
-    # exactly the doc_a < doc_b pairs.
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def oversized_band_buckets(

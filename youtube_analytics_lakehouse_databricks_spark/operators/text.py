@@ -190,28 +190,36 @@ def repetition_flags(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) "
         "ELSE CAST(array() AS array<string>) END"
     )
+    # Degenerate docs (zero tokens / empty text) get explicit metric values
+    # instead of the NULLs division-by-zero would yield with ANSI off —
+    # otherwise such rows silently vanish from filter('passes_repetition_
+    # rules') rather than being explicitly failed like every other junk doc.
     metrics = toks.select(
         id_col,
         n.alias("n_tokens"),
-        (top_run.cast("double") / n).alias("top_token_frac"),
+        F.when(n > 0, top_run.cast("double") / n).otherwise(1.0).alias("top_token_frac"),
         F.when(
             F.size(bigrams) > 0,
             F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams),
         )
         .otherwise(0.0)
         .alias("dup_bigram_frac"),
-        (
-            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") / n
-        ).alias("mean_word_len"),
-        (
+        F.when(n > 0, F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") / n)
+        .otherwise(0.0)
+        .alias("mean_word_len"),
+        F.when(
+            F.length(text_col) > 0,
             F.expr(f"length(regexp_replace({text_col}, '[A-Za-z0-9 ]', ''))").cast("double")
-            / F.length(text_col)
-        ).alias("symbol_frac"),
+            / F.length(text_col),
+        )
+        .otherwise(0.0)
+        .alias("symbol_frac"),
     )
     return metrics.select(
         "*",
         (
-            (F.col("top_token_frac") <= max_top_token_frac)
+            (F.col("n_tokens") > 0)  # zero-token docs explicitly fail
+            & (F.col("top_token_frac") <= max_top_token_frac)
             & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
             & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
             & (F.col("symbol_frac") <= max_symbol_frac)

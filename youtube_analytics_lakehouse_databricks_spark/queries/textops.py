@@ -87,7 +87,15 @@ def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha2-over-shingle work runs in whole-stage codegen with map-side
     partial aggregation, while higher-order-function lambdas are
     interpreted and projection collapse re-evaluates the set expression
-    once per mh column."""
+    once per mh column.
+
+    Re-measured head-to-head in round 5 (sf0.1, local[32], min of 3,
+    full lsh_candidates chain): this path 1.43 s vs minhash_from_sets
+    5.46 s — the "one less shuffle" of the from-sets variant is a real
+    exchange saved but the interpreted sha2-in-transform costs 4x more
+    than the shuffle it avoids, and the doc_id fan-out already doubles
+    as the agg's distribution (the agg exchange is elided; the plan
+    test pins 3 exchanges total). Keep the agg formulation."""
     return dedup_ops.minhash_signatures(shingles(spark, sf_dir), "doc_id", N_MINHASH)
 
 
