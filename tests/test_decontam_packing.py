@@ -1,0 +1,125 @@
+"""Benchmark decontamination + sequence packing operators."""
+
+from __future__ import annotations
+
+import io
+import random
+from contextlib import redirect_stdout
+
+from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
+from youtube_analytics_lakehouse_databricks_spark.operators.packing import pack_sequences
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = "what is the capital of france the answer is paris of course"
+    train = _mkdocs(
+        spark,
+        [
+            # verbatim benchmark leak inside a longer doc
+            (1, "some preamble text " + bench + " and a closing remark"),
+            # clean doc, no 5-gram shared
+            (2, "entirely unrelated content about gardening and soil quality here"),
+            # shares words but no contiguous 5-gram
+            (3, "the capital answer paris france what is of course the"),
+        ],
+    )
+    ev = _mkdocs(spark, [(100, bench)])
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, ev, "doc_id", "text", k=5).collect()
+    }
+    assert len(out) == 3  # every training doc exactly once
+    assert out[1]["is_contaminated"] and out[1]["matched_eval_id"] == 100
+    assert out[1]["n_hit_grams"] >= 8  # the whole leaked span's 5-grams
+    assert not out[2]["is_contaminated"] and out[2]["matched_eval_id"] is None
+    assert not out[3]["is_contaminated"]
+    assert out[2]["contamination_frac"] == 0.0
+
+
+def test_decontaminate_normalizes_cosmetic_variants(spark):
+    ev = _mkdocs(spark, [(1, "What is the Capital of France? The answer is Paris!")])
+    train = _mkdocs(
+        spark, [(10, "prefix words what is the capital of france the answer is paris")]
+    )
+    flagged = decontaminate(train, ev, "doc_id", "text", k=5).collect()[0]
+    assert flagged["is_contaminated"]
+    # ...and with normalization off, the case difference hides the match
+    raw = decontaminate(train, ev, "doc_id", "text", k=5, normalize=False).collect()[0]
+    assert not raw["is_contaminated"]
+
+
+def test_decontaminate_short_docs_report_clean(spark):
+    train = _mkdocs(spark, [(1, "too short"), (2, "")])
+    ev = _mkdocs(spark, [(9, "some benchmark text long enough for five grams here")])
+    out = {r["doc_id"]: r for r in decontaminate(train, ev, "doc_id", "text", k=5).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_grams"] == 0 and not r["is_contaminated"]
+        assert r["contamination_frac"] is None
+
+
+def test_decontaminate_plan_broadcasts_eval(spark):
+    train = _mkdocs(spark, [(1, "a b c d e f g h")])
+    ev = _mkdocs(spark, [(2, "a b c d e f")])
+    plan = _plan(decontaminate(train, ev, "doc_id", "text", k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randint(10, 900)) for i in range(2000)]
+    rows += [(9000, 5000), (9001, 3000)]  # oversize docs must surface, not vanish
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=2048, repartition=4).collect()
+
+    assert len(out) == len(rows)  # every doc exactly once
+    assert len({r["doc_id"] for r in out}) == len(rows)
+
+    loads: dict[str, int] = {}
+    fills: dict[str, float] = {}
+    for r in out:
+        loads[r["seq_id"]] = loads.get(r["seq_id"], 0) + r["n_tokens"]
+        fills[r["seq_id"]] = r["seq_fill"]
+        if r["doc_id"] >= 9000:
+            assert r["is_oversize"]
+        else:
+            assert not r["is_oversize"]
+    oversize_seqs = {r["seq_id"] for r in out if r["is_oversize"]}
+    assert len(oversize_seqs) == 2  # each oversize doc alone in its own bin
+    for seq, load in loads.items():
+        if seq not in oversize_seqs:
+            assert load <= 2048
+        # reported fill is the true bin load in every member row
+        assert abs(fills[seq] - load / 2048.0) < 1e-9
+
+    # FFD on many small docs should pack tightly: total waste bounded.
+    normal = {s: l for s, l in loads.items() if s not in oversize_seqs}
+    mean_fill = sum(normal.values()) / (2048.0 * len(normal))
+    assert mean_fill > 0.85
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0), (3, 100)], "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=128, repartition=1).collect()
+    assert len(out) == 3
+    assert not any(r["is_oversize"] for r in out)
+    total = sum(r["n_tokens"] for r in out)
+    assert total == 100
+
+
+def test_pack_sequences_zero_extra_shuffles(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    plan = _plan(pack_sequences(df, "doc_id", "n_tokens", capacity=64))
+    assert "Exchange" not in plan  # partition-local: no shuffle at all

@@ -155,6 +155,37 @@ def _stage_builders(spark) -> dict:
 
         return curate(read_fanned(s, d, "documents", by="doc_id"), "doc_id", "text")
 
+    def decontam_stage(s, d):
+        # eval side: a fixed 200-doc benchmark slice of the 1x corpus
+        # (same suite at both scales — the real asymmetry: training data
+        # grows, the benchmark does not). k=5 so the ~45-token docs carry
+        # enough grams to hit.
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import (
+            decontaminate,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        train = read_fanned(s, d, "documents", by="doc_id")
+        ev = (
+            s.read.parquet(f"{OUT_ROOT}/x1/documents.parquet")
+            .filter("doc_id % 25 = 0")
+            .selectExpr("doc_id AS eval_id", "text")
+        )
+        return decontaminate(
+            train, ev, "doc_id", "text", eval_id_col="eval_id", eval_text_col="text", k=5
+        )
+
+    def packing_stage(s, d):
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
+            pack_sequences,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id").selectExpr(
+            "doc_id", "size(filter(split(text, ' '), x -> x <> '')) AS n_tokens"
+        )
+        return pack_sequences(docs, "doc_id", "n_tokens", capacity=2048)
+
     stages = {
         "exact_dedup": reg["exact_dedup_documents"].builder,
         "minhash_signatures": sig_stage,
@@ -163,10 +194,18 @@ def _stage_builders(spark) -> dict:
         "lsh_verified_pairs": reg["lsh_verified_near_dups"].builder,
         "components_keepers": reg["dedup_keepers"].builder,
         "curate_full_chain": curate_stage,
+        "decontam_flags": decontam_stage,
+        "pack_sequences": packing_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
     }
+    only = None
+    for i, arg in enumerate(sys.argv):
+        if arg == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+    if only:
+        stages = {k: v for k, v in stages.items() if k in only}
     return stages
 
 

@@ -126,7 +126,19 @@ def curate(
     # near-dup detection inherits case/punctuation insensitivity.
     if canonical_near_dup:
         reps = reps.select(id_col, text_ops.norm_expr(text_col).alias(text_col))
-    sets = dedup_ops.shingle_sets(reps, id_col, text_col, k=shingle_k)
+    # reps is consumed by THREE full-corpus subtrees (shingle sets for
+    # each verify leg + the signature chain) and sets by two; without a
+    # lineage cut each consumer re-executes the gate + exact-dedup joins
+    # from the scan up (narrow chains get no exchange reuse). A LAZY
+    # localCheckpoint materializes each once at first action — measured
+    # ~2.8x on the full curate() wall (13.2 -> 4.6 s at 1x, 64.2 -> 22.9 s
+    # at 10x, together with the graph.py node-derivation fix; see
+    # COVERAGE.md scaling table), and at 100 TB it is the difference
+    # between 3 corpus passes and 1.
+    reps = reps.localCheckpoint(eager=False)
+    sets = dedup_ops.shingle_sets(reps, id_col, text_col, k=shingle_k).localCheckpoint(
+        eager=False
+    )
     sig = dedup_ops.minhash_signatures(
         dedup_ops.shingles(reps, id_col, text_col, k=shingle_k), id_col, n_hashes
     )

@@ -28,8 +28,6 @@ def connected_components(
     """(node, component) for every node in ``edges``; component is the
     MINIMUM node id reachable from the node (deterministic canonical
     label, engine-portable). Edges are treated as undirected."""
-    a, b = F.col(src).alias("node"), F.col(dst).alias("node")
-    nodes = edges.select(a).unionByName(edges.select(b)).distinct()
     sym = (
         edges.select(F.col(src).alias("nbr"), F.col(dst).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("nbr"), F.col(src).alias("node")))
@@ -37,6 +35,10 @@ def connected_components(
         .localCheckpoint(eager=True)  # edge lineage (often an expensive
         # dedup pipeline) is materialized ONCE, not once per round
     )
+    # node set comes off the CHECKPOINTED symmetric edges (identical set:
+    # sym holds both directions), not off raw ``edges`` — deriving it from
+    # edges would re-execute the full upstream lineage a second time
+    nodes = sym.select("node").distinct()
     labels = nodes.select("node", F.col("node").alias("component"))
     for _ in range(max_iter):
         nbr_min = (
