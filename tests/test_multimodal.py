@@ -503,3 +503,65 @@ def test_real_jpeg_decodes_pixels_in_pipeline(spark):
     assert set(resized) == {60}
     w, h, small = mm._decode_image(resized[60]["content"])
     assert (w, h) == (8, 6)
+
+
+def test_flac_metadata_roundtrip():
+    raw = mm.encode_minimal_flac(96000, 2, 24, 960000)
+    m = mm.parse_flac_metadata(raw)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (96000, 2, 24)
+    assert m["duration_s"] == 10.0
+    with pytest.raises(NotImplementedError):
+        mm.parse_flac_metadata(b"fLaC\x80\x00\x00")  # truncated before STREAMINFO
+    with pytest.raises(NotImplementedError):
+        mm.parse_flac_metadata(b"not flac at all")
+
+
+def test_mp3_metadata_frame_walk():
+    raw = mm.encode_minimal_mp3(77, bitrate_kbps=64, sample_rate=32000)
+    m = mm.parse_mp3_metadata(raw)
+    assert m["n_frames"] == 77 and m["sample_rate"] == 32000
+    assert abs(m["duration_s"] - 77 * 1152 / 32000) < 1e-9
+    # the ID3v2 tag is skipped via its syncsafe length
+    tagged = mm.parse_mp3_metadata(mm.encode_minimal_mp3(5, id3=True))
+    assert tagged["n_frames"] == 5
+    # a trailing partial frame is not counted
+    cut = mm.parse_mp3_metadata(raw[: len(raw) - 30])
+    assert cut["n_frames"] == 76
+    with pytest.raises(NotImplementedError):
+        mm.parse_mp3_metadata(b"\x00" * 64)
+
+
+def test_ogg_opus_metadata():
+    m = mm.parse_ogg_metadata(mm.encode_minimal_ogg_opus(1, 24000, 144000))
+    # opus granules tick at 48 kHz regardless of the input rate
+    assert m["codec"] == "opus" and m["sample_rate"] == 24000
+    assert m["duration_s"] == 3.0 and m["channels"] == 1
+    with pytest.raises(NotImplementedError):
+        mm.parse_ogg_metadata(b"OggS" + b"\x00" * 30)  # no id header
+
+
+def test_audio_container_metadata_inventory(spark):
+    rows = [
+        (1, "audio", mm.encode_wav(8000, [0, 100, -100] * 100), ("a.wav", 0, "wav")),
+        (2, "audio", mm.encode_synth_audio(16000, [5, -5] * 50), ("b.synth", 0, "synth")),
+        (3, "audio", mm.encode_minimal_flac(44100, 2, 16, 44100), ("c.flac", 0, "flac")),
+        (4, "audio", mm.encode_minimal_mp3(10), ("d.mp3", 0, "mp3")),
+        (5, "audio", mm.encode_minimal_ogg_opus(2, 48000, 48000), ("e.ogg", 0, "ogg")),
+        (6, "audio", b"\xde\xad\xbe\xef\x99", ("f.bin", 0, "???")),
+        (7, "audio", mm.encode_minimal_flac(44100, 1, 16, 1)[:9], ("g.flac", 0, "flac")),
+        (8, "video", mm.encode_synth_video(4, 4, 2), ("h.vid", 0, "synth")),
+        (9, "audio", None, ("i.null", 0, "null")),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(3)
+    got = {r["media_id"]: r for r in mm.audio_container_metadata(df).collect()}
+    # video and NULL rows are out of scope; everything else has one row
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    assert got[1]["container"] == "wav" and got[1]["sample_rate"] == 8000
+    assert got[2]["container"] == "synth" and got[2]["n_samples"] == 100
+    assert got[3]["container"] == "flac" and got[3]["duration_s"] == 1.0
+    assert got[4]["container"] == "mp3" and got[4]["duration_s"] > 0.2
+    assert got[5]["container"] == "ogg" and got[5]["codec"] == "opus"
+    # foreign bytes and a truncated magic-matching payload audit as
+    # unknown instead of failing the shard
+    assert got[6]["container"] == "unknown" and got[6]["sample_rate"] is None
+    assert got[7]["container"] == "unknown"

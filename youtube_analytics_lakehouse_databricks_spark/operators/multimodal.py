@@ -1514,3 +1514,323 @@ def decode_real_audio(content: bytes):
     if channels > 1:
         pcm = pcm.reshape(-1, channels).mean(axis=1).round().astype(np.int16)
     return rate, pcm
+
+
+# -- Audio container metadata without codecs ----------------------------
+#
+# The audio parallel of the mp4/webm/JPEG container walks: a real crawl
+# shard mixes WAV with FLAC/MP3/OGG, whose entropy decode needs a codec
+# library this container does not have — but their CONTAINER metadata
+# (sample rate, channels, bit depth, duration) is pure header structure,
+# parseable with stdlib ints. Reference parity note: the reference
+# pipeline has no media handling at all; this family exists for the
+# training-data curation surface (inventory before deciding what to
+# transcode). Every parser raises NotImplementedError on foreign bytes
+# and is wrapped per-cell by audio_container_metadata.
+
+_FLAC_MAGIC = b"fLaC"
+_ID3_MAGIC = b"ID3"
+_OGG_MAGIC = b"OggS"
+
+
+def parse_flac_metadata(content: bytes) -> dict:
+    """STREAMINFO (the mandatory first metadata block): sample rate,
+    channels, bits per sample, total samples -> duration. No frame
+    decode."""
+    raw = bytes(content)
+    if raw[:4] != _FLAC_MAGIC:
+        raise NotImplementedError("not a FLAC payload")
+    if len(raw) < 8 + 34:
+        raise NotImplementedError("FLAC payload truncated before STREAMINFO")
+    block_type = raw[4] & 0x7F
+    block_len = int.from_bytes(raw[5:8], "big")
+    if block_type != 0 or block_len < 34:
+        raise NotImplementedError("FLAC: first metadata block is not STREAMINFO")
+    si = raw[8 : 8 + 34]
+    # bits 80..99 sample rate, 100..102 channels-1, 103..107 bps-1,
+    # 108..143 total samples (big-endian bit offsets from block start)
+    word = int.from_bytes(si[10:18], "big")  # bytes 10..17 = bits 80..143
+    sample_rate = (word >> 44) & 0xFFFFF
+    channels = ((word >> 41) & 0x7) + 1
+    bits_per_sample = ((word >> 36) & 0x1F) + 1
+    total_samples = word & 0xFFFFFFFFF
+    if sample_rate == 0:
+        raise NotImplementedError("FLAC: zero sample rate")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits_per_sample,
+        "n_samples": total_samples,
+        "duration_s": total_samples / sample_rate,
+        "codec": "flac",
+    }
+
+
+_MP3_BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES_V1 = (44100, 48000, 32000)
+
+
+def _mp3_frame(raw: bytes, pos: int):
+    """(frame_length, samples_per_frame, sample_rate) of the Layer III
+    frame at ``pos``, or None if the bytes there are not a valid header."""
+    if pos + 4 > len(raw):
+        return None
+    h = int.from_bytes(raw[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version = (h >> 19) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (h >> 17) & 0x3  # 1 = Layer III
+    bitrate_idx = (h >> 12) & 0xF
+    rate_idx = (h >> 10) & 0x3
+    padding = (h >> 9) & 0x1
+    if version == 1 or layer != 1 or bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    if version == 3:
+        bitrate = _MP3_BITRATES_V1_L3[bitrate_idx] * 1000
+        rate = _MP3_RATES_V1[rate_idx]
+        samples = 1152
+    else:
+        bitrate = _MP3_BITRATES_V2_L3[bitrate_idx] * 1000
+        rate = _MP3_RATES_V1[rate_idx] // (2 if version == 2 else 4)
+        samples = 576
+    frame_len = samples // 8 * bitrate // rate + padding
+    if frame_len <= 4:
+        return None
+    return frame_len, samples, rate
+
+
+def parse_mp3_metadata(content: bytes) -> dict:
+    """Frame-walk duration for MPEG-1/2/2.5 Layer III: skip any ID3v2 tag
+    (syncsafe length), find the first frame sync, then walk EVERY frame
+    header summing samples/rate — exact for CBR and VBR alike, no Xing
+    header trusted, no entropy decode."""
+    raw = bytes(content)
+    pos = 0
+    if raw[:3] == _ID3_MAGIC and len(raw) >= 10:
+        size = 0
+        for b in raw[6:10]:  # syncsafe: 7 bits per byte
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    first = None
+    scan_limit = min(len(raw), pos + 4096)  # sync must appear near the tag end
+    while pos + 4 <= scan_limit:
+        if _mp3_frame(raw, pos):
+            first = pos
+            break
+        pos += 1
+    if first is None:
+        raise NotImplementedError("not an MPEG Layer III payload")
+    n_frames, duration, rate = 0, 0.0, None
+    pos = first
+    while True:
+        fr = _mp3_frame(raw, pos)
+        if fr is None or pos + fr[0] > len(raw):
+            break
+        frame_len, samples, rate = fr
+        n_frames += 1
+        duration += samples / rate
+        pos += frame_len
+    if n_frames == 0:
+        raise NotImplementedError("MP3: no complete frames")
+    return {
+        "sample_rate": rate,
+        "channels": None,  # mode field varies per frame; not inventoried
+        "bits_per_sample": None,  # lossy codec: no PCM width in container
+        "n_samples": None,
+        "duration_s": duration,
+        "codec": "mp3",
+        "n_frames": n_frames,
+    }
+
+
+def parse_ogg_metadata(content: bytes) -> dict:
+    """Ogg page walk: identification header on the first page (Vorbis or
+    Opus) for rate/channels, final page's granule position for duration.
+    CRCs are not verified — this is an inventory pass, not playback."""
+    raw = bytes(content)
+    if raw[:4] != _OGG_MAGIC:
+        raise NotImplementedError("not an Ogg payload")
+    pos, codec, rate, channels, last_granule = 0, None, None, None, 0
+    granule_rate = None  # opus granules tick at 48 kHz regardless of rate
+    while pos + 27 <= len(raw):
+        if raw[pos : pos + 4] != _OGG_MAGIC:
+            break
+        granule = int.from_bytes(raw[pos + 6 : pos + 14], "little", signed=True)
+        n_segs = raw[pos + 26]
+        seg_table = raw[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            break
+        body_len = sum(seg_table)
+        body = raw[pos + 27 + n_segs : pos + 27 + n_segs + body_len]
+        if codec is None:
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                granule_rate = rate
+            elif body[:8] == b"OpusHead" and len(body) >= 14:
+                codec = "opus"
+                channels = body[9]
+                rate = int.from_bytes(body[12:16], "little")
+                granule_rate = 48000
+        if granule > 0:
+            last_granule = granule
+        pos += 27 + n_segs + body_len
+    if codec is None or not rate:
+        raise NotImplementedError("Ogg: no Vorbis/Opus identification header")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": None,
+        "n_samples": last_granule if granule_rate == rate else None,
+        "duration_s": last_granule / granule_rate if granule_rate else None,
+        "codec": codec,
+    }
+
+
+AUDIO_METADATA_SCHEMA = (
+    "media_id long, container string, codec string, sample_rate int, "
+    "channels int, bits_per_sample int, n_samples long, duration_s double"
+)
+
+
+def audio_container_metadata(media: DataFrame) -> DataFrame:
+    """Format-sniffed container metadata for every audio payload — WAV and
+    SYNTH decode fully; FLAC/MP3/OGG parse header structure only (codec-
+    level decode is the marked stub). Mirrors video_container_metadata:
+    one row per payload, unknown formats audit as 'unknown', malformed
+    magic-matching bytes never fail the shard."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = (
+            "media_id", "container", "codec", "sample_rate",
+            "channels", "bits_per_sample", "n_samples", "duration_s",
+        )
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+
+            def emit(media_id, container, codec=None, rate=None, ch=None,
+                     bps=None, ns=None, dur=None):
+                for k, v in zip(cols, (media_id, container, codec, rate, ch, bps, ns, dur)):
+                    out[k].append(v)
+
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                try:
+                    if raw[:4] == b"RIFF":
+                        rate, pcm = decode_real_audio(raw)
+                        emit(media_id, "wav", "pcm_s16", rate, 1, 16,
+                             len(pcm), len(pcm) / rate if rate else None)
+                    elif raw[:4] == _FLAC_MAGIC:
+                        m = parse_flac_metadata(raw)
+                        emit(media_id, "flac", m["codec"], m["sample_rate"],
+                             m["channels"], m["bits_per_sample"],
+                             m["n_samples"], m["duration_s"])
+                    elif raw[:4] == _OGG_MAGIC:
+                        m = parse_ogg_metadata(raw)
+                        emit(media_id, "ogg", m["codec"], m["sample_rate"],
+                             m["channels"], None, m["n_samples"], m["duration_s"])
+                    elif raw[:3] == _ID3_MAGIC or (
+                        len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
+                    ):
+                        m = parse_mp3_metadata(raw)
+                        emit(media_id, "mp3", m["codec"], m["sample_rate"],
+                             None, None, None, m["duration_s"])
+                    elif len(raw) >= 4:
+                        rate = struct.unpack(">I", raw[:4])[0]
+                        if rate <= 0 or len(raw[4:]) % 2:
+                            raise NotImplementedError("not a SYNTH audio payload")
+                        n = len(raw[4:]) // 2
+                        emit(media_id, "synth", "pcm_s16", rate, 1, 16,
+                             n, n / rate)
+                    else:
+                        emit(media_id, "unknown")
+                except Exception:
+                    emit(media_id, "unknown")
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio").select("media_id", "content").mapInPandas(
+        extract, AUDIO_METADATA_SCHEMA
+    )
+
+
+def encode_minimal_flac(
+    sample_rate: int, channels: int, bits_per_sample: int, n_samples: int
+) -> bytes:
+    """FLAC fixture: magic + a valid last-flag STREAMINFO block (no audio
+    frames) — exactly the structure parse_flac_metadata reads."""
+    word = (
+        (sample_rate & 0xFFFFF) << 44
+        | ((channels - 1) & 0x7) << 41
+        | ((bits_per_sample - 1) & 0x1F) << 36
+        | (n_samples & 0xFFFFFFFFF)
+    )
+    si = (
+        (4096).to_bytes(2, "big")  # min/max blocksize
+        + (4096).to_bytes(2, "big")
+        + (0).to_bytes(3, "big")  # min/max framesize (0 = unknown)
+        + (0).to_bytes(3, "big")
+        + word.to_bytes(8, "big")
+        + b"\x00" * 16  # md5 of unencoded audio (unset)
+    )
+    return _FLAC_MAGIC + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def encode_minimal_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100, id3: bool = False
+) -> bytes:
+    """MP3 fixture: ``n_frames`` valid MPEG-1 Layer III CBR frame headers
+    with zeroed payloads (no entropy data), optionally behind an ID3v2
+    tag — duration is exactly n_frames * 1152 / sample_rate."""
+    bitrate_idx = _MP3_BITRATES_V1_L3.index(bitrate_kbps)
+    rate_idx = _MP3_RATES_V1.index(sample_rate)
+    header = (
+        0x7FF << 21 | 0x3 << 19 | 0x1 << 17 | 0x1 << 16  # sync, MPEG1, L3, no CRC
+        | bitrate_idx << 12 | rate_idx << 10
+    ).to_bytes(4, "big")
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = header + b"\x00" * (frame_len - 4)
+    tag = b""
+    if id3:
+        body = b"\x00" * 100
+        size = len(body)
+        syncsafe = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        tag = _ID3_MAGIC + b"\x04\x00\x00" + syncsafe + body
+    return tag + frame * n_frames
+
+
+def encode_minimal_ogg_opus(channels: int, input_rate: int, n_samples_48k: int) -> bytes:
+    """Ogg/Opus fixture: an identification-header page plus one data page
+    whose granule position encodes the stream length at 48 kHz."""
+
+    def page(seq: int, granule: int, body: bytes, header_type: int) -> bytes:
+        # 255-byte lacing segments + remainder (valid for body < 64 kB)
+        segs = [255] * (len(body) // 255) + [len(body) % 255]
+        return (
+            _OGG_MAGIC
+            + bytes([0, header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + (1).to_bytes(4, "little")  # serial
+            + seq.to_bytes(4, "little")
+            + (0).to_bytes(4, "little")  # crc unverified by the parser
+            + bytes([len(segs)])
+            + bytes(segs)
+            + body
+        )
+
+    head = (
+        b"OpusHead"
+        + bytes([1, channels])  # version, channel count
+        + (312).to_bytes(2, "little")  # pre-skip
+        + input_rate.to_bytes(4, "little")
+        + (0).to_bytes(2, "little")  # output gain
+        + bytes([0])  # channel mapping family
+    )
+    return page(0, 0, head, 0x02) + page(1, n_samples_48k, b"\x00" * 20, 0x04)

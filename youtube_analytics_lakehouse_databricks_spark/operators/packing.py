@@ -29,6 +29,63 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ffd_assign(sizes, capacity: int):
+    """First-fit-decreasing bin assignment of ``sizes`` (numpy int
+    array) into bins of ``capacity``: returns (bin_of, loads) where
+    bin_of[i] is doc i's bin index and loads[b] the final token load of
+    bin b. EXACT first-fit semantics (each doc, in decreasing-size
+    stable order, goes to the LEFTMOST bin it fits; a doc that fits no
+    open bin — including any doc > capacity — opens the next bin), but
+    implemented with a segment tree of per-bin remaining capacity (max
+    over subtree) so "leftmost bin with remaining >= s" is an O(log B)
+    descent and packing is O(n log B) — a naive linear bin scan is
+    O(n*B) and melts on the ~10^5-doc partitions a 100 TB corpus
+    actually produces. Property-tested identical to the naive scan in
+    tests/test_decontam_packing.py."""
+    import numpy as np
+
+    n = len(sizes)
+    order = np.argsort(-sizes, kind="stable")  # first-fit DECREASING
+    tree_sz = 1
+    while tree_sz < max(n, 1):
+        tree_sz *= 2
+    rem = np.zeros(2 * tree_sz, dtype=np.int64)  # internal max-tree
+    n_bins = 0
+
+    def find_first(s: int) -> int:
+        """Leftmost open bin with remaining >= s, else -1."""
+        if rem[1] < s:
+            return -1
+        node = 1
+        while node < tree_sz:
+            node = 2 * node if rem[2 * node] >= s else 2 * node + 1
+        return node - tree_sz
+
+    def update(b: int, value: int) -> None:
+        node = b + tree_sz
+        rem[node] = value
+        node //= 2
+        while node:
+            rem[node] = max(rem[2 * node], rem[2 * node + 1])
+            node //= 2
+
+    bin_of = np.empty(n, dtype=np.int64)
+    for i in order:
+        s = int(sizes[i])
+        placed = find_first(s) if s <= capacity else -1
+        if placed < 0 or placed >= n_bins:
+            placed = n_bins
+            n_bins += 1
+            update(placed, capacity)
+        update(placed, int(rem[placed + tree_sz]) - s)
+        bin_of[i] = placed
+
+    loads = capacity - rem[tree_sz : tree_sz + n_bins].astype(np.float64)
+    # oversize singletons carry negative remaining; their load is their
+    # own size, which the subtraction already yields
+    return bin_of, loads
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -67,7 +124,6 @@ def pack_sequences(
     src = src.withColumn("__pid", F.spark_partition_id())
 
     def pack(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         # one partition may arrive as several Arrow batches: buffer them
@@ -80,53 +136,8 @@ def pack_sequences(
         if not len(pdf):
             return
         sizes = pdf["n_tokens"].to_numpy()
-        order = np.argsort(-sizes, kind="stable")  # first-fit DECREASING
-        pid = int(pdf["__pid"].iloc[0]) if len(pdf) else 0
-
-        # First-fit via a segment tree of per-bin remaining capacity
-        # (max over subtree): "leftmost bin with remaining >= s" is an
-        # O(log B) descent, so packing is O(n log B) — a naive linear
-        # bin scan is O(n*B) and melts on the ~10^5-doc partitions a
-        # 100 TB corpus actually produces. Tree is sized for the worst
-        # case (every doc its own bin).
-        n = len(pdf)
-        tree_sz = 1
-        while tree_sz < max(n, 1):
-            tree_sz *= 2
-        rem = np.zeros(2 * tree_sz, dtype=np.int64)  # internal max-tree
-        n_bins = 0
-
-        def find_first(s: int) -> int:
-            """Leftmost open bin with remaining >= s, else -1."""
-            if rem[1] < s:
-                return -1
-            node = 1
-            while node < tree_sz:
-                node = 2 * node if rem[2 * node] >= s else 2 * node + 1
-            return node - tree_sz
-
-        def update(b: int, value: int) -> None:
-            node = b + tree_sz
-            rem[node] = value
-            node //= 2
-            while node:
-                rem[node] = max(rem[2 * node], rem[2 * node + 1])
-                node //= 2
-
-        bin_of = np.empty(n, dtype=np.int64)
-        for i in order:
-            s = int(sizes[i])
-            placed = find_first(s) if s <= capacity else -1
-            if placed < 0 or placed >= n_bins:
-                placed = n_bins
-                n_bins += 1
-                update(placed, capacity)
-            update(placed, int(rem[placed + tree_sz]) - s)
-            bin_of[i] = placed
-
-        loads = capacity - rem[tree_sz : tree_sz + n_bins].astype(np.float64)
-        # oversize singletons carry negative remaining; their load is
-        # their own size, which the subtraction already yields
+        pid = int(pdf["__pid"].iloc[0])
+        bin_of, loads = _ffd_assign(sizes, capacity)
         yield pd.DataFrame(
             {
                 pdf.columns[0]: pdf.iloc[:, 0],
