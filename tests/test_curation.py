@@ -182,3 +182,29 @@ def test_curate_hot_bucket_audit_surfaced(spark):
     assert not any(
         r["near_dup_audit_incomplete"] for r in unflagged.collect()
     )
+
+
+def test_curate_decontamination_stage(spark):
+    # doc 5 (OTHER) leaks into the benchmark; with eval_df given it must
+    # drop as 'contaminated' BEFORE dedup, and everything else is
+    # unaffected
+    ev = spark.createDataFrame(
+        [(900, "propulsion systems and orbital mechanics calculations for deep space")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            _docs(spark), "doc_id", "text", eval_df=ev, decontam_k=5
+        ).collect()
+    }
+    assert len(out) == 7
+    assert not out[5]["keep"] and out[5]["drop_reason"] == "contaminated"
+    assert out[5]["duplicate_of"] is None
+    # the dedup verdicts of the rest are untouched by the new stage
+    base = {r["doc_id"]: r for r in curate(_docs(spark), "doc_id", "text").collect()}
+    for d in (1, 2, 3, 4, 6, 7):
+        assert (out[d]["keep"], out[d]["drop_reason"]) == (
+            base[d]["keep"],
+            base[d]["drop_reason"],
+        )

@@ -7,8 +7,12 @@ the corpus the next (more expensive) stage sees:
 1. quality gate      — per-row array math, no shuffle; drops junk before
                        any hashing happens. Optionally extended with the
                        Gopher/C4 repetition rules (``repetition_rules=
-                       True``) and a PII scrub (``redact=True``) that runs
-                       BEFORE hashing so dedup sees scrubbed text;
+                       True``), a PII scrub (``redact=True``) that runs
+                       BEFORE hashing so dedup sees scrubbed text, and
+                       benchmark decontamination (``eval_df=...``) that
+                       drops eval-overlapping docs (drop_reason
+                       ``contaminated``) before any dedup — a leaked doc
+                       must not survive as a cluster's keeper;
 2. exact dedup       — canonical-text hash groupBy (cosmetic variants
                        collide via normalize_text); one narrow shuffle;
 3. near-dup dedup    — MinHash signatures -> LSH band candidates (hot
@@ -24,7 +28,7 @@ the corpus the next (more expensive) stage sees:
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
 near_dup_audit_incomplete). drop_reason ∈ {low_quality, repetition,
-exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
+contaminated, exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops); and
 near_dup_audit_incomplete flags every doc that sat in at least one
 over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
@@ -69,6 +73,11 @@ def curate(
     min_distinct_ratio: float = 0.1,
     repetition_rules: bool = False,
     redact: bool = False,
+    eval_df: DataFrame | None = None,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    decontam_k: int = 13,
+    decontam_min_hits: int = 1,
     shingle_k: int = 3,
     n_hashes: int = 8,
     rows_per_band: int = 2,
@@ -108,6 +117,32 @@ def curate(
         good = good.join(rep_failed, id_col, "left_anti")
     else:
         rep_failed = None
+
+    # 1c. optional benchmark decontamination (eval_df given): drop docs
+    # sharing >= decontam_min_hits k-grams with the eval set BEFORE any
+    # dedup — a contaminated doc must not survive as a cluster's keeper.
+    # The eval side is broadcast inside decontaminate, so this stage adds
+    # no training-side shuffle beyond its per-doc aggregation.
+    if eval_df is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
+
+        contaminated = (
+            decontaminate(
+                good,
+                eval_df,
+                id_col,
+                text_col,
+                eval_id_col=eval_id_col,
+                eval_text_col=eval_text_col,
+                k=decontam_k,
+                min_hits=decontam_min_hits,
+            )
+            .filter(F.col("is_contaminated"))
+            .select(id_col)
+        )
+        good = good.join(contaminated, id_col, "left_anti")
+    else:
+        contaminated = None
 
     # 2. exact dedup on canonical text (min id per hash is the keeper)
     hashed = good.select(
@@ -184,6 +219,14 @@ def curate(
             rep_failed.select(
                 id_col,
                 F.lit("repetition").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if contaminated is not None:
+        dropped = dropped.unionByName(
+            contaminated.select(
+                id_col,
+                F.lit("contaminated").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )
