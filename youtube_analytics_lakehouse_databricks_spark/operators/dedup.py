@@ -114,8 +114,12 @@ def jaccard_verify_sets(
     """Exact shingle-set Jaccard >= threshold over candidate pairs, with
     the sets kept as arrays: |A ∩ B| via array_intersect, union by
     inclusion-exclusion — no shingle-level explode or join anywhere.
-    Set arrays are shuffled only for docs that appear in ``candidates``
-    (candidates << corpus at any scale)."""
+    When the candidate side is broadcast-sized (AQE picks this up at
+    runtime; candidates << corpus after banding + the hot-bucket cap),
+    the set arrays never shuffle at all — each join is a map-side probe
+    of the candidate table; if candidates ever exceed the broadcast
+    threshold the join degrades to shuffling set arrays on doc id, which
+    is still O(corpus), never O(pairs)."""
     a = doc_sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("shset").alias("set_a"),
