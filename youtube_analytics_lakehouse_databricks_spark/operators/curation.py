@@ -95,15 +95,33 @@ def curate(
         docs = (
             text_ops.redact_pii(docs, id_col, text_col)
             .select(id_col, F.col("redacted_text").alias(text_col))
+            # lineage cut, not an optimization nicety: downstream gates
+            # reference the text column from INSIDE higher-order-function
+            # lambdas (token arrays), where projection collapse inlines
+            # the 5-regex redaction chain into every lambda reference and
+            # subexpression elimination cannot reach (see dedup._tokenized)
+            # — measured 107 s for repetition_rules+redact at the 1x
+            # scaling corpus without this cut, 10 s with it. Cost: the
+            # redaction chain runs exactly once, materializing the
+            # scrubbed corpus.
+            .localCheckpoint(eager=False)
         )
 
-    # 1. quality gate (cheap, per-row, runs on everything)
+    # 1. quality gate (cheap, per-row, runs on everything). Each gate's
+    # audit frame is an id-only droplist consumed TWICE (the left_anti
+    # that advances the chain + the drop_reason assembly at the end);
+    # a lazy localCheckpoint makes the second consumer read ids instead
+    # of re-running the gate's scoring pass.
     q = text_ops.quality_scores(docs, id_col, text_col)
-    low_quality = q.filter(
-        (F.col("n_tokens") < min_tokens)
-        | (F.col("stopword_ratio") > max_stopword_ratio)
-        | (F.col("distinct_ratio") < min_distinct_ratio)
-    ).select(id_col)
+    low_quality = (
+        q.filter(
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("stopword_ratio") > max_stopword_ratio)
+            | (F.col("distinct_ratio") < min_distinct_ratio)
+        )
+        .select(id_col)
+        .localCheckpoint(eager=False)
+    )
     good = docs.join(low_quality, id_col, "left_anti")
 
     # 1b. optional repetition/shape gate (Gopher/C4 rules), also per-row;
@@ -113,6 +131,7 @@ def curate(
             text_ops.repetition_flags(good, id_col, text_col)
             .filter(~F.col("passes_repetition_rules"))
             .select(id_col)
+            .localCheckpoint(eager=False)
         )
         good = good.join(rep_failed, id_col, "left_anti")
     else:
@@ -139,10 +158,22 @@ def curate(
             )
             .filter(F.col("is_contaminated"))
             .select(id_col)
+            .localCheckpoint(eager=False)
         )
         good = good.join(contaminated, id_col, "left_anti")
     else:
         contaminated = None
+
+    # Lineage cut after the LAST gate: ``good`` feeds the exact-dedup
+    # hash, the representatives join, and (transitively) every assembly
+    # branch. The stacked gate subtrees are all broadcast anti-joins —
+    # no exchange, so NO exchange reuse — and without this cut each
+    # downstream consumer re-executes every enabled gate's scoring pass
+    # over the whole corpus. With all three optional gates on, the
+    # uncut chain measured 232 s at the 1x scaling corpus; this cut plus
+    # the redaction cut above bring it to 6.8 s (32 s at 10x — linear),
+    # with the default chain unchanged within noise.
+    good = good.localCheckpoint(eager=False)
 
     # 2. exact dedup on canonical text (min id per hash is the keeper)
     hashed = good.select(
