@@ -116,6 +116,20 @@ def main() -> None:
             stolen = _steal_sec() - st0
             runs.append((sec, stolen > 0.1 * n_cpu * sec + 0.05))
 
+        # Priming run at the TARGET sf, never counted: the first execution
+        # at a new scale factor pays cold costs no later run pays (codegen
+        # JIT for this plan shape, parquet footer/file-listing caches, page
+        # cache) — round 5 published a 2.75 s "min" for a 1.2 s query
+        # because every timed run was cold-contaminated and the steal guard
+        # only detects hypervisor preemption, not cold caches. The sf0.001
+        # warmup above does not cover this: it JITs shared codegen but
+        # touches none of the target files.
+        spark.catalog.clearCache()
+        try:
+            reg[name].builder(spark, sf_dir).count()
+        except Exception:
+            pass
+
         once()
         once()
         while len(runs) < 6:

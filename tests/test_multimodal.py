@@ -540,6 +540,25 @@ def test_ogg_opus_metadata():
         mm.parse_ogg_metadata(b"OggS" + b"\x00" * 30)  # no id header
 
 
+def test_ogg_opus_truncated_head_rejected():
+    # an OpusHead body cut to 14 bytes loses part of the 4-byte sample
+    # rate at [12:16]; int.from_bytes would happily parse the 2-byte
+    # remnant as a bogus rate, so the parser must reject short heads
+    head = b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little") + b"\x80\xbb"
+    page = (
+        b"OggS"
+        + bytes([0, 0x02])
+        + (0).to_bytes(8, "little")
+        + (1).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + bytes([1, len(head)])
+        + head
+    )
+    with pytest.raises(NotImplementedError):
+        mm.parse_ogg_metadata(page)
+
+
 def test_audio_container_metadata_inventory(spark):
     rows = [
         (1, "audio", mm.encode_wav(8000, [0, 100, -100] * 100), ("a.wav", 0, "wav")),
@@ -551,12 +570,18 @@ def test_audio_container_metadata_inventory(spark):
         (7, "audio", mm.encode_minimal_flac(44100, 1, 16, 1)[:9], ("g.flac", 0, "flac")),
         (8, "video", mm.encode_synth_video(4, 4, 2), ("h.vid", 0, "synth")),
         (9, "audio", None, ("i.null", 0, "null")),
+        (10, "audio", mm.encode_wav(8000, [100, 300, -100, -300], channels=2),
+         ("j.wav", 0, "wav")),
     ]
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(3)
     got = {r["media_id"]: r for r in mm.audio_container_metadata(df).collect()}
     # video and NULL rows are out of scope; everything else has one row
-    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 10}
     assert got[1]["container"] == "wav" and got[1]["sample_rate"] == 8000
+    # stereo WAV reports the CONTAINER's channel count and frame count,
+    # not decode_real_audio's post-downmix mono contract
+    assert got[10]["channels"] == 2 and got[10]["n_samples"] == 2
+    assert got[10]["bits_per_sample"] == 16
     assert got[2]["container"] == "synth" and got[2]["n_samples"] == 100
     assert got[3]["container"] == "flac" and got[3]["duration_s"] == 1.0
     assert got[4]["container"] == "mp3" and got[4]["duration_s"] > 0.2

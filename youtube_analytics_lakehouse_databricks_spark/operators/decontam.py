@@ -89,7 +89,10 @@ def decontaminate(
     - n_hit_grams: how many of them appear anywhere in the eval set;
     - contamination_frac: n_hit_grams / n_grams (NULL when n_grams = 0);
     - matched_eval_id: lexicographic-min eval doc sharing a gram (NULL
-      when clean) — the audit pointer a removal run logs;
+      when NO gram matched) — the audit pointer a removal run logs. Note
+      this is populated whenever ANY gram matched, even for docs below
+      ``min_hits`` that report is_contaminated=False: sub-threshold
+      overlap is exactly what a graded/tiered policy wants to audit;
     - is_contaminated: n_hit_grams >= min_hits.
 
     Every input training row appears exactly once in the output, so

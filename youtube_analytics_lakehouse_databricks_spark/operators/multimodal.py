@@ -1492,6 +1492,32 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
     return buf.getvalue()
 
 
+def parse_wav_metadata(content: bytes) -> dict:
+    """Container-level WAV metadata straight from the RIFF/WAVE header —
+    channel count and frame count as the CONTAINER declares them, with no
+    downmix (decode_real_audio averages multichannel to mono, so its
+    outputs describe the decode contract, not the container)."""
+    import io
+    import wave
+
+    raw = bytes(content)
+    if raw[:4] != b"RIFF":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    with wave.open(io.BytesIO(raw), "rb") as wf:
+        rate = wf.getframerate()
+        channels = wf.getnchannels()
+        bits = wf.getsampwidth() * 8
+        n_frames = wf.getnframes()
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_frames,
+        "duration_s": n_frames / rate if rate else None,
+        "codec": "pcm_s16" if bits == 16 else f"pcm_s{bits}",
+    }
+
+
 def decode_real_audio(content: bytes):
     """REAL RIFF/WAVE decode on the stdlib wave module: 16-bit PCM, any
     channel count (multichannel is averaged to mono so every payload lands
@@ -1669,7 +1695,10 @@ def parse_ogg_metadata(content: bytes) -> dict:
                 channels = body[11]
                 rate = int.from_bytes(body[12:16], "little")
                 granule_rate = rate
-            elif body[:8] == b"OpusHead" and len(body) >= 14:
+            # the full OpusHead identification header is 19 bytes; a
+            # shorter slice would let int.from_bytes silently read a
+            # truncated (bogus) sample rate from body[12:16]
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
                 codec = "opus"
                 channels = body[9]
                 rate = int.from_bytes(body[12:16], "little")
@@ -1723,9 +1752,13 @@ def audio_container_metadata(media: DataFrame) -> DataFrame:
                 raw = bytes(content)
                 try:
                     if raw[:4] == b"RIFF":
-                        rate, pcm = decode_real_audio(raw)
-                        emit(media_id, "wav", "pcm_s16", rate, 1, 16,
-                             len(pcm), len(pcm) / rate if rate else None)
+                        # container truth comes from the WAV header, not
+                        # decode_real_audio (which downmixes to mono and
+                        # would misreport a stereo payload's channels)
+                        m = parse_wav_metadata(raw)
+                        emit(media_id, "wav", m["codec"], m["sample_rate"],
+                             m["channels"], m["bits_per_sample"],
+                             m["n_samples"], m["duration_s"])
                     elif raw[:4] == _FLAC_MAGIC:
                         m = parse_flac_metadata(raw)
                         emit(media_id, "flac", m["codec"], m["sample_rate"],
