@@ -184,6 +184,40 @@ def test_curate_hot_bucket_audit_surfaced(spark):
     )
 
 
+def test_curate_durable_mode_identical(spark, tmp_path):
+    """durable=True swaps every localCheckpoint lineage cut (curate's own
+    plus the connected-components rounds) for reliable checkpoint() —
+    executor-loss-safe on a cluster — and must change NOTHING about the
+    result. Without a configured checkpoint dir it fails loudly instead
+    of silently degrading to the non-durable path."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
+
+    docs = _docs(spark)
+    if spark.sparkContext.getCheckpointDir() is None:
+        # must raise BEFORE any work runs (setCheckpointDir is global and
+        # irreversible per context, so this arm only fires when no other
+        # test has set it yet)
+        try:
+            curate(docs, "doc_id", "text", durable=True).collect()
+            raise AssertionError("durable=True without a checkpoint dir must raise")
+        except ValueError as e:
+            assert "setCheckpointDir" in str(e)
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = sorted(map(tuple, curate(docs, "doc_id", "text").collect()))
+    dur = sorted(map(tuple, curate(docs, "doc_id", "text", durable=True).collect()))
+    assert dur == base
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "a long, b long"
+    )
+    cc_base = sorted(map(tuple, connected_components(edges, "a", "b").collect()))
+    cc_dur = sorted(
+        map(tuple, connected_components(edges, "a", "b", durable=True).collect())
+    )
+    assert cc_dur == cc_base
+
+
 def test_curate_decontamination_stage(spark):
     # doc 5 (OTHER) leaks into the benchmark; with eval_df given it must
     # drop as 'contaminated' BEFORE dedup, and everything else is

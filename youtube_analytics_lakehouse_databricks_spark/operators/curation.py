@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from youtube_analytics_lakehouse_databricks_spark.operators import dedup as dedup_ops
 from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
 from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
+from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
 
 
 def curate(
@@ -84,9 +85,16 @@ def curate(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = dedup_ops.DEFAULT_MAX_BUCKET_SIZE,
     canonical_near_dup: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """(id, keep, drop_reason, duplicate_of, near_dup_audit_incomplete)
-    for every input doc."""
+    for every input doc.
+
+    ``durable=True`` swaps every lineage cut (here and in the
+    connected-components rounds) from ``localCheckpoint`` to reliable
+    ``checkpoint`` so a multi-hour cluster run survives executor loss —
+    identical output, see operators.lineage for the failure-domain
+    tradeoff. Requires ``setCheckpointDir``."""
     id_type = dict(docs.dtypes)[id_col]
 
     # 0. optional PII scrub BEFORE any hashing: dedup then compares
@@ -104,8 +112,8 @@ def curate(
             # scaling corpus without this cut, 10 s with it. Cost: the
             # redaction chain runs exactly once, materializing the
             # scrubbed corpus.
-            .localCheckpoint(eager=False)
         )
+        docs = cut(docs, durable=durable)
 
     # 1. quality gate (cheap, per-row, runs on everything). Each gate's
     # audit frame is an id-only droplist consumed TWICE (the left_anti
@@ -120,8 +128,8 @@ def curate(
             | (F.col("distinct_ratio") < min_distinct_ratio)
         )
         .select(id_col)
-        .localCheckpoint(eager=False)
     )
+    low_quality = cut(low_quality, durable=durable)
     good = docs.join(low_quality, id_col, "left_anti")
 
     # 1b. optional repetition/shape gate (Gopher/C4 rules), also per-row;
@@ -131,8 +139,8 @@ def curate(
             text_ops.repetition_flags(good, id_col, text_col)
             .filter(~F.col("passes_repetition_rules"))
             .select(id_col)
-            .localCheckpoint(eager=False)
         )
+        rep_failed = cut(rep_failed, durable=durable)
         good = good.join(rep_failed, id_col, "left_anti")
     else:
         rep_failed = None
@@ -158,8 +166,8 @@ def curate(
             )
             .filter(F.col("is_contaminated"))
             .select(id_col)
-            .localCheckpoint(eager=False)
         )
+        contaminated = cut(contaminated, durable=durable)
         good = good.join(contaminated, id_col, "left_anti")
     else:
         contaminated = None
@@ -173,7 +181,7 @@ def curate(
     # uncut chain measured 232 s at the 1x scaling corpus; this cut plus
     # the redaction cut above bring it to 6.8 s (32 s at 10x — linear),
     # with the default chain unchanged within noise.
-    good = good.localCheckpoint(eager=False)
+    good = cut(good, durable=durable)
 
     # 2. exact dedup on canonical text (min id per hash is the keeper)
     hashed = good.select(
@@ -201,9 +209,9 @@ def curate(
     # at 10x, together with the graph.py node-derivation fix; see
     # COVERAGE.md scaling table), and at 100 TB it is the difference
     # between 3 corpus passes and 1.
-    reps = reps.localCheckpoint(eager=False)
-    sets = dedup_ops.shingle_sets(reps, id_col, text_col, k=shingle_k).localCheckpoint(
-        eager=False
+    reps = cut(reps, durable=durable)
+    sets = cut(
+        dedup_ops.shingle_sets(reps, id_col, text_col, k=shingle_k), durable=durable
     )
     sig = dedup_ops.minhash_signatures(
         dedup_ops.shingles(reps, id_col, text_col, k=shingle_k), id_col, n_hashes
@@ -224,7 +232,7 @@ def curate(
     buckets = dedup_ops.band_buckets(banded, id_col, [f"band{b}" for b in range(bands)])
     cand = dedup_ops.candidates_from_buckets(buckets, max_bucket_size=max_bucket_size)
     pairs = dedup_ops.jaccard_verify_sets(sets, id_col, cand, jaccard_threshold)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b", durable=durable)
     near_dropped = comp.filter(F.col("node") != F.col("component"))
 
     # 3b. hot-bucket audit: docs whose candidate generation was curtailed

@@ -21,18 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
+
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25, *,
+    durable: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     MINIMUM node id reachable from the node (deterministic canonical
-    label, engine-portable). Edges are treated as undirected."""
-    sym = (
+    label, engine-portable). Edges are treated as undirected.
+
+    ``durable=True`` makes the per-round lineage cuts executor-loss-safe
+    (reliable checkpoint against the session's checkpoint dir) — use it
+    on clusters with preemptible nodes; see operators.lineage."""
+    sym = cut(
         edges.select(F.col(src).alias("nbr"), F.col(dst).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("nbr"), F.col(src).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)  # edge lineage (often an expensive
+        .distinct(),
+        durable=durable,
+        eager=True,  # edge lineage (often an expensive
         # dedup pipeline) is materialized ONCE, not once per round
     )
     # node set comes off the CHECKPOINTED symmetric edges (identical set:
@@ -50,7 +58,7 @@ def connected_components(
         # checkpoint materializes (new < old ⟺ nbr_min < old), so the
         # convergence probe below reads checkpointed rows with a pushed
         # LIMIT — no join against the previous labels, no extra shuffle
-        new_labels = (
+        new_labels = cut(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -60,8 +68,9 @@ def connected_components(
                 (F.coalesce("nbr_min", "component") < F.col("component")).alias(
                     "improved"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            durable=durable,
+            eager=True,
         )
         improved = new_labels.filter("improved").limit(1).count()
         labels = new_labels.drop("improved")
