@@ -235,6 +235,9 @@ def test_curate_decontamination_stage(spark):
     assert len(out) == 7
     assert not out[5]["keep"] and out[5]["drop_reason"] == "contaminated"
     assert out[5]["duplicate_of"] is None
+    # the audit pointer names the leaking eval doc even for a drop
+    assert out[5]["matched_eval_id"] == 900
+    assert 0.0 < out[5]["contamination_frac"] <= 1.0
     # the dedup verdicts of the rest are untouched by the new stage
     base = {r["doc_id"]: r for r in curate(_docs(spark), "doc_id", "text").collect()}
     for d in (1, 2, 3, 4, 6, 7):
@@ -242,3 +245,40 @@ def test_curate_decontamination_stage(spark):
             base[d]["keep"],
             base[d]["drop_reason"],
         )
+        assert out[d]["matched_eval_id"] is None
+    # without an eval set the audit columns exist and are all NULL
+    assert all(
+        r["matched_eval_id"] is None and r["contamination_frac"] is None
+        for r in base.values()
+    )
+
+
+def test_curate_graded_decontamination(spark):
+    """decontam_max_frac tiers the verdict: the eval doc overlaps ~29% of
+    OTHER's 5-grams (a 9-token contiguous leak), so a 0.5 cap keeps doc 5
+    flagged for review while a 0.2 cap drops it — and the binary default
+    (any hit) always drops it."""
+    ev = spark.createDataFrame(
+        [(900, "propulsion systems and orbital mechanics calculations for deep space")],
+        "doc_id long, text string",
+    )
+
+    def run(**kw):
+        return {
+            r["doc_id"]: r
+            for r in curate(
+                _docs(spark), "doc_id", "text", eval_df=ev, decontam_k=5, **kw
+            ).collect()
+        }
+
+    lenient = run(decontam_max_frac=0.5)
+    # kept-but-flagged: the review tier of a graded policy
+    assert lenient[5]["keep"] and lenient[5]["drop_reason"] is None
+    assert lenient[5]["matched_eval_id"] == 900
+    assert 0.2 < lenient[5]["contamination_frac"] < 0.5
+    # every non-overlapping doc is unflagged
+    assert all(lenient[d]["matched_eval_id"] is None for d in (1, 2, 3, 4, 6, 7))
+
+    strict = run(decontam_max_frac=0.2)
+    assert not strict[5]["keep"] and strict[5]["drop_reason"] == "contaminated"
+    assert strict[5]["matched_eval_id"] == 900

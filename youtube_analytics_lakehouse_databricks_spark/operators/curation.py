@@ -27,13 +27,19 @@ the corpus the next (more expensive) stage sees:
                        to its near-twin.
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
-near_dup_audit_incomplete). drop_reason ∈ {low_quality, repetition,
-contaminated, exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
-duplicate folded into (NULL for kept docs and quality drops); and
+near_dup_audit_incomplete, matched_eval_id, contamination_frac).
+drop_reason ∈ {low_quality, repetition, contaminated, exact_duplicate,
+near_duplicate}; duplicate_of names the canonical doc a
+duplicate folded into (NULL for kept docs and quality drops);
 near_dup_audit_incomplete flags every doc that sat in at least one
 over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
 but their near-dup comparison was curtailed, and a production run should
-route them to a second pass or a tighter band scheme. Nothing is silently
+route them to a second pass or a tighter band scheme. matched_eval_id /
+contamination_frac carry the decontamination audit (NULL unless eval_df
+was given and the doc shared at least one eval k-gram): with
+``decontam_max_frac`` set, only docs ABOVE the cap drop as contaminated
+and lighter-overlap docs stay kept-but-flagged — the graded policy real
+pipelines run (drop > x%, review the rest). Nothing is silently
 discarded OR silently under-compared: the frame IS the audit trail, and
 `df.filter("keep")` is the curated corpus.
 
@@ -79,6 +85,7 @@ def curate(
     eval_text_col: str | None = None,
     decontam_k: int = 13,
     decontam_min_hits: int = 1,
+    decontam_max_frac: float | None = None,
     shingle_k: int = 3,
     n_hashes: int = 8,
     rows_per_band: int = 2,
@@ -146,14 +153,21 @@ def curate(
         rep_failed = None
 
     # 1c. optional benchmark decontamination (eval_df given): drop docs
-    # sharing >= decontam_min_hits k-grams with the eval set BEFORE any
-    # dedup — a contaminated doc must not survive as a cluster's keeper.
+    # overlapping the eval set BEFORE any dedup — a contaminated doc must
+    # not survive as a cluster's keeper. Binary mode (default) drops at
+    # >= decontam_min_hits shared k-grams; graded mode (decontam_max_frac
+    # set) drops only docs whose contamination_frac EXCEEDS the cap and
+    # keeps lighter-overlap docs FLAGGED — their matched_eval_id /
+    # contamination_frac land in the audit frame so a tiered policy
+    # (drop > x%, review > 0%) is one downstream filter, not a re-scan.
     # The eval side is broadcast inside decontaminate, so this stage adds
     # no training-side shuffle beyond its per-doc aggregation.
     if eval_df is not None:
         from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
 
-        contaminated = (
+        # one cut materializes the scoring pass; the droplist AND the
+        # audit columns below are cheap filters over the same blocks
+        dec = cut(
             decontaminate(
                 good,
                 eval_df,
@@ -163,14 +177,24 @@ def curate(
                 eval_text_col=eval_text_col,
                 k=decontam_k,
                 min_hits=decontam_min_hits,
-            )
-            .filter(F.col("is_contaminated"))
-            .select(id_col)
+            ).select(
+                id_col, "contamination_frac", "matched_eval_id", "is_contaminated"
+            ),
+            durable=durable,
         )
-        contaminated = cut(contaminated, durable=durable)
+        drop_pred = (
+            F.col("contamination_frac") > decontam_max_frac
+            if decontam_max_frac is not None
+            else F.col("is_contaminated")
+        )
+        contaminated = dec.filter(drop_pred).select(id_col)
+        eval_overlap = dec.filter(F.col("matched_eval_id").isNotNull()).select(
+            id_col, "matched_eval_id", "contamination_frac"
+        )
         good = good.join(contaminated, id_col, "left_anti")
     else:
         contaminated = None
+        eval_overlap = None
 
     # Lineage cut after the LAST gate: ``good`` feeds the exact-dedup
     # hash, the representatives join, and (transitively) every assembly
@@ -302,4 +326,15 @@ def curate(
         )
     else:
         out = out.withColumn("near_dup_audit_incomplete", F.lit(False))
+    # decontamination audit columns: every doc that shared ANY eval gram
+    # carries the pointer (matched_eval_id) and severity (frac), whether
+    # it was dropped or kept — the "review" tier of a graded policy is
+    # `keep AND matched_eval_id IS NOT NULL`. NULL-typed when no eval set
+    # was given so the output schema does not depend on the option.
+    if eval_overlap is not None:
+        out = out.join(eval_overlap, id_col, "left")
+    else:
+        out = out.withColumn("matched_eval_id", F.lit(None).cast("string")).withColumn(
+            "contamination_frac", F.lit(None).cast("double")
+        )
     return out
