@@ -110,6 +110,48 @@ def test_pack_sequences_invariants(spark):
     assert mean_fill > 0.85
 
 
+def test_packing_invariants_under_repartition(spark):
+    """A packing is an assignment, not a fact: seq_id/seq_fill legitimately
+    differ across partition counts. The INVARIANTS must not: coverage
+    (every doc exactly once), per-doc is_oversize flags, fill bounds
+    (no multi-doc sequence over capacity, oversize docs alone), and the
+    FFD tightness floor — identical guarantees at any parallelism."""
+    rng = random.Random(11)
+    rows = [(i, rng.randint(10, 900)) for i in range(3000)]
+    rows += [(9000, 5000), (9001, 2500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    per_doc: dict[int, dict[int, tuple]] = {}
+    for nparts in (1, 4, 17):
+        out = pack_sequences(
+            df, "doc_id", "n_tokens", capacity=2048, repartition=nparts
+        ).collect()
+        assert len(out) == len(rows)
+        assert len({r["doc_id"] for r in out}) == len(rows)
+        loads: dict[str, int] = {}
+        members: dict[str, int] = {}
+        oversize_seqs = set()
+        for r in out:
+            loads[r["seq_id"]] = loads.get(r["seq_id"], 0) + r["n_tokens"]
+            members[r["seq_id"]] = members.get(r["seq_id"], 0) + 1
+            if r["is_oversize"]:
+                oversize_seqs.add(r["seq_id"])
+            per_doc.setdefault(nparts, {})[r["doc_id"]] = (
+                r["n_tokens"],
+                r["is_oversize"],
+            )
+        for seq, load in loads.items():
+            if seq in oversize_seqs:
+                assert members[seq] == 1  # oversize docs never share a bin
+            else:
+                assert load <= 2048
+        normal = {s: l for s, l in loads.items() if s not in oversize_seqs}
+        assert sum(normal.values()) / (2048.0 * len(normal)) > 0.85
+
+    # per-doc facts (n_tokens, is_oversize) are identical at any parallelism
+    assert per_doc[1] == per_doc[4] == per_doc[17]
+
+
 def test_pack_sequences_zero_token_docs(spark):
     df = spark.createDataFrame([(1, 0), (2, 0), (3, 100)], "doc_id long, n_tokens long")
     out = pack_sequences(df, "doc_id", "n_tokens", capacity=128, repartition=1).collect()

@@ -107,6 +107,16 @@ def pack_sequences(
     Every input doc appears exactly once; no sequence except oversize
     singletons exceeds ``capacity``. Pass ``repartition`` to rebalance
     a skewed input first (one exchange); otherwise zero shuffles.
+
+    Determinism contract: a packing is an ASSIGNMENT, not a fact about
+    any single doc — ``seq_id``/``seq_fill`` depend on which docs share
+    a partition, so two runs of the same corpus with different partition
+    counts produce different (equally valid) packings. What IS invariant
+    under repartitioning, and what callers may rely on: the set of doc
+    ids covered (each exactly once), each doc's ``is_oversize`` flag and
+    ``n_tokens``, and the fill bounds (no multi-doc sequence over
+    capacity; oversize docs alone in their sequence). Pinned by
+    tests/test_decontam_packing.py::test_packing_invariants_under_repartition.
     """
     out_schema = T.StructType(
         [
