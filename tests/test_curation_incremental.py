@@ -1,0 +1,203 @@
+"""Incremental curation: append-mode equivalence with the batch operator.
+
+The contract under test: for append-only ids,
+
+    curate_incremental(b2, state=curate_incremental(b1)[1])
+        == curate(b1 ∪ b2)
+
+row for row — including the adversarial cases (exact dup of a stored
+doc, near-dup of a stored keeper, a bridge doc retroactively merging two
+stored clusters and repointing the losing cluster's members, exact dup
+of a near-DROPPED stored doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
+    CurationState,
+    curate_incremental,
+)
+
+W = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+BASE = " ".join(W)  # 20 distinct tokens, 18 3-shingles
+
+OTHER = (
+    "completely different subject matter entirely about spacecraft "
+    "propulsion systems and orbital mechanics calculations for deep "
+    "space missions beyond the outer planets of this solar system"
+)
+
+# A and B: one word changed in DIFFERENT spots -> J(A,B) ~ 12/24 = 0.5;
+# C changes nothing -> J(A,C) = J(B,C) ~ 15/21 = 0.714. With threshold
+# 0.6, A and B both keep on their own, and C (arriving later) bridges
+# them into one cluster — the retroactive-merge case.
+A_TXT = BASE.replace("charlie", "changed1")
+B_TXT = BASE.replace("romeo", "changed2")
+C_TXT = BASE
+
+PARAMS = dict(
+    jaccard_threshold=0.6,
+    rows_per_band=1,  # 8 bands of 1 row: candidate recall ~1 for J>=0.5
+    n_hashes=8,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _run_both(spark, corpus_rows, batch_rows, **params):
+    """(full, incremental) audit tuples for corpus -> +batch."""
+    full = curate(
+        _df(spark, corpus_rows + batch_rows), "doc_id", "text", **params
+    )
+    _, st = curate_incremental(_df(spark, corpus_rows), "doc_id", "text", **params)
+    inc, _ = curate_incremental(
+        _df(spark, batch_rows), "doc_id", "text", state=st, **params
+    )
+    return _sorted(full), _sorted(inc)
+
+
+def test_bootstrap_equals_batch_curate(spark):
+    rows = [(1, A_TXT), (2, B_TXT), (3, OTHER), (4, "tiny doc"), (5, A_TXT)]
+    full = _sorted(curate(_df(spark, rows), "doc_id", "text", **PARAMS))
+    inc, state = curate_incremental(_df(spark, rows), "doc_id", "text", **PARAMS)
+    assert _sorted(inc) == full
+    # the rep index covers exact representatives (1, 2, 3 — not the gate
+    # drop 4 or the exact dup 5)
+    assert sorted(r["doc_id"] for r in state.hashes.collect()) == [1, 2, 3]
+
+
+def test_incremental_append_adversarial_cases(spark):
+    corpus = [
+        (1, A_TXT),        # keeper, later merged under itself
+        (2, OTHER),        # keeper, untouched
+        (3, B_TXT),        # keeper, RETROACTIVELY folds when C bridges
+        (4, B_TXT.replace("alpha", "alpine")),  # near-dup of 3 -> repointed to 1
+        (5, OTHER),        # exact dup of 2
+    ]
+    batch = [
+        (11, C_TXT),       # bridge: verifies vs 1 AND 3 -> merge under 1
+        (12, OTHER),       # exact dup of stored keeper 2
+        (13, B_TXT.replace("alpha", "alpine")),  # exact dup of near-DROPPED 4
+        (14, "a completely fresh unique document about gardening with "
+             "tomatoes herbs and patient watering schedules"),
+        (15, "tiny doc"),  # gate drop
+        (16, "a completely fresh unique document about gardening with "
+             "tomatoes herbs and patient watering schedules also"),  # near-dup of 14
+    ]
+    full, inc = _run_both(spark, corpus, batch, **PARAMS)
+    assert inc == full
+
+    got = {t[0]: t for t in inc}
+    # (id, keep, drop_reason, duplicate_of, audit_flag, eval_id, frac)
+    assert got[3][1:4] == (False, "near_duplicate", 1)   # retro fold
+    assert got[4][1:4] == (False, "near_duplicate", 1)   # repointed 3 -> 1
+    assert got[11][1:4] == (False, "near_duplicate", 1)  # bridge folds too
+    assert got[12][1:4] == (False, "exact_duplicate", 2)
+    assert got[13][1:4] == (False, "exact_duplicate", 4)  # dup of a dropped rep
+    assert got[14][1] and got[16][1:4] == (False, "near_duplicate", 14)
+    assert got[1][1] and got[2][1]
+
+
+def test_incremental_state_roundtrip(spark, tmp_path):
+    corpus = [(1, A_TXT), (2, OTHER), (3, B_TXT)]
+    batch = [(11, C_TXT), (12, OTHER)]
+    _, st = curate_incremental(_df(spark, corpus), "doc_id", "text", **PARAMS)
+    st.save(str(tmp_path / "state"))
+    loaded = CurationState.load(spark, str(tmp_path / "state"))
+    inc, _ = curate_incremental(
+        _df(spark, batch), "doc_id", "text", state=loaded, **PARAMS
+    )
+    full = curate(_df(spark, corpus + batch), "doc_id", "text", **PARAMS)
+    assert _sorted(inc) == _sorted(full)
+
+
+def test_incremental_three_appends_chain(spark):
+    """Equivalence composes: three successive appends == one full run."""
+    b1 = [(1, A_TXT), (2, OTHER)]
+    b2 = [(11, B_TXT), (12, "tiny doc")]
+    b3 = [(21, C_TXT), (22, OTHER)]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **PARAMS)
+    _, st = curate_incremental(_df(spark, b2), "doc_id", "text", state=st, **PARAMS)
+    inc, _ = curate_incremental(_df(spark, b3), "doc_id", "text", state=st, **PARAMS)
+    full = curate(_df(spark, b1 + b2 + b3), "doc_id", "text", **PARAMS)
+    assert _sorted(inc) == _sorted(full)
+
+
+def test_incremental_on_driver_corpus(spark):
+    """Real-data equivalence: split the sf0.001 documents table at the
+    80th id percentile and append the tail — verdicts must match the
+    full run exactly, with default chain parameters."""
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+    docs = read(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    cutoff = docs.approxQuantile("doc_id", [0.8], 0.0)[0]
+    corpus = docs.filter(F.col("doc_id") <= cutoff)
+    batch = docs.filter(F.col("doc_id") > cutoff)
+
+    full = _sorted(curate(docs, "doc_id", "text"))
+    _, st = curate_incremental(corpus, "doc_id", "text")
+    inc, _ = curate_incremental(batch, "doc_id", "text", state=st)
+    assert _sorted(inc) == full
+
+
+def test_incremental_hot_bucket_cap_on_merged_buckets(spark):
+    """The cap sees MERGED bucket sizes, and verdicts are MONOTONE: when
+    the append pushes a previously-under-cap bucket over the cap, the
+    full re-run resurrects docs it folded earlier (its verdict depends on
+    arrival time); the incremental run keeps every drop already made,
+    flags the whole over-cap bucket as under-compared exactly like the
+    full run, and never keeps a doc the full run drops."""
+    shared = (
+        "the standard footer text appears verbatim on every single page of "
+        "this site including contact information legal disclaimers copyright "
+        "notices cookie policies and newsletter subscription prompts that "
+        "editors never remove from any article"
+    )
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def boiler(i):
+        return (i, shared + " " + " ".join(rng.choice(vocab) for _ in range(2)))
+
+    corpus = [boiler(i) for i in range(6)] + [(100, OTHER)]
+    batch = [boiler(200 + i) for i in range(6)] + [(300, OTHER + " extra")]
+    full, inc = _run_both(spark, corpus, batch, max_bucket_size=8)
+
+    f = {t[0]: t for t in full}
+    g = {t[0]: t for t in inc}
+    assert set(f) == set(g)
+    # audit flags identical: the merged bucket crossed the cap, so every
+    # boilerplate member (stored and new) is flagged in both runs
+    assert all(f[i][4] == g[i][4] for i in f)
+    flagged = {i for i in g if g[i][4]}
+    assert flagged and all(i < 100 or 200 <= i < 300 for i in flagged)
+    # monotone: incremental keeps a subset of the full run's keeps, and
+    # agrees on the drop reason wherever the full run also drops
+    for i in f:
+        if not f[i][1]:
+            assert not g[i][1] and g[i][2] == f[i][2], (i, f[i], g[i])
+    # the divergence is real in this fixture: the full run resurrects at
+    # least one doc the corpus run had already folded
+    resurrected = [i for i in f if f[i][1] and not g[i][1]]
+    assert resurrected
+    # and the untouched singleton pair still resolves identically
+    assert f[300] == g[300]
+
+    # with the cap disabled the same fixture is exactly equivalent
+    full_nc, inc_nc = _run_both(spark, corpus, batch, max_bucket_size=None)
+    assert inc_nc == full_nc

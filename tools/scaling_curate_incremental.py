@@ -1,0 +1,174 @@
+"""Incremental-vs-full curation scaling: fixed batch, growing corpus.
+
+Backs the append-mode claim (VERDICT r5 #3) with a measurement: the cost
+of curating a NEW batch into an already-curated corpus should be driven
+by the batch, not the corpus — while full re-curation grows linearly
+with the corpus.
+
+Setup per scale (reuses the deterministic scaling_curve corpora: 1x =
+5k docs, 10x = 50k docs incl. the hot boilerplate key):
+
+- the corpus is curated once and its CurationState persisted to parquet
+  (untimed bootstrap — the state a production pipeline already has);
+- a FIXED 500-doc batch (60% fresh text, 20% exact copies of corpus
+  docs, 20% near-dup variants of corpus docs) appends via
+  ``curate_incremental`` against the RELOADED state (timed);
+- the same union runs through full ``curate`` (timed);
+- the two audit frames are compared row-for-row (the correctness gate —
+  strict equality expected here: the generator cannot cross the
+  hot-bucket cap, so the documented monotone divergence never fires).
+
+Usage: python tools/scaling_curate_incremental.py [--markdown]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scaling_curve import OUT_ROOT, StageMeter, generate  # noqa: E402
+
+BATCH_DOCS = 500
+STATE_ROOT = "/tmp/sparkgraft_curate_state"
+
+
+def make_batch(spark, corpus_dir: str):
+    """Deterministic 500-doc batch with ids above the corpus frontier."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{corpus_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = tbl["text"].to_pylist()
+    max_id = max(tbl["doc_id"].to_pylist())
+    rng = np.random.default_rng(1234)
+    words = [f"tok{i:04d}" for i in range(5000)]
+
+    rows = []
+    for i in range(BATCH_DOCS):
+        doc_id = max_id + 1 + i
+        kind = i % 5
+        if kind < 3:  # fresh text
+            n = int(np.clip(rng.normal(45, 15), 10, 100))
+            rows.append((doc_id, " ".join(words[j] for j in rng.integers(0, 5000, n))))
+        elif kind == 3:  # exact copy of a corpus doc
+            rows.append((doc_id, texts[int(rng.integers(0, len(texts)))]))
+        else:  # near-dup variant of a corpus doc (2 words swapped)
+            toks = texts[int(rng.integers(0, len(texts)))].split(" ")
+            for j in rng.choice(len(toks), size=min(2, len(toks)), replace=False):
+                toks[j] = words[int(rng.integers(0, 5000))]
+            rows.append((doc_id, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def run_scale(spark, mult: int, corpus_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
+        CurationState,
+        curate_incremental,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+    corpus = read_fanned(spark, corpus_dir, "documents", by="doc_id").select(
+        "doc_id", "text"
+    )
+    batch = make_batch(spark, corpus_dir)
+    state_dir = f"{STATE_ROOT}/x{mult}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    # bootstrap (untimed): the state a production pipeline already holds
+    _, st = curate_incremental(corpus, "doc_id", "text")
+    st.save(state_dir)
+
+    meter = StageMeter(spark)
+    out: dict = {"corpus_docs": corpus.count(), "batch_docs": BATCH_DOCS}
+
+    spark.catalog.clearCache()
+    meter.delta()
+    t0 = time.time()
+    st2 = CurationState.load(spark, state_dir)
+    inc_audit, _ = curate_incremental(batch, "doc_id", "text", state=st2)
+    out["inc_rows"] = inc_audit.count()
+    out["incremental_sec"] = round(time.time() - t0, 2)
+    out["incremental_shuffle_mb"] = round(meter.delta()[0] / 1e6, 2)
+
+    spark.catalog.clearCache()
+    meter.delta()
+    t0 = time.time()
+    full_audit = curate(corpus.unionByName(batch), "doc_id", "text")
+    out["full_rows"] = full_audit.count()
+    out["full_recurate_sec"] = round(time.time() - t0, 2)
+    out["full_recurate_shuffle_mb"] = round(meter.delta()[0] / 1e6, 2)
+
+    # correctness gate: row-for-row equality of the two audit frames
+    cols = sorted(inc_audit.columns)
+
+    def audit_hash(df):
+        h = df.select(
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols],
+                ),
+                256,
+            ).alias("h")
+        )
+        return h.agg(
+            F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    hi, hf = audit_hash(inc_audit), audit_hash(full_audit)
+    out["audits_equal"] = (hi["s"] == hf["s"]) and (hi["n"] == hf["n"])
+    return out
+
+
+def main() -> None:
+    from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+
+    dirs = {}
+    for mult in (1, 10):
+        d = f"{OUT_ROOT}/x{mult}"
+        if not os.path.exists(f"{d}/documents.parquet"):
+            print(f"generating {mult}x corpus ...", file=sys.stderr)
+            generate(mult, d, hot=(mult == 10))
+        dirs[mult] = d
+
+    spark = get_spark(
+        app_name="scaling_curate_incremental", extra_conf={"spark.ui.enabled": "true"}
+    )
+    run_scale(spark, 1, dirs[1])  # warmup: JIT/codegen, not recorded
+    results = {m: run_scale(spark, m, d) for m, d in dirs.items()}
+    print(json.dumps(results, indent=2))
+    if "--markdown" in sys.argv:
+        a, b = results[1], results[10]
+        print()
+        print(
+            "| path | 1x wall s | 10x wall s | wall ratio | 1x shuffle MB | "
+            "10x shuffle MB | audits equal |"
+        )
+        print("|---|---|---|---|---|---|---|")
+        for key, label in (
+            ("incremental", "curate_incremental (500-doc batch vs stored state)"),
+            ("full_recurate", "full curate (corpus + batch)"),
+        ):
+            r = (
+                round(b[f"{key}_sec"] / a[f"{key}_sec"], 1)
+                if a[f"{key}_sec"]
+                else float("inf")
+            )
+            print(
+                f"| {label} | {a[f'{key}_sec']} | {b[f'{key}_sec']} | {r}x | "
+                f"{a[f'{key}_shuffle_mb']} | {b[f'{key}_shuffle_mb']} | "
+                f"{a['audits_equal'] and b['audits_equal']} |"
+            )
+
+
+if __name__ == "__main__":
+    main()
