@@ -182,3 +182,69 @@ def test_audio_metadata_parsers_bounded_on_corruption(kind, frac, garble):
         assert m["sample_rate"] is None or m["sample_rate"] >= 0
     except Exception:
         pass
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=655350),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300
+    ),
+    block=st.sampled_from([64, 192, 256]),
+)
+def test_flac_roundtrip_any_samples(rate, samples, block):
+    """encode_flac -> decode_real_flac is lossless for any 16-bit mono
+    stream at any block size (CONSTANT/FIXED+rice/VERBATIM subframes all
+    reachable depending on the draw)."""
+    out_rate, pcm = mm.decode_real_flac(
+        mm.encode_flac(rate, samples, block_size=block)
+    )
+    assert out_rate == rate and list(pcm) == samples
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    mode=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-32768, max_value=32767),
+            st.integers(min_value=-32768, max_value=32767),
+        ),
+        min_size=0,
+        max_size=200,
+    ),
+)
+def test_flac_stereo_assignments_roundtrip(mode, pairs):
+    """All four channel assignments reconstruct exactly; the decode
+    contract downmixes to mono (rounded mean), matching the WAV path."""
+    import numpy as np
+
+    inter = [v for p in pairs for v in p]
+    expect = [int(np.round((l + r) / 2)) for l, r in pairs]
+    out_rate, pcm = mm.decode_real_flac(
+        mm.encode_flac(44100, inter, channels=2, block_size=96, stereo_mode=mode)
+    )
+    assert out_rate == 44100 and list(pcm) == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    garble=st.integers(min_value=0, max_value=3),
+)
+def test_flac_sample_decode_bounded_on_corruption(frac, garble):
+    """Truncated/byte-flipped FLAC streams either decode or raise
+    promptly — the sample decoder's walks all strictly advance."""
+    blob = mm.encode_flac(
+        8000, [int(1000 * ((i * 37) % 13 - 6)) for i in range(600)], block_size=192
+    )
+    cut = blob[: max(1, int(len(blob) * frac))]
+    if garble and len(cut) > garble * 7:
+        b = bytearray(cut)
+        for g in range(garble):
+            b[(g * 7919) % len(b)] ^= 0xFF
+        cut = bytes(b)
+    try:
+        rate, pcm = mm.decode_real_flac(cut)
+        assert rate > 0 and len(pcm) >= 0
+    except Exception:
+        pass

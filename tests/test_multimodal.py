@@ -203,6 +203,27 @@ def test_real_wav_roundtrip_and_features(spark):
     assert abs(f["rms"] - expected_rms) < 1e-9
 
 
+def test_real_flac_decode_and_features(spark):
+    """FLAC payloads now decode to real samples (rice-coded subframes),
+    so the feature extractor returns true waveform stats for the most
+    common lossless format — not a container-metadata stub."""
+    import math
+
+    samples = [0, 1000, -1000, 1000, -1000, 0, 500, -500] * 40
+    flac = mm.encode_flac(8000, samples, block_size=64)
+    rate, pcm = mm.decode_real_flac(flac)
+    assert rate == 8000 and list(pcm) == samples
+
+    df = spark.createDataFrame([(41, "audio", flac, None)], mm.MEDIA_SCHEMA)
+    f = mm.extract_audio_features(df).collect()[0]
+    assert f["n_samples"] == len(samples) and f["peak"] == 1000
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(f["rms"] - expected_rms) < 1e-9
+    # and the inventory pass still reads only STREAMINFO
+    m = mm.audio_container_metadata(df).collect()[0]
+    assert m["container"] == "flac" and m["n_samples"] == len(samples)
+
+
 def test_real_y4m_video_roundtrip_and_sampling(spark):
     """Real YUV4MPEG2 payloads decode and flow through frame sampling
     exactly like SYNTH ones — same sampled indices, same luma features."""

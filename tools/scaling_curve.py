@@ -52,21 +52,47 @@ def generate(mult: int, outdir: str, hot: bool) -> None:
     texts: list[str] = []
     n_hot = int(n_docs * HOT_FRACTION) if hot else 0
     boilerplate = " ".join(words[rng.choice(VOCAB, size=40, p=w)])
-    for i in range(n_docs):
-        if i < n_hot:
-            texts.append(boilerplate)  # byte-identical: the hot LSH key
-            continue
-        n_tok = int(np.clip(rng.normal(45, 15), 10, 100))
-        toks = words[rng.choice(VOCAB, size=n_tok, p=w)]
-        if i % 10 == 9 and i > n_hot:  # 10% near-dup variants of the previous doc
-            base = texts[-1].split(" ")
-            k = max(1, len(base) // 20)
-            idx = rng.choice(len(base), size=k, replace=False)
-            for j in idx:
-                base[j] = words[rng.choice(VOCAB, p=w)]
-            texts.append(" ".join(base))
-        else:
-            texts.append(" ".join(toks))
+    if mult >= 100:
+        # vectorized draw for the 100x (500k-doc) corpus: one pooled
+        # rng.choice instead of one per doc (the per-doc loop costs ~8
+        # minutes at this size). Same statistical shape as the loop
+        # below (zipf vocab, ~45 tokens/doc, 10% near-dup variants, hot
+        # boilerplate block), not the same byte stream — the 1x/10x
+        # corpora keep the original generator so earlier measured rows
+        # stay reproducible.
+        n_tok = np.clip(rng.normal(45, 15, size=n_docs), 10, 100).astype(np.int64)
+        pool = rng.choice(VOCAB, size=int(n_tok.sum()), p=w)
+        ends = np.cumsum(n_tok)
+        starts = ends - n_tok
+        for i in range(n_docs):
+            if i < n_hot:
+                texts.append(boilerplate)
+                continue
+            if i % 10 == 9 and i > n_hot:
+                base = texts[-1].split(" ")
+                k = max(1, len(base) // 20)
+                idx = rng.choice(len(base), size=k, replace=False)
+                for j in idx:
+                    base[j] = words[int(rng.integers(0, VOCAB))]
+                texts.append(" ".join(base))
+            else:
+                texts.append(" ".join(words[pool[starts[i] : ends[i]]]))
+    else:
+        for i in range(n_docs):
+            if i < n_hot:
+                texts.append(boilerplate)  # byte-identical: the hot LSH key
+                continue
+            n_tok = int(np.clip(rng.normal(45, 15), 10, 100))
+            toks = words[rng.choice(VOCAB, size=n_tok, p=w)]
+            if i % 10 == 9 and i > n_hot:  # 10% near-dup variants of the previous doc
+                base = texts[-1].split(" ")
+                k = max(1, len(base) // 20)
+                idx = rng.choice(len(base), size=k, replace=False)
+                for j in idx:
+                    base[j] = words[rng.choice(VOCAB, p=w)]
+                texts.append(" ".join(base))
+            else:
+                texts.append(" ".join(toks))
     docs = pa.table(
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),
@@ -252,12 +278,16 @@ def run_interleaved(spark, dirs: dict[int, str], n_pairs: int = 3) -> dict[int, 
 def main() -> None:
     from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 
+    mults = (1, 10)
+    for i, arg in enumerate(sys.argv):
+        if arg == "--mults" and i + 1 < len(sys.argv):
+            mults = tuple(int(m) for m in sys.argv[i + 1].split(","))
     dirs = {}
-    for mult in (1, 10):
+    for mult in mults:
         d = f"{OUT_ROOT}/x{mult}"
         if not os.path.exists(f"{d}/embeddings.parquet"):
             print(f"generating {mult}x corpus ...", file=sys.stderr)
-            generate(mult, d, hot=(mult == 10))
+            generate(mult, d, hot=(mult >= 10))
         dirs[mult] = d
 
     spark = get_spark(app_name="scaling_curve", extra_conf={"spark.ui.enabled": "true"})
@@ -268,25 +298,30 @@ def main() -> None:
 
     print(json.dumps(results, indent=2))
     if "--markdown" in sys.argv:
+        ms = sorted(results)
         print()
-        print(
-            "| stage | 1x wall s | 10x wall s | wall ratio | 1x shuffle MB | "
-            "10x shuffle MB | shuffle ratio | 1x rows | 10x rows |"
-        )
-        print("|---|---|---|---|---|---|---|---|---|")
-        for name in results[1]:
-            a, b = results[1][name], results[10][name]
-            w_r = round(b["sec"] / a["sec"], 1) if a["sec"] else float("inf")
-            sh_r = (
-                round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1)
-                if a["shuffle_write_mb"]
-                else float("inf")
-            )
-            print(
-                f"| {name} | {a['sec']} | {b['sec']} | {w_r}x | "
-                f"{a['shuffle_write_mb']} | {b['shuffle_write_mb']} | {sh_r}x | "
-                f"{a['rows']} | {b['rows']} |"
-            )
+        hdr = ["stage"]
+        for m in ms:
+            hdr += [f"{m}x wall s", f"{m}x shuffle MB", f"{m}x rows"]
+        for lo, hi in zip(ms, ms[1:]):
+            hdr += [f"{lo}->{hi}x wall", f"{lo}->{hi}x shuffle"]
+        print("| " + " | ".join(hdr) + " |")
+        print("|" + "---|" * len(hdr))
+        for name in results[ms[0]]:
+            row = [name]
+            for m in ms:
+                r = results[m][name]
+                row += [str(r["sec"]), str(r["shuffle_write_mb"]), str(r["rows"])]
+            for lo, hi in zip(ms, ms[1:]):
+                a, b = results[lo][name], results[hi][name]
+                w_r = round(b["sec"] / a["sec"], 1) if a["sec"] else float("inf")
+                sh_r = (
+                    round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1)
+                    if a["shuffle_write_mb"]
+                    else float("inf")
+                )
+                row += [f"{w_r}x", f"{sh_r}x"]
+            print("| " + " | ".join(row) + " |")
 
 
 if __name__ == "__main__":

@@ -1456,6 +1456,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     if raw[:4] == b"RIFF":
                         rate, pcm16 = decode_real_audio(raw)
                         pcm = pcm16.astype(np.float64)
+                    elif raw[:4] == _FLAC_MAGIC:
+                        rate, pcm16 = decode_real_flac(raw)
+                        pcm = pcm16.astype(np.float64)
                     else:
                         rate = struct.unpack(">I", raw[:4])[0]
                         if rate <= 0 or len(raw[4:]) % 2:
@@ -1592,6 +1595,426 @@ def parse_flac_metadata(content: bytes) -> dict:
     }
 
 
+# -- FLAC sample decode (stdlib-only) -----------------------------------
+#
+# The one compressed audio format whose entropy layer is stdlib-feasible:
+# rice-coded prediction residuals, no transform. This closes the "parse
+# the container, stub the samples" gap for the dominant lossless format:
+# decode_real_flac returns actual PCM (same (rate, int16 mono) contract
+# as decode_real_audio), covering every subframe type the spec defines —
+# CONSTANT, VERBATIM, FIXED orders 0-4, LPC any order — rice partitions
+# (both 4- and 5-bit parameter widths, escape-to-raw partitions), wasted
+# bits, and all four channel assignments (independent, left/side,
+# right/side, mid/side). CRCs are not verified (inventory decode, not
+# playback); every parse loop strictly advances, so truncated or
+# corrupted bytes raise instead of hanging (fuzz-pinned).
+
+
+class _FlacBitReader:
+    """Plain MSB-first bit reader (no byte stuffing — that's JPEG's)."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw, self.pos, self.acc, self.n = raw, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self.raw[self.pos]  # IndexError at EOF -> caller's
+            self.pos += 1  # per-cell handler; never an infinite loop
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sbits(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if k and v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+
+
+_FLAC_SR_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _flac_coded_number(r: "_FlacBitReader") -> int:
+    """The UTF-8-style frame/sample number (up to 36 bits, 7 bytes)."""
+    b0 = r.bits(8)
+    if b0 < 0x80:
+        return b0
+    n_follow = 0
+    mask = 0x40
+    while b0 & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise NotImplementedError("FLAC: invalid coded number")
+    v = b0 & (mask - 1)
+    for _ in range(n_follow):
+        c = r.bits(8)
+        if (c & 0xC0) != 0x80:
+            raise NotImplementedError("FLAC: invalid coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residuals(r: "_FlacBitReader", blocksize: int, order: int) -> list[int]:
+    method = r.bits(2)
+    if method > 1:
+        raise NotImplementedError("FLAC: reserved residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = r.bits(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        raise NotImplementedError("FLAC: partition order does not divide blocksize")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise NotImplementedError("FLAC: predictor order exceeds first partition")
+        param = r.bits(pbits)
+        if param == escape:
+            w = r.bits(5)
+            out.extend(r.sbits(w) if w else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.unary()
+                u = (q << param) | r.bits(param)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_subframe(r: "_FlacBitReader", blocksize: int, bps: int) -> list[int]:
+    if r.bit() != 0:
+        raise NotImplementedError("FLAC: subframe padding bit set")
+    t = r.bits(6)
+    wasted = 0
+    if r.bit():
+        wasted = 1 + r.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise NotImplementedError("FLAC: wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        out = [r.sbits(eff)] * blocksize
+    elif t == 1:  # VERBATIM
+        out = [r.sbits(eff) for _ in range(blocksize)]
+    elif 8 <= t <= 12:  # FIXED, order t-8
+        order = t - 8
+        out = [r.sbits(eff) for _ in range(order)]
+        coefs = _FLAC_FIXED_COEFS[order]
+        for res in _flac_residuals(r, blocksize, order):
+            out.append(res + sum(c * out[-1 - j] for j, c in enumerate(coefs)))
+    elif t >= 32:  # LPC, order t-31
+        order = t - 31
+        out = [r.sbits(eff) for _ in range(order)]
+        prec = r.bits(4) + 1
+        if prec == 16:
+            raise NotImplementedError("FLAC: invalid LPC precision escape")
+        shift = r.sbits(5)
+        if shift < 0:
+            raise NotImplementedError("FLAC: negative LPC shift")
+        coefs = [r.sbits(prec) for _ in range(order)]
+        for res in _flac_residuals(r, blocksize, order):
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(res + pred)
+    else:
+        raise NotImplementedError("FLAC: reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_real_flac(content: bytes):
+    """REAL FLAC sample decode: (rate, int16 mono) — same contract as
+    decode_real_audio (multichannel averages to mono). 16-bit streams
+    only; raises NotImplementedError on foreign/truncated bytes."""
+    import numpy as np
+
+    raw = bytes(content)
+    info = parse_flac_metadata(raw)  # validates magic + STREAMINFO
+    if info["bits_per_sample"] != 16:
+        raise NotImplementedError("FLAC subset: 16-bit streams only")
+    rate, n_ch = info["sample_rate"], info["channels"]
+
+    # walk the metadata blocks to the first audio frame
+    pos = 4
+    while True:
+        if pos + 4 > len(raw):
+            raise NotImplementedError("FLAC: truncated metadata")
+        last = raw[pos] & 0x80
+        block_len = int.from_bytes(raw[pos + 1 : pos + 4], "big")
+        pos += 4 + block_len
+        if last:
+            break
+
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    while pos < len(raw):
+        if pos + 2 > len(raw):
+            raise NotImplementedError("FLAC: trailing bytes are not a frame")
+        if raw[pos] != 0xFF or (raw[pos + 1] & 0xFC) != 0xF8:
+            raise NotImplementedError("FLAC: lost frame sync")
+        r = _FlacBitReader(raw, pos)
+        r.bits(16)  # sync + reserved + blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        chan_code = r.bits(4)
+        size_code = r.bits(3)
+        r.bit()  # reserved
+        _flac_coded_number(r)
+        if bs_code == 0:
+            raise NotImplementedError("FLAC: reserved block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = r.bits(8) + 1
+        elif bs_code == 7:
+            blocksize = r.bits(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            r.bits(8)
+        elif sr_code in (13, 14):
+            r.bits(16)
+        elif sr_code == 15:
+            raise NotImplementedError("FLAC: invalid sample rate code")
+        if size_code == 0:
+            bps = 16  # from STREAMINFO (validated above)
+        else:
+            bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(size_code)
+            if bps is None:
+                raise NotImplementedError("FLAC: reserved sample size code")
+            if bps != 16:
+                raise NotImplementedError("FLAC subset: 16-bit streams only")
+        r.bits(8)  # header CRC-8 (unverified)
+
+        if chan_code < 8:
+            if chan_code + 1 != n_ch:
+                raise NotImplementedError("FLAC: channel count mismatch")
+            subs = [_flac_subframe(r, blocksize, bps) for _ in range(n_ch)]
+        elif chan_code in (8, 9, 10):
+            if n_ch != 2:
+                raise NotImplementedError("FLAC: stereo assignment on non-stereo stream")
+            # the SIDE channel carries one extra bit
+            bps_a = bps + (1 if chan_code == 9 else 0)
+            bps_b = bps + (1 if chan_code in (8, 10) else 0)
+            a = _flac_subframe(r, blocksize, bps_a)
+            b = _flac_subframe(r, blocksize, bps_b)
+            if chan_code == 8:  # left/side: R = L - side
+                subs = [a, [x - s for x, s in zip(a, b)]]
+            elif chan_code == 9:  # right/side: L = R + side
+                subs = [[x + s for x, s in zip(b, a)], b]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(a, b):
+                    mm = (m << 1) | (s & 1)
+                    left.append((mm + s) >> 1)
+                    right.append((mm - s) >> 1)
+                subs = [left, right]
+        else:
+            raise NotImplementedError("FLAC: reserved channel assignment")
+        r.align()
+        r.pos += 2  # frame CRC-16 (unverified)
+        if r.pos <= pos:
+            raise NotImplementedError("FLAC: frame did not advance")
+        pos = r.pos
+        for c in range(n_ch):
+            chans[c].extend(subs[c])
+
+    total = info["n_samples"]
+    if total and any(len(c) < total for c in chans):
+        raise NotImplementedError("FLAC: stream shorter than STREAMINFO declares")
+    pcm = np.array([c[:total] if total else c for c in chans], dtype=np.int64)
+    if n_ch > 1:
+        pcm = pcm.mean(axis=0).round()
+    else:
+        pcm = pcm[0]
+    return rate, pcm.astype(np.int16)
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc, self.n = 0, 0
+
+    def add(self, value: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def add_signed(self, value: int, k: int) -> None:
+        self.add(value & ((1 << k) - 1), k)
+
+    def align(self) -> None:
+        if self.n:
+            self.add(0, 8 - self.n)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _rice_cost(residuals: list[int], param: int) -> int:
+    cost = 0
+    for v in residuals:
+        u = (v << 1) ^ (v >> 63)
+        cost += (u >> param) + 1 + param
+    return cost
+
+
+def _encode_subframe(w: "_FlacBitWriter", samples: list[int], bps: int) -> None:
+    n = len(samples)
+    if all(s == samples[0] for s in samples):
+        w.add(0, 1); w.add(0, 6); w.add(0, 1)  # CONSTANT
+        w.add_signed(samples[0], bps)
+        return
+    # best fixed order 0-2 by absolute residual sum, vs verbatim
+    best = None
+    for order in range(3):
+        if n <= order:
+            break
+        res = list(samples[:order])
+        coefs = _FLAC_FIXED_COEFS[order]
+        resid = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        param = min(range(15), key=lambda p: _rice_cost(resid, p))
+        cost = order * bps + 2 + 4 + 4 + _rice_cost(resid, param)
+        if best is None or cost < best[0]:
+            best = (cost, order, resid, param)
+    if best is None or best[0] >= n * bps:
+        w.add(0, 1); w.add(1, 6); w.add(0, 1)  # VERBATIM
+        for s in samples:
+            w.add_signed(s, bps)
+        return
+    _, order, resid, param = best
+    w.add(0, 1); w.add(8 + order, 6); w.add(0, 1)  # FIXED
+    for s in samples[:order]:
+        w.add_signed(s, bps)
+    w.add(0, 2)  # rice method 0 (4-bit params)
+    w.add(0, 4)  # partition order 0
+    w.add(param, 4)
+    for v in resid:
+        u = (v << 1) ^ (v >> 63)
+        w.add(0, u >> param)
+        w.add(1, 1)
+        w.add(u & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    sample_rate: int,
+    samples: list[int],
+    channels: int = 1,
+    *,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Real FLAC encoder (16-bit): STREAMINFO + audio frames with valid
+    CRCs. Subframes pick CONSTANT / FIXED(0-2)+rice / VERBATIM per block;
+    ``stereo_mode`` ∈ {independent, left_side, right_side, mid_side}
+    exercises every channel-assignment reconstruction in the decoder.
+    ``samples`` is interleaved when channels > 1 (like encode_wav)."""
+    if len(samples) % max(channels, 1):
+        raise ValueError("interleaved sample count must divide by channels")
+    n_frames_total = len(samples) // channels
+    head = encode_minimal_flac(sample_rate, channels, 16, n_frames_total)
+    # deinterleave
+    chans = [list(samples[c::channels]) for c in range(channels)]
+    out = bytearray(head)
+    frame_idx = 0
+    for start in range(0, n_frames_total, block_size):
+        blk = [c[start : start + block_size] for c in chans]
+        bs = len(blk[0])
+        w = _FlacBitWriter()
+        w.add(0b1111_1111_1111_10, 14)  # sync
+        w.add(0, 1)  # reserved
+        w.add(0, 1)  # fixed-blocksize stream
+        w.add(7, 4)  # blocksize: 16-bit at end of header
+        w.add(0, 4)  # sample rate: from STREAMINFO
+        if channels == 2 and stereo_mode != "independent":
+            code = {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo_mode]
+        elif channels == 2 and stereo_mode == "independent":
+            code = 1
+        elif stereo_mode != "independent":
+            raise ValueError("stereo_mode requires channels=2")
+        else:
+            code = channels - 1
+        w.add(code, 4)
+        w.add(4, 3)  # sample size: 16-bit
+        w.add(0, 1)  # reserved
+        # coded frame number (frame_idx < 2^31 fits the UTF-8 scheme)
+        i = frame_idx
+        if i < 0x80:
+            w.add(i, 8)
+        elif i < 0x800:
+            w.add(0xC0 | (i >> 6), 8)
+            w.add(0x80 | (i & 0x3F), 8)
+        else:
+            raise ValueError("encode_flac fixture: too many frames")
+        w.add(bs - 1, 16)
+        w.align()
+        header = bytes(w.buf)
+        w.add(_crc8(header), 8)
+        if code == 8:  # left/side
+            side = [l - r for l, r in zip(blk[0], blk[1])]
+            _encode_subframe(w, blk[0], 16)
+            _encode_subframe(w, side, 17)
+        elif code == 9:  # right/side
+            side = [l - r for l, r in zip(blk[0], blk[1])]
+            _encode_subframe(w, side, 17)
+            _encode_subframe(w, blk[1], 16)
+        elif code == 10:  # mid/side
+            mid = [(l + r) >> 1 for l, r in zip(blk[0], blk[1])]
+            side = [l - r for l, r in zip(blk[0], blk[1])]
+            _encode_subframe(w, mid, 16)
+            _encode_subframe(w, side, 17)
+        else:
+            for c in range(channels):
+                _encode_subframe(w, blk[c], 16)
+        w.align()
+        frame = bytes(w.buf)
+        w.add(_crc16_flac(frame), 16)
+        out += bytes(w.buf)
+        frame_idx += 1
+    return bytes(out)
+
+
 _MP3_BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 _MP3_BITRATES_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 _MP3_RATES_V1 = (44100, 48000, 32000)
@@ -1725,9 +2148,11 @@ AUDIO_METADATA_SCHEMA = (
 
 
 def audio_container_metadata(media: DataFrame) -> DataFrame:
-    """Format-sniffed container metadata for every audio payload — WAV and
-    SYNTH decode fully; FLAC/MP3/OGG parse header structure only (codec-
-    level decode is the marked stub). Mirrors video_container_metadata:
+    """Format-sniffed container metadata for every audio payload — WAV,
+    SYNTH and FLAC decode fully (FLAC samples via decode_real_flac;
+    this inventory pass reads only its STREAMINFO); MP3/OGG parse header
+    structure only (codec-level decode of transform codecs is the marked
+    stub). Mirrors video_container_metadata:
     one row per payload, unknown formats audit as 'unknown', malformed
     magic-matching bytes never fail the shard."""
 
