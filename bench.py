@@ -32,6 +32,7 @@ HEADLINE = [
     "daily_orders_with_top_customer",
     "token_explode_counts",
     "exact_dedup_documents",
+    "benchmark_decontam",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "lsh_verified_near_dups",

@@ -481,3 +481,71 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.positional_fingerprints(read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DECONTAM_K = 5  # the ~45-token driver docs need a sub-13 gram to overlap
+
+
+@register(
+    "benchmark_decontam",
+    f"""
+    WITH normed AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toksrc AS (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS toks
+      FROM normed
+    ),
+    grams AS (
+      SELECT doc_id, concat_ws(' ', token, l1, l2, l3, l4) AS gram
+      FROM (
+        SELECT doc_id, token,
+               lead(token, 1) OVER w AS l1, lead(token, 2) OVER w AS l2,
+               lead(token, 3) OVER w AS l3, lead(token, 4) OVER w AS l4
+        FROM (SELECT doc_id, unnest(toks) AS token,
+                     generate_subscripts(toks, 1) AS ord
+              FROM toksrc)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE l4 IS NOT NULL
+    ),
+    tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0),
+    eg AS (SELECT gram, MIN(doc_id) AS eval_id
+           FROM grams WHERE doc_id % 20 = 0 GROUP BY gram),
+    agg AS (
+      SELECT d.doc_id,
+             COUNT(tg.gram) AS n_grams,
+             COUNT(eg.eval_id) AS n_hit_grams,
+             MIN(eg.eval_id) AS matched_eval_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN tg ON tg.doc_id = d.doc_id
+      LEFT JOIN eg ON eg.gram = tg.gram
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit_grams,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_hit_grams AS DOUBLE) / n_grams END AS contamination_frac,
+           matched_eval_id,
+           n_hit_grams >= 1 AS is_contaminated
+    FROM agg
+    """,
+    doc=(
+        "Benchmark decontamination (GPT-3/PaLM k-gram rule) as a registered, "
+        "oracled query: every 20th doc plays the eval suite, the rest are "
+        "training docs; one row per training doc with distinct-gram counts, "
+        "hit counts, contamination fraction, and the min-id eval doc matched. "
+        "The Spark side broadcasts the eval grams (hashed to 8-byte xxhash64) "
+        "so the training scan never shuffles for the join; the oracle compares "
+        "grams as strings — equality agrees up to a 2^-64 hash collision, "
+        "which would only ever OVER-flag."
+    ),
+)
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
+
+    docs = read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, ev, "doc_id", "text", k=DECONTAM_K)
