@@ -39,7 +39,6 @@ HEADLINE = [
     "doc_quality_scores",
     "doc_fingerprints",
     "embedding_topk_cosine",
-    "embedding_lsh_buckets",
     "embedding_bucket_ann",
     "embedding_ivf_ann",
     "simhash_fingerprints",

@@ -279,18 +279,11 @@ def _neardup_components_sql() -> str:
     """
 
 
-@register(
-    "neardup_components",
-    _neardup_components_sql(),
-    doc=(
-        "Near-duplicate CLUSTERS: connected components over the verified "
-        "near-dup pairs via iterative min-label propagation (component = "
-        "min reachable doc_id — the canonical keeper id per cluster). The "
-        "last step of a 100 TB dedup pipeline: candidates -> verified "
-        "pairs -> clusters -> keep one doc per cluster. Oracle is a "
-        "recursive CTE over the same pairs."
-    ),
-)
+# NOTE: formerly registered as the oracled query "neardup_components";
+# consolidated into dedup_keepers (round 6) to stay inside the driver's
+# 50-row CORRECTNESS budget — dedup_keepers wraps this exact frame (same
+# verified pairs, same recursive-CTE oracle) and adds the keep decision,
+# so the connected-components operator stays fully oracled through it.
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
 
@@ -549,3 +542,126 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 20 != 0)
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     return decontaminate(train, ev, "doc_id", "text", k=DECONTAM_K)
+
+
+def _curate_oracle_sql() -> str:
+    """DuckDB mirror of operators.curation.curate()'s default chain:
+    quality gate -> exact dedup on canonical text -> LSH near-dup over the
+    SAME canonical text of the exact representatives -> recursive-CTE
+    components -> audit assembly with stage precedence. The hot-bucket
+    cap (1024) cannot fire on the driver corpora (<= 500 reps), so the
+    audit flag is constant FALSE on both sides; no eval set is given, so
+    the decontamination audit columns are typed NULLs."""
+    sig = _minhash_sql_cols()
+    bands = N_MINHASH // 2
+    band_cols = ", ".join(
+        f"sha256(concat_ws('|', mh{2 * b}, mh{2 * b + 1})) AS band{b}" for b in range(bands)
+    )
+    unions = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, len(tokens) AS n_tokens,
+             CAST(len(list_filter(tokens, x -> x IN {STOPWORDS})) AS DOUBLE)
+               / NULLIF(len(tokens), 0) AS stopword_ratio,
+             CAST(len(list_distinct(tokens)) AS DOUBLE)
+               / NULLIF(len(tokens), 0) AS distinct_ratio
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+            FROM documents)
+    ),
+    lowq AS (
+      SELECT doc_id FROM q
+      WHERE n_tokens < 5 OR stopword_ratio > 0.9 OR distinct_ratio < 0.1
+    ),
+    normed AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lowq)
+    ),
+    hashed AS (SELECT doc_id, sha256(ntext) AS h FROM normed),
+    hkeep AS (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h),
+    exact_map AS (SELECT hashed.doc_id, keeper FROM hashed JOIN hkeep USING (h)),
+    rt AS (
+      SELECT n.doc_id, list_filter(string_split(n.ntext, ' '), x -> x <> '') AS toks
+      FROM normed n JOIN exact_map m ON m.doc_id = n.doc_id AND m.doc_id = m.keeper
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               concat_ws(' ', token, lead(token, 1) OVER w, lead(token, 2) OVER w) AS shingle,
+               lead(token, 2) OVER w AS t2
+        FROM (SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+              FROM rt)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      ) WHERE t2 IS NOT NULL
+    ),
+    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sig AS (SELECT doc_id, {sig} FROM sh GROUP BY doc_id),
+    banded AS (SELECT doc_id, {band_cols} FROM sig),
+    cand AS (
+{unions}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ds a ON a.doc_id = c.doc_a
+      JOIN ds b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    nodes AS (SELECT doc_a AS node FROM pairs UNION SELECT doc_b FROM pairs),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    neard AS (SELECT node AS doc_id, component FROM comp WHERE node <> component),
+    exd AS (SELECT doc_id, keeper FROM exact_map WHERE doc_id <> keeper)
+    SELECT d.doc_id,
+           (l.doc_id IS NULL AND e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+           CASE WHEN l.doc_id IS NOT NULL THEN 'low_quality'
+                WHEN e.doc_id IS NOT NULL THEN 'exact_duplicate'
+                WHEN n.doc_id IS NOT NULL THEN 'near_duplicate' END AS drop_reason,
+           CASE WHEN l.doc_id IS NOT NULL THEN NULL
+                WHEN e.doc_id IS NOT NULL THEN e.keeper
+                WHEN n.doc_id IS NOT NULL THEN n.component END AS duplicate_of,
+           FALSE AS near_dup_audit_incomplete,
+           CAST(NULL AS VARCHAR) AS matched_eval_id,
+           CAST(NULL AS DOUBLE) AS contamination_frac
+    FROM documents d
+    LEFT JOIN lowq l ON l.doc_id = d.doc_id
+    LEFT JOIN exd e ON e.doc_id = d.doc_id
+    LEFT JOIN neard n ON n.doc_id = d.doc_id
+    """
+
+
+@register(
+    "curate_audit",
+    _curate_oracle_sql(),
+    doc=(
+        "The flagship one-call curation chain as an oracled query: "
+        "operators.curation.curate() with default parameters over the "
+        "documents table — quality gate, exact dedup on canonical text, "
+        "LSH near-dup over the representatives' canonical text, connected "
+        "components, and the per-doc audit frame (keep, drop_reason, "
+        "duplicate_of + audit columns), hash-matched against a DuckDB "
+        "mirror that rebuilds the whole chain in SQL (recursive CTE for "
+        "the components)."
+    ),
+)
+def curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+
+    return curate(read(spark, sf_dir, "documents"), "doc_id", "text")

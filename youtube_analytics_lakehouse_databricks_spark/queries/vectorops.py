@@ -241,19 +241,11 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_lsh_buckets",
-    f"""
-    SELECT vec_id, label,
-           {" || ".join(_srp_bits_duckdb(p) for p in range(N_PLANES))} AS bucket
-    FROM embeddings
-    """,
-    doc=(
-        "Sign-random-projection LSH bucketing: deterministic sha-derived ±1 "
-        "hyperplanes -> bit signature bucket key. The scale path for ANN: "
-        "candidate retrieval becomes an equi-join on bucket."
-    ),
-)
+# NOTE: formerly registered as the oracled query "embedding_lsh_buckets";
+# consolidated into embedding_bucket_ann (round 6) to stay inside the
+# driver's 50-row CORRECTNESS budget — bucket_ann derives the identical
+# SRP bucket keys inside its oracled plan, so the bucketing operator
+# stays fully oracled through it.
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
     bits = [F.expr(_srp_bits_spark(p)) for p in range(N_PLANES)]
