@@ -1,0 +1,105 @@
+"""Streaming curation: file stream -> foreachBatch incremental curate.
+
+The gate: after draining N landing files (N micro-batches), the
+latest-wins view of the append-only audit log equals ``curate()`` run
+once over every doc ever streamed — including a retroactive fold where
+a later batch's doc bridges two earlier keepers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import (
+    curated_ingest_stream,
+    current_audit,
+)
+
+from tests.test_curation_incremental import A_TXT, B_TXT, C_TXT, OTHER, PARAMS
+
+
+def _write_landing(path: str, name: str, rows: list[tuple[int, str]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{name}", "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _drain(spark, landing, dirs, **params):
+    q = curated_ingest_stream(
+        spark,
+        landing,
+        state_dir=dirs["state"],
+        audit_dir=dirs["audit"],
+        checkpoint_dir=dirs["ckpt"],
+        available_now=True,
+        **params,
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+def test_streamed_curation_equals_batch_curate(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    dirs = {
+        "state": str(tmp_path / "state"),
+        "audit": str(tmp_path / "audit"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    b1 = [(1, A_TXT), (2, OTHER), (3, B_TXT), (4, "tiny doc")]
+    b2 = [(11, OTHER), (12, "a fresh unique doc about gardening with tomatoes "
+                            "herbs and patient watering schedules")]
+    b3 = [(21, C_TXT)]  # bridges keepers 1 and 3 -> retro fold of 3
+
+    # three drains, one landing file each: three separate micro-batches
+    all_rows: list[tuple[int, str]] = []
+    for i, rows in enumerate((b1, b2, b3)):
+        _write_landing(landing, f"batch{i}.json", rows)
+        _drain(spark, landing, dirs, **PARAMS)
+        all_rows += rows
+
+    got = sorted(map(tuple, current_audit(spark, dirs["audit"]).collect()))
+    full = sorted(
+        map(
+            tuple,
+            curate(
+                spark.createDataFrame(all_rows, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                **PARAMS,
+            ).collect(),
+        )
+    )
+    assert got == full
+
+    # the log is history, not just state: doc 3 shows BOTH decisions —
+    # kept when it arrived, retro-folded when the bridge doc landed
+    log = spark.read.parquet(dirs["audit"]).filter("doc_id = 3").collect()
+    verdicts = {r["batch_id"]: (r["keep"], r["drop_reason"]) for r in log}
+    assert len(verdicts) == 2
+    assert (True, None) in verdicts.values()
+    assert (False, "near_duplicate") in verdicts.values()
+
+
+def test_streamed_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id (what Structured Streaming does after an
+    unacknowledged crash) must not duplicate audit rows."""
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import (
+        ingest_curated_batch,
+    )
+
+    dirs = {"state": str(tmp_path / "state"), "audit": str(tmp_path / "audit")}
+    b1 = spark.createDataFrame([(1, A_TXT), (2, OTHER)], "doc_id long, text string")
+    ingest_curated_batch(
+        b1, 0, "doc_id", "text", state_dir=dirs["state"], audit_dir=dirs["audit"], **PARAMS
+    )
+    before = sorted(map(tuple, spark.read.parquet(dirs["audit"]).collect()))
+    # replay the same batch id with the same docs
+    ingest_curated_batch(
+        b1, 0, "doc_id", "text", state_dir=dirs["state"], audit_dir=dirs["audit"], **PARAMS
+    )
+    after = sorted(map(tuple, spark.read.parquet(dirs["audit"]).collect()))
+    assert after == before

@@ -112,8 +112,22 @@ class CurationState:
         self.banded = banded
 
     def save(self, path: str) -> None:
+        """Write-to-temp then rename: an appended state's frames READ the
+        previous state's files (stored ∪ new lineage), so overwriting in
+        place would delete inputs mid-scan; the rename also means a crash
+        mid-save leaves the previous state intact. Local/NFS paths only —
+        on a lakehouse these four frames are Delta tables and the swap is
+        a transaction."""
+        import os
+        import shutil
+
         for name in self.FRAMES:
-            getattr(self, name).write.mode("overwrite").parquet(f"{path}/{name}")
+            getattr(self, name).write.mode("overwrite").parquet(
+                f"{path}/.{name}.staged"
+            )
+        for name in self.FRAMES:
+            shutil.rmtree(f"{path}/{name}", ignore_errors=True)
+            os.rename(f"{path}/.{name}.staged", f"{path}/{name}")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":

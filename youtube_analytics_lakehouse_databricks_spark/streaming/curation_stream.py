@@ -1,0 +1,195 @@
+"""Streaming corpus curation: readStream -> foreachBatch incremental
+curate -> append-only audit log + persisted CurationState.
+
+The production shape for a corpus that ARRIVES as a stream (crawl
+landing directory, Kafka topic): each micro-batch of (id, text) docs is
+curated against everything already ingested via
+``operators.curation_incremental.curate_incremental`` — per-batch cost
+proportional to the batch (measured in COVERAGE.md), exact-duplicate and
+near-duplicate detection against the FULL history, retroactive folds of
+earlier keepers when a batch doc bridges their clusters.
+
+Wiring choices, and why:
+
+- ``foreachBatch``, not a stateful operator: the curation state (rep
+  hashes, shingle sets, band keys) is relational and queryable — it
+  belongs in lakehouse tables a human can inspect, not in opaque
+  per-executor state-store files. foreachBatch is the standard Spark
+  idiom for stream-to-batch composition with exactly this shape (the
+  same choice streaming/incremental.py makes for the medallion merge).
+- The audit is an APPEND-ONLY delta log: each micro-batch appends one
+  row per batch doc plus one row per retro-affected stored doc, stamped
+  with the batch id. The CURRENT verdict of any doc is its latest row
+  (latest-wins over batch_id) — the same reconciliation contract as the
+  engine's latest-wins silver tables, and an audit HISTORY for free: a
+  doc that was kept in batch 3 and retro-folded in batch 7 shows both
+  decisions. ``current_audit`` resolves the latest view.
+- State persists to ``state_dir`` between micro-batches (parquet per
+  frame; a temp directory plus atomic rename would harden a production
+  deployment against mid-write failure — on a lakehouse these four
+  frames are Delta tables and the swap is a transaction).
+- Batches MUST carry monotonically increasing ids (curate_incremental's
+  append-only contract). File streams of crawl output with
+  sequence-numbered ids satisfy this naturally.
+
+Restart semantics: the streaming checkpoint replays an unacknowledged
+micro-batch after a crash. ``ingest_curated_batch`` is idempotent per
+batch id — the audit append first deletes any rows already stamped with
+this batch id (the engine's delete-then-append idempotency pattern,
+sources/envelope.py), and the state save only commits after the audit
+append, so a replayed batch reconstructs the same state from the same
+prior state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
+    CurationState,
+    curate_incremental,
+)
+
+
+def _state_exists(state_dir: str) -> bool:
+    return os.path.isdir(f"{state_dir}/audit")
+
+
+def ingest_curated_batch(
+    batch: DataFrame,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    *,
+    state_dir: str,
+    audit_dir: str,
+    **curate_params,
+) -> None:
+    """Curate one micro-batch against (and into) the persisted state.
+
+    Appends (batch doc rows + retro-affected stored rows) to the audit
+    log stamped with ``batch_id``; overwrites the persisted state.
+    Idempotent per batch id: a Structured Streaming replay of the same
+    batch deletes its own prior audit rows before re-appending.
+    """
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    state = CurationState.load(spark, state_dir) if _state_exists(state_dir) else None
+    prior_audit = state.audit if state is not None else None
+
+    # Crash-replay protocol (commit order: audit append, THEN state save):
+    # - crash before the audit append: replay runs the normal path;
+    # - crash between append and state save: replay recomputes the same
+    #   delta against the same prior state; delete-then-append below
+    #   rewrites identical rows;
+    # - both committed, checkpoint not: the state watermark already
+    #   covers the batch (ids are append-only monotone), so re-curating
+    #   would violate the append-only contract — the batch is DONE, no-op.
+    if prior_audit is not None:
+        wm = prior_audit.agg(F.max(id_col)).collect()[0][0]
+        batch_max = batch.agg(F.max(id_col)).collect()[0][0]
+        if wm is not None and batch_max is not None and batch_max <= wm:
+            return
+
+    audit, new_state = curate_incremental(
+        batch.select(id_col, text_col), id_col, text_col, state=state, **curate_params
+    )
+
+    # delta = this batch's docs + stored docs whose verdict changed
+    if prior_audit is not None:
+        watermark = prior_audit.agg(F.max(id_col)).collect()[0][0]
+        new_rows = audit.filter(F.col(id_col) > F.lit(watermark))
+        cols = audit.columns
+        changed = (
+            audit.filter(F.col(id_col) <= F.lit(watermark))
+            .alias("n")
+            .join(prior_audit.alias("p"), id_col)
+            .filter(
+                ~(
+                    F.col("n.keep").eqNullSafe(F.col("p.keep"))
+                    & F.col("n.drop_reason").eqNullSafe(F.col("p.drop_reason"))
+                    & F.col("n.duplicate_of").eqNullSafe(F.col("p.duplicate_of"))
+                    & F.col("n.near_dup_audit_incomplete").eqNullSafe(
+                        F.col("p.near_dup_audit_incomplete")
+                    )
+                )
+            )
+            .select(*[F.col(f"n.{c}").alias(c) for c in cols])
+        )
+        delta = new_rows.unionByName(changed)
+    else:
+        delta = audit
+    delta = delta.withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+    # idempotent append: drop any rows a crashed/replayed run of THIS
+    # batch already wrote, then append (delete-then-append, the same
+    # pattern as sources/envelope.py's run re-ingest)
+    if os.path.isdir(audit_dir) and os.listdir(audit_dir):
+        log = spark.read.parquet(audit_dir)
+        replayed = (
+            log.filter(F.col("batch_id") == F.lit(batch_id)).limit(1).count() > 0
+        )
+        if replayed:  # only a crash-replay pays the log rewrite
+            log.filter(F.col("batch_id") != F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(audit_dir + ".tmp")
+            spark.read.parquet(audit_dir + ".tmp").write.mode("overwrite").parquet(
+                audit_dir
+            )
+    delta.write.mode("append").parquet(audit_dir)
+
+    new_state.save(state_dir)
+
+
+def curated_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_dir: str,
+    audit_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    **curate_params,
+) -> StreamingQuery:
+    """File-source stream of (id, text) JSON-lines docs -> curated audit
+    log + state. ``available_now=True`` drains the landing dir and stops
+    (deterministic for tests); otherwise runs continuously."""
+    docs = spark.readStream.schema(f"{id_col} long, {text_col} string").json(
+        landing_dir
+    )
+    writer = docs.writeStream.foreachBatch(
+        lambda b, bid: ingest_curated_batch(
+            b,
+            bid,
+            id_col,
+            text_col,
+            state_dir=state_dir,
+            audit_dir=audit_dir,
+            **curate_params,
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_audit(spark: SparkSession, audit_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """Latest verdict per doc from the append-only audit log (latest
+    batch_id wins) — the frame that matches ``curate()`` over everything
+    ingested so far."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(audit_dir)
+    w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
