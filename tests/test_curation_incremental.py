@@ -153,6 +153,44 @@ def test_incremental_on_driver_corpus(spark):
     assert _sorted(inc) == full
 
 
+def test_incremental_optional_gates_parity(spark):
+    """repetition_rules / redact / eval_df (binary AND graded) compose
+    into the append path exactly like the batch operator: per-row gates
+    give gate-for-gate equivalence with curate() over the union."""
+    boiler = " ".join(["click here to subscribe for daily updates"] * 6)
+    pii_a = BASE + " contact me at alice@example.com for details"
+    pii_b = BASE + " contact me at bob@elsewhere.org for details"
+    ev = spark.createDataFrame(
+        [(900, "propulsion systems and orbital mechanics calculations for deep space")],
+        "doc_id long, text string",
+    )
+    corpus = [(1, pii_a), (2, OTHER), (3, boiler)]
+    batch = [(11, pii_b), (12, boiler + " now"), (13, OTHER[:90] + " tail words here")]
+
+    gates = dict(
+        repetition_rules=True,
+        redact=True,
+        eval_df=ev,
+        decontam_k=5,
+        **PARAMS,
+    )
+    full, inc = _run_both(spark, corpus, batch, **gates)
+    assert inc == full
+    got = {t[0]: t for t in inc}
+    assert got[3][2] == "repetition"
+    # PII-differing twins collide after the scrub, across the state line
+    assert got[11][1:4] == (False, "exact_duplicate", 1)
+    assert not got[2][1] and got[2][2] == "contaminated"
+
+    # graded tier: the eval overlap of doc 2 (~29% of its 5-grams) stays
+    # kept-but-flagged under a 0.5 cap, in both modes identically
+    graded = dict(gates, decontam_max_frac=0.5)
+    full_g, inc_g = _run_both(spark, corpus, batch, **graded)
+    assert inc_g == full_g
+    gg = {t[0]: t for t in inc_g}
+    assert gg[2][1] and gg[2][5] == 900 and 0.2 < gg[2][6] < 0.5
+
+
 def test_incremental_hot_bucket_cap_on_merged_buckets(spark):
     """The cap sees MERGED bucket sizes, and verdicts are MONOTONE: when
     the append pushes a previously-under-cap bucket over the cap, the

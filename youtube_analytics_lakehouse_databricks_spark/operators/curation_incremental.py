@@ -66,9 +66,12 @@ small update sets) — no O(corpus) shuffle anywhere. Measured in
 COVERAGE.md: append wall is driven by batch size, and beats full
 re-curation by the corpus/batch ratio.
 
-Optional gates (repetition rules, PII scrub, decontamination) are
-deliberately not threaded through v1 — each is per-row and would
-compose the same way; the state carries no gate-specific index.
+The optional gates (repetition rules, PII scrub before hashing,
+binary/graded decontamination) thread through exactly like the batch
+operator's: each is per-row and batch-local, so append-mode equivalence
+holds gate-for-gate as long as the SAME parameters (and eval suite) are
+used on every append — the redacted/canonical text the stored index was
+built from must match what new batches hash.
 """
 
 from __future__ import annotations
@@ -171,6 +174,14 @@ def curate_incremental(
     n_hashes: int = 8,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.5,
+    repetition_rules: bool = False,
+    redact: bool = False,
+    eval_df: DataFrame | None = None,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    decontam_k: int = 13,
+    decontam_min_hits: int = 1,
+    decontam_max_frac: float | None = None,
     max_bucket_size: int | None = dedup_ops.DEFAULT_MAX_BUCKET_SIZE,
     canonical_near_dup: bool = True,
     durable: bool = False,
@@ -195,8 +206,22 @@ def curate_incremental(
     else:
         watermark = None
 
+    # -- stage 0: optional PII scrub BEFORE any hashing (batch-only;
+    # every append scrubs its own batch, so the stored index was built
+    # from scrubbed text under the same params — dedup compares like
+    # with like across batches)
+    if redact:
+        batch_scrubbed = cut(
+            text_ops.redact_pii(batch, id_col, text_col).select(
+                id_col, F.col("redacted_text").alias(text_col)
+            ),
+            durable=durable,
+        )
+    else:
+        batch_scrubbed = batch
+
     # -- stage 1: quality gate (batch-only, per-row) --------------------
-    q = text_ops.quality_scores(batch, id_col, text_col)
+    q = text_ops.quality_scores(batch_scrubbed, id_col, text_col)
     low_quality = cut(
         q.filter(
             (F.col("n_tokens") < min_tokens)
@@ -205,7 +230,55 @@ def curate_incremental(
         ).select(id_col),
         durable=durable,
     )
-    good = cut(batch.join(low_quality, id_col, "left_anti"), durable=durable)
+    good = batch_scrubbed.join(low_quality, id_col, "left_anti")
+
+    # -- stage 1b: optional repetition/shape gate (batch-only, per-row)
+    if repetition_rules:
+        rep_failed = cut(
+            text_ops.repetition_flags(good, id_col, text_col)
+            .filter(~F.col("passes_repetition_rules"))
+            .select(id_col),
+            durable=durable,
+        )
+        good = good.join(rep_failed, id_col, "left_anti")
+    else:
+        rep_failed = None
+
+    # -- stage 1c: optional benchmark decontamination (batch-only; the
+    # eval suite is fixed across appends, so the per-row verdicts are
+    # identical to the batch operator's)
+    if eval_df is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
+
+        dec = cut(
+            decontaminate(
+                good,
+                eval_df,
+                id_col,
+                text_col,
+                eval_id_col=eval_id_col,
+                eval_text_col=eval_text_col,
+                k=decontam_k,
+                min_hits=decontam_min_hits,
+            ).select(
+                id_col, "contamination_frac", "matched_eval_id", "is_contaminated"
+            ),
+            durable=durable,
+        )
+        drop_pred = (
+            F.col("contamination_frac") > decontam_max_frac
+            if decontam_max_frac is not None
+            else F.col("is_contaminated")
+        )
+        contaminated = dec.filter(drop_pred).select(id_col)
+        eval_overlap = dec.filter(F.col("matched_eval_id").isNotNull()).select(
+            id_col, "matched_eval_id", "contamination_frac"
+        )
+        good = good.join(contaminated, id_col, "left_anti")
+    else:
+        contaminated = None
+        eval_overlap = None
+    good = cut(good, durable=durable)
 
     # -- stage 2: exact dedup (batch hashes vs batch + stored) ----------
     bh = good.select(id_col, F.sha2(text_ops.norm_expr(text_col), 256).alias("__h"))
@@ -347,12 +420,29 @@ def curate_incremental(
         curtailed = None
 
     # -- assemble batch audit rows (curate()'s schema) ------------------
-    dropped = (
-        low_quality.select(
-            id_col,
-            F.lit("low_quality").alias("drop_reason"),
-            null_dup.alias("duplicate_of"),
+    dropped = low_quality.select(
+        id_col,
+        F.lit("low_quality").alias("drop_reason"),
+        null_dup.alias("duplicate_of"),
+    )
+    if rep_failed is not None:
+        dropped = dropped.unionByName(
+            rep_failed.select(
+                id_col,
+                F.lit("repetition").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
         )
+    if contaminated is not None:
+        dropped = dropped.unionByName(
+            contaminated.select(
+                id_col,
+                F.lit("contaminated").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    dropped = (
+        dropped
         .unionByName(
             exact_dropped.select(
                 id_col,
@@ -392,9 +482,12 @@ def curate_incremental(
         batch_audit = batch_audit.withColumn(
             "near_dup_audit_incomplete", F.lit(False)
         )
-    batch_audit = batch_audit.withColumn(
-        "matched_eval_id", F.lit(None).cast("string")
-    ).withColumn("contamination_frac", F.lit(None).cast("double"))
+    if eval_overlap is not None:
+        batch_audit = batch_audit.join(eval_overlap, id_col, "left")
+    else:
+        batch_audit = batch_audit.withColumn(
+            "matched_eval_id", F.lit(None).cast("string")
+        ).withColumn("contamination_frac", F.lit(None).cast("double"))
 
     # -- splice stored audit rows ---------------------------------------
     if state is not None:
