@@ -124,6 +124,20 @@ def test_incremental_state_roundtrip(spark, tmp_path):
     assert _sorted(inc) == _sorted(full)
 
 
+def test_incremental_durable_mode_identical(spark, tmp_path):
+    """durable=True swaps every lineage cut in the append path (incl. the
+    anchor-edge components) for reliable checkpoint() — identical output."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    corpus = [(1, A_TXT), (2, OTHER), (3, B_TXT)]
+    batch = [(11, C_TXT), (12, OTHER)]
+    _, st = curate_incremental(_df(spark, corpus), "doc_id", "text", **PARAMS)
+    base, _ = curate_incremental(_df(spark, batch), "doc_id", "text", state=st, **PARAMS)
+    dur, _ = curate_incremental(
+        _df(spark, batch), "doc_id", "text", state=st, durable=True, **PARAMS
+    )
+    assert _sorted(dur) == _sorted(base)
+
+
 def test_incremental_three_appends_chain(spark):
     """Equivalence composes: three successive appends == one full run."""
     b1 = [(1, A_TXT), (2, OTHER)]
