@@ -132,42 +132,43 @@ def run_scale(spark, mult: int, corpus_dir: str) -> dict:
 def main() -> None:
     from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 
+    mults = (1, 10)
+    for i, arg in enumerate(sys.argv):
+        if arg == "--mults" and i + 1 < len(sys.argv):
+            mults = tuple(int(m) for m in sys.argv[i + 1].split(","))
     dirs = {}
-    for mult in (1, 10):
+    for mult in mults:
         d = f"{OUT_ROOT}/x{mult}"
         if not os.path.exists(f"{d}/documents.parquet"):
             print(f"generating {mult}x corpus ...", file=sys.stderr)
-            generate(mult, d, hot=(mult == 10))
+            generate(mult, d, hot=(mult >= 10))
         dirs[mult] = d
 
     spark = get_spark(
         app_name="scaling_curate_incremental", extra_conf={"spark.ui.enabled": "true"}
     )
-    run_scale(spark, 1, dirs[1])  # warmup: JIT/codegen, not recorded
+    warm = min(dirs)
+    run_scale(spark, warm, dirs[warm])  # warmup: JIT/codegen, not recorded
     results = {m: run_scale(spark, m, d) for m, d in dirs.items()}
     print(json.dumps(results, indent=2))
     if "--markdown" in sys.argv:
-        a, b = results[1], results[10]
+        ms = sorted(results)
         print()
-        print(
-            "| path | 1x wall s | 10x wall s | wall ratio | 1x shuffle MB | "
-            "10x shuffle MB | audits equal |"
-        )
-        print("|---|---|---|---|---|---|---|")
+        hdr = ["path"]
+        for m in ms:
+            hdr += [f"{m}x wall s", f"{m}x shuffle MB"]
+        hdr += ["audits equal"]
+        print("| " + " | ".join(hdr) + " |")
+        print("|" + "---|" * len(hdr))
         for key, label in (
             ("incremental", "curate_incremental (500-doc batch vs stored state)"),
             ("full_recurate", "full curate (corpus + batch)"),
         ):
-            r = (
-                round(b[f"{key}_sec"] / a[f"{key}_sec"], 1)
-                if a[f"{key}_sec"]
-                else float("inf")
-            )
-            print(
-                f"| {label} | {a[f'{key}_sec']} | {b[f'{key}_sec']} | {r}x | "
-                f"{a[f'{key}_shuffle_mb']} | {b[f'{key}_shuffle_mb']} | "
-                f"{a['audits_equal'] and b['audits_equal']} |"
-            )
+            row = [label]
+            for m in ms:
+                row += [str(results[m][f"{key}_sec"]), str(results[m][f"{key}_shuffle_mb"])]
+            row.append(str(all(results[m]["audits_equal"] for m in ms)))
+            print("| " + " | ".join(row) + " |")
 
 
 if __name__ == "__main__":

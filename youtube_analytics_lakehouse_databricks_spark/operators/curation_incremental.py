@@ -281,16 +281,27 @@ def curate_incremental(
     good = cut(good, durable=durable)
 
     # -- stage 2: exact dedup (batch hashes vs batch + stored) ----------
-    bh = good.select(id_col, F.sha2(text_ops.norm_expr(text_col), 256).alias("__h"))
+    bh = cut(
+        good.select(id_col, F.sha2(text_ops.norm_expr(text_col), 256).alias("__h")),
+        durable=durable,
+    )
     bk = bh.groupBy("__h").agg(F.min(id_col).alias("__batch_keeper"))
     if state is not None:
         # stored reps have DISTINCT hashes (exact dedup collapsed
         # collisions when they were curated), and every stored id is
-        # below every batch id, so a stored hit is always the keeper
-        stored_h = state.hashes.select(
-            F.col(id_col).alias("__stored_id"), "__h"
-        )
-        matched = bh.join(bk, "__h").join(stored_h, "__h", "left")
+        # below every batch id, so a stored hit is always the keeper.
+        # Probe shape matters: a plain left join against the full stored
+        # frame flips to a shuffle join once the index outgrows the
+        # broadcast threshold (measured: 33 MB shuffled per append at a
+        # 500k-doc corpus). Instead semi-join the stored index down to
+        # the batch-hash hit set (broadcast key list -> one columnar
+        # scan, no shuffle; hits <= batch size because stored hashes are
+        # distinct), then broadcast the hits into the batch-preserving
+        # left join — the same probe shape the band index uses below.
+        stored_hits = state.hashes.join(
+            F.broadcast(bh.select("__h").distinct()), "__h", "left_semi"
+        ).select(F.col(id_col).alias("__stored_id"), "__h")
+        matched = bh.join(bk, "__h").join(F.broadcast(stored_hits), "__h", "left")
     else:
         matched = bh.join(bk, "__h").withColumn("__stored_id", null_dup)
     # consumed three times (exact drops, rep selection, state hashes):

@@ -43,7 +43,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 24g, NOT the machine's 128g: in local mode all executor threads
+        # share the driver JVM heap, and an oversized heap lets G1's
+        # young generation balloon between collections — measured on the
+        # allocation-heavy shingle self-join (ngram_jaccard_pairs,
+        # sf0.1): with a 90g heap, identical back-to-back runs swung
+        # 1.8-10.4 s wall with 2-22 s of GC, and never converged; at
+        # 16-24g the same runs settle at 1.2-1.7 s with bounded GC. Big
+        # per-node datasets spill via MEMORY_AND_DISK instead of growing
+        # the heap, which is also the right cluster posture (real
+        # executors run 4-8g per 4-8 cores). Override with
+        # SPARK_GRAFT_DRIVER_MEM when a tool genuinely needs more.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Shuffle cleanup is reference-triggered (ContextCleaner), so a
