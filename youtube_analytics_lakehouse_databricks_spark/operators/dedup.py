@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators.text import norm_expr
+
 
 def exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """One row per distinct content hash: (hash, keep id, cluster size)."""
@@ -333,4 +335,121 @@ def jaccard_verify(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def paragraph_units(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    split_pattern: str = r"\n{2,}",
+) -> DataFrame:
+    """(id, para_pos, para): one row per paragraph, position-preserving.
+
+    posexplode over a regex split — narrow (no shuffle); empty fragments
+    produced by leading/trailing/repeated delimiters are dropped, but
+    positions keep the ORIGINAL split indices so reassembly order is the
+    document's own.
+    """
+    return (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+                "para_pos", "para"
+            ),
+        )
+        .filter(F.length(F.trim("para")) > 0)
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    split_pattern: str = r"\n{2,}",
+    joiner: str = "\n\n",
+    normalize: bool = True,
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 / RefinedWeb rule):
+    every paragraph is kept only at its FIRST occurrence in the corpus
+    (lowest (id, position)); later copies are removed from their documents
+    and the survivors are stitched back together in document order.
+
+    Output: one row per input document —
+    (id, text_deduped, n_paras, n_kept, n_dropped) —
+    with n_paras = 0 and text_deduped = '' for documents with no
+    non-empty paragraph. Documents are never dropped; a document whose
+    every paragraph is boilerplate survives as an empty string for the
+    caller's length gate to handle.
+
+    Paragraphs shorter than ``min_chars`` are EXEMPT from dedup (always
+    kept): short fragments ("Introduction", dates, "***") collide across
+    unrelated documents, and removing them destroys documents that share
+    nothing — the same exemption C4 applies at the line level (reference
+    semantics; engine-original implementation).
+
+    Scale shape — built for the operator's actual operating regime, a
+    corpus where some paragraphs repeat MILLIONS of times (nav menus,
+    cookie banners, licence footers):
+
+    - first-occurrence winners come from ``groupBy(hash).agg(min(struct
+      (id, pos)))``, not a window: min() partial-aggregates map-side, so
+      a million-copy boilerplate hash collapses to one row per input
+      partition BEFORE the exchange — a ``row_number() over (partition
+      by hash)`` window would instead sort the entire hot key in one
+      task. The aggregation carries only (hash, id, pos), never text.
+    - the winner set (one row per DISTINCT paragraph) joins back on
+      (id, pos) — a key that is uniform by construction even when the
+      hash key is pathologically skewed.
+    - reassembly is one groupBy(id) of kept units: collect_list(struct
+      (pos, para)) + array_sort + concat — document-sized state only.
+
+    Three exchanges total (hash agg, (id,pos) join, id reassembly), all
+    skew-safe; no UDFs, everything whole-stage codegen.
+    """
+    units = paragraph_units(df, id_col, text_col, split_pattern=split_pattern)
+    canon = norm_expr("para") if normalize else F.col("para")
+    units = units.withColumn("__exempt", F.length("para") < min_chars).withColumn(
+        "__h", F.sha2(canon, 256)
+    )
+
+    cand_keys = units.filter(~F.col("__exempt")).select(id_col, "para_pos", "__h")
+    winners = (
+        cand_keys.groupBy("__h")
+        .agg(F.min(F.struct(id_col, "para_pos")).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.para_pos").alias("para_pos"),
+        )
+    )
+    kept = units.filter("__exempt").select(id_col, "para_pos", "para").unionByName(
+        units.join(winners, [id_col, "para_pos"], "left_semi").select(
+            id_col, "para_pos", "para"
+        )
+    )
+
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            joiner,
+            F.expr("transform(array_sort(collect_list(struct(para_pos, para))), x -> x.para)"),
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = units.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
     )

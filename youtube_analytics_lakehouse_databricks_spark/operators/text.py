@@ -24,12 +24,14 @@ def _tokens(text_col: str):
     return F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")
 
 
-def norm_expr(text_col: str):
+def norm_expr(text_col):
     """Canonical-text Column: lowercase, punctuation stripped to spaces,
-    whitespace collapsed, trimmed — a codegen'd regexp_replace chain."""
+    whitespace collapsed, trimmed — a codegen'd regexp_replace chain.
+    Accepts a column name or a Column (e.g. an exploded paragraph)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "),
             " +",
             " ",
         )
