@@ -1,0 +1,153 @@
+"""Temperature-weighted corpus mixing (operators/mixing.py).
+
+Pins: rate computation against hand-computed targets, determinism and
+partitioning-invariance of the sampled set, the nesting property of
+threshold sampling (lower rate => subset), temperature endpoints
+(alpha=1 natural proportions, alpha=0 equal shares), explicit-weight
+mixes with dropped domains, upsampling copy semantics, and a UDF-free
+single-broadcast plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.mixing import (
+    domain_rates,
+    mixture_sample,
+)
+
+COUNTS = {"web": 20000, "code": 4000, "books": 1000}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    parts = [
+        spark.range(n).selectExpr(
+            f"id + {off} AS doc_id", f"'{d}' AS domain", "concat('t', id) AS text"
+        )
+        for off, (d, n) in zip((0, 10**6, 2 * 10**6), sorted(COUNTS.items()))
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.cache()
+
+
+def kept_ids(df):
+    return {(r["doc_id"], r["copy"]) for r in df.select("doc_id", "copy").collect()}
+
+
+def sizes_by_domain(df):
+    return {
+        r["domain"]: r["n"]
+        for r in df.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_rates_alpha_endpoints(spark, corpus):
+    # alpha=1: every rate is total_target/total = 1.0 (natural mix)
+    for d, n, r in domain_rates(corpus, "domain", alpha=1.0):
+        assert r == pytest.approx(1.0)
+        assert n == COUNTS[d]
+    # alpha=0: equal share of 12k => 4k per domain; web rate 4k/20k
+    rates = dict(
+        (d, r) for d, _, r in domain_rates(corpus, "domain", alpha=0.0, target_rows=12000)
+    )
+    assert rates["web"] == pytest.approx(0.2)
+    assert rates["code"] == pytest.approx(1.0)  # capped: target 4000 = supply
+    assert rates["books"] == pytest.approx(1.0)  # capped from 4.0
+
+
+def test_rates_explicit_weights_and_drop(spark, corpus):
+    rates = dict(
+        (d, r)
+        for d, _, r in domain_rates(
+            corpus, "domain", weights={"web": 1.0, "code": 1.0}, target_rows=8000
+        )
+    )
+    assert rates["books"] == 0.0  # absent from weights => dropped
+    assert rates["web"] == pytest.approx(4000 / 20000)
+    assert rates["code"] == pytest.approx(1.0)
+
+
+def test_rates_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "domain")  # neither alpha nor weights
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "domain", alpha=0.5, weights={"web": 1})  # both
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "domain", weights={"web": -1.0})
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "domain", weights={"nosuch": 1.0})
+
+
+def test_sample_sizes_track_rates(spark, corpus):
+    out = mixture_sample(corpus, "domain", "doc_id", alpha=0.0, target_rows=12000, seed=1)
+    sizes = sizes_by_domain(out)
+    assert sizes["books"] == COUNTS["books"]  # rate capped at 1: all kept
+    assert sizes["code"] == COUNTS["code"]
+    assert abs(sizes["web"] - 4000) < 4000 * 0.08  # rate 0.2 of 20k
+
+
+def test_deterministic_and_partition_invariant(spark, corpus):
+    a = kept_ids(mixture_sample(corpus, "domain", "doc_id", alpha=0.5, seed=7))
+    b = kept_ids(
+        mixture_sample(
+            corpus.repartition(31), "domain", "doc_id", alpha=0.5, seed=7
+        )
+    )
+    assert a == b
+    c = kept_ids(mixture_sample(corpus, "domain", "doc_id", alpha=0.5, seed=8))
+    assert a != c  # seed re-draws
+
+
+def test_threshold_sampling_nests(spark, corpus):
+    lo = kept_ids(
+        mixture_sample(corpus, "domain", "doc_id", weights={"web": 1}, target_rows=2000, seed=3)
+    )
+    hi = kept_ids(
+        mixture_sample(corpus, "domain", "doc_id", weights={"web": 1}, target_rows=8000, seed=3)
+    )
+    assert lo < hi  # strict subset: shrinking a mix never churns survivors
+
+
+def test_upsampling_copies(spark, corpus):
+    # books weight pushes its rate to 2.5: floor 2 copies + 0.5 chance of a 3rd
+    out = mixture_sample(
+        corpus,
+        "domain",
+        "doc_id",
+        weights={"books": 1.0},
+        target_rows=2500,
+        seed=5,
+        allow_upsample=True,
+    ).cache()
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_doc.values()) <= {2, 3}
+    total = sum(per_doc.values())
+    assert abs(total - 2500) < 2500 * 0.08
+    # copy indices are dense 0..n-1 per doc
+    copies = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy")).alias("cs"), F.count(F.lit(1)).alias("n")
+    )
+    bad = copies.filter(F.expr("cs <> sequence(0, n - 1)")).count()
+    assert bad == 0
+    out.unpersist()
+
+
+def test_plan_no_udfs_no_corpus_shuffle(spark, corpus):
+    plan = (
+        mixture_sample(corpus, "domain", "doc_id", alpha=0.5, seed=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only exchange is the broadcast of the tiny rate table
+    assert "Exchange hashpartitioning" not in plan, plan

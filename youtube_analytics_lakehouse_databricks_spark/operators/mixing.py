@@ -1,0 +1,144 @@
+"""Temperature-weighted corpus mixing for training-data assembly.
+
+A pretraining mix reweights domains (web / code / books / wiki ...):
+high-quality small domains are upsampled, huge crawls downsampled —
+GPT-3's per-dataset sampling weights, the (count)^alpha temperature rule
+used for multilingual mixes, and LLaMA-style epoch fractions are all
+the same operation: a per-domain target row count realized by
+deterministic per-row sampling.
+
+Scale shape: one tiny per-domain count aggregation (O(domains) rows,
+control-plane collect), then ONE narrow pass over the corpus — the
+per-domain rate joins in as a broadcast map and each row keeps/repeats
+itself by comparing a uniform hash draw against the rate. No shuffle of
+the corpus, no rand() (task retries would re-draw; the hash draw is a
+pure function of (id, seed)), no driver-side row handling.
+
+Downsampling uses threshold sampling (keep iff u < rate), which is
+NESTED across rates: the rows kept at rate r are a superset of those
+kept at r' < r for the same seed — so shrinking a domain's weight only
+removes rows, never churns the survivor set (stable caches/ablations).
+Upsampling emits floor(rate) copies plus one more iff u < frac(rate); a
+``copy`` column (0-based) keeps output ids unique, and copy k of a row
+exists whenever copy k+1 does (same nesting property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^63 as a double: maps xxhash64's signed range onto [0, 1).
+_TWO63 = float(1 << 63)
+
+
+def _uniform_draw(id_col: str, seed: int):
+    """Deterministic uniform [0,1) draw per (id, seed): xxhash64 scaled
+    out of its signed 64-bit range. Resolution 2^-64 — far below any
+    meaningful sampling rate."""
+    return (
+        F.xxhash64(F.col(id_col), F.lit(int(seed))).cast("double") / F.lit(_TWO63)
+        + F.lit(1.0)
+    ) / F.lit(2.0)
+
+
+def domain_rates(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float | None = None,
+    weights: dict[str, float] | None = None,
+    target_rows: int | None = None,
+    allow_upsample: bool = False,
+) -> list[tuple[str, int, float]]:
+    """[(domain, count, rate)]: the per-domain sampling rate realizing
+    the requested mix.
+
+    Exactly one of ``alpha`` / ``weights``:
+
+    - ``alpha``: temperature over observed counts — target share of
+      domain d is count_d^alpha / sum(count^alpha). alpha=1 preserves
+      natural proportions (a plain uniform downsample), alpha=0 gives
+      every domain an equal share, values between interpolate.
+    - ``weights``: explicit relative weights (any positive scale);
+      domains absent from the dict get weight 0 (dropped).
+
+    ``target_rows`` sets the total output size (default: the input
+    size). Without ``allow_upsample`` rates are capped at 1.0, so the
+    realized total can undershoot the target when a small domain's
+    target exceeds its supply — the cap is reported honestly in the
+    returned rates rather than silently shifted onto other domains.
+    """
+    if (alpha is None) == (weights is None):
+        raise ValueError("specify exactly one of alpha / weights")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if alpha is not None:
+        shares = {d: float(n) ** float(alpha) for d, n in counts.items()}
+    else:
+        bad = {d: w for d, w in weights.items() if w < 0}
+        if bad:
+            raise ValueError(f"negative weights: {bad}")
+        shares = {d: float(weights.get(d, 0.0)) for d in counts}
+    z = sum(shares.values())
+    if z <= 0:
+        raise ValueError("all domain shares are zero")
+    total = int(target_rows) if target_rows is not None else sum(counts.values())
+    out = []
+    for d in sorted(counts):
+        rate = (shares[d] / z) * total / counts[d]
+        if not allow_upsample:
+            rate = min(rate, 1.0)
+        out.append((d, counts[d], rate))
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    *,
+    alpha: float | None = None,
+    weights: dict[str, float] | None = None,
+    target_rows: int | None = None,
+    seed: int = 0,
+    allow_upsample: bool = False,
+) -> DataFrame:
+    """The mixed corpus: input columns + ``copy`` (0 without
+    upsampling). Deterministic in (rows, parameters, seed); each
+    domain's realized size concentrates tightly around count * rate."""
+    rates = domain_rates(
+        df,
+        domain_col,
+        alpha=alpha,
+        weights=weights,
+        target_rows=target_rows,
+        allow_upsample=allow_upsample,
+    )
+    spark = df.sparkSession
+    rate_df = F.broadcast(
+        spark.createDataFrame(
+            [(d, r) for d, _, r in rates], f"{domain_col} string, __rate double"
+        )
+    )
+    u = _uniform_draw(id_col, seed)
+    with_rate = df.join(rate_df, domain_col).withColumn("__u", u)
+    if not allow_upsample:
+        return with_rate.filter(F.col("__u") < F.col("__rate")).select(
+            *df.columns, F.lit(0).alias("copy")
+        )
+    n_copies = F.floor("__rate") + F.when(
+        F.col("__u") < F.col("__rate") - F.floor("__rate"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        with_rate.withColumn("__n", n_copies.cast("int"))
+        .filter(F.col("__n") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.expr("sequence(0, __n - 1)")).alias("copy"),
+        )
+    )
