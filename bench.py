@@ -17,8 +17,53 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from youtube_analytics_lakehouse_databricks_spark.queries import registry
+from youtube_analytics_lakehouse_databricks_spark.queries import Query, read_fanned, registry
 from youtube_analytics_lakehouse_databricks_spark.session import get_spark
+
+
+def _bench_only() -> dict[str, Query]:
+    """Operators benchmarked here but NOT in the driver registry (the
+    CORRECTNESS budget is 50 queries; these are pinned by their own test
+    suites — tests/test_paragraph_dedup.py, test_sharding.py,
+    test_mixing.py — instead of a DuckDB oracle row)."""
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
+    from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
+    from youtube_analytics_lakehouse_databricks_spark.operators.sharding import write_shards
+
+    def _docs(spark, sf_dir):
+        return read_fanned(spark, sf_dir, "documents", by="doc_id")
+
+    def paragraph_dedup_documents(spark, sf_dir):
+        # the synthetic docs are single-line: break after every 12 tokens
+        # so the corpus has real multi-paragraph structure to dedup
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace("text", r"((?:\S+ ){12})", "$1\n\n").alias("text"),
+        )
+        return paragraph_dedup(docs, "doc_id", "text")
+
+    def shuffle_shard_export(spark, sf_dir):
+        # times the full export: assign + one exchange + sort + write
+        out = "/tmp/sparkgraft_bench_shards"
+        write_shards(
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            out,
+            "doc_id",
+            n_shards=32,
+            seed=0,
+        )
+        return spark.read.parquet(out)
+
+    def mixture_sample_documents(spark, sf_dir):
+        return mixture_sample(_docs(spark, sf_dir), "source", "doc_id", alpha=0.3, seed=0)
+
+    return {
+        f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
+        for f in (paragraph_dedup_documents, shuffle_shard_export, mixture_sample_documents)
+    }
+
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -50,6 +95,10 @@ HEADLINE = [
     "signup_followup_window",
     "value_percentiles",
     "json_envelope_roundtrip",
+    # round-6 bench-only operators (see _bench_only)
+    "paragraph_dedup_documents",
+    "shuffle_shard_export",
+    "mixture_sample_documents",
 ]
 
 
@@ -68,7 +117,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
-    reg = registry()
+    reg = {**registry(), **_bench_only()}
     names = [n for n in HEADLINE if n in reg]
 
     # Warmup at the smallest scale: JIT, codegen, parquet footer caches.
