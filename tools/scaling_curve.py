@@ -201,6 +201,22 @@ def _stage_builders(spark) -> dict:
             train, ev, "doc_id", "text", eval_id_col="eval_id", eval_text_col="text", k=5
         )
 
+    def paragraph_stage(s, d):
+        # the corpora are single-line word streams: break after every 12
+        # tokens so each doc carries real multi-paragraph structure (the
+        # same transform the bench entry uses). The planted hot-key docs
+        # (identical boilerplate) become the million-copy-paragraph
+        # regime the operator's map-side-combining winners are built for.
+        from pyspark.sql import functions as F
+
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id").select(
+            "doc_id",
+            F.regexp_replace("text", r"((?:\S+ ){12})", "$1\n\n").alias("text"),
+        )
+        return dedup_ops.paragraph_dedup(docs, "doc_id", "text")
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -221,6 +237,7 @@ def _stage_builders(spark) -> dict:
         "components_keepers": reg["dedup_keepers"].builder,
         "curate_full_chain": curate_stage,
         "decontam_flags": decontam_stage,
+        "paragraph_dedup": paragraph_stage,
         "pack_sequences": packing_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,

@@ -8,7 +8,13 @@ the corpus the next (more expensive) stage sees:
                        any hashing happens. Optionally extended with the
                        Gopher/C4 repetition rules (``repetition_rules=
                        True``), a PII scrub (``redact=True``) that runs
-                       BEFORE hashing so dedup sees scrubbed text, and
+                       BEFORE hashing so dedup sees scrubbed text,
+                       corpus-wide paragraph dedup (``paragraph_dedup=
+                       True`` — the C4/RefinedWeb first-occurrence rule
+                       rewrites each doc's text before the gate, so
+                       boilerplate-only docs drain and drop low_quality
+                       and doc-level dedup compares boilerplate-free
+                       text), and
                        benchmark decontamination (``eval_df=...``) that
                        drops eval-overlapping docs (drop_reason
                        ``contaminated``) before any dedup — a leaked doc
@@ -80,6 +86,9 @@ def curate(
     min_distinct_ratio: float = 0.1,
     repetition_rules: bool = False,
     redact: bool = False,
+    paragraph_dedup: bool = False,
+    paragraph_split: str = r"\n{2,}",
+    paragraph_min_chars: int = 30,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -120,6 +129,28 @@ def curate(
             # redaction chain runs exactly once, materializing the
             # scrubbed corpus.
         )
+        docs = cut(docs, durable=durable)
+
+    # 0b. optional corpus-wide paragraph dedup (the C4/RefinedWeb order:
+    # boilerplate removal BEFORE document-level dedup). Rewrites each doc
+    # to its first-occurrence paragraphs, so (a) boilerplate-only docs
+    # drain to '' and drop as low_quality at the very next gate, and
+    # (b) the exact/near-dup hashes downstream compare boilerplate-free
+    # text — two docs sharing a body but differing in nav chrome now
+    # collide. Mirrors the redact stage's contract: a text REWRITE with
+    # no extra audit columns (run operators.dedup.paragraph_dedup
+    # standalone for per-doc paragraph stats). Runs after redaction so
+    # paragraph hashes compare scrubbed text; cut for the same reason as
+    # redaction — every downstream gate references the text column from
+    # inside HOF lambdas, which would otherwise inline the reassembly.
+    if paragraph_dedup:
+        docs = dedup_ops.paragraph_dedup(
+            docs,
+            id_col,
+            text_col,
+            split_pattern=paragraph_split,
+            min_chars=paragraph_min_chars,
+        ).select(id_col, F.col("text_deduped").alias(text_col))
         docs = cut(docs, durable=durable)
 
     # 1. quality gate (cheap, per-row, runs on everything). Each gate's

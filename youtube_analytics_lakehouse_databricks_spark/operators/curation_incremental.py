@@ -94,7 +94,11 @@ class CurationState:
     - ``sets``: (id, shset, n_shingles) — canonical shingle sets of reps;
     - ``banded``: (id, band_idx, band_key) — exploded LSH band keys of
       reps (docs shorter than the shingle width have no rows here, same
-      as the batch operator's signature stage).
+      as the batch operator's signature stage);
+    - ``paras``: (para_hash) — distinct canonical hashes of every
+      dedup-eligible paragraph ever seen, present ONLY when the state
+      was built with ``paragraph_dedup=True`` (None otherwise; a state
+      built without the stage cannot serve appends that enable it).
 
     ``save``/``load`` round-trip through parquet directories; at cluster
     scale, point them at the lakehouse path the pipeline owns.
@@ -108,11 +112,13 @@ class CurationState:
         hashes: DataFrame,
         sets: DataFrame,
         banded: DataFrame,
+        paras: DataFrame | None = None,
     ) -> None:
         self.audit = audit
         self.hashes = hashes
         self.sets = sets
         self.banded = banded
+        self.paras = paras
 
     def save(self, path: str) -> None:
         """Write-to-temp then rename: an appended state's frames READ the
@@ -124,17 +130,28 @@ class CurationState:
         import os
         import shutil
 
-        for name in self.FRAMES:
+        frames = list(self.FRAMES) + (["paras"] if self.paras is not None else [])
+        for name in frames:
             getattr(self, name).write.mode("overwrite").parquet(
                 f"{path}/.{name}.staged"
             )
-        for name in self.FRAMES:
+        for name in frames:
             shutil.rmtree(f"{path}/{name}", ignore_errors=True)
             os.rename(f"{path}/.{name}.staged", f"{path}/{name}")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
-        return cls(*[spark.read.parquet(f"{path}/{name}") for name in cls.FRAMES])
+        import os
+
+        paras = (
+            spark.read.parquet(f"{path}/paras")
+            if os.path.isdir(f"{path}/paras")
+            else None
+        )
+        return cls(
+            *[spark.read.parquet(f"{path}/{name}") for name in cls.FRAMES],
+            paras=paras,
+        )
 
 
 def _band_explode(sig: DataFrame, id_col: str, n_hashes: int, rows_per_band: int) -> DataFrame:
@@ -176,6 +193,9 @@ def curate_incremental(
     jaccard_threshold: float = 0.5,
     repetition_rules: bool = False,
     redact: bool = False,
+    paragraph_dedup: bool = False,
+    paragraph_split: str = r"\n{2,}",
+    paragraph_min_chars: int = 30,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -219,6 +239,61 @@ def curate_incremental(
         )
     else:
         batch_scrubbed = batch
+
+    # -- stage 0b: optional paragraph dedup vs the full stored history --
+    # The batch's paragraphs dedup against (a) every paragraph hash the
+    # stored corpus ever saw (state.paras — probed via broadcast key
+    # list, never shuffled) and (b) each other, first-occurrence-wins —
+    # exactly what the full run over the union computes, because the
+    # first occurrence is MONOTONE under append-only ids: a later batch
+    # can never claim a paragraph away from a stored doc, so stored
+    # documents' rewritten text never changes retroactively.
+    if paragraph_dedup:
+        if state is not None and state.paras is None:
+            raise ValueError(
+                "paragraph_dedup=True but the stored state has no paragraph "
+                "index — the state must be built with paragraph_dedup=True "
+                "from its first batch"
+            )
+        batch_keys = cut(
+            dedup_ops.paragraph_hash_keys(
+                batch_scrubbed,
+                id_col,
+                text_col,
+                split_pattern=paragraph_split,
+                min_chars=paragraph_min_chars,
+            ),
+            durable=durable,
+        )
+        batch_scrubbed = cut(
+            dedup_ops.paragraph_dedup(
+                batch_scrubbed,
+                id_col,
+                text_col,
+                split_pattern=paragraph_split,
+                min_chars=paragraph_min_chars,
+                seen=state.paras if state is not None else None,
+            ).select(id_col, F.col("text_deduped").alias(text_col)),
+            durable=durable,
+        )
+        if state is not None and state.paras is not None:
+            stored_hits = state.paras.join(
+                F.broadcast(batch_keys), "para_hash", "left_semi"
+            )
+            new_keys = batch_keys.join(
+                F.broadcast(stored_hits), "para_hash", "left_anti"
+            )
+            paras_all = state.paras.unionByName(new_keys)
+        else:
+            paras_all = batch_keys
+    else:
+        if state is not None and state.paras is not None:
+            raise ValueError(
+                "the stored state carries a paragraph index but this append "
+                "sets paragraph_dedup=False — parameters must match across "
+                "appends"
+            )
+        paras_all = None
 
     # -- stage 1: quality gate (batch-only, per-row) --------------------
     q = text_ops.quality_scores(batch_scrubbed, id_col, text_col)
@@ -585,5 +660,6 @@ def curate_incremental(
         hashes=cut(hashes, durable=durable),
         sets=cut(sets_all, durable=durable),
         banded=cut(banded_all, durable=durable),
+        paras=cut(paras_all, durable=durable) if paras_all is not None else None,
     )
     return audit, new_state

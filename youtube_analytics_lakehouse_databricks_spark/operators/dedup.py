@@ -363,6 +363,53 @@ def paragraph_units(
     )
 
 
+def _hashed_units(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    split_pattern: str,
+    normalize: bool,
+    min_chars: int,
+) -> DataFrame:
+    """(id, para_pos, para, __exempt, __h): paragraph units with their
+    canonical dedup hash — the shared vocabulary of paragraph_dedup,
+    paragraph_hash_keys, and the incremental curation index."""
+    units = paragraph_units(df, id_col, text_col, split_pattern=split_pattern)
+    canon = norm_expr("para") if normalize else F.col("para")
+    return units.withColumn("__exempt", F.length("para") < min_chars).withColumn(
+        "__h", F.sha2(canon, 256)
+    )
+
+
+def paragraph_hash_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    split_pattern: str = r"\n{2,}",
+    normalize: bool = True,
+    min_chars: int = 30,
+) -> DataFrame:
+    """Single-column (para_hash) frame: the DISTINCT canonical hashes of
+    every dedup-eligible (non-exempt) paragraph in ``df`` — what an
+    incremental curation state persists so later batches dedup against
+    the full history. Parameters must match the paragraph_dedup call."""
+    return (
+        _hashed_units(
+            df,
+            id_col,
+            text_col,
+            split_pattern=split_pattern,
+            normalize=normalize,
+            min_chars=min_chars,
+        )
+        .filter(~F.col("__exempt"))
+        .select(F.col("__h").alias("para_hash"))
+        .distinct()
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
@@ -372,6 +419,7 @@ def paragraph_dedup(
     joiner: str = "\n\n",
     normalize: bool = True,
     min_chars: int = 30,
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (the C4 / RefinedWeb rule):
     every paragraph is kept only at its FIRST occurrence in the corpus
@@ -409,14 +457,31 @@ def paragraph_dedup(
 
     Three exchanges total (hash agg, (id,pos) join, id reassembly), all
     skew-safe; no UDFs, everything whole-stage codegen.
+
+    ``seen``: an optional single-column ``para_hash`` frame of hashes
+    already claimed by an EARLIER corpus (the incremental-curation
+    state). Paragraphs hashing into ``seen`` are dropped from every
+    document here — they can never win, their first occurrence lives in
+    the stored corpus. The probe never shuffles ``seen``: it is
+    semi-joined down to this corpus's (small) key set via a broadcast
+    key list, then broadcast into an anti-join — the same stored-index
+    probe shape as curation_incremental's hash/band stages.
     """
-    units = paragraph_units(df, id_col, text_col, split_pattern=split_pattern)
-    canon = norm_expr("para") if normalize else F.col("para")
-    units = units.withColumn("__exempt", F.length("para") < min_chars).withColumn(
-        "__h", F.sha2(canon, 256)
+    units = _hashed_units(
+        df,
+        id_col,
+        text_col,
+        split_pattern=split_pattern,
+        normalize=normalize,
+        min_chars=min_chars,
     )
 
     cand_keys = units.filter(~F.col("__exempt")).select(id_col, "para_pos", "__h")
+    if seen is not None:
+        stored_hits = seen.select(F.col("para_hash").alias("__h")).join(
+            F.broadcast(cand_keys.select("__h").distinct()), "__h", "left_semi"
+        )
+        cand_keys = cand_keys.join(F.broadcast(stored_hits), "__h", "left_anti")
     winners = (
         cand_keys.groupBy("__h")
         .agg(F.min(F.struct(id_col, "para_pos")).alias("__w"))
