@@ -34,8 +34,8 @@ the corpus the next (more expensive) stage sees:
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
 near_dup_audit_incomplete, matched_eval_id, contamination_frac).
-drop_reason ∈ {low_quality, repetition, contaminated, exact_duplicate,
-near_duplicate}; duplicate_of names the canonical doc a
+drop_reason ∈ {low_quality, repetition, classifier, contaminated,
+exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops);
 near_dup_audit_incomplete flags every doc that sat in at least one
 over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
@@ -89,6 +89,8 @@ def curate(
     paragraph_dedup: bool = False,
     paragraph_split: str = r"\n{2,}",
     paragraph_min_chars: int = 30,
+    quality_model=None,
+    quality_min_prob: float = 0.5,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -182,6 +184,25 @@ def curate(
         good = good.join(rep_failed, id_col, "left_anti")
     else:
         rep_failed = None
+
+    # 1b2. optional learned quality gate (quality_model given): the
+    # CCNet/GPT-3-style linear classifier — hashed-feature scoring stays
+    # entirely in the JVM (see operators.classifier), the model joins in
+    # broadcast, and the droplist is docs below quality_min_prob with
+    # their own drop_reason so a curated corpus can distinguish "failed
+    # the heuristics" from "the classifier scored it crawl-like".
+    if quality_model is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.classifier import score_quality
+
+        clf_failed = cut(
+            score_quality(good, id_col, text_col, quality_model)
+            .filter(F.col("quality_prob") < quality_min_prob)
+            .select(id_col),
+            durable=durable,
+        )
+        good = good.join(clf_failed, id_col, "left_anti")
+    else:
+        clf_failed = None
 
     # 1c. optional benchmark decontamination (eval_df given): drop docs
     # overlapping the eval set BEFORE any dedup — a contaminated doc must
@@ -313,6 +334,14 @@ def curate(
             rep_failed.select(
                 id_col,
                 F.lit("repetition").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if clf_failed is not None:
+        dropped = dropped.unionByName(
+            clf_failed.select(
+                id_col,
+                F.lit("classifier").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )

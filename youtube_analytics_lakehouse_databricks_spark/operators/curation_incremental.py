@@ -196,6 +196,8 @@ def curate_incremental(
     paragraph_dedup: bool = False,
     paragraph_split: str = r"\n{2,}",
     paragraph_min_chars: int = 30,
+    quality_model=None,
+    quality_min_prob: float = 0.5,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -318,6 +320,22 @@ def curate_incremental(
         good = good.join(rep_failed, id_col, "left_anti")
     else:
         rep_failed = None
+
+    # -- stage 1b2: optional learned quality gate (batch-only, per-row;
+    # the SAME fitted model must be passed on every append — it is
+    # serialized state the caller owns, like the eval suite)
+    if quality_model is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.classifier import score_quality
+
+        clf_failed = cut(
+            score_quality(good, id_col, text_col, quality_model)
+            .filter(F.col("quality_prob") < quality_min_prob)
+            .select(id_col),
+            durable=durable,
+        )
+        good = good.join(clf_failed, id_col, "left_anti")
+    else:
+        clf_failed = None
 
     # -- stage 1c: optional benchmark decontamination (batch-only; the
     # eval suite is fixed across appends, so the per-row verdicts are
@@ -516,6 +534,14 @@ def curate_incremental(
             rep_failed.select(
                 id_col,
                 F.lit("repetition").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if clf_failed is not None:
+        dropped = dropped.unionByName(
+            clf_failed.select(
+                id_col,
+                F.lit("classifier").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )
