@@ -59,9 +59,37 @@ def _bench_only() -> dict[str, Query]:
     def mixture_sample_documents(spark, sf_dir):
         return mixture_sample(_docs(spark, sf_dir), "source", "doc_id", alpha=0.3, seed=0)
 
+    _models: dict[str, object] = {}
+
+    def quality_classifier_scores(spark, sf_dir):
+        # model trained ONCE per sf (outside the timed runs — the priming
+        # run pays it) on source-based pseudo-labels; the timed work is
+        # the JVM-only distributed inference over the whole corpus
+        from youtube_analytics_lakehouse_databricks_spark.operators.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = _docs(spark, sf_dir)
+        if sf_dir not in _models:
+            first = docs.select("source").orderBy("doc_id").first()["source"]
+            _models[sf_dir] = train_quality_classifier(
+                docs.filter(F.col("source") == first),
+                docs.filter(F.col("source") != first),
+                "doc_id",
+                "text",
+                sample_per_class=2000,
+            )
+        return score_quality(docs, "doc_id", "text", _models[sf_dir])
+
     return {
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
-        for f in (paragraph_dedup_documents, shuffle_shard_export, mixture_sample_documents)
+        for f in (
+            paragraph_dedup_documents,
+            shuffle_shard_export,
+            mixture_sample_documents,
+            quality_classifier_scores,
+        )
     }
 
 
@@ -99,6 +127,7 @@ HEADLINE = [
     "paragraph_dedup_documents",
     "shuffle_shard_export",
     "mixture_sample_documents",
+    "quality_classifier_scores",
 ]
 
 

@@ -34,6 +34,7 @@ BASE_VECS = 2_000
 VOCAB = 5_000
 HOT_FRACTION = 0.03  # byte-identical boilerplate docs (10x only)
 OUT_ROOT = "/tmp/sparkgraft_scale"
+_MODEL_CACHE: dict = {}
 
 
 def generate(mult: int, outdir: str, hot: bool) -> None:
@@ -217,6 +218,56 @@ def _stage_builders(spark) -> dict:
         )
         return dedup_ops.paragraph_dedup(docs, "doc_id", "text")
 
+    def mixing_stage(s, d):
+        from pyspark.sql import functions as F
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id").withColumn(
+            "domain", F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+        )
+        return mixture_sample(docs, "domain", "doc_id", alpha=0.3, seed=0)
+
+    def sharding_stage(s, d):
+        from youtube_analytics_lakehouse_databricks_spark.operators.sharding import write_shards
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id").select("doc_id", "text")
+        # the real operation is the EXPORT: a count()-only plan lets
+        # Catalyst prune the text column before the exchange (only ids
+        # would shuffle) and drop the sort — write the shards like a
+        # training run does, then count the readback
+        out = f"/tmp/sparkgraft_scale_shards/{d.rsplit('/', 1)[-1]}"
+        write_shards(docs, out, "doc_id", n_shards=32, seed=0)
+        return s.read.parquet(out)
+
+    def classifier_stage(s, d):
+        from pyspark.sql import functions as F
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id")
+        key = f"__clf_model_{OUT_ROOT}"
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            # train once on the 1x corpus (the model is fixed; the thing
+            # that scales is inference over the growing corpus)
+            base = s.read.parquet(f"{OUT_ROOT}/x1/documents.parquet")
+            model = train_quality_classifier(
+                base.filter("doc_id % 2 = 0"),
+                base.filter("doc_id % 2 = 1"),
+                "doc_id",
+                "text",
+                sample_per_class=2000,
+            )
+            _MODEL_CACHE[key] = model
+        return score_quality(docs, "doc_id", "text", model)
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -239,6 +290,9 @@ def _stage_builders(spark) -> dict:
         "decontam_flags": decontam_stage,
         "paragraph_dedup": paragraph_stage,
         "pack_sequences": packing_stage,
+        "mixture_sample": mixing_stage,
+        "shuffle_shards": sharding_stage,
+        "classifier_scores": classifier_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
