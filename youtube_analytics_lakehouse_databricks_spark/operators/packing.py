@@ -93,9 +93,11 @@ def pack_sequences(
     *,
     capacity: int = 2048,
     repartition: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per input doc: (id, n_tokens, seq_id, seq_fill,
-    is_oversize).
+    is_oversize[, *carry]) — ``carry`` names input columns passed
+    through unchanged (e.g. the text itself for an export write).
 
     - seq_id: globally unique sequence label, namespaced by the Spark
       partition that packed it (``p<partition>-<bin>``);
@@ -126,9 +128,12 @@ def pack_sequences(
             T.StructField("seq_fill", T.DoubleType()),
             T.StructField("is_oversize", T.BooleanType()),
         ]
+        + [T.StructField(c, df.schema[c].dataType) for c in carry]
     )
 
-    src = df.select(id_col, F.col(n_tokens_col).cast("long").alias("n_tokens"))
+    src = df.select(
+        id_col, F.col(n_tokens_col).cast("long").alias("n_tokens"), *carry
+    )
     if repartition is not None:
         src = src.repartition(repartition)
     src = src.withColumn("__pid", F.spark_partition_id())
@@ -148,14 +153,15 @@ def pack_sequences(
         sizes = pdf["n_tokens"].to_numpy()
         pid = int(pdf["__pid"].iloc[0])
         bin_of, loads = _ffd_assign(sizes, capacity)
-        yield pd.DataFrame(
-            {
-                pdf.columns[0]: pdf.iloc[:, 0],
-                "n_tokens": pdf["n_tokens"],
-                "seq_id": [f"p{pid}-{b}" for b in bin_of],
-                "seq_fill": loads[bin_of] / float(capacity),
-                "is_oversize": sizes > capacity,
-            }
-        )
+        out = {
+            pdf.columns[0]: pdf.iloc[:, 0],
+            "n_tokens": pdf["n_tokens"],
+            "seq_id": [f"p{pid}-{b}" for b in bin_of],
+            "seq_fill": loads[bin_of] / float(capacity),
+            "is_oversize": sizes > capacity,
+        }
+        for c in carry:
+            out[c] = pdf[c]
+        yield pd.DataFrame(out)
 
     return src.mapInPandas(pack, schema=out_schema)
