@@ -1,0 +1,207 @@
+"""BPE tokenizer: corpus-statistics training + distributed encoding.
+
+Sequence packing, mixture budgeting, and context-length policy all need
+REAL token counts, not whitespace proxies. The engine trains a standard
+byte-pair-encoding vocabulary (Sennrich-style word-internal merges with
+an end-of-word marker) and applies it at corpus scale.
+
+The Spark split mirrors how BPE actually decomposes:
+
+- the ONLY corpus-sized input to training is the word-frequency table —
+  and that the engine computes EXACTLY and distributed (explode ->
+  groupBy(word) -> top-``max_words``). The driver then runs the merge
+  loop over that vocab-sized table: BPE training is inherently
+  sequential (merge i+1 depends on merge i), so "driver over exact
+  corpus statistics" is the honest factoring, not a sampling shortcut.
+- encoding is embarrassingly parallel per word. It is genuinely
+  inexpressible in Spark built-ins (a data-dependent merge loop per
+  word), so it runs as Arrow-batched ``mapInPandas`` — the engine's
+  documented slow-path tool — with a per-partition word->tokens cache:
+  natural text repeats words heavily (zipf), so the merge loop runs
+  once per DISTINCT word per partition, not once per occurrence.
+
+Determinism: merges tie-break on pair lexicographic order, encoding is
+a pure function of (text, merges) — same corpus, same vocab, same
+tokens, any partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from youtube_analytics_lakehouse_databricks_spark.operators.text import norm_expr
+
+EOW = "</w>"
+
+
+def word_counts(
+    df: DataFrame, id_col: str, text_col: str, *, normalize: bool = True
+) -> DataFrame:
+    """(word, n): exact corpus word frequencies — one explode + one
+    map-side-combining count agg; the input every tokenizer trainer
+    needs, distributed."""
+    text = norm_expr(text_col) if normalize else F.col(text_col)
+    return (
+        df.select(text.alias("__t"))
+        .select(F.explode(F.expr("filter(split(__t, ' '), x -> x <> '')")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard greedy BPE: repeatedly apply the lowest-rank merge
+    present until none applies."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+@dataclass
+class BPEModel:
+    """Ordered merge list; rank = position. save/load via parquet."""
+
+    merges: list[tuple[str, str]]
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        return {m: i for i, m in enumerate(self.merges)}
+
+    def encode_word(self, word: str) -> list[str]:
+        return _encode_word(word, self.ranks)
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in text.split(" "):
+            if w:
+                out.extend(self.encode_word(w))
+        return out
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(self.merges)],
+            "rank long, left string, right string",
+        ).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BPEModel":
+        rows = sorted(
+            spark.read.parquet(path).collect(), key=lambda r: r["rank"]
+        )
+        return cls(merges=[(r["left"], r["right"]) for r in rows])
+
+
+def train_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_merges: int = 1000,
+    max_words: int = 100_000,
+    normalize: bool = True,
+) -> BPEModel:
+    """Fit ``n_merges`` BPE merges on the exact corpus word-frequency
+    table (top ``max_words`` words by count, count-desc word-asc — a
+    deterministic, bounded driver working set)."""
+    rows = (
+        word_counts(df, id_col, text_col, normalize=normalize)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [EOW], r["n"]) for r in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # max count, lexicographically-smallest pair on ties: deterministic
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for syms, _n in vocab:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return BPEModel(merges=merges)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: BPEModel,
+    *,
+    normalize: bool = True,
+    with_tokens: bool = False,
+) -> DataFrame:
+    """(id, n_tokens[, tokens]): distributed BPE encoding. The merge
+    table broadcasts once; each partition keeps a word->tokens cache so
+    the merge loop runs per DISTINCT word, not per occurrence."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model.merges)
+    id_type = df.schema[id_col].dataType
+    fields = [
+        T.StructField(id_col, id_type),
+        T.StructField("n_tokens", T.LongType()),
+    ]
+    if with_tokens:
+        fields.append(T.StructField("tokens", T.ArrayType(T.StringType())))
+
+    src = df.select(
+        id_col, (norm_expr(text_col) if normalize else F.col(text_col)).alias("__t")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        ranks = {m: i for i, m in enumerate(bc.value)}
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            hit = cache.get(word)
+            if hit is None:
+                hit = _encode_word(word, ranks)
+                cache[word] = hit
+            return hit
+
+        for pdf in batches:
+            ids, counts, toks = [], [], []
+            for doc_id, text in zip(pdf[pdf.columns[0]], pdf["__t"]):
+                words = [w for w in (text or "").split(" ") if w]
+                if with_tokens:
+                    t = [s for w in words for s in enc(w)]
+                    toks.append(t)
+                    counts.append(len(t))
+                else:
+                    counts.append(sum(len(enc(w)) for w in words))
+                ids.append(doc_id)
+            out = {pdf.columns[0]: ids, "n_tokens": counts}
+            if with_tokens:
+                out["tokens"] = toks
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=T.StructType(fields))
