@@ -82,6 +82,20 @@ def _bench_only() -> dict[str, Query]:
             )
         return score_quality(docs, "doc_id", "text", _models[sf_dir])
 
+    def bpe_token_counts(spark, sf_dir):
+        # merges trained once per sf (priming run pays it); timed work is
+        # the distributed cached encoding of the whole corpus
+        from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import (
+            bpe_tokenize,
+            train_bpe,
+        )
+
+        docs = _docs(spark, sf_dir)
+        key = f"bpe:{sf_dir}"
+        if key not in _models:
+            _models[key] = train_bpe(docs, "doc_id", "text", n_merges=200)
+        return bpe_tokenize(docs, "doc_id", "text", _models[key])
+
     return {
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
         for f in (
@@ -89,6 +103,7 @@ def _bench_only() -> dict[str, Query]:
             shuffle_shard_export,
             mixture_sample_documents,
             quality_classifier_scores,
+            bpe_token_counts,
         )
     }
 
@@ -128,6 +143,7 @@ HEADLINE = [
     "shuffle_shard_export",
     "mixture_sample_documents",
     "quality_classifier_scores",
+    "bpe_token_counts",
 ]
 
 
