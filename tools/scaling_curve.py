@@ -268,6 +268,24 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return score_quality(docs, "doc_id", "text", model)
 
+    def bpe_stage(s, d):
+        from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import (
+            bpe_tokenize,
+            train_bpe,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id")
+        key = "__bpe_model"
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            # merges trained once on the 1x corpus: the vocabulary is
+            # fixed; what scales is the encode over the growing corpus
+            base = s.read.parquet(f"{OUT_ROOT}/x1/documents.parquet")
+            model = train_bpe(base, "doc_id", "text", n_merges=200)
+            _MODEL_CACHE[key] = model
+        return bpe_tokenize(docs, "doc_id", "text", model)
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -291,6 +309,7 @@ def _stage_builders(spark) -> dict:
         "paragraph_dedup": paragraph_stage,
         "pack_sequences": packing_stage,
         "mixture_sample": mixing_stage,
+        "bpe_token_counts": bpe_stage,
         "shuffle_shards": sharding_stage,
         "classifier_scores": classifier_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
