@@ -79,8 +79,10 @@ def test_rates_validation(spark, corpus):
         domain_rates(corpus, "domain", alpha=0.5, weights={"web": 1})  # both
     with pytest.raises(ValueError):
         domain_rates(corpus, "domain", weights={"web": -1.0})
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="not in the corpus"):
         domain_rates(corpus, "domain", weights={"nosuch": 1.0})
+    with pytest.raises(ValueError, match="not in the corpus"):
+        domain_rates(corpus, "domain", weights={"web": 1.0, "tyop": 2.0})
 
 
 def test_sample_sizes_track_rates(spark, corpus):

@@ -83,6 +83,11 @@ def domain_rates(
         bad = {d: w for d, w in weights.items() if w < 0}
         if bad:
             raise ValueError(f"negative weights: {bad}")
+        unknown = sorted(set(weights) - set(counts))
+        if unknown:
+            # a typo'd domain name silently weighting nothing is the
+            # failure mode that ships a wrong mix — fail loudly
+            raise ValueError(f"weights name domains not in the corpus: {unknown}")
         shares = {d: float(weights.get(d, 0.0)) for d in counts}
     z = sum(shares.values())
     if z <= 0:
