@@ -125,7 +125,9 @@ def test_save_load_roundtrip(spark, tmp_path):
     model = train_bpe(df, "doc_id", "text", n_merges=10)
     p = str(tmp_path / "bpe")
     model.save(spark, p)
-    assert BPEModel.load(spark, p).merges == model.merges
+    loaded = BPEModel.load(spark, p)
+    assert loaded.merges == model.merges
+    assert loaded.known == model.known
 
 
 def test_counts_feed_packing(spark):
@@ -144,3 +146,22 @@ def test_counts_feed_packing(spark):
     for r in rows:
         by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["n_tokens"]
     assert all(v <= 64 for v in by_seq.values())
+
+
+def test_known_table_matches_greedy_reencoding(spark):
+    """The precomputed train-time encodings (model.known) must equal what
+    the greedy merge loop produces for the same words — the dict-hit fast
+    path may never change a single token."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import _encode_word
+
+    rng = random.Random(9)
+    words = ["".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 9))) for _ in range(80)]
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + rng.randint(1, 6)
+    df = _df_from_counts(spark, counts)
+    model = train_bpe(df, "doc_id", "text", n_merges=60)
+    assert model.known is not None and set(model.known) == set(counts)
+    ranks = model.ranks
+    for w, toks in model.known.items():
+        assert list(toks) == _encode_word(w, ranks), w

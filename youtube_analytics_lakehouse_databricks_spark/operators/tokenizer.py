@@ -71,15 +71,24 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 @dataclass
 class BPEModel:
-    """Ordered merge list; rank = position. save/load via parquet."""
+    """Ordered merge list; rank = position. ``known`` precomputes the
+    encodings of the training vocabulary (free at train time — the
+    merge loop ends holding each word's final symbols), so corpus-scale
+    encoding is a dict hit for every in-vocab word and the merge loop
+    runs only for OOV tails. save/load via parquet."""
 
     merges: list[tuple[str, str]]
+    known: dict[str, tuple[str, ...]] | None = None
 
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
         return {m: i for i, m in enumerate(self.merges)}
 
     def encode_word(self, word: str) -> list[str]:
+        if self.known is not None:
+            hit = self.known.get(word)
+            if hit is not None:
+                return list(hit)
         return _encode_word(word, self.ranks)
 
     def encode(self, text: str) -> list[str]:
@@ -93,14 +102,27 @@ class BPEModel:
         spark.createDataFrame(
             [(i, a, b) for i, (a, b) in enumerate(self.merges)],
             "rank long, left string, right string",
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(f"{path}/merges")
+        if self.known is not None:
+            spark.createDataFrame(
+                [(w, list(t)) for w, t in self.known.items()],
+                "word string, tokens array<string>",
+            ).write.mode("overwrite").parquet(f"{path}/known")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BPEModel":
+        import os
+
         rows = sorted(
-            spark.read.parquet(path).collect(), key=lambda r: r["rank"]
+            spark.read.parquet(f"{path}/merges").collect(), key=lambda r: r["rank"]
         )
-        return cls(merges=[(r["left"], r["right"]) for r in rows])
+        known = None
+        if os.path.isdir(f"{path}/known"):
+            known = {
+                r["word"]: tuple(r["tokens"])
+                for r in spark.read.parquet(f"{path}/known").collect()
+            }
+        return cls(merges=[(r["left"], r["right"]) for r in rows], known=known)
 
 
 def train_bpe(
@@ -121,8 +143,9 @@ def train_bpe(
         .limit(max_words)
         .collect()
     )
+    words = [r["word"] for r in rows]
     vocab: list[tuple[list[str], int]] = [
-        (list(r["word"]) + [EOW], r["n"]) for r in rows
+        (list(w) + [EOW], r["n"]) for w, r in zip(words, rows)
     ]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -146,7 +169,11 @@ def train_bpe(
                     syms[i : i + 2] = [ab]
                 else:
                     i += 1
-    return BPEModel(merges=merges)
+    # the merge loop ends holding every training word's final segments:
+    # ship them as the precomputed encoding table (greedy re-encoding of
+    # an in-vocab word provably reproduces them; pinned by test)
+    known = {w: tuple(syms) for w, (syms, _n) in zip(words, vocab)}
+    return BPEModel(merges=merges, known=known)
 
 
 def bpe_tokenize(
@@ -162,7 +189,7 @@ def bpe_tokenize(
     table broadcasts once; each partition keeps a word->tokens cache so
     the merge loop runs per DISTINCT word, not per occurrence."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(model.merges)
+    bc = spark.sparkContext.broadcast((model.merges, model.known))
     id_type = df.schema[id_col].dataType
     fields = [
         T.StructField(id_col, id_type),
@@ -178,8 +205,14 @@ def bpe_tokenize(
     def run(batches):
         import pandas as pd
 
-        ranks = {m: i for i, m in enumerate(bc.value)}
-        cache: dict[str, list[str]] = {}
+        merges, known = bc.value
+        ranks = {m: i for i, m in enumerate(merges)}
+        # seed with the train-time encodings: in-vocab words (the zipf
+        # bulk of any corpus) never run the merge loop at all
+        cache: dict[str, list[str]] = (
+            {w: list(t) for w, t in known.items()} if known else {}
+        )
+        len_cache: dict[str, int] = {w: len(t) for w, t in cache.items()}
 
         def enc(word: str) -> list[str]:
             hit = cache.get(word)
@@ -189,19 +222,32 @@ def bpe_tokenize(
             return hit
 
         for pdf in batches:
-            ids, counts, toks = [], [], []
-            for doc_id, text in zip(pdf[pdf.columns[0]], pdf["__t"]):
-                words = [w for w in (text or "").split(" ") if w]
-                if with_tokens:
+            idc = pdf.columns[0]
+            if with_tokens:
+                ids, counts, toks = [], [], []
+                for doc_id, text in zip(pdf[idc], pdf["__t"]):
+                    words = [w for w in (text or "").split(" ") if w]
                     t = [s for w in words for s in enc(w)]
                     toks.append(t)
                     counts.append(len(t))
-                else:
-                    counts.append(sum(len(enc(w)) for w in words))
-                ids.append(doc_id)
-            out = {pdf.columns[0]: ids, "n_tokens": counts}
-            if with_tokens:
-                out["tokens"] = toks
-            yield pd.DataFrame(out)
+                    ids.append(doc_id)
+                yield pd.DataFrame({idc: ids, "n_tokens": counts, "tokens": toks})
+                continue
+            # counts-only fast path: explode words once, map word ->
+            # token length through a dict at C speed, merge-loop only
+            # for the distinct OOV words of this batch
+            ex = pdf["__t"].fillna("").str.split(" ").explode()
+            ex = ex[ex != ""]
+            mapped = ex.map(len_cache)
+            missing = mapped.isna()
+            if missing.any():
+                for w in pd.unique(ex[missing]):
+                    len_cache[w] = len(_encode_word(w, ranks))
+                mapped = ex.map(len_cache)
+            per_doc = mapped.groupby(level=0).sum()
+            counts = (
+                per_doc.reindex(pdf.index, fill_value=0).astype("int64")
+            )
+            yield pd.DataFrame({idc: pdf[idc], "n_tokens": counts})
 
     return src.mapInPandas(run, schema=T.StructType(fields))
