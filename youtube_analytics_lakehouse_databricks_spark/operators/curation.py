@@ -14,7 +14,9 @@ the corpus the next (more expensive) stage sees:
                        rewrites each doc's text before the gate, so
                        boilerplate-only docs drain and drop low_quality
                        and doc-level dedup compares boilerplate-free
-                       text), and
+                       text), a learned quality classifier
+                       (``quality_model=`` — JVM-only hashed-feature
+                       scoring, drop_reason ``classifier``), and
                        benchmark decontamination (``eval_df=...``) that
                        drops eval-overlapping docs (drop_reason
                        ``contaminated``) before any dedup — a leaked doc
