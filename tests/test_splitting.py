@@ -1,0 +1,69 @@
+"""Leakage-safe splitting (operators/splitting.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+from youtube_analytics_lakehouse_databricks_spark.operators.splitting import leakage_safe_split
+
+@pytest.fixture(scope="module")
+def audit(spark):
+    import random
+
+    rng = random.Random(17)
+    words = [f"word{j}" for j in range(4000)]
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((3 * i, body))
+        rows.append((3 * i + 1, body))  # exact dup
+        toks = body.split(" ")
+        toks[5] = "variant"
+        rows.append((3 * i + 2, " ".join(toks)))  # near dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return curate(df, "doc_id", "text").cache()
+
+
+def splits(audit, **kw):
+    return {
+        r["doc_id"]: (r["cluster_root"], r["split"])
+        for r in leakage_safe_split(audit, "doc_id", **kw).collect()
+    }
+
+
+def test_clusters_never_straddle_the_split(spark, audit):
+    got = splits(audit, val_frac=0.3, seed=1, include_dropped=True)
+    by_root: dict[int, set[str]] = {}
+    for root, side in got.values():
+        by_root.setdefault(root, set()).add(side)
+    assert all(len(sides) == 1 for sides in by_root.values())
+    # the fixture really does produce multi-member clusters
+    from collections import Counter
+
+    sizes = Counter(root for root, _ in got.values())
+    assert max(sizes.values()) >= 2
+
+
+def test_kept_only_by_default_and_frac_tracks(spark, audit):
+    got = splits(audit, val_frac=0.25, seed=2)
+    kept_ids = {r["doc_id"] for r in audit.filter("keep").collect()}
+    assert set(got) == kept_ids
+    frac = sum(1 for _, s in got.values() if s == "validation") / len(got)
+    assert abs(frac - 0.25) < 0.12
+
+
+def test_deterministic_and_nested(spark, audit):
+    a = splits(audit, val_frac=0.2, seed=7)
+    assert a == splits(audit, val_frac=0.2, seed=7)
+    b = splits(audit, val_frac=0.4, seed=7)
+    lo = {d for d, (_, s) in a.items() if s == "validation"}
+    hi = {d for d, (_, s) in b.items() if s == "validation"}
+    assert lo < hi  # growing the validation set only adds clusters
+    assert a != splits(audit, val_frac=0.2, seed=8)
+
+
+def test_validates_frac(spark, audit):
+    with pytest.raises(ValueError):
+        leakage_safe_split(audit, "doc_id", val_frac=1.5)
