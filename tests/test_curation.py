@@ -184,6 +184,33 @@ def test_curate_hot_bucket_audit_surfaced(spark):
     )
 
 
+def test_curate_exact_dup_of_near_folded_keeper_gets_final_root(spark):
+    """The two-hop chain (round-6 VERDICT #1): an exact duplicate whose
+    keeper is ITSELF near-folded must point at the keeper's component
+    root, not the keeper — every member of a duplicate cluster carries
+    the SAME final root, or leakage_safe_split(include_dropped=True)
+    can put cluster members on opposite split sides."""
+    rows = [
+        (2, VARIANT),  # near-dup of BASE; min id -> the component root
+        (5, BASE),     # exact keeper of {5, 6, 7}; near-folds into 2
+        (6, BASE),     # byte-exact dup of 5
+        (7, BASE.replace("quick", "Quick,")),  # cosmetic exact dup of 5
+        (9, OTHER),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curate(docs, "doc_id", "text").collect()}
+
+    assert out[2]["keep"] and out[9]["keep"]
+    assert out[5]["drop_reason"] == "near_duplicate" and out[5]["duplicate_of"] == 2
+    # the fix: 6 and 7 resolve THROUGH 5 to the final root 2
+    for i in (6, 7):
+        assert out[i]["drop_reason"] == "exact_duplicate"
+        assert out[i]["duplicate_of"] == 2, out[i]
+    # whole cluster shares one root
+    roots = {out[i]["duplicate_of"] for i in (5, 6, 7)}
+    assert roots == {2}
+
+
 def test_curate_durable_mode_identical(spark, tmp_path):
     """durable=True swaps every localCheckpoint lineage cut (curate's own
     plus the connected-components rounds) for reliable checkpoint() —

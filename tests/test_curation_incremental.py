@@ -106,7 +106,9 @@ def test_incremental_append_adversarial_cases(spark):
     assert got[4][1:4] == (False, "near_duplicate", 1)   # repointed 3 -> 1
     assert got[11][1:4] == (False, "near_duplicate", 1)  # bridge folds too
     assert got[12][1:4] == (False, "exact_duplicate", 2)
-    assert got[13][1:4] == (False, "exact_duplicate", 4)  # dup of a dropped rep
+    # dup of the near-DROPPED rep 4: resolves THROUGH 4 to the final
+    # cluster root 1 (the exact->near one-hop chain, round-6 VERDICT #1)
+    assert got[13][1:4] == (False, "exact_duplicate", 1)
     assert got[14][1] and got[16][1:4] == (False, "near_duplicate", 14)
     assert got[1][1] and got[2][1]
 

@@ -46,6 +46,40 @@ def test_clusters_never_straddle_the_split(spark, audit):
     assert max(sizes.values()) >= 2
 
 
+def test_chained_duplicates_share_a_root_and_a_side(spark):
+    """The exact-dup -> near-folded-keeper chain (round-6 VERDICT #1):
+    docs 5,6 byte-exact (keeper 5), doc 2 near-dups 5, so the component
+    root is 2 — doc 6 must resolve THROUGH 5 to root 2, and every seed
+    must land the whole cluster {2, 5, 6} on one side."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{j}" for j in range(2000)]
+    rows = []
+    for i in range(40):
+        base = 10 * i
+        body = " ".join(rng.choice(words) for _ in range(30))
+        toks = body.split(" ")
+        toks[4] = "variant"
+        rows.append((base + 2, " ".join(toks)))  # near-dup, min id: the root
+        rows.append((base + 5, body))            # exact keeper, near-folds
+        rows.append((base + 6, body))            # exact dup of +5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 8 bands of 1 row: candidate recall ~1 for J>=0.5 (the default 4x2
+    # banding misses ~2% of J~0.8 pairs — flaky at 40 clusters)
+    audit = curate(df, "doc_id", "text", rows_per_band=1)
+
+    for seed in (0, 1, 2, 3, 4):
+        got = splits(audit, val_frac=0.4, seed=seed, include_dropped=True)
+        for i in range(40):
+            base = 10 * i
+            cluster = [got[base + k] for k in (2, 5, 6)]
+            roots = {root for root, _ in cluster}
+            sides = {side for _, side in cluster}
+            assert roots == {base + 2}, (i, cluster)
+            assert len(sides) == 1, (i, cluster)
+
+
 def test_kept_only_by_default_and_frac_tracks(spark, audit):
     got = splits(audit, val_frac=0.25, seed=2)
     kept_ids = {r["doc_id"] for r in audit.filter("keep").collect()}

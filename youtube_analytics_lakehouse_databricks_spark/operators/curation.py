@@ -355,11 +355,23 @@ def curate(
                 null_dup.alias("duplicate_of"),
             )
         )
+    # exact duplicates point at their exact keeper — but when that keeper
+    # was ITSELF near-folded into a component, the final cluster root is
+    # the keeper's component, one hop further. Resolve it here so
+    # `duplicate_of` is ALWAYS the final (kept) cluster root: components
+    # run over exact representatives only and their roots are kept docs,
+    # so exactly one extra hop closes every chain. Without this, an
+    # exact dup of a near-folded keeper gets a mid-chain pointer and
+    # leakage_safe_split(include_dropped=True) can put members of one
+    # duplicate cluster on opposite split sides (round-6 VERDICT #1).
+    fold_map = near_dropped.select(
+        F.col("node").alias("__keeper"), F.col("component").alias("__root")
+    )
     dropped = dropped.unionByName(
-        exact_dropped.select(
+        exact_dropped.join(fold_map, "__keeper", "left").select(
             id_col,
             F.lit("exact_duplicate").alias("drop_reason"),
-            F.col("__keeper").alias("duplicate_of"),
+            F.coalesce("__root", "__keeper").alias("duplicate_of"),
         )
     ).unionByName(
         near_dropped.select(

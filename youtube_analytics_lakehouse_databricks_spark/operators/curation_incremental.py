@@ -523,6 +523,59 @@ def curate_incremental(
     else:
         curtailed = None
 
+    # -- stored-audit pointer splice -----------------------------------
+    # Runs BEFORE the batch assembly: the batch's exact-dup final-root
+    # hop below must see stored near-dup pointers AFTER this run's retro
+    # relabels, or a dup folding into a just-merged stored keeper would
+    # inherit the keeper's stale pre-merge root.
+    if state is not None:
+        s = state.audit
+        if retro is not None:
+            upd = F.broadcast(
+                retro.select(
+                    F.col("node").alias(id_col), F.col("component").alias("__new_dup")
+                )
+            )
+            s = (
+                s.join(upd, id_col, "left")
+                .select(
+                    id_col,
+                    (F.col("keep") & F.col("__new_dup").isNull()).alias("keep"),
+                    F.when(F.col("__new_dup").isNotNull(), F.lit("near_duplicate"))
+                    .otherwise(F.col("drop_reason"))
+                    .alias("drop_reason"),
+                    F.coalesce("__new_dup", "duplicate_of").alias("duplicate_of"),
+                    "near_dup_audit_incomplete",
+                    "matched_eval_id",
+                    "contamination_frac",
+                )
+            )
+            # repoint any row whose pointer names a retro-folded node to
+            # that node's new label: near-dup survivors of a merged
+            # cluster AND exact dups of a retro-folded keeper (both
+            # pointer kinds must end at the FINAL cluster root — the
+            # leakage_safe_split contract)
+            rmap = F.broadcast(
+                retro.select(
+                    F.col("node").alias("__old_label"),
+                    F.col("component").alias("__relabel"),
+                )
+            )
+            s = (
+                s.join(rmap, s["duplicate_of"] == rmap["__old_label"], "left")
+                .select(
+                    id_col,
+                    "keep",
+                    "drop_reason",
+                    F.coalesce("__relabel", "duplicate_of").alias("duplicate_of"),
+                    "near_dup_audit_incomplete",
+                    "matched_eval_id",
+                    "contamination_frac",
+                )
+            )
+    else:
+        s = None
+
     # -- assemble batch audit rows (curate()'s schema) ------------------
     dropped = low_quality.select(
         id_col,
@@ -553,13 +606,43 @@ def curate_incremental(
                 null_dup.alias("duplicate_of"),
             )
         )
+    # exact-dup final-root hop (mirrors curate()): a keeper that was
+    # near-folded — in THIS run's components (batch keeper folded, or
+    # stored keeper retro-folded: both appear in comp) or in a PRIOR
+    # run (stored near_duplicate row, post-relabel) — resolves one hop
+    # further to its component root. Precedence: this run's component
+    # is the final label when both exist. The stored probe follows the
+    # batch-proportional index shape: semi-join the stored audit down
+    # to the batch's keeper set via a broadcast key list, then
+    # broadcast the (batch-sized) hits into the left join — the stored
+    # audit is never shuffled.
+    run_folds = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("__keeper"), F.col("component").alias("__root")
+    )
+    exact_final = exact_dropped.join(run_folds, "__keeper", "left")
+    if s is not None:
+        stored_folds = (
+            s.filter(F.col("drop_reason") == "near_duplicate")
+            .select(
+                F.col(id_col).alias("__keeper"),
+                F.col("duplicate_of").alias("__root2"),
+            )
+            .join(
+                F.broadcast(exact_dropped.select("__keeper").distinct()),
+                "__keeper",
+                "left_semi",
+            )
+        )
+        exact_final = exact_final.join(F.broadcast(stored_folds), "__keeper", "left")
+    else:
+        exact_final = exact_final.withColumn("__root2", null_dup)
     dropped = (
         dropped
         .unionByName(
-            exact_dropped.select(
+            exact_final.select(
                 id_col,
                 F.lit("exact_duplicate").alias("drop_reason"),
-                F.col("__keeper").alias("duplicate_of"),
+                F.coalesce("__root", "__root2", "__keeper").alias("duplicate_of"),
             )
         )
         .unionByName(
@@ -601,55 +684,8 @@ def curate_incremental(
             "matched_eval_id", F.lit(None).cast("string")
         ).withColumn("contamination_frac", F.lit(None).cast("double"))
 
-    # -- splice stored audit rows ---------------------------------------
-    if state is not None:
-        s = state.audit
-        if retro is not None:
-            upd = F.broadcast(
-                retro.select(
-                    F.col("node").alias(id_col), F.col("component").alias("__new_dup")
-                )
-            )
-            s = (
-                s.join(upd, id_col, "left")
-                .select(
-                    id_col,
-                    (F.col("keep") & F.col("__new_dup").isNull()).alias("keep"),
-                    F.when(F.col("__new_dup").isNotNull(), F.lit("near_duplicate"))
-                    .otherwise(F.col("drop_reason"))
-                    .alias("drop_reason"),
-                    F.coalesce("__new_dup", "duplicate_of").alias("duplicate_of"),
-                    "near_dup_audit_incomplete",
-                    "matched_eval_id",
-                    "contamination_frac",
-                )
-            )
-            # repoint survivors of a merged cluster whose keeper folded:
-            # their near-dup pointer follows the keeper to its new label
-            rmap = F.broadcast(
-                retro.select(
-                    F.col("node").alias("__old_label"),
-                    F.col("component").alias("__relabel"),
-                )
-            )
-            s = (
-                s.join(rmap, s["duplicate_of"] == rmap["__old_label"], "left")
-                .select(
-                    id_col,
-                    "keep",
-                    "drop_reason",
-                    F.when(
-                        (F.col("drop_reason") == "near_duplicate")
-                        & F.col("__relabel").isNotNull(),
-                        F.col("__relabel"),
-                    )
-                    .otherwise(F.col("duplicate_of"))
-                    .alias("duplicate_of"),
-                    "near_dup_audit_incomplete",
-                    "matched_eval_id",
-                    "contamination_frac",
-                )
-            )
+    # -- splice stored audit rows (pointers were updated above) ---------
+    if s is not None:
         if curtailed is not None:
             stored_curtailed = F.broadcast(
                 curtailed.withColumnRenamed("__curtailed", "__now_curtailed")

@@ -18,11 +18,14 @@ The split is a deterministic hash-threshold draw on the CLUSTER ROOT id
   property as operators.mixing): a cluster in the 5% validation set is
   still there at 10%.
 
-One broadcast-size exchange: the audit frame is scanned once, the root
-resolution is a self-join on `duplicate_of` ONLY for dropped docs
-(duplicate_of already IS the final cluster root in curate()'s audit —
-components resolve transitively before the audit assembles, so no
-iterative closure is needed here).
+No closure pass is needed here: `duplicate_of` IS the final cluster
+root in curate()'s audit for every dropped doc — near-dup components
+resolve transitively, and curate() repoints exact duplicates whose
+keeper was itself near-folded through the keeper's component (the
+exact->near one-hop chain; pinned by the chained fixtures in
+tests/test_curation.py and test_splitting.py). The split is therefore
+one scan of the audit frame with a per-row hash draw — no corpus
+shuffle.
 """
 
 from __future__ import annotations

@@ -628,7 +628,12 @@ def _curate_oracle_sql() -> str:
     ),
     comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
     neard AS (SELECT node AS doc_id, component FROM comp WHERE node <> component),
-    exd AS (SELECT doc_id, keeper FROM exact_map WHERE doc_id <> keeper)
+    -- exact dups whose keeper was itself near-folded resolve one hop
+    -- further to the keeper's component root (mirrors curate()'s
+    -- final-root repoint)
+    exd AS (SELECT e.doc_id, COALESCE(nd.component, e.keeper) AS keeper
+            FROM (SELECT doc_id, keeper FROM exact_map WHERE doc_id <> keeper) e
+            LEFT JOIN neard nd ON nd.doc_id = e.keeper)
     SELECT d.doc_id,
            (l.doc_id IS NULL AND e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
            CASE WHEN l.doc_id IS NOT NULL THEN 'low_quality'
