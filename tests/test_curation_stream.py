@@ -103,3 +103,45 @@ def test_streamed_batch_replay_is_idempotent(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(dirs["audit"]).collect()))
     assert after == before
+
+
+def test_crash_replay_touches_only_its_own_partition(spark, tmp_path):
+    """The crash window the replay protocol exists for: batch K's audit
+    partition was written but the state save never committed. The
+    replayed batch must overwrite ONLY its own batch_id=K/ partition —
+    every other batch's files stay byte-identical (the log is
+    partitioned by batch_id; no read-filter-rewrite of history)."""
+    import glob
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import (
+        ingest_curated_batch,
+    )
+
+    state, audit = str(tmp_path / "state"), str(tmp_path / "audit")
+    b0 = spark.createDataFrame([(1, A_TXT), (2, OTHER)], "doc_id long, text string")
+    b1 = spark.createDataFrame([(11, B_TXT), (12, C_TXT)], "doc_id long, text string")
+    kw = dict(state_dir=state, audit_dir=audit, **PARAMS)
+
+    ingest_curated_batch(b0, 0, "doc_id", "text", **kw)
+    shutil.copytree(state, str(tmp_path / "state_after_b0"))
+    ingest_curated_batch(b1, 1, "doc_id", "text", **kw)
+    want = sorted(map(tuple, spark.read.parquet(audit).collect()))
+
+    def snapshot(part):
+        return {
+            os.path.basename(f): open(f, "rb").read()
+            for f in glob.glob(f"{audit}/batch_id={part}/*.parquet")
+        }
+
+    b0_files = snapshot(0)
+    assert b0_files and snapshot(1)  # the log really is batch-partitioned
+
+    # crash: state save never committed -> roll state back, audit stays
+    shutil.rmtree(state)
+    shutil.copytree(str(tmp_path / "state_after_b0"), state)
+    ingest_curated_batch(b1, 1, "doc_id", "text", **kw)  # the replay
+
+    assert sorted(map(tuple, spark.read.parquet(audit).collect())) == want
+    # batch 0's partition was never rewritten: same files, same bytes
+    assert snapshot(0) == b0_files

@@ -142,6 +142,28 @@ def test_upsampling_copies(spark, corpus):
     out.unpersist()
 
 
+def test_null_domain_rows_are_sampled_not_dropped(spark):
+    """domain_rates groups NULL domains and reports a rate for them, so
+    mixture_sample must APPLY it — the join is null-safe (a plain inner
+    join on the column would silently drop every NULL-domain row,
+    contradicting the module's fail-loudly posture; round-6 ADVICE)."""
+    rows = [(i, None if i % 4 == 0 else f"dom{i % 2}", f"t{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+    rates = {d: r for d, _, r in domain_rates(df, "domain", alpha=1.0)}
+    assert None in rates and rates[None] == pytest.approx(1.0)
+
+    out = mixture_sample(df, "domain", "doc_id", alpha=1.0, seed=0)
+    # alpha=1 is the natural mix: every row survives, NULL domains too
+    assert out.count() == 2000
+    assert out.filter(F.col("domain").isNull()).count() == 500
+
+    # and a real downsample still draws from the NULL group
+    half = mixture_sample(df, "domain", "doc_id", alpha=1.0, target_rows=1000, seed=0)
+    n_null = half.filter(F.col("domain").isNull()).count()
+    assert 150 < n_null < 350  # ~250 expected
+
+
 def test_plan_no_udfs_no_corpus_shuffle(spark, corpus):
     plan = (
         mixture_sample(corpus, "domain", "doc_id", alpha=0.5, seed=0)

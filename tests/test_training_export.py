@@ -85,6 +85,140 @@ def test_end_to_end(spark, corpus, tmp_path):
     assert exported_ids <= kept_ids
 
 
+def test_sequences_never_span_shards(spark, corpus, tmp_path):
+    """repartition(n, shard) hash-partitions the shard VALUE, so one
+    task can hold two shards; packing must still build per-shard
+    sequences (group_col) or the partitionBy write splits a sequence
+    across shard directories (round-6 ADVICE, medium)."""
+    out = str(tmp_path / "span")
+    prepare_training_data(
+        corpus, "doc_id", "text", out, n_shards=4, seed=3, capacity=256
+    )
+    df = spark.read.parquet(out)
+    # every sequence lives in exactly one shard directory
+    spans = (
+        df.groupBy("seq_id")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .filter(F.col("n_shards") > 1)
+        .count()
+    )
+    assert spans == 0
+    # the fixture actually exercises the collision: some task packed two
+    # shards (seq_id embeds the packing partition as p<pid>g<shard>)
+    pid_shards = {}
+    for r in df.select("seq_id", "shard").distinct().collect():
+        pid = r["seq_id"].split("g")[0]
+        pid_shards.setdefault(pid, set()).add(r["shard"])
+    assert any(len(s) > 1 for s in pid_shards.values()), pid_shards
+    # and per-(shard, seq) packing bounds still hold
+    over = (
+        df.filter(~F.col("is_oversize"))
+        .groupBy("shard", "seq_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .filter(F.col("tot") > 256)
+        .count()
+    )
+    assert over == 0
+
+
+def test_split_threaded_through_export(spark, corpus, tmp_path):
+    """val_frac= stamps every exported row with its cluster-rooted
+    train/validation side: the assignment matches leakage_safe_split
+    over the audit exactly, and re-seeding the EPOCH permutation never
+    moves a doc across the split."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.splitting import leakage_safe_split
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    common = dict(n_shards=4, capacity=None, val_frac=0.3, split_seed=9)
+    prepare_training_data(corpus, "doc_id", "text", a, seed=1, **common)
+    prepare_training_data(corpus, "doc_id", "text", b, seed=2, **common)
+
+    df = spark.read.parquet(a)
+    assert set(df.select("split").distinct().toPandas()["split"]) <= {
+        "train", "validation"
+    }
+    audit = spark.read.parquet(f"{a}/_audit")
+    want = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(audit, "doc_id", val_frac=0.3, seed=9).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+    assert got == {i: want[i] for i in got}
+    frac = sum(1 for s in got.values() if s == "validation") / len(got)
+    assert 0.15 < frac < 0.45
+    # epoch seed changed, split identical
+    got_b = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(b).select("doc_id", "split").collect()
+    }
+    assert got_b == got
+
+
+def test_multi_epoch_curates_once(spark, corpus, tmp_path):
+    """epochs=N writes N distinct deterministic permutations of ONE
+    curated+mixed corpus: identical doc sets per epoch, different
+    orders, and the curation chain materializes exactly once (counted
+    through an accumulator spliced between curate() and its lineage
+    cut)."""
+    import youtube_analytics_lakehouse_databricks_spark.operators.training_export as te
+
+    acc = spark.sparkContext.accumulator(0)
+    real_curate = te.curate
+
+    def counting_curate(docs, id_col, text_col, **kw):
+        audit = real_curate(docs, id_col, text_col, **kw)
+
+        def tick(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return audit.mapInPandas(tick, schema=audit.schema)
+
+    te.curate = counting_curate
+    try:
+        out = str(tmp_path / "epochs")
+        stats = prepare_training_data(
+            corpus, "doc_id", "text", out, n_shards=4, seed=5, epochs=3,
+            capacity=256,
+        )
+    finally:
+        te.curate = real_curate
+
+    assert stats["epochs"] == 3
+    # the audit pass ran exactly once for 400 docs — NOT once per epoch
+    assert acc.value == 400
+
+    epoch_rows = {
+        e: sorted(
+            (r["doc_id"], r["copy"])
+            for r in spark.read.parquet(f"{out}/epoch={e}").collect()
+        )
+        for e in range(3)
+    }
+    epoch_order = {
+        e: [
+            (r["doc_id"], r["copy"])
+            for r in spark.read.parquet(f"{out}/epoch={e}")
+            .orderBy("shard", "shuffle_key", "doc_id")
+            .collect()
+        ]
+        for e in range(3)
+    }
+    # same corpus every epoch, different permutation per epoch
+    assert epoch_rows[0] == epoch_rows[1] == epoch_rows[2]
+    assert epoch_order[0] != epoch_order[1] != epoch_order[2]
+    # epoch seeds nest into the single-epoch layout: epoch=1 here equals
+    # a one-epoch export at seed+1
+    solo = str(tmp_path / "solo")
+    te_stats = prepare_training_data(
+        corpus, "doc_id", "text", solo, n_shards=4, seed=6, capacity=256
+    )
+    assert te_stats["epochs"] == 1
+    for s in range(4):
+        assert _shard_rows(solo, s) == _shard_rows(f"{out}/epoch=1", s)
+
+
 def test_deterministic_and_epoch_seeded(spark, corpus, tmp_path):
     a, b, c = (str(tmp_path / n) for n in ("a", "b", "c"))
     common = dict(n_shards=4, paragraph_dedup=True, capacity=256)

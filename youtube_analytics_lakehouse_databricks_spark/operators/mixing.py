@@ -94,7 +94,8 @@ def domain_rates(
         raise ValueError("all domain shares are zero")
     total = int(target_rows) if target_rows is not None else sum(counts.values())
     out = []
-    for d in sorted(counts):
+    # NULL domain sorts first (sorted() would raise on None vs str)
+    for d in sorted(counts, key=lambda d: (d is not None, d or "")):
         rate = (shares[d] / z) * total / counts[d]
         if not allow_upsample:
             rate = min(rate, 1.0)
@@ -131,7 +132,18 @@ def mixture_sample(
         )
     )
     u = _uniform_draw(id_col, seed)
-    with_rate = df.join(rate_df, domain_col).withColumn("__u", u)
+    # null-SAFE equi-join: domain_rates groups NULL domains and reports a
+    # rate for them, so the sampling pass must apply it — a plain inner
+    # join on the column name would never match NULL = NULL and silently
+    # drop every NULL-domain row from the mix (round-6 ADVICE). eqNullSafe
+    # (<=>) is still an equi-join for the planner: the broadcast hash
+    # join on the tiny rate map survives.
+    rated = rate_df.withColumnRenamed(domain_col, "__mix_domain")
+    with_rate = (
+        df.join(rated, F.col(domain_col).eqNullSafe(F.col("__mix_domain")))
+        .drop("__mix_domain")
+        .withColumn("__u", u)
+    )
     if not allow_upsample:
         return with_rate.filter(F.col("__u") < F.col("__rate")).select(
             *df.columns, F.lit(0).alias("copy")

@@ -94,6 +94,7 @@ def pack_sequences(
     capacity: int = 2048,
     repartition: int | None = None,
     carry: tuple[str, ...] = (),
+    group_col: str | None = None,
 ) -> DataFrame:
     """One row per input doc: (id, n_tokens, seq_id, seq_fill,
     is_oversize[, *carry]) — ``carry`` names input columns passed
@@ -109,6 +110,18 @@ def pack_sequences(
     Every input doc appears exactly once; no sequence except oversize
     singletons exceeds ``capacity``. Pass ``repartition`` to rebalance
     a skewed input first (one exchange); otherwise zero shuffles.
+
+    ``group_col``: pack each distinct value of this column SEPARATELY
+    within the partition (seq_id namespaced ``p<pid>g<group>-<bin>``),
+    so no sequence ever spans two groups. This is how a shard-arranged
+    export packs: ``repartition(n, shard)`` hash-partitions the shard
+    VALUE, so two shards can share one task — packing the raw partition
+    would let a sequence mix docs from different shards, and a
+    partitionBy(shard) write would then split that sequence across
+    shard directories (misreported seq_fill, double-counted stats).
+    ``group_col`` must be among ``carry`` or be the id column; it is a
+    docstring-level contract that all rows of one group value sit in
+    one partition (true after repartition(n, group_col)).
 
     Determinism contract: a packing is an ASSIGNMENT, not a fact about
     any single doc — ``seq_id``/``seq_fill`` depend on which docs share
@@ -131,6 +144,11 @@ def pack_sequences(
         + [T.StructField(c, df.schema[c].dataType) for c in carry]
     )
 
+    if group_col is not None and group_col not in (id_col, *carry):
+        raise ValueError(
+            f"group_col {group_col!r} must be the id column or in carry"
+        )
+
     src = df.select(
         id_col, F.col(n_tokens_col).cast("long").alias("n_tokens"), *carry
     )
@@ -139,6 +157,7 @@ def pack_sequences(
     src = src.withColumn("__pid", F.spark_partition_id())
 
     def pack(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         # one partition may arrive as several Arrow batches: buffer them
@@ -150,15 +169,27 @@ def pack_sequences(
         pdf = pd.concat(parts, ignore_index=True)
         if not len(pdf):
             return
-        sizes = pdf["n_tokens"].to_numpy()
         pid = int(pdf["__pid"].iloc[0])
-        bin_of, loads = _ffd_assign(sizes, capacity)
+        n = len(pdf)
+        seq_id = np.empty(n, dtype=object)
+        seq_fill = np.empty(n, dtype=np.float64)
+        if group_col is None:
+            groups = [(None, np.arange(n))]
+        else:
+            # .indices: group value -> positional index array
+            groups = list(pdf.groupby(group_col, sort=False).indices.items())
+        for g, idx in groups:
+            sizes_g = pdf["n_tokens"].to_numpy()[idx]
+            bin_of, loads = _ffd_assign(sizes_g, capacity)
+            tag = f"p{pid}" if group_col is None else f"p{pid}g{g}"
+            seq_id[idx] = [f"{tag}-{b}" for b in bin_of]
+            seq_fill[idx] = loads[bin_of] / float(capacity)
         out = {
             pdf.columns[0]: pdf.iloc[:, 0],
             "n_tokens": pdf["n_tokens"],
-            "seq_id": [f"p{pid}-{b}" for b in bin_of],
-            "seq_fill": loads[bin_of] / float(capacity),
-            "is_oversize": sizes > capacity,
+            "seq_id": seq_id,
+            "seq_fill": seq_fill,
+            "is_oversize": pdf["n_tokens"].to_numpy() > capacity,
         }
         for c in carry:
             out[c] = pdf[c]

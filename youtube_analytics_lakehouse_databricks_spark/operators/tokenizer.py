@@ -82,7 +82,15 @@ class BPEModel:
 
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
-        return {m: i for i, m in enumerate(self.merges)}
+        # built once and memoized: driver-side encode() of OOV-heavy text
+        # calls this per word, and rebuilding the dict is O(n_merges)
+        # per call (round-6 ADVICE). The Spark path builds it once per
+        # partition regardless.
+        r = self.__dict__.get("_ranks_cache")
+        if r is None:
+            r = {m: i for i, m in enumerate(self.merges)}
+            self.__dict__["_ranks_cache"] = r
+        return r
 
     def encode_word(self, word: str) -> list[str]:
         if self.known is not None:
@@ -214,30 +222,36 @@ def bpe_tokenize(
         )
         len_cache: dict[str, int] = {w: len(t) for w, t in cache.items()}
 
-        def enc(word: str) -> list[str]:
-            hit = cache.get(word)
-            if hit is None:
-                hit = _encode_word(word, ranks)
-                cache[word] = hit
-            return hit
+        from itertools import chain
 
         for pdf in batches:
             idc = pdf.columns[0]
-            if with_tokens:
-                ids, counts, toks = [], [], []
-                for doc_id, text in zip(pdf[idc], pdf["__t"]):
-                    words = [w for w in (text or "").split(" ") if w]
-                    t = [s for w in words for s in enc(w)]
-                    toks.append(t)
-                    counts.append(len(t))
-                    ids.append(doc_id)
-                yield pd.DataFrame({idc: ids, "n_tokens": counts, "tokens": toks})
-                continue
-            # counts-only fast path: explode words once, map word ->
-            # token length through a dict at C speed, merge-loop only
-            # for the distinct OOV words of this batch
+            # both branches share the explode + distinct-word encode:
+            # words explode once, the merge loop runs only for this
+            # batch's distinct OOV words, everything else is dict maps
+            # at C speed (the old token-emitting branch looped Python
+            # per occurrence; round-6 VERDICT stretch item)
             ex = pdf["__t"].fillna("").str.split(" ").explode()
             ex = ex[ex != ""]
+            if with_tokens:
+                missing = [w for w in pd.unique(ex) if w not in cache]
+                for w in missing:
+                    cache[w] = _encode_word(w, ranks)
+                mapped = ex.map(cache)
+                per_doc = mapped.groupby(level=0).agg(
+                    lambda s: list(chain.from_iterable(s))
+                )
+                toks = per_doc.reindex(pdf.index)
+                toks = toks.apply(lambda t: t if isinstance(t, list) else [])
+                yield pd.DataFrame(
+                    {
+                        idc: pdf[idc],
+                        "n_tokens": toks.str.len().astype("int64"),
+                        "tokens": toks,
+                    }
+                )
+                continue
+            # counts-only fast path: map word -> token length only
             mapped = ex.map(len_cache)
             missing = mapped.isna()
             if missing.any():

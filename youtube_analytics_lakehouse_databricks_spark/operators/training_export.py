@@ -48,6 +48,7 @@ def prepare_training_data(
     *,
     n_shards: int,
     seed: int = 0,
+    epochs: int = 1,
     redact: bool = False,
     paragraph_dedup: bool = False,
     domain_col: str | None = None,
@@ -55,6 +56,8 @@ def prepare_training_data(
     weights: dict[str, float] | None = None,
     target_rows: int | None = None,
     capacity: int | None = 2048,
+    val_frac: float | None = None,
+    split_seed: int = 0,
     curate_kwargs: dict | None = None,
     durable: bool = False,
 ) -> dict:
@@ -65,7 +68,26 @@ def prepare_training_data(
     is only trustworthy next to the record of what was dropped and why.
     Mixing applies when ``domain_col`` plus one of ``alpha``/``weights``
     is given; packing when ``capacity`` is not None.
+
+    ``val_frac``: thread a leakage-safe train/validation split through
+    the export — every row carries a ``split`` column assigned at
+    DUPLICATE-CLUSTER granularity (operators.splitting over the audit's
+    final cluster roots), so no near-dup cluster ever straddles
+    train/val in the exported shards. ``split_seed`` is independent of
+    the epoch seed: re-shuffling epochs must never move a cluster
+    across the split.
+
+    ``epochs``: write N epoch trees (``out_path``/epoch=E/shard=K/),
+    each a different deterministic permutation (epoch seed = ``seed`` +
+    E) of the SAME curated+mixed corpus — the curation chain and the
+    mixing draw run ONCE (the mixed frame is lineage-cut before the
+    per-epoch loop), and each epoch pays only its own single
+    permutation exchange + packing + write. With ``epochs=1`` the
+    layout is ``out_path``/shard=K/ (no epoch directory), unchanged
+    from earlier versions.
     """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
     # 1. text transforms FIRST, flags off in curate (see module doc)
     cleaned = docs.select(id_col, text_col, *([domain_col] if domain_col else []))
     if redact:
@@ -117,40 +139,71 @@ def prepare_training_data(
     else:
         mixed = kept.withColumn("copy", F.lit(0))
 
-    # 4. the epoch permutation: ONE exchange. The shard key hashes
-    # (id, copy) so upsampled copies of a doc scatter independently.
-    keyed = mixed.withColumn(
-        "__export_id", F.concat_ws("#", F.col(id_col).cast("string"), "copy")
-    )
-    arranged = (
-        assign_shards(keyed, "__export_id", n_shards=n_shards, seed=seed)
-        .repartition(n_shards, SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, KEY_COL, "__export_id")
-    )
+    # 3b. optional leakage-safe split: the side rides every exported row,
+    # assigned on the audit's final cluster roots (cluster-granular, so
+    # no duplicate cluster straddles train/val in the export). Keyed by
+    # ``split_seed``, NOT the epoch seed: re-permuting epochs must never
+    # move a cluster across the split.
+    if val_frac is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.splitting import leakage_safe_split
 
-    # 5. partition-local packing INSIDE the shard partitions (no new
-    # exchange); text and shard ride through as carry columns
-    out_cols = [id_col, "copy", text_col, SHARD_COL]
-    if capacity is not None:
-        packed = pack_sequences(
-            arranged.withColumn(
-                "n_tokens_", F.expr(N_TOKENS_EXPR.format(text=text_col))
-            ),
-            "__export_id",
-            "n_tokens_",
-            capacity=capacity,
-            carry=tuple([id_col, "copy", text_col, SHARD_COL, KEY_COL]),
+        sides = leakage_safe_split(audit, id_col, val_frac=val_frac, seed=split_seed)
+        mixed = mixed.join(sides.select(id_col, "split"), id_col)
+
+    # curation + mixing run ONCE across epochs: this cut materializes the
+    # mixed frame, so each epoch's tree pays only its own permutation
+    # exchange + packing + write against the cached blocks, never a
+    # re-execution of the curation chain (pinned by the N-epoch test).
+    mixed = cut(mixed, durable=durable)
+
+    split_cols = ["split"] if val_frac is not None else []
+
+    def _write_epoch(epoch_seed: int, path: str) -> None:
+        # 4. the epoch permutation: ONE exchange. The shard key hashes
+        # (id, copy) so upsampled copies of a doc scatter independently.
+        keyed = mixed.withColumn(
+            "__export_id", F.concat_ws("#", F.col(id_col).cast("string"), "copy")
         )
-        export = packed.select(
-            *out_cols, "n_tokens", "seq_id", "seq_fill", "is_oversize", KEY_COL
+        arranged = (
+            assign_shards(keyed, "__export_id", n_shards=n_shards, seed=epoch_seed)
+            .repartition(n_shards, SHARD_COL)
+            .sortWithinPartitions(SHARD_COL, KEY_COL, "__export_id")
         )
+
+        # 5. partition-local packing INSIDE the shard partitions (no new
+        # exchange); text/shard/split ride through as carry columns.
+        # group_col=SHARD_COL: repartition(n, shard) hash-partitions the
+        # shard VALUE, so one task can hold two shards — packing must
+        # never build a sequence spanning them (the partitionBy write
+        # below would split it across shard directories).
+        out_cols = [id_col, "copy", text_col, SHARD_COL, *split_cols]
+        if capacity is not None:
+            packed = pack_sequences(
+                arranged.withColumn(
+                    "n_tokens_", F.expr(N_TOKENS_EXPR.format(text=text_col))
+                ),
+                "__export_id",
+                "n_tokens_",
+                capacity=capacity,
+                carry=tuple([id_col, "copy", text_col, SHARD_COL, KEY_COL, *split_cols]),
+                group_col=SHARD_COL,
+            )
+            export = packed.select(
+                *out_cols, "n_tokens", "seq_id", "seq_fill", "is_oversize", KEY_COL
+            )
+        else:
+            export = arranged.select(*out_cols, KEY_COL)
+
+        # 6. export: partitionBy keeps each shard's rows in task order;
+        # the sort key column is written too so a reader can re-derive
+        # the epoch order after a file-level split
+        export.write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
+
+    if epochs == 1:
+        _write_epoch(seed, out_path)
     else:
-        export = arranged.select(*out_cols, KEY_COL)
-
-    # 6. export: partitionBy keeps each shard's rows in task order; the
-    # sort key column is written too so a reader can re-derive the epoch
-    # order after a file-level split
-    export.write.mode("overwrite").partitionBy(SHARD_COL).parquet(out_path)
+        for e in range(epochs):
+            _write_epoch(seed + e, f"{out_path}/epoch={e}")
     audit.write.mode("overwrite").parquet(f"{out_path}/_audit")
 
     spark = docs.sparkSession
@@ -160,9 +213,11 @@ def prepare_training_data(
         "kept_docs": kept.count(),
         "exported_rows": written.count(),
         "n_shards": written.select(SHARD_COL).distinct().count(),
+        "epochs": epochs,
     }
+    seq_group = [SHARD_COL, "seq_id"] + (["epoch"] if epochs > 1 else [])
     if capacity is not None:
-        seqs = written.groupBy(SHARD_COL, "seq_id").agg(
+        seqs = written.groupBy(*seq_group).agg(
             F.first("seq_fill").alias("fill")
         )
         stats["n_sequences"] = seqs.count()

@@ -17,13 +17,16 @@ Wiring choices, and why:
   per-executor state-store files. foreachBatch is the standard Spark
   idiom for stream-to-batch composition with exactly this shape (the
   same choice streaming/incremental.py makes for the medallion merge).
-- The audit is an APPEND-ONLY delta log: each micro-batch appends one
-  row per batch doc plus one row per retro-affected stored doc, stamped
-  with the batch id. The CURRENT verdict of any doc is its latest row
-  (latest-wins over batch_id) — the same reconciliation contract as the
-  engine's latest-wins silver tables, and an audit HISTORY for free: a
-  doc that was kept in batch 3 and retro-folded in batch 7 shows both
-  decisions. ``current_audit`` resolves the latest view.
+- The audit is an APPEND-ONLY delta log PARTITIONED BY batch_id: each
+  micro-batch writes one row per batch doc plus one row per
+  retro-affected stored doc into its own ``batch_id=K/`` partition
+  (dynamic partition overwrite — a crash-replay replaces exactly that
+  one partition, never rewriting history). The CURRENT verdict of any
+  doc is its latest row (latest-wins over batch_id) — the same
+  reconciliation contract as the engine's latest-wins silver tables,
+  and an audit HISTORY for free: a doc that was kept in batch 3 and
+  retro-folded in batch 7 shows both decisions. ``current_audit``
+  resolves the latest view.
 - State persists to ``state_dir`` between micro-batches (parquet per
   frame; a temp directory plus atomic rename would harden a production
   deployment against mid-write failure — on a lakehouse these four
@@ -34,11 +37,11 @@ Wiring choices, and why:
 
 Restart semantics: the streaming checkpoint replays an unacknowledged
 micro-batch after a crash. ``ingest_curated_batch`` is idempotent per
-batch id — the audit append first deletes any rows already stamped with
-this batch id (the engine's delete-then-append idempotency pattern,
-sources/envelope.py), and the state save only commits after the audit
-append, so a replayed batch reconstructs the same state from the same
-prior state.
+batch id — the audit write dynamically overwrites the batch's OWN
+``batch_id=K/`` partition (same idempotency contract as
+sources/envelope.py's delete-then-append, but one-partition-local), and
+the state save only commits after the audit write, so a replayed batch
+reconstructs the same state from the same prior state.
 """
 
 from __future__ import annotations
@@ -85,8 +88,9 @@ def ingest_curated_batch(
     # Crash-replay protocol (commit order: audit append, THEN state save):
     # - crash before the audit append: replay runs the normal path;
     # - crash between append and state save: replay recomputes the same
-    #   delta against the same prior state; delete-then-append below
-    #   rewrites identical rows;
+    #   delta against the same prior state; the dynamic partition
+    #   overwrite below replaces this batch's own partition with
+    #   identical rows;
     # - both committed, checkpoint not: the state watermark already
     #   covers the batch (ids are append-only monotone), so re-curating
     #   would violate the append-only contract — the batch is DONE, no-op.
@@ -126,22 +130,19 @@ def ingest_curated_batch(
         delta = audit
     delta = delta.withColumn("batch_id", F.lit(batch_id).cast("long"))
 
-    # idempotent append: drop any rows a crashed/replayed run of THIS
-    # batch already wrote, then append (delete-then-append, the same
-    # pattern as sources/envelope.py's run re-ingest)
-    if os.path.isdir(audit_dir) and os.listdir(audit_dir):
-        log = spark.read.parquet(audit_dir)
-        replayed = (
-            log.filter(F.col("batch_id") == F.lit(batch_id)).limit(1).count() > 0
-        )
-        if replayed:  # only a crash-replay pays the log rewrite
-            log.filter(F.col("batch_id") != F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).parquet(audit_dir + ".tmp")
-            spark.read.parquet(audit_dir + ".tmp").write.mode("overwrite").parquet(
-                audit_dir
-            )
-    delta.write.mode("append").parquet(audit_dir)
+    # idempotent append: the log is PARTITIONED BY batch_id and written
+    # with dynamic partition overwrite — each micro-batch replaces only
+    # its own batch_id=K directory (created fresh on first run,
+    # overwritten in place on a crash-replay). No read-back, no
+    # filter-and-rewrite of history: replay cost is one partition
+    # regardless of log size, and partitions other batches wrote are
+    # never touched (their files stay byte-identical — pinned by
+    # test_curation_stream). The previous delete-then-append rewrote
+    # the WHOLE log through a .tmp double-copy on replay — O(log) work
+    # and a non-atomic window (round-6 VERDICT #2).
+    delta.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(audit_dir)
 
     new_state.save(state_dir)
 
