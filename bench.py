@@ -24,25 +24,22 @@ from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 def _bench_only() -> dict[str, Query]:
     """Operators benchmarked here but NOT in the driver registry (the
     CORRECTNESS budget is 50 queries; these are pinned by their own test
-    suites — tests/test_paragraph_dedup.py, test_sharding.py,
-    test_mixing.py — instead of a DuckDB oracle row)."""
+    suites — tests/test_sharding.py, test_mixing.py, test_tokenizer.py —
+    instead of a DuckDB oracle row). paragraph_dedup_documents graduated
+    to a registered oracle row in round 7, releasing the slot
+    token_explode_counts now occupies here (its explode+count surface is
+    already oracled gram-for-gram by regex_token_counts)."""
     from pyspark.sql import functions as F
 
-    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
+    from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
     from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
     from youtube_analytics_lakehouse_databricks_spark.operators.sharding import write_shards
 
     def _docs(spark, sf_dir):
         return read_fanned(spark, sf_dir, "documents", by="doc_id")
 
-    def paragraph_dedup_documents(spark, sf_dir):
-        # the synthetic docs are single-line: break after every 12 tokens
-        # so the corpus has real multi-paragraph structure to dedup
-        docs = _docs(spark, sf_dir).select(
-            "doc_id",
-            F.regexp_replace("text", r"((?:\S+ ){12})", "$1\n\n").alias("text"),
-        )
-        return paragraph_dedup(docs, "doc_id", "text")
+    def token_explode_counts(spark, sf_dir):
+        return text_ops.token_counts(_docs(spark, sf_dir), "text")
 
     def shuffle_shard_export(spark, sf_dir):
         # times the full export: assign + one exchange + sort + write
@@ -99,7 +96,7 @@ def _bench_only() -> dict[str, Query]:
     return {
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
         for f in (
-            paragraph_dedup_documents,
+            token_explode_counts,
             shuffle_shard_export,
             mixture_sample_documents,
             quality_classifier_scores,

@@ -174,6 +174,41 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
+def test_prepartitioned_input_no_duplicate_keys(spark):
+    """Wrong-results guard for Spark 4.1's partitioning-aware union:
+    with input HASH-PARTITIONED ON THE ID, paragraph_dedup's
+    union(exempt-units, semi-joined-units) -> groupBy(id) plan let the
+    planner elide the aggregation exchange (both children report the
+    same reused-exchange partitioning) and the same doc aggregated
+    separately per branch — 678 audit rows for 500 docs. The engine
+    session pins spark.sql.unionOutputPartitioning=false; this test
+    reproduces the triggering shape and must stay duplicate-free."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
+
+    docs = [
+        # ≥30-char body paragraphs so some units are dedup-eligible AND
+        # short exempt fragments so the union's first branch is non-empty
+        (i, f"{BOILER}\n\nshort {i % 4}\n\n" + UNIQ.format(i % 5))
+        for i in range(60)
+    ]
+    df = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .repartition(32, "doc_id")  # the triggering pre-partitioning
+    )
+    rows = paragraph_dedup(df, "doc_id", "text").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 60 and len(set(ids)) == 60, (
+        f"{len(ids)} rows / {len(set(ids))} distinct — duplicate group keys"
+    )
+    # and the verdicts still match the unpartitioned run
+    want = run_spark(spark, docs)
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_paras"], r["n_kept"], r["n_dropped"])
+        for r in rows
+    }
+    assert got == want
+
+
 def test_no_python_udfs_in_plan(spark):
     from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
 

@@ -242,21 +242,11 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "token_explode_counts",
-    """
-    SELECT token, COUNT(*) AS token_count
-    FROM (
-      SELECT unnest(string_split(text, ' ')) AS token FROM documents
-    ) WHERE token <> ''
-    GROUP BY token
-    """,
-    doc="Array explode + group count: explode(split(text)) (P:17-22 explode_outer pattern).",
-)
-def token_explode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
-
-    return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
+# token_explode_counts moved to bench.py's bench-only set: the driver
+# registry is capped at 50 rows and its explode+group-count surface is
+# already oracled gram-for-gram by regex_token_counts; the slot now
+# carries paragraph_dedup_documents (queries/textops.py), which had no
+# oracle row despite being composed into curate()/incremental/export.
 
 
 # ---------------------------------------------------------------------------

@@ -670,3 +670,84 @@ def curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
 
     return curate(read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# The synthetic documents are single-line; both engines insert a
+# paragraph break after every 12 whitespace-delimited tokens so the
+# corpus has real multi-paragraph structure to dedup (same rewrite the
+# bench harness used while this operator was bench-only).
+_PARA_BREAK_SPARK = r"((?:\S+ ){12})"
+_PARA_DEDUP_ORACLE = r"""
+    WITH prepped AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){12})',
+                            '\1' || chr(10) || chr(10), 'g') AS text
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(string_split_regex(text, '\n{2,}')) AS para,
+             generate_subscripts(string_split_regex(text, '\n{2,}'), 1) - 1
+               AS para_pos
+      FROM prepped
+    ),
+    units AS (SELECT * FROM exploded WHERE len(trim(para)) > 0),
+    hashed AS (
+      SELECT doc_id, para_pos, para,
+             len(para) < 30 AS exempt,
+             sha256(trim(regexp_replace(regexp_replace(lower(para),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+      FROM units
+    ),
+    winners AS (
+      SELECT doc_id, para_pos FROM (
+        SELECT doc_id, para_pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, para_pos) AS rn
+        FROM hashed WHERE NOT exempt
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, para_pos, para FROM hashed WHERE exempt
+      UNION ALL
+      SELECT h.doc_id, h.para_pos, h.para
+      FROM hashed h JOIN winners w USING (doc_id, para_pos)
+      WHERE NOT h.exempt
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY para_pos)
+               AS text_deduped,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM units GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(r.text_deduped, '') AS text_deduped,
+           COALESCE(t.n_paras, 0) AS n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(t.n_paras, 0) - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
+@register(
+    "paragraph_dedup_documents",
+    _PARA_DEDUP_ORACLE,
+    doc=(
+        "Corpus-wide paragraph-level exact dedup (the C4/RefinedWeb "
+        "first-occurrence rule): split docs on blank lines, keep each "
+        "canonical-hashed paragraph only at its lowest-(id, pos) "
+        "occurrence (short fragments exempt), reassemble documents in "
+        "order — hash-matched against a DuckDB mirror of the whole "
+        "pipeline (window-ranked winners; engine side uses a skew-safe "
+        "min-struct aggregation). operators/dedup.py:413."
+    ),
+)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_fanned(spark, sf_dir, "documents", by="doc_id").select(
+        "doc_id",
+        F.regexp_replace("text", _PARA_BREAK_SPARK, "$1\n\n").alias("text"),
+    )
+    return dedup_ops.paragraph_dedup(docs, "doc_id", "text")

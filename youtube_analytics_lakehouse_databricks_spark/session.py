@@ -66,6 +66,18 @@ def get_spark(
         # The reference relies on non-ANSI element_at/array_position NULL
         # semantics (SURVEY §7.4.4); keep ANSI off to match.
         .config("spark.sql.ansi.enabled", "false")
+        # WRONG-RESULTS GUARD: Spark 4.1's partitioning-aware union
+        # (UnionExec reporting its children's common hash partitioning so
+        # a downstream groupBy elides its exchange) returns duplicate
+        # group keys when both union children are fed by the SAME reused
+        # exchange under AQE — reproduced on this exact build with
+        # paragraph_dedup over an id-prepartitioned scan: groupBy(doc_id)
+        # over union(exempt-units, semi-joined-units) emitted 678 rows
+        # for 500 docs, the same doc aggregated separately per branch
+        # (pinned by tests/test_paragraph_dedup.py::
+        # test_prepartitioned_input_no_duplicate_keys). The elided
+        # exchange is a minor win; silent duplicate aggregates are not.
+        .config("spark.sql.unionOutputPartitioning", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
