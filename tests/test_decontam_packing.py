@@ -161,6 +161,27 @@ def test_pack_sequences_zero_token_docs(spark):
     assert total == 100
 
 
+def test_pack_sequences_null_group_col_not_dropped(spark):
+    """NULL group_col values must pack (as their own group), never be
+    silently dropped with garbage seq_id/seq_fill — pandas groupby drops
+    null keys by default (guarded with dropna=False)."""
+    df = spark.createDataFrame(
+        [(1, 40, "a"), (2, 50, None), (3, 60, None), (4, 70, "a")],
+        "doc_id long, n_tokens long, shard string",
+    )
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", capacity=128, repartition=1,
+        carry=("shard",), group_col="shard",
+    ).collect()
+    assert len(out) == 4
+    assert all(r["seq_id"] is not None for r in out)
+    assert all(r["seq_fill"] is not None and 0 < r["seq_fill"] <= 1.0 for r in out)
+    # null-group rows never share a sequence with a named group
+    null_seqs = {r["seq_id"] for r in out if r["shard"] is None}
+    named_seqs = {r["seq_id"] for r in out if r["shard"] is not None}
+    assert null_seqs and null_seqs.isdisjoint(named_seqs)
+
+
 def test_ffd_segment_tree_matches_naive_first_fit():
     """The O(n log B) segment-tree first-fit must be EXACTLY the naive
     linear-scan first-fit, doc for doc — property-tested over random

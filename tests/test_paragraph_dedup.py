@@ -174,34 +174,44 @@ def test_partitioning_invariance(spark):
     assert a == b
 
 
-def test_prepartitioned_input_no_duplicate_keys(spark):
+@pytest.mark.parametrize("guard_conf", ["false", "true"])
+def test_prepartitioned_input_no_duplicate_keys(spark, guard_conf):
     """Wrong-results guard for Spark 4.1's partitioning-aware union:
-    with input HASH-PARTITIONED ON THE ID, paragraph_dedup's
+    with input HASH-PARTITIONED ON THE ID, paragraph_dedup's former
     union(exempt-units, semi-joined-units) -> groupBy(id) plan let the
     planner elide the aggregation exchange (both children report the
     same reused-exchange partitioning) and the same doc aggregated
-    separately per branch — 678 audit rows for 500 docs. The engine
-    session pins spark.sql.unionOutputPartitioning=false; this test
-    reproduces the triggering shape and must stay duplicate-free."""
+    separately per branch — 678 audit rows for 500 docs. The operator is
+    now structurally single-branch (left-join keep marker, no union), so
+    it must be correct on ANY session — including one WITHOUT the
+    engine's spark.sql.unionOutputPartitioning=false pin. The ``true``
+    parametrization simulates exactly that raw session (the conf is
+    runtime-settable; restored after)."""
     from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
 
     docs = [
         # ≥30-char body paragraphs so some units are dedup-eligible AND
-        # short exempt fragments so the union's first branch is non-empty
+        # short exempt fragments so the exempt keep path is non-empty
         (i, f"{BOILER}\n\nshort {i % 4}\n\n" + UNIQ.format(i % 5))
         for i in range(60)
     ]
-    df = (
-        spark.createDataFrame(docs, "doc_id long, text string")
-        .repartition(32, "doc_id")  # the triggering pre-partitioning
-    )
-    rows = paragraph_dedup(df, "doc_id", "text").collect()
+    prev = spark.conf.get("spark.sql.unionOutputPartitioning", None)
+    spark.conf.set("spark.sql.unionOutputPartitioning", guard_conf)
+    try:
+        df = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .repartition(32, "doc_id")  # the triggering pre-partitioning
+        )
+        rows = paragraph_dedup(df, "doc_id", "text").collect()
+        want = run_spark(spark, docs)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.unionOutputPartitioning", prev)
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == 60 and len(set(ids)) == 60, (
         f"{len(ids)} rows / {len(set(ids))} distinct — duplicate group keys"
     )
     # and the verdicts still match the unpartitioned run
-    want = run_spark(spark, docs)
     got = {
         r["doc_id"]: (r["text_deduped"], r["n_paras"], r["n_kept"], r["n_dropped"])
         for r in rows

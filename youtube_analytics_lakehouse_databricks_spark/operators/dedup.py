@@ -490,10 +490,24 @@ def paragraph_dedup(
             F.col("__w.para_pos").alias("para_pos"),
         )
     )
-    kept = units.filter("__exempt").select(id_col, "para_pos", "para").unionByName(
-        units.join(winners, [id_col, "para_pos"], "left_semi").select(
-            id_col, "para_pos", "para"
+    # Single-branch keep decision — deliberately NOT a
+    # union(exempt-units, semi-joined-winners): when the input arrives
+    # hash-partitioned on id_col, Spark 4.1's partitioning-aware union
+    # reports the children's common partitioning and the reassembly
+    # groupBy(id_col) elides its aggregation Exchange, but the physical
+    # union concatenates the branches into 2x partitions, so any doc
+    # with both exempt and non-exempt kept paragraphs aggregates TWICE
+    # (duplicate group keys, wrong n_kept). One join + one filter keeps
+    # the plan a single branch, on which the partitioning optimization
+    # is legitimately applicable on any session, any input partitioning.
+    kept = (
+        units.join(
+            winners.withColumn("__win", F.lit(True)),
+            [id_col, "para_pos"],
+            "left",
         )
+        .filter(F.col("__exempt") | F.col("__win").isNotNull())
+        .select(id_col, "para_pos", "para")
     )
 
     reassembled = kept.groupBy(id_col).agg(

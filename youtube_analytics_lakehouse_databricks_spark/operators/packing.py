@@ -121,7 +121,9 @@ def pack_sequences(
     shard directories (misreported seq_fill, double-counted stats).
     ``group_col`` must be among ``carry`` or be the id column; it is a
     docstring-level contract that all rows of one group value sit in
-    one partition (true after repartition(n, group_col)).
+    one partition (true after repartition(n, group_col)). NULL group
+    values are packed as their own group (never silently dropped, never
+    mixed into a named group).
 
     Determinism contract: a packing is an ASSIGNMENT, not a fact about
     any single doc — ``seq_id``/``seq_fill`` depend on which docs share
@@ -176,8 +178,14 @@ def pack_sequences(
         if group_col is None:
             groups = [(None, np.arange(n))]
         else:
-            # .indices: group value -> positional index array
-            groups = list(pdf.groupby(group_col, sort=False).indices.items())
+            # .indices: group value -> positional index array.
+            # dropna=False: pandas groupby silently DROPS null keys by
+            # default, which would leave those rows' seq_id/seq_fill
+            # uninitialized (np.empty garbage) — NULL group values pack
+            # as their own group instead of corrupting silently.
+            groups = list(
+                pdf.groupby(group_col, sort=False, dropna=False).indices.items()
+            )
         for g, idx in groups:
             sizes_g = pdf["n_tokens"].to_numpy()[idx]
             bin_of, loads = _ffd_assign(sizes_g, capacity)

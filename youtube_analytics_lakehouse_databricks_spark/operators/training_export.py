@@ -85,6 +85,11 @@ def prepare_training_data(
     permutation exchange + packing + write. With ``epochs=1`` the
     layout is ``out_path``/shard=K/ (no epoch directory), unchanged
     from earlier versions.
+
+    Stats semantics with ``epochs`` > 1: ``exported_rows`` and
+    ``n_sequences`` are TOTALS across all epoch trees (epochs x the
+    per-epoch count — the row count of reading ``out_path``
+    recursively); ``rows_per_epoch`` reports the per-epoch corpus size.
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
@@ -211,10 +216,12 @@ def prepare_training_data(
     stats = {
         "input_docs": docs.count(),
         "kept_docs": kept.count(),
+        # total across ALL epoch trees (epochs x corpus); see docstring
         "exported_rows": written.count(),
         "n_shards": written.select(SHARD_COL).distinct().count(),
         "epochs": epochs,
     }
+    stats["rows_per_epoch"] = stats["exported_rows"] // epochs
     seq_group = [SHARD_COL, "seq_id"] + (["epoch"] if epochs > 1 else [])
     if capacity is not None:
         seqs = written.groupBy(*seq_group).agg(

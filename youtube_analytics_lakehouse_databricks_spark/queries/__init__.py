@@ -153,6 +153,19 @@ def read_fanned(
     required distribution, so Catalyst elides the second shuffle AND the
     partial/final aggregation split — one less stage wave at any scale.
     """
+    if by is not None:
+        # Belt-and-suspenders for the Spark 4.1 partitioning-aware-union
+        # hazard: a union whose children BOTH descend from this ``by``
+        # exchange can report the common partitioning and let a
+        # downstream groupBy(by) elide its Exchange — while the physical
+        # union concatenates branches into 2x partitions (duplicate
+        # group keys; see yalds/session.py and
+        # tests/test_union_partition_hazard.py). Engine operators are
+        # structurally single-branch-safe; this pins the conf on
+        # WHATEVER session the caller brought (driver harness, user
+        # notebook) the way read() pins nanosAsLong, so even a future
+        # regression can't produce wrong results on a raw session.
+        spark.conf.set("spark.sql.unionOutputPartitioning", "false")
     base = read(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
     max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
