@@ -39,7 +39,12 @@ def _bench_only() -> dict[str, Query]:
         return read_fanned(spark, sf_dir, "documents", by="doc_id")
 
     def token_explode_counts(spark, sf_dir):
-        return text_ops.token_counts(_docs(spark, sf_dir), "text")
+        # plain read — the r6 registered-query wiring, restored for
+        # like-for-like cross-round comparability (see drift notes at
+        # HEADLINE; all three wirings measure within noise today)
+        from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+        return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
     def shuffle_shard_export(spark, sf_dir):
         # times the full export: assign + one exchange + sort + write
@@ -105,6 +110,16 @@ def _bench_only() -> dict[str, Query]:
     }
 
 
+# Drift notes (r8): both r7 bench drifts were isolated-measured and are
+# MACHINE-WINDOW drift, not regressions. signup_followup_window floors
+# at 0.442 s over six isolated repeats (r6 recorded 0.328); its query,
+# plan inputs, and the confs it reads are unchanged since r6 (verified
+# via git — the only session delta, unionOutputPartitioning, touches no
+# union-free plan). token_explode_counts floors at 0.34-0.41 s under
+# ALL THREE candidate wirings (plain read / doc_id fan-out / round-robin
+# fan-out measured back-to-back within noise of each other), so the r7
+# bench-only rewiring was not the cause either; it is restored to the
+# r6 plain-read wiring above for like-for-like comparability.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

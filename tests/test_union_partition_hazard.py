@@ -119,6 +119,37 @@ def test_bucket_topk_prepartitioned(spark, guard):
     assert {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in rows} == want
 
 
+# --------------------------------------------------------------- curation
+
+
+@pytest.mark.parametrize("guard", GUARDS)
+def test_curate_prepartitioned(spark, guard):
+    """curate()'s audit assembly unions the per-stage dropped frames
+    (curation.py:335-377) and left-joins them back onto the corpus on
+    the id — the same hazard class through JOIN elision: a union
+    wrongly claiming HashPartitioning(id) against an id-partitioned
+    probe side would let dropped rows miss their match (docs silently
+    reported kept)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+    from tests.test_curation_incremental import A_TXT, B_TXT, C_TXT, OTHER, PARAMS, _df
+
+    rows = [
+        (1, A_TXT),
+        (2, B_TXT),
+        (3, OTHER),
+        (4, "tiny doc"),  # low_quality gate
+        (5, A_TXT),  # exact duplicate
+        (6, C_TXT),  # bridges 1 and 2 (near-dup fold)
+    ]
+    want = sorted(map(tuple, curate(_df(spark, rows), "doc_id", "text", **PARAMS).collect()))
+    with union_conf(spark, guard):
+        pre = _df(spark, rows).repartition(16, "doc_id")
+        got = sorted(map(tuple, curate(pre, "doc_id", "text", **PARAMS).collect()))
+    ids = [t[0] for t in got]
+    assert len(ids) == len(set(ids)), "duplicate audit doc_ids"
+    assert got == want
+
+
 # ---------------------------------------------------- incremental curation
 
 
