@@ -46,6 +46,16 @@ def _bench_only() -> dict[str, Query]:
 
         return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
+    def doc_fingerprints(spark, sf_dir):
+        # the former registered query's exact wiring (merged into
+        # simhash_fingerprints r8 — ONE explode+agg now carries both
+        # fingerprints there); kept here so the timing series continues
+        from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+        return text_ops.positional_fingerprints(
+            read(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+
     def shuffle_shard_export(spark, sf_dir):
         # times the full export: assign + one exchange + sort + write
         out = "/tmp/sparkgraft_bench_shards"
@@ -102,6 +112,7 @@ def _bench_only() -> dict[str, Query]:
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
         for f in (
             token_explode_counts,
+            doc_fingerprints,
             shuffle_shard_export,
             mixture_sample_documents,
             quality_classifier_scores,
@@ -120,6 +131,11 @@ def _bench_only() -> dict[str, Query]:
 # fan-out measured back-to-back within noise of each other), so the r7
 # bench-only rewiring was not the cause either; it is restored to the
 # r6 plain-read wiring above for like-for-like comparability.
+#
+# simhash_fingerprints carries MORE work since r8 (the doc_fingerprints
+# positional-hash merge rides its explode+agg as a 17th aggregate):
+# 0.53 s merged vs 0.36 + 0.23 s for the former pair — net suite win.
+# doc_fingerprints stays as the former standalone wiring (bench-only).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -152,6 +168,7 @@ HEADLINE = [
     "json_envelope_roundtrip",
     # round-6 bench-only operators (see _bench_only)
     "paragraph_dedup_documents",
+    "mixture_sample_domains",
     "shuffle_shard_export",
     "mixture_sample_documents",
     "quality_classifier_scores",

@@ -164,6 +164,43 @@ def test_null_domain_rows_are_sampled_not_dropped(spark):
     assert 150 < n_null < 350  # ~250 expected
 
 
+def test_lehmer_draw_matches_python_reference(spark):
+    """The ANSI-replayable ``draw='lehmer'`` mode must reproduce the
+    exact Park-Miller decision an external engine would compute —
+    pinned against a pure-Python replay of rates + draw, NULL domain
+    included, and it must keep the threshold-nesting property."""
+    rows = [(i, None if i % 5 == 0 else f"dom{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    rates = {d: r for d, _, r in domain_rates(df, "domain", alpha=0.5)}
+    M, A = 2147483647, 48271
+    want = {
+        (i, d)
+        for i, d in rows
+        if ((i + 1) * A % M) / M < rates[d]
+    }
+    got = {
+        (r["doc_id"], r["domain"])
+        for r in mixture_sample(
+            df, "domain", "doc_id", alpha=0.5, seed=0, draw="lehmer"
+        ).collect()
+    }
+    assert got == want
+    assert any(d is None for _, d in got)  # NULL domain drawn from
+
+    # nesting under a shrunken target, same draw
+    small = {
+        (r["doc_id"], r["domain"])
+        for r in mixture_sample(
+            df, "domain", "doc_id", alpha=0.5, target_rows=1200, seed=0, draw="lehmer"
+        ).collect()
+    }
+    assert small <= got
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "domain", "doc_id", alpha=0.5, draw="nope")
+
+
 def test_plan_no_udfs_no_corpus_shuffle(spark, corpus):
     plan = (
         mixture_sample(corpus, "domain", "doc_id", alpha=0.5, seed=0)

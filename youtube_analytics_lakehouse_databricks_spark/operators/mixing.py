@@ -31,15 +31,39 @@ from pyspark.sql import functions as F
 # 2^63 as a double: maps xxhash64's signed range onto [0, 1).
 _TWO63 = float(1 << 63)
 
+# Lehmer / Park-Miller modulus: the portable draw's period and scale.
+_LEHMER_M = 2147483647  # 2^31 - 1 (prime)
+_LEHMER_A = 48271
 
-def _uniform_draw(id_col: str, seed: int):
-    """Deterministic uniform [0,1) draw per (id, seed): xxhash64 scaled
-    out of its signed 64-bit range. Resolution 2^-64 — far below any
-    meaningful sampling rate."""
-    return (
-        F.xxhash64(F.col(id_col), F.lit(int(seed))).cast("double") / F.lit(_TWO63)
-        + F.lit(1.0)
-    ) / F.lit(2.0)
+
+def _uniform_draw(id_col: str, seed: int, draw: str = "xxhash64"):
+    """Deterministic uniform [0,1) draw per (id, seed).
+
+    - ``xxhash64`` (default): xxhash64 scaled out of its signed 64-bit
+      range. Resolution 2^-64 — far below any meaningful sampling rate.
+    - ``lehmer``: one Park-Miller step, ((id + seed + 1) * 48271) mod
+      (2^31 - 1), scaled to [0,1). Exactly expressible in ANSI SQL
+      BIGINT arithmetic (no overflow for |id + seed| < ~1.9e14), so an
+      external engine (e.g. DuckDB) can replay the draw bit-for-bit —
+      the cross-engine VERIFICATION mode. Statistically weaker than
+      xxhash64 (one multiplicative-congruential step, resolution
+      ~4.7e-10); keep the default for production mixes.
+
+    Both draws are pure functions of (id, seed): task retries re-derive
+    the same decision, and the threshold-nesting property (kept at rate
+    r' < r ⊂ kept at r) holds for either.
+    """
+    if draw == "xxhash64":
+        return (
+            F.xxhash64(F.col(id_col), F.lit(int(seed))).cast("double") / F.lit(_TWO63)
+            + F.lit(1.0)
+        ) / F.lit(2.0)
+    if draw == "lehmer":
+        return F.pmod(
+            (F.col(id_col).cast("long") + F.lit(int(seed) + 1)) * F.lit(_LEHMER_A),
+            F.lit(_LEHMER_M),
+        ).cast("double") / F.lit(float(_LEHMER_M))
+    raise ValueError(f"unknown draw {draw!r} (xxhash64 | lehmer)")
 
 
 def domain_rates(
@@ -89,13 +113,22 @@ def domain_rates(
             # failure mode that ships a wrong mix — fail loudly
             raise ValueError(f"weights name domains not in the corpus: {unknown}")
         shares = {d: float(weights.get(d, 0.0)) for d in counts}
-    z = sum(shares.values())
+    # NULL domain sorts first (sorted() would raise on None vs str);
+    # float sums run in this sorted order so z (and every rate derived
+    # from it) is bit-identical across runs — collect() row order is not
+    # deterministic, and an order-dependent last-ulp z would make the
+    # sampled set itself run-to-run unstable at the rate boundary
+    domains = sorted(counts, key=lambda d: (d is not None, d or ""))
+    z = sum(shares[d] for d in domains)
     if z <= 0:
         raise ValueError("all domain shares are zero")
-    total = int(target_rows) if target_rows is not None else sum(counts.values())
+    total = (
+        int(target_rows)
+        if target_rows is not None
+        else sum(counts[d] for d in domains)
+    )
     out = []
-    # NULL domain sorts first (sorted() would raise on None vs str)
-    for d in sorted(counts, key=lambda d: (d is not None, d or "")):
+    for d in domains:
         rate = (shares[d] / z) * total / counts[d]
         if not allow_upsample:
             rate = min(rate, 1.0)
@@ -113,10 +146,13 @@ def mixture_sample(
     target_rows: int | None = None,
     seed: int = 0,
     allow_upsample: bool = False,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """The mixed corpus: input columns + ``copy`` (0 without
     upsampling). Deterministic in (rows, parameters, seed); each
-    domain's realized size concentrates tightly around count * rate."""
+    domain's realized size concentrates tightly around count * rate.
+    ``draw``: the per-row uniform source — see ``_uniform_draw``
+    (``lehmer`` is the ANSI-SQL-replayable verification mode)."""
     rates = domain_rates(
         df,
         domain_col,
@@ -131,7 +167,7 @@ def mixture_sample(
             [(d, r) for d, _, r in rates], f"{domain_col} string, __rate double"
         )
     )
-    u = _uniform_draw(id_col, seed)
+    u = _uniform_draw(id_col, seed, draw)
     # null-SAFE equi-join: domain_rates groups NULL domains and reports a
     # rate for them, so the sampling pass must apply it — a plain inner
     # join on the column name would never match NULL = NULL and silently

@@ -189,7 +189,11 @@ def _bit_exprs(engine: str) -> list[str]:
     return out
 
 
-def _simhash_sql() -> str:
+def _fingerprints_sql() -> str:
+    """doc_fingerprints + simhash_fingerprints merged (r8 consolidation,
+    freeing a registry slot inside the 50-row budget): ONE token explode
+    and ONE per-doc aggregation carry both the position-weighted
+    rolling-hash fingerprint and the 16 sign-of-sum simhash bits."""
     contribs = _bit_exprs("duckdb")
     bits = ", ".join(
         f"CASE WHEN SUM({c}) >= 0 THEN 1 ELSE 0 END AS bit{i}" for i, c in enumerate(contribs)
@@ -197,39 +201,64 @@ def _simhash_sql() -> str:
     packed = " + ".join(f"bit{i} * {2 ** i}" for i in range(N_SIMHASH_BITS))
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-      FROM documents
-    ), bits AS (
-      SELECT doc_id, {bits} FROM toks GROUP BY doc_id
+      SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(ord * (ascii(token) * 31 + length(token))) % 1000000007 AS BIGINT)
+               AS fingerprint,
+             {bits}
+      FROM toks GROUP BY doc_id
     )
-    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+    SELECT doc_id, fingerprint, CAST({packed} AS BIGINT) AS simhash FROM agg
     """
 
 
 @register(
     "simhash_fingerprints",
-    _simhash_sql(),
+    _fingerprints_sql(),
     doc=(
-        f"SimHash: {N_SIMHASH_BITS}-bit sign-of-sum fingerprint over token sha256 bits; "
-        "near-dups differ in few bits (hamming-ball lookup is an equi-join per rotation)."
+        f"Per-doc fingerprint pair in ONE explode + ONE aggregation: position-weighted "
+        f"rolling-hash (exact bigint sum mod p — order-sensitive, distribution-safe) AND "
+        f"the {N_SIMHASH_BITS}-bit sign-of-sum SimHash over token sha256 bits (near-dups "
+        "differ in few bits; hamming-ball lookup is an equi-join per rotation). Subsumes "
+        "the former doc_fingerprints query — consolidated r8 to free a slot in the "
+        "driver's 50-row budget."
     ),
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row crypto dwarfs input bytes -> fan out BY doc_id (the bit
+    # per-row crypto dwarfs input bytes -> fan out BY doc_id (the
     # aggregation groups on it, so the fan-out exchange is the agg's
     # distribution too); digest materialized once per token, the 16 bit
-    # aggs only slice nibbles from it
+    # aggs only slice nibbles from it. The positional fingerprint rides
+    # the SAME explode + exchange as a 17th aggregate — two fingerprint
+    # families for one pass (operators/text.py::positional_fingerprints
+    # is the standalone operator form).
     docs = read_fanned(spark, sf_dir, "documents", by="doc_id")
     toks = docs.select(
-        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("token")
-    ).select("doc_id", F.sha2(F.col("token"), 256).alias("tsha"))
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias(
+            "ord", "token"
+        ),
+    ).select(
+        "doc_id",
+        "ord",
+        F.sha2(F.col("token"), 256).alias("tsha"),
+        (
+            (F.col("ord") + 1).cast("long")
+            * (F.ascii("token").cast("long") * 31 + F.length("token").cast("long"))
+        ).alias("term"),
+    )
     aggs = [
         F.when(F.sum(F.expr(c)) >= 0, 1).otherwise(0).alias(f"bit{i}")
         for i, c in enumerate(_bit_exprs("spark"))
     ]
-    bits = toks.groupBy("doc_id").agg(*aggs)
+    bits = toks.groupBy("doc_id").agg(
+        (F.sum("term") % 1000000007).cast("long").alias("fingerprint"), *aggs
+    )
     packed = sum(F.col(f"bit{i}") * (2 ** i) for i in range(N_SIMHASH_BITS))
-    return bits.select("doc_id", packed.cast("long").alias("simhash"))
+    return bits.select("doc_id", "fingerprint", packed.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

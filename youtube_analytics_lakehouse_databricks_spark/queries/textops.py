@@ -454,26 +454,54 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# doc_fingerprints merged into simhash_fingerprints (extended.py, r8):
+# both per-doc fingerprints now ride ONE explode + ONE aggregation, and
+# the freed registry slot carries mixture_sample_domains below. The
+# standalone operator remains operators/text.py::positional_fingerprints.
+
+
 @register(
-    "doc_fingerprints",
+    "mixture_sample_domains",
     """
-    SELECT doc_id,
-           CAST(SUM(ord * (ascii(token) * 31 + length(token))) % 1000000007 AS BIGINT)
-             AS fingerprint
-    FROM (
-      SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS ord
-      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-            FROM documents)
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 < 7 THEN 'web'
+                  WHEN doc_id % 13 < 11 THEN 'books' END AS domain
+      FROM documents
+    ),
+    counts AS (SELECT domain, COUNT(*) AS n FROM base GROUP BY domain),
+    z AS (SELECT SUM(POWER(n, 0.5)) AS z, SUM(n) AS total FROM counts),
+    rates AS (
+      SELECT c.domain,
+             LEAST(((POWER(c.n, 0.5) / z.z) * z.total) / c.n, 1.0) AS rate
+      FROM counts c CROSS JOIN z
     )
-    GROUP BY doc_id
+    SELECT b.doc_id, b.domain, 0 AS copy
+    FROM base b
+    JOIN rates r ON b.domain IS NOT DISTINCT FROM r.domain
+    WHERE (((b.doc_id + 1) * 48271) % 2147483647) / 2147483647.0 < r.rate
     """,
     doc=(
-        "Document fingerprint: position-weighted token hash, order-independent exact "
-        "bigint sum (distributed-safe rolling-hash analogue)."
+        "Temperature mixing (alpha=0.5) with a NULL domain: per-domain "
+        "rates from counts^alpha (cap-at-1 reported, not shifted), "
+        "realized by deterministic threshold sampling via the "
+        "ANSI-replayable lehmer draw; the NULL-domain rows MUST appear "
+        "in the mix (eqNullSafe rate join — the round-7 fix this row "
+        "pins cross-engine). operators/mixing.py:106."
     ),
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.positional_fingerprints(read(spark, sf_dir, "documents"), "doc_id", "text")
+def mixture_sample_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
+
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 < 7, "web")
+        .when(F.col("doc_id") % 13 < 11, "books")
+        .alias("domain"),
+    )
+    return mixture_sample(
+        docs, "domain", "doc_id", alpha=0.5, seed=0, draw="lehmer"
+    ).select("doc_id", "domain", F.col("copy").cast("int").alias("copy"))
 
 
 DECONTAM_K = 5  # the ~45-token driver docs need a sub-13 gram to overlap
