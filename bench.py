@@ -46,6 +46,18 @@ def _bench_only() -> dict[str, Query]:
 
         return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
+    def ngram_lm_perplexity(spark, sf_dir):
+        # full pipeline timed: train a trigram Stupid Backoff LM on a
+        # 20% reference slice, score the whole corpus against it
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+            score_perplexity,
+            train_ngram_lm,
+        )
+
+        docs = _docs(spark, sf_dir)
+        model = train_ngram_lm(docs.filter("doc_id % 5 = 0"), "text")
+        return score_perplexity(docs, "doc_id", "text", model)
+
     def doc_fingerprints(spark, sf_dir):
         # the former registered query's exact wiring (merged into
         # simhash_fingerprints r8 — ONE explode+agg now carries both
@@ -113,6 +125,7 @@ def _bench_only() -> dict[str, Query]:
         for f in (
             token_explode_counts,
             doc_fingerprints,
+            ngram_lm_perplexity,
             shuffle_shard_export,
             mixture_sample_documents,
             quality_classifier_scores,
@@ -172,6 +185,7 @@ HEADLINE = [
     "shuffle_shard_export",
     "mixture_sample_documents",
     "quality_classifier_scores",
+    "ngram_lm_perplexity",
     "bpe_token_counts",
 ]
 

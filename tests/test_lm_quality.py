@@ -1,0 +1,203 @@
+"""N-gram LM perplexity scoring (operators/lm_quality.py).
+
+Correctness is pinned against an independent pure-Python Stupid Backoff
+implementation (same canonical tokenization, same backoff chain, same
+OOV floor) on handcrafted and randomized corpora; behavioral tests
+check the quality-filter story (reference-like text scores lower
+perplexity than gibberish), short-doc surfacing, save/load, and the
+no-Python-UDF plan contract.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+    NgramLM,
+    score_perplexity,
+    train_ngram_lm,
+)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [t for t in re.sub("[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+
+
+class PyStupidBackoff:
+    def __init__(self, texts, n=3, alpha=0.4, min_count=1):
+        from collections import Counter
+
+        self.n, self.alpha = n, alpha
+        self.counts = [Counter() for _ in range(n)]
+        for t in texts:
+            toks = _norm_tokens(t)
+            for k in range(1, n + 1):
+                for i in range(len(toks) - k + 1):
+                    self.counts[k - 1][tuple(toks[i : i + k])] += 1
+        # prune orders >= 2 below min_count (mirrors the operator)
+        for k in range(2, n + 1):
+            self.counts[k - 1] = {
+                g: c for g, c in self.counts[k - 1].items() if c >= min_count
+            }
+        self.n_tokens = sum(self.counts[0].values())
+        self.vocab = len(self.counts[0])
+        self.oov = 1.0 / (self.n_tokens + self.vocab)
+
+    def _s(self, gram: tuple) -> float:
+        k = len(gram)
+        c = self.counts[k - 1].get(gram, 0)
+        if c > 0:
+            if k == 1:
+                return c / self.n_tokens
+            ctx = self.counts[k - 2].get(gram[:-1], 0)
+            if ctx > 0:
+                return c / ctx
+        if k == 1:
+            return self.oov
+        return self.alpha * self._s(gram[1:])
+
+    def score_doc(self, text: str):
+        toks = _norm_tokens(text)
+        if len(toks) < self.n:
+            return (0, None, None, False)
+        lps = [
+            math.log(self._s(tuple(toks[i : i + self.n])))
+            for i in range(len(toks) - self.n + 1)
+        ]
+        avg = sum(lps) / len(lps)
+        return (len(lps), avg, math.exp(-avg), True)
+
+
+REF = [
+    "the cat sat on the mat and the dog sat on the rug",
+    "the cat ran to the mat while the dog slept on the rug",
+    "a cat and a dog sat on the mat near the door",
+    "the dog ran to the door and the cat slept near the mat",
+]
+
+
+def _run_spark(spark, train_texts, probe_rows, **kw):
+    train_df = spark.createDataFrame([(t,) for t in train_texts], "text string")
+    model = train_ngram_lm(train_df, "text", **kw)
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    rows = score_perplexity(probe, "doc_id", "text", model).collect()
+    return model, {
+        r["doc_id"]: (
+            r["n_scored_grams"],
+            r["avg_logprob"],
+            r["perplexity"],
+            r["scored"],
+        )
+        for r in rows
+    }
+
+
+def _check(spark, train_texts, probe_rows, **kw):
+    _, got = _run_spark(spark, train_texts, probe_rows, **kw)
+    ref = PyStupidBackoff(train_texts, **{k: v for k, v in kw.items()})
+    for doc_id, text in probe_rows:
+        n_g, avg, ppl, scored = ref.score_doc(text)
+        gn, gavg, gppl, gscored = got[doc_id]
+        assert gn == n_g and gscored == scored, doc_id
+        if scored:
+            assert gavg == pytest.approx(avg, rel=1e-12), doc_id
+            assert gppl == pytest.approx(ppl, rel=1e-12), doc_id
+        else:
+            assert gavg is None and gppl is None
+    return got
+
+
+def test_matches_python_reference_in_domain(spark):
+    probes = [(i, t) for i, t in enumerate(REF)]
+    _check(spark, REF, probes)
+
+
+def test_matches_python_reference_backoff_and_oov(spark):
+    probes = [
+        (1, "the cat sat on the rug"),  # seen trigrams + backoff mixes
+        (2, "dog mat cat the on ran"),  # word salad: bigram/unigram floors
+        (3, "the zebra sat on the qwerty"),  # OOV tokens hit the epsilon
+        (4, "zz yy xx ww vv"),  # fully OOV
+    ]
+    _check(spark, REF, probes)
+
+
+def test_normalization_is_canonical(spark):
+    # cosmetic variants score identically to their canonical form
+    probes = [(1, "The CAT sat, on the mat!"), (2, "the cat sat on the mat")]
+    got = _check(spark, REF, probes)
+    assert got[1] == got[2]
+
+
+def test_short_docs_surfaced_not_dropped(spark):
+    probes = [(1, "the cat"), (2, ""), (3, "the cat sat")]
+    got = _check(spark, REF, probes)
+    assert got[1][3] is False and got[2][3] is False and got[3][3] is True
+
+
+def test_perplexity_separates_reference_from_gibberish(spark):
+    probes = [(1, REF[0]), (2, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff")]
+    got = _check(spark, REF, probes)
+    assert got[1][2] < got[2][2] / 100  # orders of magnitude apart
+
+
+def test_min_count_pruning_backs_off(spark):
+    probes = [(i, t) for i, t in enumerate(REF)] + [
+        (100, "the cat sat on the rug near a door")
+    ]
+    _check(spark, REF, probes, min_count=2)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4])
+def test_other_orders(spark, n):
+    probes = [(1, REF[0]), (2, "the zebra sat near a qwerty door")]
+    _check(spark, REF, probes, n=n)
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    model, got = _run_spark(spark, REF, [(1, REF[1])])
+    model.save(str(tmp_path / "lm"))
+    loaded = NgramLM.load(spark, str(tmp_path / "lm"))
+    assert (loaded.n, loaded.alpha, loaded.n_tokens, loaded.vocab_size) == (
+        model.n,
+        model.alpha,
+        model.n_tokens,
+        model.vocab_size,
+    )
+    probe = spark.createDataFrame([(1, REF[1])], "doc_id long, text string")
+    r2 = {
+        r["doc_id"]: (r["n_scored_grams"], r["avg_logprob"], r["perplexity"], r["scored"])
+        for r in score_perplexity(probe, "doc_id", "text", loaded).collect()
+    }
+    assert r2 == got
+
+
+def test_partition_invariance(spark):
+    train_df = spark.createDataFrame([(t,) for t in REF * 5], "text string")
+    probe_rows = [(i, REF[i % 4]) for i in range(40)]
+    a_model = train_ngram_lm(train_df, "text")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    a = sorted(map(tuple, score_perplexity(probe, "doc_id", "text", a_model).collect()))
+    b_model = train_ngram_lm(train_df.repartition(13), "text")
+    b = sorted(
+        map(
+            tuple,
+            score_perplexity(
+                probe.repartition(7, "doc_id"), "doc_id", "text", b_model
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_no_python_udfs_in_plans(spark):
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    probe = spark.createDataFrame([(1, REF[0])], "doc_id long, text string")
+    for df in [*model.orders, score_perplexity(probe, "doc_id", "text", model)]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,246 @@
+"""N-gram language-model perplexity scoring — the third standard quality
+filter for pretraining corpora, alongside heuristic ratios
+(text.quality_scores) and the learned classifier (classifier.py):
+CCNet-style pipelines score every document against an n-gram LM trained
+on a trusted reference corpus (e.g. Wikipedia) and gate or bucket on
+perplexity. Reference semantics are public (CCNet, Wenzek et al. 2019;
+Stupid Backoff, Brants et al. 2007); the implementation here is
+engine-original and Spark-first.
+
+Scoring uses STUPID BACKOFF — the scale-friendly scheme built for
+distributed count tables: the score of token w after context c is
+
+    S(w | c) = count(c w) / count(c)          if count(c w) > 0
+             = alpha * S(w | shorter c)       otherwise
+
+with S(w) = count(w) / N at the unigram floor and an out-of-vocabulary
+epsilon 1 / (N + V). No discounting or normalization pass is needed, so
+training is nothing but distributed gram counting — exactly what a
+groupBy does well at corpus scale.
+
+Scale shape:
+
+- TRAINING is n explode+count aggregations (one per order, each with
+  map-side partial aggregation over the zipf-skewed gram keys) and n-1
+  equi-joins attaching each order's context count; model tables stay
+  DataFrames end to end — nothing corpus-sized touches the driver, and
+  `save`/`load` round-trip the model through parquet.
+- SCORING is one narrow gram explode of the probe corpus and n left
+  equi-joins against the conditional tables (shuffle hash joins on the
+  gram string; when the model is small Spark broadcasts it via AQE),
+  then one per-doc aggregation. Everything is whole-stage codegen —
+  no Python in either path (plan-asserted in tests).
+
+Tokenization is the engine's canonical form (text.norm_expr — lowercase,
+punctuation stripped) so perplexity is invariant to the cosmetic
+variants dedup already collapses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.text import norm_expr
+
+DEFAULT_ALPHA = 0.4  # the Stupid Backoff paper's constant
+
+
+def _tok_arr():
+    """Token array of the canonical __norm column."""
+    return F.expr("filter(split(__norm, ' '), x -> x <> '')")
+
+
+def _grams(k: int):
+    """Array of order-k gram structs (ctx: first k-1 tokens joined by a
+    space — '' for k=1 — and w: the final token) over token array __t.
+
+    The size guard matters: Spark's sequence(1, stop) with stop < 1
+    DESCENDS (1, 0, ...) instead of returning empty, so an unguarded
+    transform would fabricate grams for docs shorter than k tokens."""
+    if k == 1:
+        return F.expr("transform(__t, x -> struct('' as ctx, x as w))")
+    return F.expr(
+        f"case when size(__t) >= {k} then "
+        f"transform(sequence(1, size(__t) - {k - 1}), "
+        f"i -> struct(concat_ws(' ', slice(__t, i, {k - 1})) as ctx, "
+        f"element_at(__t, i + {k - 1}) as w)) "
+        f"else array() end"
+    )
+
+
+@dataclass
+class NgramLM:
+    """Distributed n-gram LM: per-order conditional tables
+    (ctx, w, s = count(ctx w)/count(ctx)); unigram table has ctx = ''
+    and s = count(w)/N. All counts survive in the tables (c column) so
+    the model composes (inspection, pruning, further smoothing)."""
+
+    n: int
+    alpha: float
+    n_tokens: int
+    vocab_size: int
+    orders: list[DataFrame]  # orders[k-1] = order-k table
+
+    def save(self, path: str) -> None:
+        spark = self.orders[0].sparkSession
+        for k, t in enumerate(self.orders, start=1):
+            t.write.mode("overwrite").parquet(f"{path}/order={k}")
+        meta = spark.createDataFrame(
+            [(self.n, float(self.alpha), self.n_tokens, self.vocab_size)],
+            "n int, alpha double, n_tokens long, vocab_size long",
+        )
+        meta.write.mode("overwrite").parquet(f"{path}/_meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NgramLM":
+        m = spark.read.parquet(f"{path}/_meta").collect()[0]
+        orders = [
+            spark.read.parquet(f"{path}/order={k}") for k in range(1, m["n"] + 1)
+        ]
+        return cls(
+            n=m["n"],
+            alpha=m["alpha"],
+            n_tokens=m["n_tokens"],
+            vocab_size=m["vocab_size"],
+            orders=orders,
+        )
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    alpha: float = DEFAULT_ALPHA,
+    min_count: int = 1,
+) -> NgramLM:
+    """Count-based Stupid Backoff model from a reference corpus.
+
+    ``min_count`` prunes grams of order >= 2 rarer than the threshold
+    (unigrams are never pruned — they are the backoff floor). Pruning a
+    gram simply routes its probes to the next-lower order, the same
+    graceful degradation Stupid Backoff applies to unseen grams.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = df.select(norm_expr(text_col).alias("__norm")).select(
+        _tok_arr().alias("__t")
+    )
+    counts = []  # raw count tables (ctx, w, c) per order
+    for k in range(1, n + 1):
+        ck = (
+            toks.select(F.explode(_grams(k)).alias("g"))
+            .groupBy(F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        counts.append(ck)
+
+    totals = counts[0].agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    ).collect()[0]
+    n_tokens, vocab = int(totals["n_tokens"] or 0), int(totals["vocab"])
+    if n_tokens == 0:
+        raise ValueError("training corpus has no tokens")
+
+    orders: list[DataFrame] = [
+        counts[0].select(
+            "ctx", "w", "c", (F.col("c").cast("double") / F.lit(float(n_tokens))).alias("s")
+        )
+    ]
+    for k in range(2, n + 1):
+        # context count: the order-(k-1) RAW count of the first k-1
+        # tokens — join key is the full lower-order gram string
+        ctx_counts = counts[k - 2].select(
+            F.when(F.col("ctx") == "", F.col("w"))
+            .otherwise(F.concat_ws(" ", "ctx", "w"))
+            .alias("ctx"),
+            F.col("c").alias("__ctx_c"),
+        )
+        tbl = (
+            counts[k - 1]
+            .filter(F.col("c") >= F.lit(int(min_count)))
+            .join(ctx_counts, "ctx")
+            .select(
+                "ctx",
+                "w",
+                "c",
+                (F.col("c").cast("double") / F.col("__ctx_c")).alias("s"),
+            )
+        )
+        orders.append(tbl)
+    return NgramLM(
+        n=n, alpha=float(alpha), n_tokens=n_tokens, vocab_size=vocab, orders=orders
+    )
+
+
+def score_perplexity(
+    df: DataFrame, id_col: str, text_col: str, model: NgramLM
+) -> DataFrame:
+    """(id, n_scored_grams, avg_logprob, perplexity, scored) per doc.
+
+    Every full-context position (token index >= n-1 after canonical
+    tokenization) contributes one Stupid Backoff score; the doc's
+    perplexity is exp(-mean ln S). Documents with fewer than n tokens
+    report scored = false with NULL metrics — surfaced, never silently
+    dropped (the caller's length gate owns short docs).
+    """
+    n, alpha = model.n, model.alpha
+    oov = 1.0 / float(model.n_tokens + model.vocab_size)
+    toks = df.select(
+        F.col(id_col), norm_expr(text_col).alias("__norm")
+    ).select(id_col, _tok_arr().alias("__t"))
+
+    grams = toks.select(
+        id_col, F.explode(_grams(n)).alias("g")
+    ).select(id_col, F.col("g.ctx").alias("__c"), F.col("g.w").alias("__w"))
+
+    # one left join per order, highest first; order-k context for a
+    # top-order gram is ITS LAST k-1 context tokens
+    scored = grams
+    score_cols = []
+    for k in range(n, 0, -1):
+        tbl = model.orders[k - 1].select(
+            F.col("ctx").alias("__c_k"),
+            F.col("w").alias("__w_k"),
+            F.col("s").alias(f"__s{k}"),
+        )
+        if k == n:
+            ctx_k = F.col("__c")
+        elif k == 1:
+            ctx_k = F.lit("")
+        else:
+            # last k-1 tokens of the context string
+            ctx_k = F.expr(
+                f"concat_ws(' ', slice(split(__c, ' '), -{k - 1}, {k - 1}))"
+            )
+        scored = scored.withColumn("__ck", ctx_k).join(
+            tbl,
+            (F.col("__ck") == F.col("__c_k")) & (F.col("__w") == F.col("__w_k")),
+            "left",
+        ).drop("__c_k", "__w_k", "__ck")
+        score_cols.append(f"__s{k}")
+
+    # stupid backoff: s_n, else alpha*s_{n-1}, ..., else alpha^{n-1}*oov
+    expr = F.lit(oov)
+    for i, c in enumerate(reversed(score_cols)):  # __s1 .. __sn
+        expr = F.coalesce(F.col(c), F.lit(alpha) * expr) if i else F.coalesce(
+            F.col(c), expr
+        )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_grams"),
+        F.avg(F.log(expr)).alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored_grams", F.lit(0)).cast("long").alias("n_scored_grams"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+            F.col("avg_logprob").isNotNull().alias("scored"),
+        )
+    )
