@@ -194,6 +194,75 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_composes_into_curate_with_own_drop_reason(spark):
+    """curate(perplexity_model=..., max_perplexity=...) drops
+    high-perplexity docs with drop_reason='perplexity' — distinct from
+    the heuristic and classifier reasons — while short unscorable docs
+    stay owned by the length gate."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    gibberish = "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj"
+    rows = [
+        (1, REF[0]),
+        (2, REF[1]),
+        (3, gibberish),
+        (4, "tiny"),  # length gate, NOT perplexity
+    ]
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_perplexity(probe, "doc_id", "text", model).collect()
+        if r["scored"]
+    }
+    thresh = (max(ppl[1], ppl[2]) + ppl[3]) / 2
+    audit = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in curate(
+            probe,
+            "doc_id",
+            "text",
+            perplexity_model=model,
+            max_perplexity=thresh,
+        ).collect()
+    }
+    assert audit[1] == (True, None) and audit[2] == (True, None)
+    assert audit[3] == (False, "perplexity")
+    assert audit[4] == (False, "low_quality")
+
+    with pytest.raises(ValueError):
+        curate(probe, "doc_id", "text", perplexity_model=model)
+
+
+def test_incremental_curate_equivalence_with_gate(spark):
+    """curate_incremental with the perplexity gate stays row-for-row
+    equivalent to the batch operator over the union (same fixed model on
+    every append — the caller-owned-state contract)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
+        curate_incremental,
+    )
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    gib = "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj"
+    corpus = [(1, REF[0]), (2, gib), (3, REF[2])]
+    batch = [(10, REF[1]), (11, gib + " kk ll"), (12, REF[0])]  # 12: exact dup of 1
+    params = dict(perplexity_model=model, max_perplexity=100.0)
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = sorted(map(tuple, curate(_df(corpus + batch), "doc_id", "text", **params).collect()))
+    _, st = curate_incremental(_df(corpus), "doc_id", "text", **params)
+    inc, _ = curate_incremental(_df(batch), "doc_id", "text", state=st, **params)
+    assert sorted(map(tuple, inc.collect())) == full
+    reasons = {t[0]: t[2] for t in full}
+    assert reasons[2] == "perplexity" and reasons[11] == "perplexity"
+    assert reasons[12] == "exact_duplicate"
+
+
 def test_no_python_udfs_in_plans(spark):
     train_df = spark.createDataFrame([(t,) for t in REF], "text string")
     model = train_ngram_lm(train_df, "text")

@@ -16,7 +16,10 @@ the corpus the next (more expensive) stage sees:
                        and doc-level dedup compares boilerplate-free
                        text), a learned quality classifier
                        (``quality_model=`` — JVM-only hashed-feature
-                       scoring, drop_reason ``classifier``), and
+                       scoring, drop_reason ``classifier``), an n-gram-LM
+                       perplexity gate (``perplexity_model=`` +
+                       ``max_perplexity=`` — CCNet-style reference-corpus
+                       perplexity, drop_reason ``perplexity``), and
                        benchmark decontamination (``eval_df=...``) that
                        drops eval-overlapping docs (drop_reason
                        ``contaminated``) before any dedup — a leaked doc
@@ -36,8 +39,8 @@ the corpus the next (more expensive) stage sees:
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
 near_dup_audit_incomplete, matched_eval_id, contamination_frac).
-drop_reason ∈ {low_quality, repetition, classifier, contaminated,
-exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
+drop_reason ∈ {low_quality, repetition, classifier, perplexity,
+contaminated, exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops);
 near_dup_audit_incomplete flags every doc that sat in at least one
 over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
@@ -93,6 +96,8 @@ def curate(
     paragraph_min_chars: int = 30,
     quality_model=None,
     quality_min_prob: float = 0.5,
+    perplexity_model=None,
+    max_perplexity: float | None = None,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -205,6 +210,32 @@ def curate(
         good = good.join(clf_failed, id_col, "left_anti")
     else:
         clf_failed = None
+
+    # 1b3. optional perplexity gate (perplexity_model given): the CCNet
+    # n-gram-LM filter — docs scoring ABOVE max_perplexity against the
+    # reference-corpus LM drop with their own reason (drop_reason
+    # ``perplexity``, distinct from the heuristics and the classifier so
+    # a curated corpus can tell the three quality signals apart). Docs
+    # too short to score a full-order gram report scored=false and PASS
+    # — the length gate owns short docs. Scoring is codegen-only (see
+    # operators.lm_quality); the droplist cut mirrors the other gates.
+    if perplexity_model is not None:
+        if max_perplexity is None:
+            raise ValueError("perplexity_model given without max_perplexity")
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import score_perplexity
+
+        ppl_failed = cut(
+            score_perplexity(good, id_col, text_col, perplexity_model)
+            .filter(
+                F.col("scored")
+                & (F.col("perplexity") > F.lit(float(max_perplexity)))
+            )
+            .select(id_col),
+            durable=durable,
+        )
+        good = good.join(ppl_failed, id_col, "left_anti")
+    else:
+        ppl_failed = None
 
     # 1c. optional benchmark decontamination (eval_df given): drop docs
     # overlapping the eval set BEFORE any dedup — a contaminated doc must
@@ -344,6 +375,14 @@ def curate(
             clf_failed.select(
                 id_col,
                 F.lit("classifier").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if ppl_failed is not None:
+        dropped = dropped.unionByName(
+            ppl_failed.select(
+                id_col,
+                F.lit("perplexity").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )

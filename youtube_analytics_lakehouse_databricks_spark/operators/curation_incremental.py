@@ -198,6 +198,8 @@ def curate_incremental(
     paragraph_min_chars: int = 30,
     quality_model=None,
     quality_min_prob: float = 0.5,
+    perplexity_model=None,
+    max_perplexity: float | None = None,
     eval_df: DataFrame | None = None,
     eval_id_col: str | None = None,
     eval_text_col: str | None = None,
@@ -336,6 +338,29 @@ def curate_incremental(
         good = good.join(clf_failed, id_col, "left_anti")
     else:
         clf_failed = None
+
+    # -- stage 1b3: optional perplexity gate (batch-only, per-row; like
+    # the classifier, the SAME reference-corpus LM must be passed on
+    # every append — it is caller-owned serialized state, and a model
+    # retrained on a grown corpus would re-score stored docs differently
+    # than their audit recorded)
+    if perplexity_model is not None:
+        if max_perplexity is None:
+            raise ValueError("perplexity_model given without max_perplexity")
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import score_perplexity
+
+        ppl_failed = cut(
+            score_perplexity(good, id_col, text_col, perplexity_model)
+            .filter(
+                F.col("scored")
+                & (F.col("perplexity") > F.lit(float(max_perplexity)))
+            )
+            .select(id_col),
+            durable=durable,
+        )
+        good = good.join(ppl_failed, id_col, "left_anti")
+    else:
+        ppl_failed = None
 
     # -- stage 1c: optional benchmark decontamination (batch-only; the
     # eval suite is fixed across appends, so the per-row verdicts are
@@ -595,6 +620,14 @@ def curate_incremental(
             clf_failed.select(
                 id_col,
                 F.lit("classifier").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if ppl_failed is not None:
+        dropped = dropped.unionByName(
+            ppl_failed.select(
+                id_col,
+                F.lit("perplexity").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )
