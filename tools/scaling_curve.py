@@ -286,6 +286,28 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return bpe_tokenize(docs, "doc_id", "text", model)
 
+    def lm_perplexity_stage(s, d):
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+            score_perplexity,
+            train_ngram_lm,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id")
+        key = "__lm_model"
+        model = _MODEL_CACHE.get(key)
+        if model is None:
+            # reference LM trained once on a 1x-corpus slice (the model
+            # is fixed trusted-corpus state; what scales is scoring the
+            # growing corpus against it)
+            base = s.read.parquet(f"{OUT_ROOT}/x1/documents.parquet")
+            model = train_ngram_lm(base.filter("doc_id % 5 = 0"), "text")
+            # materialize the count tables so every timed run scores
+            # against the same built model instead of re-counting
+            model.orders = [t.localCheckpoint() for t in model.orders]
+            _MODEL_CACHE[key] = model
+        return score_perplexity(docs, "doc_id", "text", model)
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -312,6 +334,7 @@ def _stage_builders(spark) -> dict:
         "bpe_token_counts": bpe_stage,
         "shuffle_shards": sharding_stage,
         "classifier_scores": classifier_stage,
+        "lm_perplexity": lm_perplexity_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
