@@ -46,6 +46,14 @@ def _bench_only() -> dict[str, Query]:
 
         return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
+    def substring_dedup_documents(spark, sf_dir):
+        # W=20 (not the 50-token default): the driver corpus averages
+        # ~45 tokens/doc, so 50-token windows would never fire; 20 still
+        # exercises the full window->winner->interval->rebuild chain
+        from youtube_analytics_lakehouse_databricks_spark.operators.dedup import substring_dedup
+
+        return substring_dedup(_docs(spark, sf_dir), "doc_id", "text", min_tokens=20)
+
     def ngram_lm_perplexity(spark, sf_dir):
         # full pipeline timed: train a trigram Stupid Backoff LM on a
         # 20% reference slice, score the whole corpus against it
@@ -125,6 +133,7 @@ def _bench_only() -> dict[str, Query]:
         for f in (
             token_explode_counts,
             doc_fingerprints,
+            substring_dedup_documents,
             ngram_lm_perplexity,
             shuffle_shard_export,
             mixture_sample_documents,
@@ -149,6 +158,17 @@ def _bench_only() -> dict[str, Query]:
 # positional-hash merge rides its explode+agg as a 17th aggregate):
 # 0.53 s merged vs 0.36 + 0.23 s for the former pair — net suite win.
 # doc_fingerprints stays as the former standalone wiring (bench-only).
+#
+# MEASUREMENT CORRECTION (r8): the harness now executes queries through
+# the noop sink instead of .count() (see _run). Under .count(), Spark
+# 4.1's left-join elimination pruned the ENTIRE operator out of five
+# queries (paragraph_dedup_documents, substring_dedup_documents,
+# quality_classifier_scores, ngram_lm_perplexity, benchmark_decontam —
+# all shaped `docs LEFT JOIN per-id-aggregate`), so every prior round's
+# numbers for those five measured only the input scan + fan-out. Their
+# r8 numbers are the first honest ones and are EXPECTED to be higher
+# than r7's; the other queries' plans were count-complete and only pay
+# the (small, uniform) cost of emitting all columns to the sink.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -181,6 +201,7 @@ HEADLINE = [
     "json_envelope_roundtrip",
     # round-6 bench-only operators (see _bench_only)
     "paragraph_dedup_documents",
+    "substring_dedup_documents",
     "mixture_sample_domains",
     "shuffle_shard_export",
     "mixture_sample_documents",
@@ -208,10 +229,21 @@ def main() -> None:
     reg = {**registry(), **_bench_only()}
     names = [n for n in HEADLINE if n in reg]
 
+    def _run(df) -> None:
+        # noop sink, NOT .count(): Spark 4.1 eliminates a left join
+        # whose right side is an aggregate keyed on the join key once
+        # count() prunes the right columns — for operators shaped
+        # `docs LEFT JOIN per-id-aggregate` (paragraph/substring dedup,
+        # classifier/LM scoring, decontam), count() therefore measured
+        # only the input fan-out, not the operator (their count() plans
+        # had 0 joins vs 1-6 in the real plan; found r8). The noop sink
+        # consumes every output row AND column, so the full plan runs.
+        df.write.format("noop").mode("overwrite").save()
+
     # Warmup at the smallest scale: JIT, codegen, parquet footer caches.
     for name in names:
         try:
-            reg[name].builder(spark, "/root/testdata/sf0.001").count()
+            _run(reg[name].builder(spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
@@ -248,7 +280,7 @@ def main() -> None:
             # later, byte-identical ones (round-2 regression).
             spark.catalog.clearCache()
             st0, t0 = _steal_sec(), time.time()
-            reg[name].builder(spark, sf_dir).count()
+            _run(reg[name].builder(spark, sf_dir))
             sec = time.time() - t0
             stolen = _steal_sec() - st0
             runs.append((sec, stolen > 0.1 * n_cpu * sec + 0.05))
@@ -263,7 +295,7 @@ def main() -> None:
         # touches none of the target files.
         spark.catalog.clearCache()
         try:
-            reg[name].builder(spark, sf_dir).count()
+            _run(reg[name].builder(spark, sf_dir))
         except Exception:
             pass
 

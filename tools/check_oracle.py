@@ -56,10 +56,28 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--raw"]
+    raw = "--raw" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = get_spark(app_name="check_oracle")
+    if raw:
+        # Mimic the DRIVER's session: bare builder, none of the engine's
+        # conf pins (no unionOutputPartitioning guard, no ANSI toggles).
+        # Queries must be correct here too — session pins are
+        # belt-and-suspenders, never the correctness mechanism.
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("check_oracle_raw")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"

@@ -145,7 +145,14 @@ def main() -> None:
         dirs[mult] = d
 
     spark = get_spark(
-        app_name="scaling_curate_incremental", extra_conf={"spark.ui.enabled": "true"}
+        app_name="scaling_curate_incremental", extra_conf={
+            "spark.ui.enabled": "true",
+            # StageMeter reads cumulative stage totals from the UI REST
+            # API; the default retainedStages=1000 EVICTS early stages
+            # mid-run on a full-table measurement (17 stages x 3 pairs x
+            # 2 scales), making later deltas under-read or go NEGATIVE
+            "spark.ui.retainedStages": "1000000",
+        }
     )
     warm = min(dirs)
     run_scale(spark, warm, dirs[warm])  # warmup: JIT/codegen, not recorded

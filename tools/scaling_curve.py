@@ -286,6 +286,20 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return bpe_tokenize(docs, "doc_id", "text", model)
 
+    def substring_stage(s, d):
+        # W=20: corpus docs average ~45 tokens; the planted hot-key docs
+        # (identical 40-token boilerplate) are the million-copy-window
+        # regime the map-side-combining winners are built for, and the
+        # 10% near-dup variants carry real embedded duplicate spans
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        return dedup_ops.substring_dedup(
+            read_fanned(s, d, "documents", by="doc_id"),
+            "doc_id",
+            "text",
+            min_tokens=20,
+        )
+
     def lm_perplexity_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
             score_perplexity,
@@ -329,6 +343,7 @@ def _stage_builders(spark) -> dict:
         "curate_full_chain": curate_stage,
         "decontam_flags": decontam_stage,
         "paragraph_dedup": paragraph_stage,
+        "substring_dedup": substring_stage,
         "pack_sequences": packing_stage,
         "mixture_sample": mixing_stage,
         "bpe_token_counts": bpe_stage,
@@ -371,11 +386,26 @@ def run_interleaved(spark, dirs: dict[int, str], n_pairs: int = 3) -> dict[int, 
                 spark.catalog.clearCache()
                 meter.delta()  # reset baseline
                 t0 = time.time()
-                rows = builder(spark, d).count()
+                df = builder(spark, d)
+                # noop sink, NOT .count(): Spark 4.1 ELIMINATES a left
+                # join whose right side is an aggregate keyed on the
+                # join key when no right columns survive pruning — for
+                # the operators shaped `docs LEFT JOIN per-id-aggregate`
+                # (paragraph/substring dedup, classifier, LM scoring,
+                # decontam), a .count() therefore measured ONLY the
+                # input fan-out, not the operator (verified: their
+                # count() plans had 0 joins / 2 exchanges vs 2-6 joins
+                # in the real plan). The noop sink consumes every output
+                # row and column, so the full plan always executes.
+                df.write.format("noop").mode("overwrite").save()
                 acc[m]["runs"].append(time.time() - t0)
                 sw, _cpu = meter.delta()
                 if i == 0:
-                    acc[m]["sw"], acc[m]["rows"] = sw, rows
+                    acc[m]["sw"] = sw
+                    # row count taken untimed: cardinality is identical
+                    # under the join-elimination shortcut, and the next
+                    # loop iteration resets the meter baseline
+                    acc[m]["rows"] = df.count()
         for m in dirs:
             a = acc[m]
             results[m][name] = {
@@ -403,7 +433,14 @@ def main() -> None:
             generate(mult, d, hot=(mult >= 10))
         dirs[mult] = d
 
-    spark = get_spark(app_name="scaling_curve", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(app_name="scaling_curve", extra_conf={
+            "spark.ui.enabled": "true",
+            # StageMeter reads cumulative stage totals from the UI REST
+            # API; the default retainedStages=1000 EVICTS early stages
+            # mid-run on a full-table measurement (17 stages x 3 pairs x
+            # 2 scales), making later deltas under-read or go NEGATIVE
+            "spark.ui.retainedStages": "1000000",
+        })
     # warmup: JIT/codegen on the small corpus so neither scale pays it
     for builder in _stage_builders(spark).values():
         builder(spark, dirs[1]).count()

@@ -227,6 +227,7 @@ def main() -> None:
         app_name="scaling_scd2",
         extra_conf={
             "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "1000000",
             "spark.sql.warehouse.dir": WAREHOUSE,
         },
     )

@@ -449,14 +449,19 @@ def paragraph_dedup(
       partition BEFORE the exchange — a ``row_number() over (partition
       by hash)`` window would instead sort the entire hot key in one
       task. The aggregation carries only (hash, id, pos), never text.
-    - the winner set (one row per DISTINCT paragraph) joins back on
-      (id, pos) — a key that is uniform by construction even when the
-      hash key is pathologically skewed.
+    - the winner set derives the LOSER set — only the duplicated
+      occurrences, proportional to the corpus dup rate — via a
+      keys-only (id, pos) anti-join, and the text-carrying units
+      anti-join against THAT (AQE broadcasts the losers in the common
+      case): paragraph text stays out of every exchange. (id, pos) is
+      uniform by construction even when the hash key is pathologically
+      skewed.
     - reassembly is one groupBy(id) of kept units: collect_list(struct
       (pos, para)) + array_sort + concat — document-sized state only.
 
-    Three exchanges total (hash agg, (id,pos) join, id reassembly), all
-    skew-safe; no UDFs, everything whole-stage codegen.
+    Keys-only exchanges throughout (hash agg, loser anti-join, id
+    reassembly — which reuses the input's id partitioning when present),
+    all skew-safe; no UDFs, everything whole-stage codegen.
 
     ``seen``: an optional single-column ``para_hash`` frame of hashes
     already claimed by an EARLIER corpus (the incremental-curation
@@ -476,12 +481,13 @@ def paragraph_dedup(
         min_chars=min_chars,
     )
 
-    cand_keys = units.filter(~F.col("__exempt")).select(id_col, "para_pos", "__h")
+    all_keys = units.filter(~F.col("__exempt")).select(id_col, "para_pos", "__h")
+    cand_keys = all_keys
     if seen is not None:
         stored_hits = seen.select(F.col("para_hash").alias("__h")).join(
-            F.broadcast(cand_keys.select("__h").distinct()), "__h", "left_semi"
+            F.broadcast(all_keys.select("__h").distinct()), "__h", "left_semi"
         )
-        cand_keys = cand_keys.join(F.broadcast(stored_hits), "__h", "left_anti")
+        cand_keys = all_keys.join(F.broadcast(stored_hits), "__h", "left_anti")
     winners = (
         cand_keys.groupBy("__h")
         .agg(F.min(F.struct(id_col, "para_pos")).alias("__w"))
@@ -490,24 +496,25 @@ def paragraph_dedup(
             F.col("__w.para_pos").alias("para_pos"),
         )
     )
-    # Single-branch keep decision — deliberately NOT a
-    # union(exempt-units, semi-joined-winners): when the input arrives
-    # hash-partitioned on id_col, Spark 4.1's partitioning-aware union
-    # reports the children's common partitioning and the reassembly
-    # groupBy(id_col) elides its aggregation Exchange, but the physical
-    # union concatenates the branches into 2x partitions, so any doc
-    # with both exempt and non-exempt kept paragraphs aggregates TWICE
-    # (duplicate group keys, wrong n_kept). One join + one filter keeps
-    # the plan a single branch, on which the partitioning optimization
-    # is legitimately applicable on any session, any input partitioning.
-    kept = (
-        units.join(
-            winners.withColumn("__win", F.lit(True)),
-            [id_col, "para_pos"],
-            "left",
-        )
-        .filter(F.col("__exempt") | F.col("__win").isNotNull())
-        .select(id_col, "para_pos", "para")
+    # The keep decision joins the TEXT-CARRYING units against LOSERS —
+    # the non-exempt occurrences that did NOT win their hash (plus every
+    # occurrence claimed by the stored `seen` index) — never against
+    # winners: winners ~ every distinct paragraph (corpus-sized; joining
+    # them shuffles the paragraph text on (id, pos)), while losers are
+    # only the DUPLICATED occurrences, proportional to the corpus's dup
+    # rate, so AQE broadcasts them in the common case and the text side
+    # never crosses the wire. (The loser derivation itself is a
+    # keys-only (id, pos) anti-join.) Also deliberately a SINGLE-branch
+    # plan, not a union(exempt, semi-join) — Spark 4.1's
+    # partitioning-aware union returned duplicate reassembly group keys
+    # on id-prepartitioned input (see tests/test_union_partition_hazard
+    # .py); one anti-join keeps the partitioning optimization
+    # legitimately applicable on any session, any input partitioning.
+    losers = all_keys.join(winners, [id_col, "para_pos"], "left_anti").select(
+        id_col, "para_pos"
+    )
+    kept = units.join(losers, [id_col, "para_pos"], "left_anti").select(
+        id_col, "para_pos", "para"
     )
 
     reassembled = kept.groupBy(id_col).agg(
@@ -517,18 +524,163 @@ def paragraph_dedup(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = units.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    # n_paras = kept + dropped, counted from the two frames the plan
+    # already builds — NOT a third groupBy over `units`, which would
+    # re-execute the text scan (and any input exchange) one more time
+    # for a count the existing subtrees already determine.
+    lost_counts = losers.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lost"))
     return (
         df.select(id_col)
-        .join(totals, id_col, "left")
         .join(reassembled, id_col, "left")
+        .join(lost_counts, id_col, "left")
         .select(
             id_col,
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_lost", F.lit(0)))
             .cast("long")
-            .alias("n_dropped"),
+            .alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_lost", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 50,
+    joiner: str = " ",
+) -> DataFrame:
+    """Corpus-wide EXACT SUBSTRING dedup (the ExactSubstr rule of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every duplicated run of >= ``min_tokens`` whitespace
+    tokens is removed from all but its FIRST corpus occurrence (lowest
+    (id, position)); the surviving tokens are stitched back together in
+    document order. The strongest documented dedup mode — it catches
+    duplicated spans EMBEDDED in otherwise-distinct documents, which
+    doc-level (exact/MinHash) and paragraph-level dedup both miss.
+
+    Output: one row per input document —
+    (id, text_deduped, n_tokens, n_kept, n_dropped) — with documents
+    never dropped (a fully-duplicated doc survives as '' for the
+    caller's length gate). Reconstruction is whitespace-normalizing
+    (tokens rejoined with ``joiner``), the same contract as operating
+    on a token stream.
+
+    Semantics via sliding windows (the distributed reformulation of the
+    reference's suffix array — engine-original): a token is removed iff
+    it lies inside at least one LOSER window — a ``min_tokens``-length
+    window whose exact token sequence occurs at a smaller (id, pos).
+    A duplicated span of length >= W turns all its interior windows
+    into losers, so exactly the span is removed; windows straddling the
+    span boundary carry unique context, stay winners, and protect the
+    surrounding text. Degenerate self-overlapping periodic runs
+    ("na na na ..." with period < W) collapse to their leading
+    fragment — by-design over-removal on text that is junk under any
+    quality gate, mirroring how C4's line rule treats repeated lines.
+
+    Scale shape (built like paragraph_dedup — nothing corpus-sized is
+    ever sorted in one task, text never crosses the wire):
+
+    - window hashes are two independent xxhash64s (128 bits total:
+      at 10^12 windows — the 100 TB regime — a single 64-bit key
+      expects ~10^4 birthday collisions, 128 bits expects ~10^-15);
+      the window STRINGS are hashed in the same stage they are built
+      and never shuffle;
+    - first-occurrence winners come from groupBy(hash).agg(min(struct
+      (id, pos))): a million-copy boilerplate window partial-aggregates
+      map-side before the exchange;
+    - the loser join probes that same (h1, h2) exchange (1:1 per probe
+      row — winners are unique per hash — so hot keys stream);
+    - loser windows merge into maximal covered intervals per doc with
+      one gaps-and-islands window over (id, pos) — loser rows only,
+      proportional to the DUPLICATED portion of the corpus;
+    - reconstruction is one per-row aggregate() over the merged
+      interval list: O(tokens) slices per doc, no per-token join, no
+      token-level shuffle.
+    """
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    W = int(min_tokens)
+    toks = _tokenized(df, id_col, text_col)
+
+    win = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {W} THEN "
+                    f"transform(sequence(0, size(toks) - {W}), "
+                    f"i -> struct(i as pos, concat_ws(' ', slice(toks, i + 1, {W})) as w)) "
+                    f"ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        # hash projection in the SAME stage as the explode: only
+        # (id, pos, h1, h2) ever reaches an exchange
+        .select(
+            id_col,
+            F.col("g.pos").alias("pos"),
+            F.xxhash64(F.lit(1), F.col("g.w")).alias("h1"),
+            F.xxhash64(F.lit(2), F.col("g.w")).alias("h2"),
+        )
+    )
+    winners = win.groupBy("h1", "h2").agg(
+        F.min(F.struct(id_col, "pos")).alias("__w"), F.count(F.lit(1)).alias("__n")
+    )
+    losers = (
+        win.join(winners.filter(F.col("__n") > 1), ["h1", "h2"])
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"__w.{id_col}"))
+                & (F.col("pos") == F.col("__w.pos"))
+            )
+        )
+        .select(id_col, "pos", (F.col("pos") + W).alias("end"))
+    )
+
+    # gaps-and-islands merge: loser intervals all have length W, so the
+    # running max end over pos order marks island breaks exactly
+    from pyspark.sql import Window
+
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        losers.withColumn(
+            "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+
+    kept_expr = F.expr(
+        "aggregate("
+        "  ivs,"
+        "  struct(0 as p, cast(array() as array<string>) as acc),"
+        "  (st, v) -> struct(v.e as p, concat(st.acc, slice(toks, st.p + 1, v.s - st.p)) as acc),"
+        "  st -> concat(st.acc, slice(toks, st.p + 1, size(toks) - st.p))"
+        ")"
+    )
+    return (
+        toks.join(islands, id_col, "left")
+        .withColumn(
+            "ivs",
+            F.coalesce("ivs", F.expr("cast(array() as array<struct<s:int,e:int>>)")),
+        )
+        .withColumn("__kept", kept_expr)
+        .select(
+            id_col,
+            F.concat_ws(joiner, "__kept").alias("text_deduped"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("__kept").cast("long").alias("n_kept"),
+            (F.size("toks") - F.size("__kept")).cast("long").alias("n_dropped"),
         )
     )
