@@ -212,3 +212,15 @@ def test_plan_no_udfs_no_corpus_shuffle(spark, corpus):
     assert "BroadcastHashJoin" in plan
     # the only exchange is the broadcast of the tiny rate table
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_lehmer_rejects_non_integral_id(spark):
+    # string/UUID ids cast to NULL under the lehmer BIGINT draw, which
+    # would silently drop every row from the mix — must raise instead
+    # (r8 ADVICE); the xxhash64 default keeps accepting any id type
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "web") for i in range(20)], "doc_id string, domain string"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        mixture_sample(df, "domain", "doc_id", alpha=0.5, draw="lehmer")
+    assert mixture_sample(df, "domain", "doc_id", alpha=1.0).count() == 20

@@ -207,6 +207,11 @@ def test_prepartitioned_input_no_duplicate_keys(spark, guard_conf):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.unionOutputPartitioning", prev)
+        else:
+            # unset, don't skip: leaving the parametrized value (incl.
+            # 'true', the hazard setting) would leak into the shared
+            # session for every later test (r8 ADVICE)
+            spark.conf.unset("spark.sql.unionOutputPartitioning")
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == 60 and len(set(ids)) == 60, (
         f"{len(ids)} rows / {len(set(ids))} distinct — duplicate group keys"

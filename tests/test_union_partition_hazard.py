@@ -17,7 +17,8 @@ curation (operators/curation_incremental.py:432,499) — by feeding each
 operator an id-PREPARTITIONED input under BOTH settings of
 ``spark.sql.unionOutputPartitioning``:
 
-  - ``false``: the engine session's wrong-results pin (yalds/session.py)
+  - ``false``: the engine session's wrong-results pin
+               (youtube_analytics_lakehouse_databricks_spark/session.py:80)
   - ``true``:  Spark's default, i.e. a raw user / oracle-driver session
                that never saw the engine's conf
 
@@ -47,6 +48,11 @@ def union_conf(spark, value):
     finally:
         if prev is not None:
             spark.conf.set(key, prev)
+        else:
+            # unset, don't skip: leaving the parametrized value (incl.
+            # 'true', the hazard setting) would leak into the shared
+            # session for every later test (r8 ADVICE)
+            spark.conf.unset(key)
 
 
 # ---------------------------------------------------------------- graph

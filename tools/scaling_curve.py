@@ -441,9 +441,13 @@ def main() -> None:
             # 2 scales), making later deltas under-read or go NEGATIVE
             "spark.ui.retainedStages": "1000000",
         })
-    # warmup: JIT/codegen on the small corpus so neither scale pays it
+    # warmup: JIT/codegen on the small corpus so neither scale pays it.
+    # Same noop sink as the timed runs — .count() would let Spark 4.1's
+    # left-join elimination prune the docs-LEFT-JOIN-aggregate operators
+    # out of the warmup plan, leaving their real codegen cold for the
+    # first timed iteration (r8 ADVICE).
     for builder in _stage_builders(spark).values():
-        builder(spark, dirs[1]).count()
+        builder(spark, dirs[1]).write.format("noop").mode("overwrite").save()
     results = run_interleaved(spark, dirs)
 
     print(json.dumps(results, indent=2))

@@ -153,6 +153,20 @@ def mixture_sample(
     domain's realized size concentrates tightly around count * rate.
     ``draw``: the per-row uniform source — see ``_uniform_draw``
     (``lehmer`` is the ANSI-SQL-replayable verification mode)."""
+    if draw == "lehmer":
+        # the lehmer draw is BIGINT arithmetic over the id; a non-integral
+        # id (string/UUID doc ids) would cast to NULL, make __u NULL, and
+        # silently drop EVERY row from the mix — fail loudly instead (the
+        # xxhash64 default accepts any id type; this asymmetry is a trap)
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        dt = df.schema[id_col].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"draw='lehmer' needs an integral id column; {id_col} is "
+                f"{dt.simpleString()} (use the default draw='xxhash64', "
+                f"which hashes any id type)"
+            )
     rates = domain_rates(
         df,
         domain_col,

@@ -159,7 +159,7 @@ def read_fanned(
         # exchange can report the common partitioning and let a
         # downstream groupBy(by) elide its Exchange — while the physical
         # union concatenates branches into 2x partitions (duplicate
-        # group keys; see yalds/session.py and
+        # group keys; see youtube_analytics_lakehouse_databricks_spark/session.py:80 and
         # tests/test_union_partition_hazard.py). Engine operators are
         # structurally single-branch-safe; this pins the conf on
         # WHATEVER session the caller brought (driver harness, user
