@@ -27,7 +27,9 @@ def _bench_only() -> dict[str, Query]:
     suites — tests/test_sharding.py, test_mixing.py, test_tokenizer.py —
     instead of a DuckDB oracle row). paragraph_dedup_documents graduated
     to a registered oracle row in round 7, releasing the slot
-    token_explode_counts now occupies here (its explode+count surface is
+    token_explode_counts now occupies here. substring_dedup_documents
+    graduated the same way in round 9 (queries/textops.py — identical
+    wiring: doc_id fan-out, W=20 — so its r8 timing series continues) (its explode+count surface is
     already oracled gram-for-gram by regex_token_counts)."""
     from pyspark.sql import functions as F
 
@@ -45,14 +47,6 @@ def _bench_only() -> dict[str, Query]:
         from youtube_analytics_lakehouse_databricks_spark.queries import read
 
         return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
-
-    def substring_dedup_documents(spark, sf_dir):
-        # W=20 (not the 50-token default): the driver corpus averages
-        # ~45 tokens/doc, so 50-token windows would never fire; 20 still
-        # exercises the full window->winner->interval->rebuild chain
-        from youtube_analytics_lakehouse_databricks_spark.operators.dedup import substring_dedup
-
-        return substring_dedup(_docs(spark, sf_dir), "doc_id", "text", min_tokens=20)
 
     def ngram_lm_perplexity(spark, sf_dir):
         # full pipeline timed: train a trigram Stupid Backoff LM on a
@@ -133,7 +127,6 @@ def _bench_only() -> dict[str, Query]:
         for f in (
             token_explode_counts,
             doc_fingerprints,
-            substring_dedup_documents,
             ngram_lm_perplexity,
             shuffle_shard_export,
             mixture_sample_documents,

@@ -59,8 +59,20 @@ def test_no_python_udfs_in_relational_paths(spark, name):
 
 def test_embedding_neardup_has_no_cross_product(spark):
     """The graded near-dup path must be band-candidate equi-joins + exact
-    verify — never a broadcast theta cross product over all pairs."""
-    plan = _plan(spark, "embedding_near_duplicates")
+    verify — never a broadcast theta cross product over all pairs.
+    (Unregistered in r9 — slot freed for substring_dedup_documents — so
+    the builder is imported directly; correctness now lives in
+    tests/test_near_duplicates.py.)"""
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import embedding_near_duplicates
+
+    df = embedding_near_duplicates(spark, SF_DIR)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -760,6 +760,85 @@ _PARA_DEDUP_ORACLE = r"""
 """
 
 
+SUBSTR_W = 20  # window tokens; the ~45-token driver docs never hit the
+# 50-token ExactSubstr default, 20 still exercises the full
+# window->winner->interval->rebuild chain (same W the bench used while
+# this operator was bench-only, so the r8 timing series continues)
+
+_SUBSTR_DEDUP_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS w
+      FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_W - 1})) AS g(i)
+      WHERE len(t) >= {SUBSTR_W}
+    ),
+    losers AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+        FROM win
+      ) WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS idx
+      FROM toks
+    ),
+    dropped AS (
+      SELECT DISTINCT tk.doc_id, tk.idx
+      FROM tok tk JOIN losers l
+        ON tk.doc_id = l.doc_id AND tk.idx >= l.pos AND tk.idx < l.pos + {SUBSTR_W}
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.idx, tk.tok
+      FROM tok tk LEFT JOIN dropped d ON tk.doc_id = d.doc_id AND tk.idx = d.idx
+      WHERE d.idx IS NULL
+    ),
+    keptagg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_deduped,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT d.doc_id,
+           COALESCE(k.text_deduped, '') AS text_deduped,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM documents d
+    JOIN totals t USING (doc_id)
+    LEFT JOIN keptagg k USING (doc_id)
+"""
+
+
+@register(
+    "substring_dedup_documents",
+    _SUBSTR_DEDUP_ORACLE,
+    doc=(
+        "Corpus-wide EXACT SUBSTRING dedup (ExactSubstr, Lee et al. 2021): "
+        "every duplicated run of >= W whitespace tokens is removed from all "
+        "but its first (id, pos) occurrence; documents are stitched back in "
+        "order, never dropped. The oracle mirrors the window semantics "
+        "directly — duplicated windows via GROUP BY on the window STRING "
+        "(the engine's 128-bit double-xxhash64 keys stand in for exactly "
+        "this string equality), losers as rn > 1 under the (id, pos) order, "
+        "token coverage via a range join instead of the engine's gaps-and-"
+        "islands interval merge (the covered-token UNION is identical "
+        "either way). operators/dedup.py:548."
+    ),
+)
+def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.substring_dedup(
+        read_fanned(spark, sf_dir, "documents", by="doc_id"),
+        "doc_id",
+        "text",
+        min_tokens=SUBSTR_W,
+    )
+
+
 @register(
     "paragraph_dedup_documents",
     _PARA_DEDUP_ORACLE,

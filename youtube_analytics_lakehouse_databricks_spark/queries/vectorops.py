@@ -213,21 +213,22 @@ def _neardup_oracle_sql() -> str:
     """
 
 
-@register(
-    "embedding_near_duplicates",
-    _neardup_oracle_sql(),
-    doc=(
-        "Embedding-cosine near-duplicate pairs (cosine >= 0.99) via the "
-        "scale path: SRP-LSH band candidates (4 bands x 8 planes, one "
-        "equi-join on (band_idx, band_key)) + exact fold-cosine verify on "
-        "candidates ONLY — never an all-pairs product. The deterministic "
-        "sha-derived planes let the oracle reproduce the exact candidate "
-        "set; at threshold 0.99 a pair is missed only if every one of the "
-        "4 bands splits it (P < 1e-2 per the SRP collision bound, and near "
-        "0 for the near-identical vectors the threshold targets)."
-    ),
-)
+# NOTE: formerly registered as the oracled query "embedding_near_duplicates";
+# unregistered in round 9 to free the 50-row-budget slot
+# substring_dedup_documents now occupies. Its oracle row was VACUOUS at the
+# driver sf (the synthetic embeddings contain no cosine>=0.99 pairs, so the
+# check matched 0 rows against 0 rows); correctness is now pinned by a
+# stronger test — tests/test_near_duplicates.py compares the SRP-band path
+# against a brute-force all-pairs reference on a corpus WITH planted
+# near-duplicates. The candidate-join machinery stays oracled through
+# embedding_bucket_ann (identical band_join shape). _neardup_oracle_sql()
+# is kept importable so the test can cross-check the DuckDB mirror too.
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH band candidates (4 bands x 8 planes, one equi-join on
+    (band_idx, band_key)) + exact fold-cosine verify on candidates ONLY —
+    never an all-pairs product. At threshold 0.99 a pair is missed only if
+    every one of the 4 bands splits it (P < 1e-2 per the SRP collision
+    bound, near 0 for the near-identical vectors the threshold targets)."""
     from youtube_analytics_lakehouse_databricks_spark.operators.similarity import band_near_duplicates
 
     return band_near_duplicates(
