@@ -48,17 +48,40 @@ def _bench_only() -> dict[str, Query]:
 
         return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
+    def ngram_lm_train(spark, sf_dir):
+        # TRAINING only: n gram-count aggregations + n-1 context joins
+        # over the 20% reference slice. The union-ALL of all order
+        # tables makes the noop sink execute every order's full plan
+        # (order k's table only pulls counts k and k-1 through its own
+        # lineage). Split from ngram_lm_perplexity in r9 so a scoring
+        # regression can't hide inside training noise (r8 VERDICT #2);
+        # their r9 sum ~= the former combined r8 number.
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import train_ngram_lm
+
+        model = train_ngram_lm(_docs(spark, sf_dir).filter("doc_id % 5 = 0"), "text")
+        out = model.orders[0]
+        for t in model.orders[1:]:
+            out = out.unionByName(t)
+        return out
+
     def ngram_lm_perplexity(spark, sf_dir):
-        # full pipeline timed: train a trigram Stupid Backoff LM on a
-        # 20% reference slice, score the whole corpus against it
+        # SCORING only — the 100 TB-relevant inference path: the trigram
+        # Stupid Backoff model is trained ONCE per sf and materialized
+        # through its parquet save/load (priming run pays it, exactly the
+        # classifier/BPE pattern), so timed runs probe fixed tables
         from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+            NgramLM,
             score_perplexity,
             train_ngram_lm,
         )
 
         docs = _docs(spark, sf_dir)
-        model = train_ngram_lm(docs.filter("doc_id % 5 = 0"), "text")
-        return score_perplexity(docs, "doc_id", "text", model)
+        key = f"lm:{sf_dir}"
+        if key not in _models:
+            path = f"/tmp/sparkgraft_bench_lm_{os.path.basename(sf_dir.rstrip('/'))}"
+            train_ngram_lm(docs.filter("doc_id % 5 = 0"), "text").save(path)
+            _models[key] = NgramLM.load(spark, path)
+        return score_perplexity(docs, "doc_id", "text", _models[key])
 
     def doc_fingerprints(spark, sf_dir):
         # the former registered query's exact wiring (merged into
@@ -127,6 +150,7 @@ def _bench_only() -> dict[str, Query]:
         for f in (
             token_explode_counts,
             doc_fingerprints,
+            ngram_lm_train,
             ngram_lm_perplexity,
             shuffle_shard_export,
             mixture_sample_documents,
@@ -199,6 +223,7 @@ HEADLINE = [
     "shuffle_shard_export",
     "mixture_sample_documents",
     "quality_classifier_scores",
+    "ngram_lm_train",
     "ngram_lm_perplexity",
     "bpe_token_counts",
 ]

@@ -270,3 +270,36 @@ def test_no_python_udfs_in_plans(spark):
     for df in [*model.orders, score_perplexity(probe, "doc_id", "text", model)]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_score_joins_key_on_hashes_not_strings(spark):
+    """The n per-order left joins must key on the 128-bit double-xxhash64
+    of (ctx, w) — longs on the wire — never on gram strings: with a model
+    too big to broadcast, string keys would shuffle up-to-(n-1)-token
+    contexts per probe gram (r8 VERDICT #3; the substring_dedup key
+    scheme applied here)."""
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    probe = spark.createDataFrame([(1, REF[0])], "doc_id long, text string")
+    plan = (
+        score_perplexity(probe, "doc_id", "text", model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # physical format: SortMergeJoin [keys...], [keys...], LeftOuter
+    # (or BroadcastHashJoin ... LeftOuter when AQE broadcasts the model)
+    conds = re.findall(r"Join \[([^\]]*)\], \[([^\]]*)\], LeftOuter", plan)
+    assert len(conds) >= model.n + 1, plan  # n order joins + doc re-attach
+    hash_joins = 0
+    for left, right in conds:
+        if "doc_id" in left:
+            continue  # the final per-doc metric re-attach
+        assert "__h1_" in left and "__h2_" in left, (left, right)
+        assert "__b1_" in right and "__b2_" in right, (left, right)
+        # every key is a long attribute (#<id>L), never a gram string
+        assert all(k.strip().split("#")[-1].endswith("L") for k in left.split(",")), left
+        hash_joins += 1
+    assert hash_joins == model.n, plan

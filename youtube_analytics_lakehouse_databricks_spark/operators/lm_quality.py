@@ -26,10 +26,14 @@ Scale shape:
   DataFrames end to end — nothing corpus-sized touches the driver, and
   `save`/`load` round-trip the model through parquet.
 - SCORING is one narrow gram explode of the probe corpus and n left
-  equi-joins against the conditional tables (shuffle hash joins on the
-  gram string; when the model is small Spark broadcasts it via AQE),
-  then one per-doc aggregation. Everything is whole-stage codegen —
-  no Python in either path (plan-asserted in tests).
+  equi-joins against the conditional tables, then one per-doc
+  aggregation. The join keys are 128-bit double-xxhash64 of (ctx, w),
+  computed in the explode projection — when the model is small Spark
+  broadcasts it via AQE, and when it is NOT, the probe side exchanges
+  (id + 2n longs) per gram rather than context strings (the
+  substring_dedup precedent; collision expectation ~1e-15 at 1e12
+  grams). Everything is whole-stage codegen — no Python in either path
+  (plan-asserted in tests).
 
 Tokenization is the engine's canonical form (text.norm_expr — lowercase,
 punctuation stripped) so perplexity is invariant to the cosmetic
@@ -193,34 +197,50 @@ def score_perplexity(
         F.col(id_col), norm_expr(text_col).alias("__norm")
     ).select(id_col, _tok_arr().alias("__t"))
 
-    grams = toks.select(
-        id_col, F.explode(_grams(n)).alias("g")
-    ).select(id_col, F.col("g.ctx").alias("__c"), F.col("g.w").alias("__w"))
-
-    # one left join per order, highest first; order-k context for a
-    # top-order gram is ITS LAST k-1 context tokens
-    scored = grams
-    score_cols = []
-    for k in range(n, 0, -1):
-        tbl = model.orders[k - 1].select(
-            F.col("ctx").alias("__c_k"),
-            F.col("w").alias("__w_k"),
-            F.col("s").alias(f"__s{k}"),
+    # Per-order join keys are TWO INDEPENDENT xxhash64s of (ctx_k, w) —
+    # 128 bits, the substring_dedup collision budget (dedup.py) — hashed
+    # in the SAME projection as the gram explode, so when the model is
+    # too big to broadcast the probe side shuffles (id + 2n longs) per
+    # gram instead of up-to-(n-1)-token context STRINGS per order (the
+    # r8 VERDICT note). Order-k context for a top-order gram is its LAST
+    # k-1 context tokens; the order index salts the hash seeds so equal
+    # strings never alias across orders.
+    def _keys(k: int, ctx, w):
+        return (
+            F.xxhash64(F.lit(2 * k), ctx, w),
+            F.xxhash64(F.lit(2 * k + 1), ctx, w),
         )
+
+    key_cols = []
+    for k in range(n, 0, -1):
         if k == n:
-            ctx_k = F.col("__c")
+            ctx_k = F.col("g.ctx")
         elif k == 1:
             ctx_k = F.lit("")
         else:
-            # last k-1 tokens of the context string
             ctx_k = F.expr(
-                f"concat_ws(' ', slice(split(__c, ' '), -{k - 1}, {k - 1}))"
+                f"concat_ws(' ', slice(split(g.ctx, ' '), -{k - 1}, {k - 1}))"
             )
-        scored = scored.withColumn("__ck", ctx_k).join(
+        h1, h2 = _keys(k, ctx_k, F.col("g.w"))
+        key_cols += [h1.alias(f"__h1_{k}"), h2.alias(f"__h2_{k}")]
+    grams = toks.select(id_col, F.explode(_grams(n)).alias("g")).select(
+        id_col, *key_cols
+    )
+
+    # one left join per order, highest first, keyed on the hashes
+    scored = grams
+    score_cols = []
+    for k in range(n, 0, -1):
+        b1, b2 = _keys(k, F.col("ctx"), F.col("w"))
+        tbl = model.orders[k - 1].select(
+            b1.alias(f"__b1_{k}"), b2.alias(f"__b2_{k}"), F.col("s").alias(f"__s{k}")
+        )
+        scored = scored.join(
             tbl,
-            (F.col("__ck") == F.col("__c_k")) & (F.col("__w") == F.col("__w_k")),
+            (F.col(f"__h1_{k}") == F.col(f"__b1_{k}"))
+            & (F.col(f"__h2_{k}") == F.col(f"__b2_{k}")),
             "left",
-        ).drop("__c_k", "__w_k", "__ck")
+        ).drop(f"__b1_{k}", f"__b2_{k}", f"__h1_{k}", f"__h2_{k}")
         score_cols.append(f"__s{k}")
 
     # stupid backoff: s_n, else alpha*s_{n-1}, ..., else alpha^{n-1}*oov
