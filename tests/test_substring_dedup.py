@@ -173,3 +173,50 @@ def test_min_tokens_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         substring_dedup(df, "doc_id", "text", min_tokens=1)
+
+
+def test_seen_index_reproduces_full_union_run(spark):
+    """Incremental contract: batch2 deduped against substring_hash_keys
+    (batch1) must emit EXACTLY the batch2 rows of the full run over
+    batch1 ∪ batch2 (append-only ids make first-occurrence monotone, so
+    stored docs are never rewritten retroactively)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import substring_hash_keys
+
+    W = 4
+    span = "alpha beta gamma delta"  # a W-token span planted across batches
+    b1 = [
+        (0, f"{span} one two three four five"),
+        (1, f"unique opening {span} closing words here"),  # loses to doc 0
+        (2, "completely unrelated text with no duplicate span at all"),
+    ]
+    b2 = [
+        (10, f"later batch embeds {span} mid document"),  # loses to stored
+        (11, "repeat me now ok repeat me now ok tail"),  # batch-local dup?
+        (12, f"fresh tokens only {span}"),  # loses to stored
+        (13, "totally novel text of this second batch run"),
+    ]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup(
+            spark.createDataFrame(b1 + b2, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            min_tokens=W,
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    inc = {
+        r["doc_id"]: tuple(r)
+        for r in substring_dedup(
+            df2,
+            "doc_id",
+            "text",
+            min_tokens=W,
+            seen=substring_hash_keys(df1, "doc_id", "text", min_tokens=W),
+        ).collect()
+    }
+    assert inc == full
+    # the planted span really was removed from the later batch
+    assert full[10][4] > 0 and full[12][4] > 0

@@ -38,7 +38,12 @@ the corpus the next (more expensive) stage sees:
                        to its near-twin.
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
-near_dup_audit_incomplete, matched_eval_id, contamination_frac).
+near_dup_audit_incomplete, matched_eval_id, contamination_frac,
+substring_tokens_dropped). ``substring_dedup=True`` adds the ExactSubstr
+rewrite (Lee et al. 2021) between paragraph dedup and the quality gate:
+duplicated >= ``substring_min_tokens``-token runs are removed from all
+but their first corpus occurrence, and each doc's removed-token count
+lands in ``substring_tokens_dropped`` (NULL when the stage is off).
 drop_reason ∈ {low_quality, repetition, classifier, perplexity,
 contaminated, exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops);
@@ -94,6 +99,8 @@ def curate(
     paragraph_dedup: bool = False,
     paragraph_split: str = r"\n{2,}",
     paragraph_min_chars: int = 30,
+    substring_dedup: bool = False,
+    substring_min_tokens: int = 50,
     quality_model=None,
     quality_min_prob: float = 0.5,
     perplexity_model=None,
@@ -161,6 +168,33 @@ def curate(
             min_chars=paragraph_min_chars,
         ).select(id_col, F.col("text_deduped").alias(text_col))
         docs = cut(docs, durable=durable)
+
+    # 0c. optional corpus-wide EXACT SUBSTRING dedup (ExactSubstr, Lee
+    # et al. 2021 — the strongest documented dedup mode: catches
+    # duplicated spans EMBEDDED in otherwise-distinct documents, which
+    # paragraph- and doc-level dedup both miss). Like the paragraph
+    # stage it is a text REWRITE — documents are never dropped here; a
+    # fully-duplicated doc drains to '' and drops as low_quality at the
+    # very next gate — but unlike it the per-doc token toll is carried
+    # into the audit frame (``substring_tokens_dropped``): span removal
+    # CHANGES kept documents' text, so the export needs the provenance.
+    # Runs after paragraph dedup (boilerplate first, then embedded
+    # spans) and after redaction (windows compare scrubbed text); the
+    # cut materializes one rewrite that both the text chain and the
+    # audit column read.
+    if substring_dedup:
+        sub = cut(
+            dedup_ops.substring_dedup(
+                docs, id_col, text_col, min_tokens=substring_min_tokens
+            ),
+            durable=durable,
+        )
+        docs = sub.select(id_col, F.col("text_deduped").alias(text_col))
+        sub_audit = sub.select(
+            id_col, F.col("n_dropped").alias("substring_tokens_dropped")
+        )
+    else:
+        sub_audit = None
 
     # 1. quality gate (cheap, per-row, runs on everything). Each gate's
     # audit frame is an id-only droplist consumed TWICE (the left_anti
@@ -450,4 +484,12 @@ def curate(
         out = out.withColumn("matched_eval_id", F.lit(None).cast("string")).withColumn(
             "contamination_frac", F.lit(None).cast("double")
         )
+    # substring-dedup provenance: tokens the ExactSubstr rewrite removed
+    # from each doc (0 for untouched docs when the stage ran). NULL-typed
+    # when the stage is off so the output schema does not depend on the
+    # option — the same contract as the decontamination columns.
+    if sub_audit is not None:
+        out = out.join(sub_audit, id_col, "left")
+    else:
+        out = out.withColumn("substring_tokens_dropped", F.lit(None).cast("long"))
     return out

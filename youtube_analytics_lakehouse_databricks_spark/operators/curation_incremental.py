@@ -86,10 +86,11 @@ from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
 
 
 class CurationState:
-    """The persisted curation index: four DataFrames.
+    """The persisted curation index: four core DataFrames plus up to two
+    optional stage indexes.
 
     - ``audit``: the full audit frame so far (one row per doc ever seen,
-      same 7-column schema ``curate`` emits);
+      same 8-column schema ``curate`` emits);
     - ``hashes``: (id, __h) for every exact representative;
     - ``sets``: (id, shset, n_shingles) — canonical shingle sets of reps;
     - ``banded``: (id, band_idx, band_key) — exploded LSH band keys of
@@ -98,7 +99,11 @@ class CurationState:
     - ``paras``: (para_hash) — distinct canonical hashes of every
       dedup-eligible paragraph ever seen, present ONLY when the state
       was built with ``paragraph_dedup=True`` (None otherwise; a state
-      built without the stage cannot serve appends that enable it).
+      built without the stage cannot serve appends that enable it);
+    - ``windows``: (h1, h2) — distinct 128-bit window hashes of every
+      ``substring_min_tokens``-token sliding window ever seen, present
+      ONLY when the state was built with ``substring_dedup=True`` (same
+      contract as ``paras``).
 
     ``save``/``load`` round-trip through parquet directories; at cluster
     scale, point them at the lakehouse path the pipeline owns.
@@ -113,12 +118,14 @@ class CurationState:
         sets: DataFrame,
         banded: DataFrame,
         paras: DataFrame | None = None,
+        windows: DataFrame | None = None,
     ) -> None:
         self.audit = audit
         self.hashes = hashes
         self.sets = sets
         self.banded = banded
         self.paras = paras
+        self.windows = windows
 
     def save(self, path: str) -> None:
         """Write-to-temp then rename: an appended state's frames READ the
@@ -130,7 +137,9 @@ class CurationState:
         import os
         import shutil
 
-        frames = list(self.FRAMES) + (["paras"] if self.paras is not None else [])
+        frames = list(self.FRAMES) + [
+            name for name in ("paras", "windows") if getattr(self, name) is not None
+        ]
         for name in frames:
             getattr(self, name).write.mode("overwrite").parquet(
                 f"{path}/.{name}.staged"
@@ -143,14 +152,17 @@ class CurationState:
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
         import os
 
-        paras = (
-            spark.read.parquet(f"{path}/paras")
-            if os.path.isdir(f"{path}/paras")
-            else None
-        )
+        optional = {
+            name: (
+                spark.read.parquet(f"{path}/{name}")
+                if os.path.isdir(f"{path}/{name}")
+                else None
+            )
+            for name in ("paras", "windows")
+        }
         return cls(
             *[spark.read.parquet(f"{path}/{name}") for name in cls.FRAMES],
-            paras=paras,
+            **optional,
         )
 
 
@@ -196,6 +208,8 @@ def curate_incremental(
     paragraph_dedup: bool = False,
     paragraph_split: str = r"\n{2,}",
     paragraph_min_chars: int = 30,
+    substring_dedup: bool = False,
+    substring_min_tokens: int = 50,
     quality_model=None,
     quality_min_prob: float = 0.5,
     perplexity_model=None,
@@ -298,6 +312,61 @@ def curate_incremental(
                 "appends"
             )
         paras_all = None
+
+    # -- stage 0c: optional exact-substring dedup vs the stored history --
+    # Same monotonicity argument as the paragraph stage: a window's first
+    # occurrence can only live in the stored corpus (smaller ids) or this
+    # batch, so batch windows dedup against the stored window-hash index
+    # (probed via broadcast key list inside substring_dedup) plus each
+    # other, and stored documents' rewritten text never changes. The
+    # per-doc removed-token count becomes the batch's
+    # substring_tokens_dropped audit column below.
+    if substring_dedup:
+        if state is not None and state.windows is None:
+            raise ValueError(
+                "substring_dedup=True but the stored state has no window "
+                "index — the state must be built with substring_dedup=True "
+                "from its first batch"
+            )
+        win_keys = cut(
+            dedup_ops.substring_hash_keys(
+                batch_scrubbed, id_col, text_col, min_tokens=substring_min_tokens
+            ),
+            durable=durable,
+        )
+        sub = cut(
+            dedup_ops.substring_dedup(
+                batch_scrubbed,
+                id_col,
+                text_col,
+                min_tokens=substring_min_tokens,
+                seen=state.windows if state is not None else None,
+            ),
+            durable=durable,
+        )
+        batch_scrubbed = sub.select(id_col, F.col("text_deduped").alias(text_col))
+        sub_audit = sub.select(
+            id_col, F.col("n_dropped").alias("substring_tokens_dropped")
+        )
+        if state is not None and state.windows is not None:
+            stored_win_hits = state.windows.join(
+                F.broadcast(win_keys), ["h1", "h2"], "left_semi"
+            )
+            new_win_keys = win_keys.join(
+                F.broadcast(stored_win_hits), ["h1", "h2"], "left_anti"
+            )
+            windows_all = state.windows.unionByName(new_win_keys)
+        else:
+            windows_all = win_keys
+    else:
+        if state is not None and state.windows is not None:
+            raise ValueError(
+                "the stored state carries a window index but this append "
+                "sets substring_dedup=False — parameters must match across "
+                "appends"
+            )
+        windows_all = None
+        sub_audit = None
 
     # -- stage 1: quality gate (batch-only, per-row) --------------------
     q = text_ops.quality_scores(batch_scrubbed, id_col, text_col)
@@ -573,6 +642,7 @@ def curate_incremental(
                     "near_dup_audit_incomplete",
                     "matched_eval_id",
                     "contamination_frac",
+                    "substring_tokens_dropped",
                 )
             )
             # repoint any row whose pointer names a retro-folded node to
@@ -596,6 +666,7 @@ def curate_incremental(
                     "near_dup_audit_incomplete",
                     "matched_eval_id",
                     "contamination_frac",
+                    "substring_tokens_dropped",
                 )
             )
     else:
@@ -716,6 +787,12 @@ def curate_incremental(
         batch_audit = batch_audit.withColumn(
             "matched_eval_id", F.lit(None).cast("string")
         ).withColumn("contamination_frac", F.lit(None).cast("double"))
+    if sub_audit is not None:
+        batch_audit = batch_audit.join(sub_audit, id_col, "left")
+    else:
+        batch_audit = batch_audit.withColumn(
+            "substring_tokens_dropped", F.lit(None).cast("long")
+        )
 
     # -- splice stored audit rows (pointers were updated above) ---------
     if s is not None:
@@ -734,6 +811,7 @@ def curate_incremental(
                 ).alias("near_dup_audit_incomplete"),
                 "matched_eval_id",
                 "contamination_frac",
+                "substring_tokens_dropped",
             )
         audit = s.unionByName(batch_audit)
     else:
@@ -756,5 +834,8 @@ def curate_incremental(
         sets=cut(sets_all, durable=durable),
         banded=cut(banded_all, durable=durable),
         paras=cut(paras_all, durable=durable) if paras_all is not None else None,
+        windows=cut(windows_all, durable=durable)
+        if windows_all is not None
+        else None,
     )
     return audit, new_state

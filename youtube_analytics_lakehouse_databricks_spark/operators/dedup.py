@@ -545,6 +545,52 @@ def paragraph_dedup(
     )
 
 
+def _substr_windows(toks: DataFrame, id_col: str, W: int) -> DataFrame:
+    """(id, pos, h1, h2) for every W-token sliding window of the bound
+    ``toks`` array — the hash projection runs in the SAME stage as the
+    explode, so only 8-byte keys ever reach an exchange."""
+    return (
+        toks.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {W} THEN "
+                    f"transform(sequence(0, size(toks) - {W}), "
+                    f"i -> struct(i as pos, concat_ws(' ', slice(toks, i + 1, {W})) as w)) "
+                    f"ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select(
+            id_col,
+            F.col("g.pos").alias("pos"),
+            F.xxhash64(F.lit(1), F.col("g.w")).alias("h1"),
+            F.xxhash64(F.lit(2), F.col("g.w")).alias("h2"),
+        )
+    )
+
+
+def substring_hash_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Two-column (h1, h2) frame: the DISTINCT 128-bit window hashes of
+    every ``min_tokens``-token sliding window in ``df`` — what an
+    incremental curation state persists so later batches' windows dedup
+    against the full history (substring_dedup's ``seen``). Parameters
+    must match the substring_dedup call."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    return (
+        _substr_windows(_tokenized(df, id_col, text_col), id_col, int(min_tokens))
+        .select("h1", "h2")
+        .distinct()
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -552,6 +598,7 @@ def substring_dedup(
     *,
     min_tokens: int = 50,
     joiner: str = " ",
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide EXACT SUBSTRING dedup (the ExactSubstr rule of Lee et
     al. 2021, "Deduplicating Training Data Makes Language Models
@@ -600,46 +647,72 @@ def substring_dedup(
     - reconstruction is one per-row aggregate() over the merged
       interval list: O(tokens) slices per doc, no per-token join, no
       token-level shuffle.
+
+    ``seen``: an optional (h1, h2) frame of window hashes already
+    claimed by an EARLIER corpus (the incremental-curation state, built
+    by ``substring_hash_keys``). Windows hashing into ``seen`` lose in
+    EVERY occurrence here — their first occurrence lives in the stored
+    corpus — and the remaining windows dedup among themselves
+    first-occurrence-wins. Under append-only ids this reproduces the
+    full-union run exactly (stored ids are smaller, so a stored
+    occurrence always out-ranks any occurrence here). The probe never
+    shuffles ``seen``: it is semi-joined down to this corpus's key set
+    via a broadcast key list, then broadcast back — the stored-index
+    probe shape of curation_incremental — and the loser derivation
+    stays a SINGLE-branch plan (one left join + filter, no union; see
+    tests/test_union_partition_hazard.py for why that matters).
     """
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     W = int(min_tokens)
     toks = _tokenized(df, id_col, text_col)
 
-    win = (
-        toks.select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(toks) >= {W} THEN "
-                    f"transform(sequence(0, size(toks) - {W}), "
-                    f"i -> struct(i as pos, concat_ws(' ', slice(toks, i + 1, {W})) as w)) "
-                    f"ELSE array() END"
+    win = _substr_windows(toks, id_col, W)
+    if seen is not None:
+        stored_hits = seen.select("h1", "h2").join(
+            F.broadcast(win.select("h1", "h2").distinct()), ["h1", "h2"], "left_semi"
+        )
+        marked = win.join(
+            F.broadcast(stored_hits.withColumn("__stored", F.lit(True))),
+            ["h1", "h2"],
+            "left",
+        )
+        cand = marked.filter(F.col("__stored").isNull()).drop("__stored")
+        winners = cand.groupBy("h1", "h2").agg(
+            F.min(F.struct(id_col, "pos")).alias("__w"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        # one left join against the DUP-GROUP winners only (small, like
+        # the batch path); stored-hit windows pass on their flag — no
+        # union of loser branches
+        losers = (
+            marked.join(winners.filter(F.col("__n") > 1), ["h1", "h2"], "left")
+            .filter(
+                F.col("__stored").isNotNull()
+                | (
+                    F.col("__w").isNotNull()
+                    & ~(
+                        (F.col(id_col) == F.col(f"__w.{id_col}"))
+                        & (F.col("pos") == F.col("__w.pos"))
+                    )
                 )
-            ).alias("g"),
-        )
-        # hash projection in the SAME stage as the explode: only
-        # (id, pos, h1, h2) ever reaches an exchange
-        .select(
-            id_col,
-            F.col("g.pos").alias("pos"),
-            F.xxhash64(F.lit(1), F.col("g.w")).alias("h1"),
-            F.xxhash64(F.lit(2), F.col("g.w")).alias("h2"),
-        )
-    )
-    winners = win.groupBy("h1", "h2").agg(
-        F.min(F.struct(id_col, "pos")).alias("__w"), F.count(F.lit(1)).alias("__n")
-    )
-    losers = (
-        win.join(winners.filter(F.col("__n") > 1), ["h1", "h2"])
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"__w.{id_col}"))
-                & (F.col("pos") == F.col("__w.pos"))
             )
+            .select(id_col, "pos", (F.col("pos") + W).alias("end"))
         )
-        .select(id_col, "pos", (F.col("pos") + W).alias("end"))
-    )
+    else:
+        winners = win.groupBy("h1", "h2").agg(
+            F.min(F.struct(id_col, "pos")).alias("__w"), F.count(F.lit(1)).alias("__n")
+        )
+        losers = (
+            win.join(winners.filter(F.col("__n") > 1), ["h1", "h2"])
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col(f"__w.{id_col}"))
+                    & (F.col("pos") == F.col("__w.pos"))
+                )
+            )
+            .select(id_col, "pos", (F.col("pos") + W).alias("end"))
+        )
 
     # gaps-and-islands merge: loser intervals all have length W, so the
     # running max end over pos order marks island breaks exactly

@@ -51,6 +51,8 @@ def prepare_training_data(
     epochs: int = 1,
     redact: bool = False,
     paragraph_dedup: bool = False,
+    substring_dedup: bool = False,
+    substring_min_tokens: int = 50,
     domain_col: str | None = None,
     alpha: float | None = None,
     weights: dict[str, float] | None = None,
@@ -113,6 +115,21 @@ def prepare_training_data(
             pd_df
             if domain_col is None
             else pd_df.join(cleaned.select(id_col, domain_col), id_col)
+        )
+        cleaned = cut(cleaned, durable=durable)
+    if substring_dedup:
+        # ExactSubstr rewrite (Lee et al. 2021) after boilerplate removal:
+        # duplicated >= substring_min_tokens-token runs survive only at
+        # their first corpus occurrence. Same transform-first contract as
+        # the paragraph stage — curate() then audits the exact text being
+        # exported (drained docs drop as low_quality there).
+        sd_df = dedup_ops.substring_dedup(
+            cleaned, id_col, text_col, min_tokens=substring_min_tokens
+        ).select(id_col, F.col("text_deduped").alias(text_col))
+        cleaned = (
+            sd_df
+            if domain_col is None
+            else sd_df.join(cleaned.select(id_col, domain_col), id_col)
         )
         cleaned = cut(cleaned, durable=durable)
 

@@ -672,7 +672,8 @@ def _curate_oracle_sql() -> str:
                 WHEN n.doc_id IS NOT NULL THEN n.component END AS duplicate_of,
            FALSE AS near_dup_audit_incomplete,
            CAST(NULL AS VARCHAR) AS matched_eval_id,
-           CAST(NULL AS DOUBLE) AS contamination_frac
+           CAST(NULL AS DOUBLE) AS contamination_frac,
+           CAST(NULL AS BIGINT) AS substring_tokens_dropped
     FROM documents d
     LEFT JOIN lowq l ON l.doc_id = d.doc_id
     LEFT JOIN exd e ON e.doc_id = d.doc_id
