@@ -303,3 +303,59 @@ def test_score_joins_key_on_hashes_not_strings(spark):
         assert all(k.strip().split("#")[-1].endswith("L") for k in left.split(",")), left
         hash_joins += 1
     assert hash_joins == model.n, plan
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import perplexity_buckets
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    probe = spark.createDataFrame(
+        [
+            (1, REF[0]),  # in-domain: lowest perplexity
+            (2, "the cat sat on the rug while a dog ran to the door"),
+            (3, "zx qv wq jj kk pp zz xx yy vv bb nn mm"),  # gibberish
+            (4, "too short"),  # unscorable -> NULL bucket
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(probe, "doc_id", "text", model).collect()
+    }
+    assert rows[1] == "head" and rows[3] == "tail" and rows[4] is None
+    assert rows[2] in ("head", "middle")  # in-domain-ish, never the tail
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert order[rows[1]] <= order[rows[2]] < order[rows[3]]
+
+
+def test_mixture_by_perplexity_closes_the_loop(spark):
+    """CCNet end-state: the quality buckets feed mixture_sample as
+    domains — weighting only the head keeps exactly the head docs."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+        mixture_by_perplexity,
+        perplexity_buckets,
+    )
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    # 30 docs: 10 in-domain clones (head-ish), 10 shuffled-vocab, 10 gibberish
+    rows = []
+    for i in range(10):
+        rows.append((i, REF[i % 4]))
+        rows.append((100 + i, "cat dog mat rug door the a sat ran slept near on to while and"))
+        rows.append((200 + i, f"zx{i} qv wq jj kk pp zz xx yy vv bb nn mm"))
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(probe, "doc_id", "text", model).collect()
+    }
+    head_ids = {i for i, b in buckets.items() if b == "head"}
+    assert head_ids  # terciles over 30 scored docs: head is non-empty
+    got = {
+        r["doc_id"]
+        for r in mixture_by_perplexity(
+            probe, "doc_id", "text", model, weights={"head": 1.0}, seed=0
+        ).collect()
+    }
+    assert got == head_ids

@@ -264,3 +264,92 @@ def score_perplexity(
             F.col("avg_logprob").isNotNull().alias("scored"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NgramLM,
+    *,
+    n_buckets: int = 3,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Input columns + ``ppl_bucket``: the CCNet head/middle/tail split —
+    docs bucketed by which perplexity quantile they fall in against the
+    reference-corpus LM (bucket 'head' = lowest-perplexity / most
+    reference-like). n_buckets=3 labels buckets head/middle/tail (the
+    CCNet terms); other counts label b0..b{n-1}. Docs too short to score
+    get a NULL bucket — surfaced, never dropped (the length gate owns
+    them, and NULL flows through mixture_sample's null-safe domain join
+    as its own stratum).
+
+    Scale shape: one scoring pass (see score_perplexity) + ONE
+    percentile_approx aggregation whose output is n_buckets-1 scalars on
+    the driver (bounded control plane, the CCNet recipe: cutoffs come
+    from a sketch, not a global sort) + one broadcast-free bucketize
+    CASE over the scored frame. No corpus shuffle beyond scoring's own.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = score_perplexity(df, id_col, text_col, model)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (
+        scored.filter("scored")
+        .agg(F.percentile_approx("perplexity", qs, F.lit(int(accuracy))).alias("c"))
+        .collect()[0]["c"]
+    )
+    if cuts is None:
+        raise ValueError("no scorable documents to bucket")
+    if n_buckets == 3:
+        labels = ["head", "middle", "tail"]
+    else:
+        labels = [f"b{i}" for i in range(n_buckets)]
+    bucket = F.lit(labels[-1])
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(
+            F.col("perplexity") <= F.lit(float(cuts[i])), F.lit(labels[i])
+        ).otherwise(bucket)
+    bucket = F.when(F.col("scored"), bucket)  # NULL for unscorable docs
+    return df.join(
+        scored.select(id_col, "scored", "perplexity"), id_col
+    ).select(*df.columns, bucket.alias("ppl_bucket"))
+
+
+def mixture_by_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NgramLM,
+    *,
+    weights: dict[str, float] | None = None,
+    alpha: float | None = None,
+    n_buckets: int = 3,
+    target_rows: int | None = None,
+    seed: int = 0,
+    allow_upsample: bool = False,
+) -> DataFrame:
+    """The CCNet end-state in one call: bucket the corpus by perplexity
+    quantile against the reference LM and feed the buckets to
+    mixture_sample as domains — e.g. ``weights={'head': 3, 'middle': 2,
+    'tail': 1}`` oversamples reference-like text. Weights naming only a
+    subset of buckets DROP the others (mixture_sample's explicit-weights
+    contract); NULL-bucket (unscorable) docs are dropped under explicit
+    weights unless None is given a weight via ``alpha`` mode instead.
+    Output: input columns + ppl_bucket + copy.
+    """
+    from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
+
+    bucketed = perplexity_buckets(
+        df, id_col, text_col, model, n_buckets=n_buckets
+    )
+    return mixture_sample(
+        bucketed,
+        "ppl_bucket",
+        id_col,
+        alpha=alpha,
+        weights=weights,
+        target_rows=target_rows,
+        seed=seed,
+        allow_upsample=allow_upsample,
+    )
