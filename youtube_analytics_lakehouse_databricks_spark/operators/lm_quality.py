@@ -180,8 +180,28 @@ def train_ngram_lm(
     )
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string ('10485760', '10485760b', '10m', '1g') -> bytes."""
+    v = v.strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(float(v)) * mult
+    except ValueError:
+        return 10 << 20
+
+
 def score_perplexity(
-    df: DataFrame, id_col: str, text_col: str, model: NgramLM
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: NgramLM,
+    *,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """(id, n_scored_grams, avg_logprob, perplexity, scored) per doc.
 
@@ -190,8 +210,30 @@ def score_perplexity(
     perplexity is exp(-mean ln S). Documents with fewer than n tokens
     report scored = false with NULL metrics — surfaced, never silently
     dropped (the caller's length gate owns short docs).
+
+    ``broadcast_model``: whether to hint the n per-order join build
+    sides broadcast. Default (None) decides from KNOWN control-plane
+    metadata instead of hoping AQE re-plans: each order table has at
+    most ``n_tokens`` rows (every corpus position mints at most one new
+    gram per order), ~40 B/row hashed, so the hint fires iff that bound
+    fits the session's autoBroadcastJoinThreshold. Without it, Spark's
+    static planner can leave a checkpointed/loaded model table (whose
+    LogicalRDD/scan stats read as unknown-large) on the sort-merge
+    path even when it is kilobytes (measured: 2.76 MB probe shuffle and
+    2x wall at the 1x scaling corpus). A genuinely huge reference LM
+    (n_tokens x 40 B over threshold) keeps broadcast_model=False
+    semantics: the probe shuffles 8-byte hash keys, never strings.
     """
     n, alpha = model.n, model.alpha
+    if broadcast_model is None:
+        thresh = _parse_bytes(
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", str(10 << 20)
+                )
+            )
+        )
+        broadcast_model = thresh > 0 and model.n_tokens * 40 <= thresh
     oov = 1.0 / float(model.n_tokens + model.vocab_size)
     toks = df.select(
         F.col(id_col), norm_expr(text_col).alias("__norm")
@@ -235,6 +277,8 @@ def score_perplexity(
         tbl = model.orders[k - 1].select(
             b1.alias(f"__b1_{k}"), b2.alias(f"__b2_{k}"), F.col("s").alias(f"__s{k}")
         )
+        if broadcast_model:
+            tbl = F.broadcast(tbl)
         scored = scored.join(
             tbl,
             (F.col(f"__h1_{k}") == F.col(f"__b1_{k}"))
