@@ -9,8 +9,8 @@ shuffle_shards -> in-partition pack_sequences -> partitioned parquet
 write, audit alongside — end to end:
 
 - ``export`` row: wall + shuffle bytes for a full epochs=1 run
-  (paragraph_dedup=True, domain mixing alpha=0.5, val split 10%,
-  capacity-2048 packing, 8 shards);
+  (paragraph_dedup=True, substring_dedup=True W=20 since r9, domain
+  mixing alpha=0.5, val split 10%, capacity-2048 packing, 8 shards);
 - ``marginal epoch`` row: (epochs=3 run - epochs=1 run) / 2 — the
   incremental cost of one additional epoch tree. The design claim is
   that curation+mixing run ONCE (lineage-cut) and each extra epoch pays
@@ -66,6 +66,10 @@ def _run_export(spark, corpus_dir: str, out: str, epochs: int) -> dict:
         seed=7,
         epochs=epochs,
         paragraph_dedup=True,
+        # r9: the composed row now carries the strongest dedup mode too
+        # (ExactSubstr at W=20 — the driver-corpus window width)
+        substring_dedup=True,
+        substring_min_tokens=20,
         domain_col="source",
         alpha=0.5,
         capacity=2048,
