@@ -230,3 +230,33 @@ def test_no_python_udfs_in_plan(spark):
     df = spark.createDataFrame([(1, "x\n\ny")], "doc_id long, text string")
     plan = paragraph_dedup(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_stays_out_of_the_dedup_pipeline(spark):
+    """r9 shape pin: paragraph text must never enter an aggregation or a
+    join — the keys pipeline carries (id, pos, hash) only, losers
+    collapse to a per-doc drop-position list, and the rebuild is a
+    per-row indexed filter. The old shape's collect_list(struct(pos,
+    para)) reassembly shuffled document text and measured 18x/decade at
+    the 10x->100x scaling corpus."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"{'long enough paragraph body to be dedup eligible':>40}\n\nuniq {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = (
+        paragraph_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no text-carrying reassembly aggregate
+    assert "collect_list(struct(para_pos" not in plan, plan
+    # the only collect_list is the keys-only drop-position list
+    assert plan.count("collect_list") == plan.count("collect_list(para_pos"), plan
+    # every hash aggregation groups on the sha key or the id, never text
+    import re
+
+    for keys in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        assert "para#" not in keys and "text#" not in keys, keys
