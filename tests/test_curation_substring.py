@@ -134,3 +134,33 @@ def test_export_gate_removes_span_from_shards(spark, tmp_path):
         r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
     }
     assert SPAN in texts[1] and SPAN not in texts[2] and texts[3] == BODY_C
+
+
+def test_incremental_matches_full_with_both_rewrite_gates(spark):
+    """Stage-order pin across modes: paragraph dedup rewrites first, the
+    substring pass sees post-paragraph text, and the incremental run
+    (paragraph index + window index both persisted) must still match the
+    full-union run row for row."""
+    params = dict(
+        paragraph_dedup=True,
+        paragraph_min_chars=20,
+        substring_dedup=True,
+        substring_min_tokens=W,
+    )
+    banner = "shared cookie banner paragraph repeated on every page here"
+    b1 = [
+        (1, f"{banner}\n\n{BODY_A} {SPAN}"),
+        (2, f"{banner}\n\n{BODY_B}"),
+    ]
+    b2 = [
+        (10, f"{banner}\n\n{BODY_C} {SPAN}"),  # loses banner AND span to stored
+        (11, f"{BODY_B} with a fresh unique tail beyond the stored copy"),
+    ]
+    full = audit_map(curate(_df(spark, b1 + b2), "doc_id", "text", **params))
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **params)
+    assert st.paras is not None and st.windows is not None
+    inc, _ = curate_incremental(_df(spark, b2), "doc_id", "text", state=st, **params)
+    assert audit_map(inc) == full
+    # doc 10 lost the span tokens (banner loss is the paragraph stage's,
+    # which does not count toward substring_tokens_dropped)
+    assert full[10][3] == W
