@@ -108,6 +108,20 @@ def _bench_only() -> dict[str, Query]:
     def mixture_sample_documents(spark, sf_dir):
         return mixture_sample(_docs(spark, sf_dir), "source", "doc_id", alpha=0.3, seed=0)
 
+    def semantic_dedup_embeddings(spark, sf_dir):
+        # SemDeDup over the embeddings table: deterministic k-means
+        # clusters, per-cluster Arrow pairwise at 0.95, keep the
+        # lowest-centroid-sim member per duplicate group
+        from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        return semantic_dedup(
+            read_fanned(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            # n_cells matches the core count: one Arrow pairwise task per
+            # core, and the m^2 per cluster stays ~(N/32)^2
+            threshold=0.95, n_cells=32,
+        )
+
     _models: dict[str, object] = {}
 
     def quality_classifier_scores(spark, sf_dir):
@@ -154,6 +168,7 @@ def _bench_only() -> dict[str, Query]:
             ngram_lm_perplexity,
             shuffle_shard_export,
             mixture_sample_documents,
+            semantic_dedup_embeddings,
             quality_classifier_scores,
             bpe_token_counts,
         )
@@ -234,6 +249,7 @@ HEADLINE = [
     "mixture_sample_domains",
     "shuffle_shard_export",
     "mixture_sample_documents",
+    "semantic_dedup_embeddings",
     "quality_classifier_scores",
     "ngram_lm_train",
     "ngram_lm_perplexity",

@@ -286,6 +286,18 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return bpe_tokenize(docs, "doc_id", "text", model)
 
+    def semdedup_stage(s, d):
+        # SemDeDup over the embeddings: per-decade the cluster count is
+        # the scale knob (fixed here, so per-cluster m^2 grows 100x per
+        # decade — the row documents why n_cells must track the corpus)
+        from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        return semantic_dedup(
+            read_fanned(s, d, "embeddings"), "vec_id", "embedding",
+            threshold=0.95, n_cells=32,
+        )
+
     def substring_stage(s, d):
         # W=20: corpus docs average ~45 tokens; the planted hot-key docs
         # (identical 40-token boilerplate) are the million-copy-window
@@ -344,6 +356,7 @@ def _stage_builders(spark) -> dict:
         "decontam_flags": decontam_stage,
         "paragraph_dedup": paragraph_stage,
         "substring_dedup": substring_stage,
+        "semantic_dedup": semdedup_stage,
         "pack_sequences": packing_stage,
         "mixture_sample": mixing_stage,
         "bpe_token_counts": bpe_stage,

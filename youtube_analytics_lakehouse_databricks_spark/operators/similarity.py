@@ -190,6 +190,34 @@ def bucket_topk(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> 
     )
 
 
+def _train_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int, kmeans_iters: int
+):
+    """Deterministic mini-Lloyd coarse quantizer on normalized rows:
+    driver-collected bounded sample (lowest ids — at 100 TB you train
+    the quantizer on a sample anyway), init = first n_cells sample rows,
+    cosine assignment, mean re-center. No RNG: same data -> same
+    centroids on any cluster."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(max(n_cells * 64, 2048)).toPandas()
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    centroids = mat[: min(n_cells, len(mat))].copy()
+    for _ in range(kmeans_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)  # cosine on normalized rows
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    centroids[c] = m / norm
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -211,19 +239,7 @@ def ivf_topk(
     import numpy as np
 
     spark = df.sparkSession
-    sample = df.select(id_col, vec_col).orderBy(id_col).limit(max(n_cells * 64, 2048)).toPandas()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    centroids = mat[: min(n_cells, len(mat))].copy()
-    for _ in range(kmeans_iters):
-        assign = np.argmax(mat @ centroids.T, axis=1)  # cosine on normalized rows
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    centroids[c] = m / norm
+    centroids = _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
     bc = spark.sparkContext.broadcast(centroids)
 
     def assign_both(batches):
@@ -331,4 +347,154 @@ def band_near_duplicates(
         .join(b, "vec_b")
         .select("vec_a", "vec_b", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+) -> DataFrame:
+    """SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — public semantics,
+    engine-original distributed formulation): cluster the embedding
+    space with the deterministic k-means coarse quantizer, compute
+    pairwise cosine WITHIN each cluster only, connect members above
+    ``threshold`` into duplicate groups, and keep ONE member per group —
+    the one with the LOWEST cosine similarity to its cluster centroid
+    (the paper's diversity-preserving choice; ties break to the lowest
+    id). Catches meaning-level duplicates (paraphrases, translations,
+    templated rewrites) that every lexical dedup in the chain misses.
+
+    Output: one row per input vector —
+    (id, cluster, centroid_sim, keep, duplicate_of,
+    semdedup_audit_incomplete) — nothing silently dropped: dropped
+    members point at their keeper, and members of clusters LARGER than
+    ``max_cluster_size`` are kept UNPROCESSED with the audit flag set
+    (the hot-bucket-guard contract from the LSH path: a production run
+    routes flagged clusters to a second pass with more cells).
+
+    Scale shape: centroid training is the bounded driver-side sample
+    (``_train_centroids``); assignment is ONE Arrow pass over the corpus
+    (no shuffle); the only exchange is the groupBy(cluster) — vectors
+    shuffle once, like ivf_topk's cell shuffle — and the O(m^2) pairwise
+    work is per-cluster Arrow matmuls bounded by ``max_cluster_size``
+    (~m^2/2 float64 ops, 8192^2 ~= 0.5 GB peak per task). n_cells is the
+    scale knob: at 100 TB you raise it so corpus/n_cells stays under the
+    cap, exactly how SemDeDup ran on LAION (50k clusters).
+    """
+    import numpy as np
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            cell = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "sd_id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "cluster": cell.astype("int32"),
+                    "centroid_sim": np.round(sims[np.arange(len(pdf)), cell], 6),
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"sd_id long, vec array<float>, cluster int, centroid_sim double"
+    )
+
+    thr = float(threshold)
+    cap = int(max_cluster_size)
+
+    def per_cluster(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["sd_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)  # deterministic member order
+        ids = ids[order]
+        csim = pdf["centroid_sim"].to_numpy(dtype=np.float64)[order]
+        cluster = int(pdf["cluster"].iloc[0])
+        base = {
+            "sd_id": ids,
+            "cluster": np.full(n, cluster, dtype="int32"),
+            "centroid_sim": csim,
+        }
+        if n > cap:
+            # comparisons curtailed, members kept + flagged (LSH
+            # hot-bucket contract) — never a silent partial answer
+            return pd.DataFrame(
+                {
+                    **base,
+                    "keep": np.ones(n, dtype=bool),
+                    "duplicate_of": pd.array([None] * n, dtype="Int64"),
+                    "semdedup_audit_incomplete": np.ones(n, dtype=bool),
+                }
+            )
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"].iloc[order]]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(mat @ mat.T, 6)
+        # union-find over the above-threshold pairs (upper triangle)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ai, bi = np.where(np.triu(cos >= thr, k=1))
+        for a, b in zip(ai, bi):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for r in np.unique(roots):
+            members = np.where(roots == r)[0]
+            if len(members) == 1:
+                continue
+            # keeper: lowest centroid similarity, then lowest id
+            k_local = members[np.lexsort((ids[members], csim[members]))[0]]
+            for m_i in members:
+                if m_i != k_local:
+                    keep[m_i] = False
+                    dup_of[m_i] = ids[k_local]
+        return pd.DataFrame(
+            {
+                **base,
+                "keep": keep,
+                "duplicate_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+                "semdedup_audit_incomplete": np.zeros(n, dtype=bool),
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(
+            per_cluster,
+            "sd_id long, cluster int, centroid_sim double, keep boolean, "
+            "duplicate_of long, semdedup_audit_incomplete boolean",
+        )
+        .withColumnRenamed("sd_id", id_col)
     )
