@@ -164,3 +164,18 @@ def test_incremental_matches_full_with_both_rewrite_gates(spark):
     # doc 10 lost the span tokens (banner loss is the paragraph stage's,
     # which does not count toward substring_tokens_dropped)
     assert full[10][3] == W
+
+
+def test_pre_r9_state_without_audit_column_upgrades(spark):
+    """A CurationState persisted before the audit grew
+    substring_tokens_dropped (7-column schema) must still serve appends:
+    the splice upgrades the stored audit with a NULL-typed column instead
+    of failing its select."""
+    b1 = [(1, BODY_A), (2, BODY_B)]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text")
+    st.audit = st.audit.drop("substring_tokens_dropped")  # simulate old state
+    audit, _ = curate_incremental(
+        _df(spark, [(10, BODY_C)]), "doc_id", "text", state=st
+    )
+    rows = {r["doc_id"]: r["substring_tokens_dropped"] for r in audit.collect()}
+    assert set(rows) == {1, 2, 10} and all(v is None for v in rows.values())

@@ -624,6 +624,12 @@ def curate_incremental(
     # inherit the keeper's stale pre-merge root.
     if state is not None:
         s = state.audit
+        if "substring_tokens_dropped" not in s.columns:
+            # state saved before the audit grew the substring column
+            # (r9): stored docs were never substring-deduped, so the
+            # provenance is honestly NULL — upgrade in place instead of
+            # failing the select below
+            s = s.withColumn("substring_tokens_dropped", F.lit(None).cast("long"))
         if retro is not None:
             upd = F.broadcast(
                 retro.select(
