@@ -185,7 +185,11 @@ def _bench_only() -> dict[str, Query]:
 # the scoring plan (training paid ~twice); the split primes the model
 # through its parquet save/load once per sf and times inference alone,
 # and the r9 hash-keyed joins (score_perplexity) shrink the probe. Treat
-# r9 as the first epoch for the two LM rows.
+# r9 as the first epoch for the two LM rows. Also first-epoch in r9:
+# semantic_dedup_embeddings (new operator), and paragraph_dedup_documents
+# under its keys-only restructure (measured faster: 0.81 -> 0.73 s in
+# back-to-back r9 sessions; the restructure targets 100x shuffle shape,
+# see COVERAGE.md).
 #
 # Drift notes (r8): both r7 bench drifts were isolated-measured and are
 # MACHINE-WINDOW drift, not regressions. signup_followup_window floors
