@@ -255,3 +255,95 @@ def test_incremental_hot_bucket_cap_on_merged_buckets(spark):
     # with the cap disabled the same fixture is exactly equivalent
     full_nc, inc_nc = _run_both(spark, corpus, batch, max_bucket_size=None)
     assert inc_nc == full_nc
+
+
+def test_all_gates_on_maximal_parity(spark):
+    """The maximal composition: EVERY optional stage enabled at once —
+    redact -> paragraph dedup -> substring dedup -> quality heuristics ->
+    repetition rules -> learned classifier -> LM perplexity ->
+    decontamination -> exact -> near-dup — and the incremental run must
+    still equal the full-union run row for row, with each gate family's
+    drop_reason observed at least once across the union."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import train_ngram_lm
+
+    banner = "accept all cookies to keep browsing this site with features enabled"
+    # 18 tokens: one more than the longest token run the near-dup trio
+    # A/B/C shares (17 after their single changed word), so the substring
+    # stage claims THE SPAN but cannot drain the near-dup fixture
+    span = " ".join(f"s{i}" for i in range(18))
+    gibberish = "zq wq jj kk pp zz xx yy vv bb nn mm qq ww ee rr tt uu"
+    # 4-token period with a UNIQUE counter each repeat: fails the Gopher
+    # top-token rule (click = 25% > 20%) but plants no repeated 6-token
+    # window (every window crosses a distinct counter) and keeps a
+    # distinct-token ratio well above the quality gate
+    rep_doc = " ".join(f"click here subscribe c{i}" for i in range(10))
+    # the exact-dup pair must evade BOTH text rewrites (each acts as
+    # doc-level dedup for texts it can claim): two sub-20-char paragraphs
+    # (exempt from paragraph dedup) totalling < W tokens (no substring
+    # windows), in-LM-vocab, above the (lowered) length gate
+    pair = "alpha bravo \n\n echo golf"
+    eval_doc = "propulsion systems and orbital mechanics calculations for deep space"
+
+    ref = spark.createDataFrame(
+        [(t,) for t in (BASE, OTHER, A_TXT, B_TXT)], "text string"
+    )
+    lm = train_ngram_lm(ref, "text", n=2)
+    clf = train_quality_classifier(
+        spark.createDataFrame([(i, BASE + f" v{i}") for i in range(8)], "doc_id long, text string"),
+        spark.createDataFrame([(i, gibberish + f" v{i}") for i in range(8)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        sample_per_class=8,
+    )
+    ev = spark.createDataFrame([(900, eval_doc)], "doc_id long, text string")
+
+    corpus = [
+        (1, f"{banner}\n\n{A_TXT} {span}"),  # claims banner + span
+        (2, f"{banner}\n\n{B_TXT}"),
+        (3, OTHER + " contact me at alice@example.com for details"),
+        (4, rep_doc),
+        (5, pair),
+    ]
+    batch = [
+        (11, f"{banner}\n\n{C_TXT}"),  # banner deduped away; near-dup of 2
+        (12, f"fresh vocabulary document about gardens rivers {span}"),
+        (14, gibberish),  # the classifier's negative class
+        (17, pair),  # exact duplicate of stored doc 5 across the state line
+    ]
+    gates = dict(
+        min_tokens=4,  # the exact-dup pair is 4 quality-gate tokens
+        redact=True,
+        paragraph_dedup=True,
+        paragraph_min_chars=20,
+        substring_dedup=True,
+        substring_min_tokens=18,
+        repetition_rules=True,
+        quality_model=clf,
+        # the tiny fixture classifier is weak but DETERMINISTIC (no RNG
+        # anywhere): gibberish scores 0.4536, every other doc >= 0.5019
+        quality_min_prob=0.48,
+        perplexity_model=lm,
+        # deterministic fixture perplexities: doc 12 (mostly-OOV) = 323.7,
+        # doc 1 (span amortized by its in-vocab body) = 32.9, the exact
+        # pair = 17.1, in-vocab docs ~1 — 100 separates cleanly
+        max_perplexity=100.0,
+        eval_df=ev,
+        decontam_k=5,
+        **PARAMS,
+    )
+    full, inc = _run_both(spark, corpus, batch, **gates)
+    assert inc == full
+    got = {t[0]: t for t in inc}
+    reasons = {t[2] for t in inc if t[2] is not None}
+    assert got[17][1:4] == (False, "exact_duplicate", 5)
+    assert got[11][2] == "near_duplicate" and got[11][3] == 2
+    assert got[4][2] == "repetition"
+    assert got[3][2] == "contaminated"
+    assert got[14][2] == "classifier"
+    assert "perplexity" in reasons  # the OOV-heavy span/banner docs
+    # substring provenance recorded for doc 12 whatever its final verdict
+    assert got[12][7] == 18
+    assert got[5][1] is True  # the exact keeper survives every gate
