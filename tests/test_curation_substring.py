@@ -103,15 +103,24 @@ def test_state_parameter_mismatch_raises(spark):
     b1 = [(1, BODY_A)]
     b2 = [(10, BODY_B)]
     _, st_plain = curate_incremental(_df(spark, b1), "doc_id", "text")
-    with pytest.raises(ValueError, match="no window index"):
+    # the r9 parameter fingerprint catches the flag flip up front (the
+    # index-presence checks remain as a second line for pre-fingerprint
+    # states, which carry params=None)
+    with pytest.raises(ValueError, match="substring_dedup"):
         curate_incremental(
             _df(spark, b2), "doc_id", "text", state=st_plain, substring_dedup=True
         )
     _, st_sub = curate_incremental(
         _df(spark, b1), "doc_id", "text", substring_dedup=True
     )
-    with pytest.raises(ValueError, match="window index"):
+    with pytest.raises(ValueError, match="substring_dedup"):
         curate_incremental(_df(spark, b2), "doc_id", "text", state=st_sub)
+    # a pre-fingerprint state still trips the index-presence check
+    st_plain.params = None
+    with pytest.raises(ValueError, match="no window index"):
+        curate_incremental(
+            _df(spark, b2), "doc_id", "text", state=st_plain, substring_dedup=True
+        )
 
 
 def test_export_gate_removes_span_from_shards(spark, tmp_path):
@@ -179,3 +188,24 @@ def test_pre_r9_state_without_audit_column_upgrades(spark):
     )
     rows = {r["doc_id"]: r["substring_tokens_dropped"] for r in audit.collect()}
     assert set(rows) == {1, 2, 10} and all(v is None for v in rows.values())
+
+
+def test_state_params_fingerprint_enforced(spark, tmp_path):
+    """The persisted state records the scalar parameter fingerprint of
+    the run that built it; an append with a DIFFERENT index-shaping
+    parameter (here shingle_k) must fail loudly instead of silently
+    corrupting equivalence — and the fingerprint survives save/load."""
+    b1 = [(1, BODY_A), (2, BODY_B)]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", shingle_k=3)
+    st.save(str(tmp_path / "st"))
+    st = CurationState.load(spark, str(tmp_path / "st"))
+    assert st.params is not None and st.params["shingle_k"] == 3
+    with pytest.raises(ValueError, match="shingle_k"):
+        curate_incremental(
+            _df(spark, [(10, BODY_C)]), "doc_id", "text", state=st, shingle_k=4
+        )
+    # identical params append fine
+    audit, _ = curate_incremental(
+        _df(spark, [(10, BODY_C)]), "doc_id", "text", state=st, shingle_k=3
+    )
+    assert audit.count() == 3

@@ -119,6 +119,7 @@ class CurationState:
         banded: DataFrame,
         paras: DataFrame | None = None,
         windows: DataFrame | None = None,
+        params: dict | None = None,
     ) -> None:
         self.audit = audit
         self.hashes = hashes
@@ -126,6 +127,14 @@ class CurationState:
         self.banded = banded
         self.paras = paras
         self.windows = windows
+        # the scalar parameter fingerprint of the run that built this
+        # state (curate_incremental enforces it on append: the index is
+        # shaped by these values and verdict equivalence requires every
+        # gate to re-run identically). DataFrame/model inputs (eval_df,
+        # quality_model, perplexity_model) are caller-owned state and
+        # deliberately NOT fingerprinted — the caller must pass the same
+        # ones, as documented.
+        self.params = params
 
     def save(self, path: str) -> None:
         """Write-to-temp then rename: an appended state's frames READ the
@@ -147,6 +156,12 @@ class CurationState:
         for name in frames:
             shutil.rmtree(f"{path}/{name}", ignore_errors=True)
             os.rename(f"{path}/.{name}.staged", f"{path}/{name}")
+        if self.params is not None:
+            import json
+
+            with open(f"{path}/.params.json.staged", "w") as f:
+                json.dump(self.params, f, sort_keys=True)
+            os.replace(f"{path}/.params.json.staged", f"{path}/params.json")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
@@ -160,9 +175,16 @@ class CurationState:
             )
             for name in ("paras", "windows")
         }
+        params = None
+        if os.path.exists(f"{path}/params.json"):
+            import json
+
+            with open(f"{path}/params.json") as f:
+                params = json.load(f)
         return cls(
             *[spark.read.parquet(f"{path}/{name}") for name in cls.FRAMES],
             **optional,
+            params=params,
         )
 
 
@@ -236,6 +258,51 @@ def curate_incremental(
     """
     id_type = dict(batch.dtypes)[id_col]
     null_dup = F.lit(None).cast(id_type)
+
+    # Parameter fingerprint: the index is shaped by these values (shingle
+    # width, band scheme, rewrite widths, thresholds) and verdict
+    # equivalence requires every gate to re-run identically, so a
+    # mismatched append corrupts results SILENTLY — fail loudly instead.
+    # DataFrame/model params (eval_df, quality_model, perplexity_model)
+    # are caller-owned and not fingerprintable here; states saved before
+    # the fingerprint existed (params is None) skip the check and pick
+    # the fingerprint up on their next append.
+    params_sig = {
+        "min_tokens": int(min_tokens),
+        "max_stopword_ratio": float(max_stopword_ratio),
+        "min_distinct_ratio": float(min_distinct_ratio),
+        "shingle_k": int(shingle_k),
+        "n_hashes": int(n_hashes),
+        "rows_per_band": int(rows_per_band),
+        "jaccard_threshold": float(jaccard_threshold),
+        "repetition_rules": bool(repetition_rules),
+        "redact": bool(redact),
+        "paragraph_dedup": bool(paragraph_dedup),
+        "paragraph_split": str(paragraph_split),
+        "paragraph_min_chars": int(paragraph_min_chars),
+        "substring_dedup": bool(substring_dedup),
+        "substring_min_tokens": int(substring_min_tokens),
+        "quality_min_prob": float(quality_min_prob),
+        "max_perplexity": None if max_perplexity is None else float(max_perplexity),
+        "decontam_k": int(decontam_k),
+        "decontam_min_hits": int(decontam_min_hits),
+        "decontam_max_frac": None
+        if decontam_max_frac is None
+        else float(decontam_max_frac),
+        "max_bucket_size": None if max_bucket_size is None else int(max_bucket_size),
+        "canonical_near_dup": bool(canonical_near_dup),
+    }
+    if state is not None and state.params is not None and state.params != params_sig:
+        diffs = {
+            k: (state.params.get(k), params_sig.get(k))
+            for k in sorted(set(state.params) | set(params_sig))
+            if state.params.get(k) != params_sig.get(k)
+        }
+        raise ValueError(
+            "curation parameters differ from the ones the stored state was "
+            f"built with (stored, requested): {diffs} — parameters must "
+            "match across appends to the same state"
+        )
 
     # Watermark: the append-only frontier. Parquet column stats make the
     # max() a footer read, not a data scan.
@@ -843,5 +910,6 @@ def curate_incremental(
         windows=cut(windows_all, durable=durable)
         if windows_all is not None
         else None,
+        params=params_sig,
     )
     return audit, new_state
