@@ -25,6 +25,9 @@ AUDIT = [
     "ngram_jaccard_pairs",
     "scd2_user_event_type",
     "event_sessionization",
+    "paragraph_dedup_documents",
+    "substring_dedup_documents",
+    "curate_audit",
 ]
 
 
