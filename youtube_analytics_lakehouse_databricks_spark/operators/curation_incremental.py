@@ -103,7 +103,10 @@ class CurationState:
     - ``windows``: (h1, h2) — distinct 128-bit window hashes of every
       ``substring_min_tokens``-token sliding window ever seen, present
       ONLY when the state was built with ``substring_dedup=True`` (same
-      contract as ``paras``).
+      contract as ``paras``);
+    - ``params``: the scalar parameter fingerprint of the run that built
+      the state (JSON side file ``params.json``, atomic rename) —
+      enforced on append, see ``curate_incremental``.
 
     ``save``/``load`` round-trip through parquet directories; at cluster
     scale, point them at the lakehouse path the pipeline owns.
