@@ -136,10 +136,21 @@ def test_state_flag_mismatch_raises(spark, tmp_path):
         _df(spark, b1), "doc_id", "text", paragraph_dedup=True
     )
     _, st_without = curate_incremental(_df(spark, b1), "doc_id", "text")
+    # the r9 parameter fingerprint catches the flag flip up front, naming
+    # the differing parameter; pre-fingerprint states (params=None) still
+    # trip the index-presence checks
+    with pytest.raises(ValueError, match="paragraph_dedup"):
+        curate_incremental(
+            _df(spark, b2), "doc_id", "text", state=st_without, paragraph_dedup=True
+        )
+    with pytest.raises(ValueError, match="paragraph_dedup"):
+        curate_incremental(_df(spark, b2), "doc_id", "text", state=st_with)
+    st_without.params = None
     with pytest.raises(ValueError, match="no paragraph index"):
         curate_incremental(
             _df(spark, b2), "doc_id", "text", state=st_without, paragraph_dedup=True
         )
+    st_with.params = None
     with pytest.raises(ValueError, match="must match"):
         curate_incremental(_df(spark, b2), "doc_id", "text", state=st_with)
 
