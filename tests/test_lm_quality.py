@@ -359,3 +359,33 @@ def test_mixture_by_perplexity_closes_the_loop(spark):
         ).collect()
     }
     assert got == head_ids
+
+
+def test_perplexity_buckets_partition_invariant(spark):
+    """Bucket cutoffs come from one percentile_approx sketch; at test
+    sizes (below the sketch's compression threshold) the quantiles are
+    exact, so bucket assignment must not depend on input partitioning.
+    (At corpus scale the sketch may wobble docs sitting exactly on a
+    cutoff between adjacent buckets — inherent to any sketched quantile,
+    and harmless to the mixture downstream.)"""
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import perplexity_buckets
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    rows = []
+    for i in range(20):
+        rows.append((i, REF[i % 4]))
+        rows.append((100 + i, f"the cat dog ran sat mat v{i} rug door slept near"))
+        rows.append((200 + i, f"zz{i} qq ww ee rr tt yy uu ii oo pp"))
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(probe, "doc_id", "text", model).collect()
+    }
+    b = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(
+            probe.repartition(17, "doc_id"), "doc_id", "text", model
+        ).collect()
+    }
+    assert a == b
