@@ -111,7 +111,13 @@ def _bench_only() -> dict[str, Query]:
     def semantic_dedup_embeddings(spark, sf_dir):
         # SemDeDup over the embeddings table: deterministic k-means
         # clusters, per-cluster Arrow pairwise at 0.95, keep the
-        # lowest-centroid-sim member per duplicate group
+        # lowest-centroid-sim member per duplicate group.
+        # NOTE: graduated to a registered oracle row in round 10
+        # (queries/vectorops.py) — but the registered row runs at
+        # threshold 0.4 / 16 cells / cap 36 to exercise grouping on the
+        # random synthetic embeddings, so THIS wiring (production 0.95,
+        # core-count cells, r9's exact parameters) deliberately shadows
+        # it here to keep the r9 timing series like-for-like.
         from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
         from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
 
@@ -121,6 +127,15 @@ def _bench_only() -> dict[str, Query]:
             # core, and the m^2 per cluster stays ~(N/32)^2
             threshold=0.95, n_cells=32,
         )
+
+    def ngram_jaccard_pairs(spark, sf_dir):
+        # the former registered query's exact wiring (slot freed in r10
+        # for semantic_dedup_embeddings; Jaccard verification stays
+        # oracled through lsh_verified_near_dups) — kept here so the
+        # timing series continues
+        from youtube_analytics_lakehouse_databricks_spark.queries import textops
+
+        return textops.ngram_jaccard_pairs(spark, sf_dir)
 
     _models: dict[str, object] = {}
 
@@ -169,6 +184,7 @@ def _bench_only() -> dict[str, Query]:
             shuffle_shard_export,
             mixture_sample_documents,
             semantic_dedup_embeddings,
+            ngram_jaccard_pairs,
             quality_classifier_scores,
             bpe_token_counts,
         )

@@ -22,7 +22,7 @@ AUDIT = [
     "orders_enriched",
     "daily_orders_with_top_customer",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
+    "semantic_dedup_embeddings",
     "scd2_user_event_type",
     "event_sessionization",
     "paragraph_dedup_documents",

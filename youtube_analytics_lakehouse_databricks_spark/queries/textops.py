@@ -171,26 +171,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH sh AS ({_SHINGLE_SQL}),
-    ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
-    """,
-    doc="n-gram Jaccard near-dup: distinct-shingle self-join within buckets, inter/union >= 0.5.",
-)
+# NOTE: formerly registered as the oracled query "ngram_jaccard_pairs";
+# unregistered in round 10 to free the 50-row-budget slot
+# semantic_dedup_embeddings now occupies (queries/vectorops.py). The
+# Jaccard-verify operator it exercised stays fully oracled through
+# lsh_verified_near_dups, which re-verifies candidate Jaccard with the
+# same shingle sets, intersection counts, and >= 0.5 threshold (its
+# oracle computes the identical inter/union arithmetic) — the only
+# surface this row added was the BRUTE all-pairs candidate generation,
+# which is the documented anti-pattern at 100 TB, not a production path.
+# Kept importable for bench (timing series continues in bench.py).
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Measured note: deriving the legs from per-doc set ARRAYS (explode
     # of array_distinct) is ~2x slower here despite fewer shuffles — the

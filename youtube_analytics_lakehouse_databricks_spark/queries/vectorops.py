@@ -253,6 +253,167 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
 
 
+# --- semantic dedup (SemDeDup): the oracled registry row -------------------
+#
+# The oracle mirrors operators/similarity.py::semantic_dedup END TO END in
+# DuckDB SQL: the deterministic mini-Lloyd coarse quantizer is UNROLLED
+# (sample = lowest-id rows, init = first n_cells rows, ITERS assign/
+# re-center rounds as chained CTEs), full-corpus nearest-centroid
+# assignment, within-cluster pairwise cosine edges at the threshold,
+# connected components via the recursive reach CTE (the dedup_keepers
+# precedent), and the paper's diversity keeper (lowest centroid_sim, then
+# lowest id, per duplicate group). Clusters larger than the cap skip
+# pairwise work and flag every member (the LSH hot-bucket contract), in
+# both engines. All dot products are float64; comparisons happen on
+# 1e-6-rounded values in both engines, so numpy-matmul vs SQL-fold
+# summation-order noise (~1e-15) cannot flip a verdict — the same
+# regime embedding_topk_cosine's green oracle row established.
+#
+# Registered parameters: the synthetic embeddings are random vectors with
+# NO planted near-duplicates (max within-cluster cosine ~0.51 at sf0.01 —
+# the reason embedding_near_duplicates' 0.99-threshold row was vacuous and
+# was unregistered in r9), so the registered row runs at threshold 0.4 to
+# make the grouping/keeper machinery non-vacuous: at sf0.01 it yields 16
+# verified edges, 14 multi-member groups (one 4-member chain), 16 drops,
+# and 2 over-cap clusters (75 flagged rows) under max_cluster_size=36 —
+# every output column exercised with real value diversity. Production
+# defaults (0.95 / auto-scaled n_cells) are unchanged in the operator.
+
+SEMDEDUP_N_CELLS = 16
+SEMDEDUP_ITERS = 3
+SEMDEDUP_SAMPLE = 2048  # max(n_cells * 64, 2048) for n_cells = 16
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_CAP = 36
+
+# Folds over already-float64 lists (normalized vectors / mean vectors).
+_DOT_D_DD = "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+_NORM_D_DD = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, v -> v * v)), (acc, v) -> acc + v))"
+
+
+def _semdedup_iter_cte(k: int) -> str:
+    """One Lloyd round: assign every sample row to its best cell by cosine
+    (row_number argmax, lowest cell on ties = numpy argmax), re-center each
+    cell on the member mean (per-dimension avg via a constant range lateral
+    bounded by _MAX_DIM, re-packed in dimension order), renormalize; cells
+    with no members (or a zero-norm mean) keep their previous centroid."""
+    dot = _DOT_D_DD.format(a="s.v", b="c.v")
+    return f"""
+    a{k} AS (
+      SELECT vec_id, v, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM (SELECT s.vec_id, s.v, c.cell, {dot} AS sim
+            FROM snorm s CROSS JOIN c{k - 1} c)
+    ),
+    m{k} AS (
+      SELECT cell, i, avg(v[i]) AS mv
+      FROM (SELECT * FROM a{k} WHERE rn = 1), range(1, {_MAX_DIM + 1}) r(i)
+      WHERE r.i <= len(v)
+      GROUP BY cell, i
+    ),
+    mm{k} AS (
+      SELECT cell, mv, {_NORM_D_DD.format(a="mv")} AS nrm
+      FROM (SELECT cell, list(mv ORDER BY i) AS mv FROM m{k} GROUP BY cell)
+    ),
+    c{k} AS (
+      SELECT p.cell,
+             CASE WHEN mm.cell IS NULL OR mm.nrm = 0 THEN p.v
+                  ELSE list_transform(mm.mv, x -> x / mm.nrm) END AS v
+      FROM c{k - 1} p LEFT JOIN mm{k} mm USING (cell)
+    )"""
+
+
+def _semdedup_oracle_sql() -> str:
+    iters = ",".join(_semdedup_iter_cte(k) for k in range(1, SEMDEDUP_ITERS + 1))
+    fdot = _DOT_D_DD.format(a="s.v", b="c.v")
+    pdot = _DOT_D_DD.format(a="a.v", b="b.v")
+    raw_norm = _NORM_DD.format(a="embedding")
+    return f"""
+    WITH RECURSIVE snorm AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM (SELECT vec_id, embedding, {raw_norm} AS nrm
+            FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_SAMPLE})
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM snorm ORDER BY vec_id LIMIT {SEMDEDUP_N_CELLS}
+    ),{iters},
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM (SELECT vec_id, embedding, {raw_norm} AS nrm FROM embeddings)
+    ),
+    fa AS (
+      SELECT vec_id, v, cell, sim, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM (SELECT s.vec_id, s.v, c.cell, {fdot} AS sim
+            FROM corpus s CROSS JOIN c{SEMDEDUP_ITERS} c)
+    ),
+    asn AS (SELECT vec_id, v, cell, round(sim, 6) AS centroid_sim FROM fa WHERE rn = 1),
+    sizes AS (SELECT cell, count(*) AS n FROM asn GROUP BY cell),
+    edges AS (
+      SELECT a.vec_id AS ea, b.vec_id AS eb
+      FROM asn a
+      JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN sizes sz ON sz.cell = a.cell AND sz.n <= {SEMDEDUP_CAP}
+      WHERE round({pdot}, 6) >= {SEMDEDUP_THRESHOLD}
+    ),
+    nodes AS (SELECT ea AS node FROM edges UNION SELECT eb FROM edges),
+    bidir AS (SELECT ea AS a, eb AS b FROM edges UNION SELECT eb, ea FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM reach JOIN bidir e ON e.b = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    keepers AS (
+      SELECT component, vec_id AS keeper_id FROM (
+        SELECT g.component, a.vec_id, row_number() OVER (
+          PARTITION BY g.component
+          ORDER BY a.centroid_sim ASC, a.vec_id ASC) AS rn
+        FROM asn a JOIN comp g ON g.node = a.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id,
+           CAST(a.cell AS INT) AS cluster,
+           a.centroid_sim,
+           CASE WHEN sz.n > {SEMDEDUP_CAP} THEN TRUE
+                WHEN g.component IS NULL THEN TRUE
+                ELSE a.vec_id = k.keeper_id END AS keep,
+           CAST(CASE WHEN sz.n > {SEMDEDUP_CAP} OR g.component IS NULL
+                          OR a.vec_id = k.keeper_id THEN NULL
+                     ELSE k.keeper_id END AS BIGINT) AS duplicate_of,
+           (sz.n > {SEMDEDUP_CAP}) AS semdedup_audit_incomplete
+    FROM asn a
+    JOIN sizes sz ON sz.cell = a.cell
+    LEFT JOIN comp g ON g.node = a.vec_id
+    LEFT JOIN keepers k ON k.component = g.component
+    """
+
+
+@register(
+    "semantic_dedup_embeddings",
+    _semdedup_oracle_sql(),
+    doc=(
+        "SemDeDup semantic dedup (Abbas et al. 2023): deterministic "
+        "k-means coarse quantizer, ONE cluster shuffle, per-cluster "
+        "capped pairwise cosine + union-find, diversity keeper (lowest "
+        "centroid_sim); over-cap clusters kept + flagged. Oracle unrolls "
+        "the full quantizer + recursive-CTE components in DuckDB."
+    ),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        read(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        n_cells=SEMDEDUP_N_CELLS,
+        kmeans_iters=SEMDEDUP_ITERS,
+        max_cluster_size=SEMDEDUP_CAP,
+    )
+
+
 # --- int8 quantization: the 4x storage cut for 100 TB embedding corpora ---
 
 _Q_SCALE = "greatest({mx}, CAST(1e-30 AS DOUBLE))"
