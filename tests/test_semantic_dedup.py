@@ -14,7 +14,11 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+    auto_n_cells,
+    semantic_dedup,
+    semantic_dedup_refine,
+)
 
 DIM = 24
 N_CELLS = 4
@@ -141,6 +145,98 @@ def test_oversized_cluster_kept_and_flagged(spark, corpus):
         ).collect()
     }
     assert all(keep and flagged for keep, flagged in got.values())
+
+
+def test_auto_n_cells_tracks_corpus(spark, corpus):
+    # the derivation: expected cluster = cap/2, floored for small corpora
+    assert auto_n_cells(0, 100) == 16
+    assert auto_n_cells(1000, 100) == 20
+    assert auto_n_cells(10_000, 100) == 200  # 10x corpus -> 10x cells
+    assert auto_n_cells(10_000_000, 8192) == 2442
+    # e2e: n_cells=None derives from the row count — a corpus 10x the cap
+    # fans out over proportionally more clusters without the caller
+    # passing anything, and (expected size = cap/2) none trips the flag
+    got = semantic_dedup(
+        spark.createDataFrame(corpus, "vec_id long, embedding array<float>"),
+        "vec_id",
+        "embedding",
+        threshold=0.97,
+        max_cluster_size=5,  # 53 rows = ~10.6x the cap -> 22 cells
+    ).collect()
+    n_clusters = len({r["cluster"] for r in got})
+    assert n_clusters > N_CELLS  # more cells than the small-corpus run
+    flagged = [r for r in got if r["semdedup_audit_incomplete"]]
+    sizes: dict[int, int] = {}
+    for r in got:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    # flag fires iff a cluster actually exceeded the cap (self-consistent)
+    assert {r["cluster"] for r in flagged} == {c for c, n in sizes.items() if n > 5}
+
+
+def test_min_id_keeper(spark, corpus):
+    got = _run(spark, corpus, threshold=0.97, n_cells=N_CELLS, keeper="min_id")
+    want = reference_semdedup(corpus, threshold=0.97)
+    # same groups as the diversity run, but the keeper is the min id:
+    # every dropped doc points at the smallest id of its group
+    groups: dict[int, set[int]] = {}
+    for vid, (_, keep, dup) in want.items():
+        root = vid if keep else dup
+        groups.setdefault(root, set()).add(vid)
+    for members in groups.values():
+        if len(members) == 1:
+            continue
+        k = min(members)
+        for m in members:
+            if m == k:
+                assert got[m][1] is True and got[m][2] is None
+            else:
+                assert got[m][1] is False and got[m][2] == k
+    with pytest.raises(ValueError):
+        _run(spark, corpus, keeper="median")
+
+
+def test_refine_resolves_flagged_clusters(spark, corpus):
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    # cap 13 flags exactly 2 of the 4 direction clusters (sizes 15 and 14
+    # — the two holding the planted copies); the other 2 (size 12) pass
+    first = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.97, n_cells=N_CELLS,
+        max_cluster_size=13,
+    )
+    rows1 = {r["vec_id"]: r for r in first.collect()}
+    flagged1 = {i for i, r in rows1.items() if r["semdedup_audit_incomplete"]}
+    assert 0 < len(flagged1) < len(rows1)  # both branches exercised
+    # cell_scale=1 on this 29-row flagged population: the floor (16 cells)
+    # already splits both over-cap clusters under the cap while keeping
+    # each planted copy co-clustered with its source
+    refined = semantic_dedup_refine(
+        df, first, "vec_id", "embedding", threshold=0.97, cell_scale=1,
+        max_cluster_size=13,
+    ).collect()
+    assert len(refined) == len(rows1)
+    by_id = {r["vec_id"]: r for r in refined}
+    # unflagged first-pass rows pass through byte-identical
+    for i, r in rows1.items():
+        if i not in flagged1:
+            assert tuple(by_id[i]) == tuple(r)
+    # the second pass actually compared: all 5 planted copies fold
+    dropped = [r for r in refined if not r["keep"] and r["vec_id"] in flagged1]
+    assert len(dropped) >= 5
+    for r in dropped:
+        keeper = by_id[r["duplicate_of"]]
+        assert keeper["keep"] and keeper["cluster"] == r["cluster"]
+        # second-pass cluster ids sit past the first pass's range
+        assert r["cluster"] >= N_CELLS
+    # flags resolved (no second-pass cluster over the cap here)
+    assert not any(r["semdedup_audit_incomplete"] for r in refined)
+    # no flagged rows left -> refine is a passthrough
+    refined_df = semantic_dedup_refine(
+        df, first, "vec_id", "embedding", threshold=0.97, cell_scale=1,
+        max_cluster_size=13,
+    )
+    assert semantic_dedup_refine(
+        df, refined_df, "vec_id", "embedding"
+    ) is refined_df
 
 
 def test_threshold_validation_and_plan(spark, corpus):

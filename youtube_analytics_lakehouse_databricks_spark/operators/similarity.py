@@ -350,15 +350,28 @@ def band_near_duplicates(
     )
 
 
+def auto_n_cells(n_rows: int, max_cluster_size: int, floor: int = 16) -> int:
+    """Cell count so the EXPECTED cluster size stays at half the pairwise
+    cap: ceil(2 * n / cap), floored at ``floor`` so small corpora still
+    fan out. The knob the SemDeDup paper turns with corpus size (LAION ran
+    50k clusters); deriving it from the row count means a 10x corpus gets
+    10x cells without the caller thinking about it — the same
+    self-guarding contract as the LSH hot-bucket cap."""
+    if n_rows <= 0:
+        return floor
+    return max(floor, -(-2 * n_rows // max(1, max_cluster_size)))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     kmeans_iters: int = 3,
     max_cluster_size: int = 8192,
+    keeper: str = "diversity",
 ) -> DataFrame:
     """SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — public semantics,
     engine-original distributed formulation): cluster the embedding
@@ -385,12 +398,29 @@ def semantic_dedup(
     work is per-cluster Arrow matmuls bounded by ``max_cluster_size``
     (~m^2/2 float64 ops, 8192^2 ~= 0.5 GB peak per task). n_cells is the
     scale knob: at 100 TB you raise it so corpus/n_cells stays under the
-    cap, exactly how SemDeDup ran on LAION (50k clusters).
+    cap, exactly how SemDeDup ran on LAION (50k clusters). The DEFAULT
+    (``n_cells=None``) turns that knob automatically: one count() sizes
+    ``auto_n_cells`` so the expected cluster is half the cap — a 10x
+    corpus gets 10x cells without the caller re-tuning.
+
+    ``keeper``: which member of a duplicate group survives —
+    ``"diversity"`` (default, the paper's choice: lowest centroid_sim,
+    ties to lowest id) or ``"min_id"`` (lowest id — the stable-under-
+    append rule the curation chain's incremental contract requires; see
+    operators/curation.py).
+
+    Flagged (over-cap) clusters can be re-processed with more cells via
+    ``semantic_dedup_refine`` — the executable form of the second-pass
+    contract above.
     """
     import numpy as np
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if keeper not in ("diversity", "min_id"):
+        raise ValueError(f"keeper must be 'diversity' or 'min_id', got {keeper!r}")
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count(), max_cluster_size)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
@@ -420,6 +450,7 @@ def semantic_dedup(
 
     thr = float(threshold)
     cap = int(max_cluster_size)
+    min_id_keeper = keeper == "min_id"
 
     def per_cluster(pdf):
         import pandas as pd
@@ -472,8 +503,12 @@ def semantic_dedup(
             members = np.where(roots == r)[0]
             if len(members) == 1:
                 continue
-            # keeper: lowest centroid similarity, then lowest id
-            k_local = members[np.lexsort((ids[members], csim[members]))[0]]
+            if min_id_keeper:
+                # stable-under-append keeper (ids sorted: first member)
+                k_local = members[0]
+            else:
+                # diversity keeper: lowest centroid similarity, then lowest id
+                k_local = members[np.lexsort((ids[members], csim[members]))[0]]
             for m_i in members:
                 if m_i != k_local:
                     keep[m_i] = False
@@ -498,3 +533,58 @@ def semantic_dedup(
         )
         .withColumnRenamed("sd_id", id_col)
     )
+
+
+def semantic_dedup_refine(
+    df: DataFrame,
+    result: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    cell_scale: int = 8,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+    keeper: str = "diversity",
+) -> DataFrame:
+    """Second pass for SemDeDup's flagged clusters — the executable form
+    of the audit contract ("a production run routes flagged clusters to a
+    second pass with more cells"): members whose cluster was curtailed
+    (``semdedup_audit_incomplete``) are re-clustered with a quantizer
+    sized to the FLAGGED population times ``cell_scale`` (so the expected
+    second-pass cluster is cap / (2 * cell_scale)), pairwise-compared,
+    and their rows REPLACED in the output; unflagged rows pass through
+    byte-identical. Second-pass cluster ids are offset past the first
+    pass's so the cluster column stays a valid partition key across both
+    passes. A cluster still over the cap after re-quantization stays
+    flagged — call again with a larger ``cell_scale``, exactly the
+    LSH-path escalation story.
+
+    Scale shape: the flagged subset is selected by a broadcast-semi-join
+    on the (bounded, audit-sized) flagged-id list; everything else is the
+    base operator's shape on the (much smaller) flagged population. Two
+    bounded driver scalars: the flagged count (sizes the quantizer) and
+    the first-pass max cluster id (the offset).
+
+    ``df`` must be the same (id, vec) frame the first pass ran on;
+    ``result`` its output. Parameters default to the first pass's
+    defaults and should match them.
+    """
+    flagged = result.filter(F.col("semdedup_audit_incomplete")).select(id_col)
+    n_flagged = flagged.count()
+    if n_flagged == 0:
+        return result
+    # offset = one past the first pass's cluster-id range (one scalar)
+    offset = int(result.agg(F.max("cluster")).collect()[0][0]) + 1
+    sub = df.select(id_col, vec_col).join(F.broadcast(flagged), id_col, "left_semi")
+    second = semantic_dedup(
+        sub,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_cells=auto_n_cells(n_flagged, max_cluster_size) * max(1, int(cell_scale)),
+        kmeans_iters=kmeans_iters,
+        max_cluster_size=max_cluster_size,
+        keeper=keeper,
+    ).withColumn("cluster", (F.col("cluster") + F.lit(offset)).cast("int"))
+    return result.filter(~F.col("semdedup_audit_incomplete")).unionByName(second)
