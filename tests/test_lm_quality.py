@@ -389,3 +389,45 @@ def test_perplexity_buckets_partition_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_tercile_path_scores_once(spark):
+    """The scoring subtree (corpus explode + n hash joins + per-doc agg)
+    must execute ONCE in the tercile path: `scored` has two consumers
+    (cutoff collect + output join) and, composed with mixture_sample,
+    `bucketed` has two more — without the lazy lineage cuts the corpus
+    would be re-scored up to four times (r9 VERDICT hygiene item). The
+    cuts truncate lineage, so the RETURNED plan must read checkpoint
+    blocks (ExistingRDD) and contain NONE of the scoring lineage."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+        mixture_by_perplexity,
+        perplexity_buckets,
+    )
+
+    train_df = spark.createDataFrame([(t,) for t in REF], "text string")
+    model = train_ngram_lm(train_df, "text")
+    rows = [(i, REF[i % 4]) for i in range(12)]
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def optimized(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    plan = optimized(perplexity_buckets(probe, "doc_id", "text", model))
+    # one join only (doc re-attach against the checkpointed scored frame)
+    assert plan.count("Join") == 1, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    # no scoring lineage below the cut: no gram explode, no hash keys
+    assert "xxhash64" not in plan and "explode" not in plan.lower(), plan
+
+    plan = optimized(
+        mixture_by_perplexity(
+            probe, "doc_id", "text", model, weights={"head": 1.0}, seed=0
+        )
+    )
+    # everything upstream of the bucketed cut is blocks; the only
+    # remaining corpus work is mixture_sample's own Lehmer draw (its
+    # xxhash64(doc_id, seed) is the sampler, not scoring lineage)
+    assert "LeftOuter" not in plan, plan  # the n scoring joins are gone
+    assert "percentile" not in plan and "explode" not in plan.lower(), plan
+    assert "__h1_" not in plan and "__b1_" not in plan, plan  # no gram keys
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan

@@ -318,6 +318,7 @@ def perplexity_buckets(
     *,
     n_buckets: int = 3,
     accuracy: int = 10000,
+    durable: bool = False,
 ) -> DataFrame:
     """Input columns + ``ppl_bucket``: the CCNet head/middle/tail split —
     docs bucketed by which perplexity quantile they fall in against the
@@ -333,10 +334,19 @@ def perplexity_buckets(
     the driver (bounded control plane, the CCNet recipe: cutoffs come
     from a sketch, not a global sort) + one broadcast-free bucketize
     CASE over the scored frame. No corpus shuffle beyond scoring's own.
+    "One scoring pass" is enforced, not hoped for: ``scored`` has two
+    consumers (the cutoff collect and the output join), so without a
+    lineage cut the full corpus explode + n hash joins + per-doc agg
+    would execute TWICE; the lazy localCheckpoint (curation.py's
+    pattern) materializes the 5 narrow per-doc columns at the cutoff
+    collect and the join reads blocks. ``durable=True`` swaps in the
+    reliable checkpoint (see operators.lineage).
     """
+    from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
+
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    scored = score_perplexity(df, id_col, text_col, model)
+    scored = cut(score_perplexity(df, id_col, text_col, model), durable=durable)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = (
         scored.filter("scored")
@@ -372,6 +382,7 @@ def mixture_by_perplexity(
     target_rows: int | None = None,
     seed: int = 0,
     allow_upsample: bool = False,
+    durable: bool = False,
 ) -> DataFrame:
     """The CCNet end-state in one call: bucket the corpus by perplexity
     quantile against the reference LM and feed the buckets to
@@ -381,11 +392,21 @@ def mixture_by_perplexity(
     contract); NULL-bucket (unscorable) docs are dropped under explicit
     weights unless None is given a weight via ``alpha`` mode instead.
     Output: input columns + ppl_bucket + copy.
+
+    ``bucketed`` is consumed twice inside mixture_sample (the per-domain
+    rate aggregation + the output draw), so it gets the same lazy
+    lineage cut as ``scored`` in perplexity_buckets — together they pin
+    the composed path to ONE scoring pass + ONE bucketize join, instead
+    of re-deriving the scoring lineage up to four times.
     """
+    from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
     from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
 
-    bucketed = perplexity_buckets(
-        df, id_col, text_col, model, n_buckets=n_buckets
+    bucketed = cut(
+        perplexity_buckets(
+            df, id_col, text_col, model, n_buckets=n_buckets, durable=durable
+        ),
+        durable=durable,
     )
     return mixture_sample(
         bucketed,
