@@ -50,7 +50,10 @@ PARAMS = dict(
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, "doc_id long, text string")
+    schema = "doc_id long, text string"
+    if len(rows[0]) == 3:  # the maximal test carries embeddings
+        schema += ", emb array<float>"
+    return spark.createDataFrame(rows, schema)
 
 
 def _sorted(df):
@@ -300,20 +303,49 @@ def test_all_gates_on_maximal_parity(spark):
     )
     ev = spark.createDataFrame([(900, eval_doc)], "doc_id long, text string")
 
+    # r10: the semantic stage joins the maximal composition — every doc
+    # carries an embedding; doc 18's is near-identical to stored doc 2's
+    # (whose TEXT survives every lexical gate), so the only stage that
+    # can fold 18 is the semantic one. The quantizer is explicit and
+    # shared (the caller-owned-model contract, like clf and lm).
+    import numpy as np
+
+    dim = 12
+    sem_dirs = np.random.default_rng(3).standard_normal((3, dim))
+    sem_dirs = sem_dirs / np.linalg.norm(sem_dirs, axis=1, keepdims=True)
+
+    def emb(g, seed, noise=0.15):
+        r = np.random.default_rng(seed)
+        v = sem_dirs[g] + noise * r.standard_normal(dim)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    e2 = emb(0, 20)
+    near_e2 = np.asarray(e2) + 0.004 * np.random.default_rng(8).standard_normal(dim)
+    near_e2 = [float(x) for x in near_e2 / np.linalg.norm(near_e2)]
+
     corpus = [
-        (1, f"{banner}\n\n{A_TXT} {span}"),  # claims banner + span
-        (2, f"{banner}\n\n{B_TXT}"),
-        (3, OTHER + " contact me at alice@example.com for details"),
-        (4, rep_doc),
-        (5, pair),
+        (1, f"{banner}\n\n{A_TXT} {span}", emb(0, 10)),  # claims banner + span
+        (2, f"{banner}\n\n{B_TXT}", e2),
+        (3, OTHER + " contact me at alice@example.com for details", emb(1, 30)),
+        (4, rep_doc, emb(1, 40)),
+        (5, pair, emb(2, 50)),
     ]
     batch = [
-        (11, f"{banner}\n\n{C_TXT}"),  # banner deduped away; near-dup of 2
-        (12, f"fresh vocabulary document about gardens rivers {span}"),
-        (14, gibberish),  # the classifier's negative class
-        (17, pair),  # exact duplicate of stored doc 5 across the state line
+        (11, f"{banner}\n\n{C_TXT}", emb(0, 110)),  # near-dup of 2
+        (12, f"fresh vocabulary document about gardens rivers {span}", emb(1, 120)),
+        (14, gibberish, emb(2, 140)),  # the classifier's negative class
+        (17, pair, emb(2, 170)),  # exact duplicate of stored doc 5
+        # SEMANTIC dup of 2: lexically novel (reordered 3-word spans of
+        # BASE -> ~0.19 shingle-jaccard vs the near-dup trio, in-vocab
+        # bigrams inside each span -> low perplexity, in-LM vocabulary
+        # for the classifier) — only the embedding betrays it
+        (18, "alpha bravo charlie golf hotel india mike november oscar "
+             "romeo sierra tango delta echo foxtrot", near_e2),
     ]
     gates = dict(
+        semantic_vec_col="emb",
+        semantic_threshold=0.97,
+        semantic_centroids=sem_dirs,
         min_tokens=4,  # the exact-dup pair is 4 quality-gate tokens
         redact=True,
         paragraph_dedup=True,
@@ -339,6 +371,9 @@ def test_all_gates_on_maximal_parity(spark):
     got = {t[0]: t for t in inc}
     reasons = {t[2] for t in inc if t[2] is not None}
     assert got[17][1:4] == (False, "exact_duplicate", 5)
+    # the semantic stage catches what every lexical gate missed: doc 18's
+    # text is original, its MEANING (embedding) duplicates stored doc 2
+    assert got[18][1:4] == (False, "semantic_duplicate", 2)
     assert got[11][2] == "near_duplicate" and got[11][3] == 2
     assert got[4][2] == "repetition"
     assert got[3][2] == "contaminated"

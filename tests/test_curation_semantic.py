@@ -1,0 +1,239 @@
+"""Semantic dedup composed into the curation chain (r10):
+
+- curate(semantic_vec_col=...) — SemDeDup over the near-dup survivors
+  with min-id keepers, drop_reason 'semantic_duplicate', the exact->
+  near->semantic pointer chain closed, and the over-cap audit flag;
+- curate_incremental — append-mode equivalence with the full-union run
+  under a shared FROZEN quantizer (explicit centroids both sides: the
+  caller-owned-model contract), including a cross-batch fold, a bridge
+  doc retroactively merging two stored semantic groups, an exact dup of
+  a semantically-folded stored doc, and the monotone cap-crossing
+  divergence;
+- state persistence of the centroids/semvecs frames + parameter
+  enforcement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
+from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
+    CurationState,
+    curate_incremental,
+)
+
+DIM = 16
+THRESHOLD = 0.97
+
+_dirs = np.random.default_rng(7).standard_normal((4, DIM))
+_dirs = _dirs / np.linalg.norm(_dirs, axis=1, keepdims=True)
+CENTROIDS = _dirs  # the shared frozen quantizer: one cell per direction
+
+
+def _emb(g: int, seed: int, noise: float = 0.15) -> list[float]:
+    r = np.random.default_rng(seed)
+    v = _dirs[g] + noise * r.standard_normal(DIM)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def _dup_of(emb: list[float], seed: int) -> list[float]:
+    r = np.random.default_rng(seed)
+    v = np.asarray(emb) + 0.004 * r.standard_normal(DIM)
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def _text(i: int) -> str:
+    # per-doc word soup: ~zero shingle overlap, passes every text gate
+    r = np.random.default_rng(10_000 + i)
+    return " ".join(f"w{w}" for w in r.choice(2000, 15, replace=False))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, emb array<float>"
+    )
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+SEM = dict(
+    semantic_vec_col="emb",
+    semantic_threshold=THRESHOLD,
+    semantic_centroids=CENTROIDS,
+)
+
+
+def test_semantic_gate_batch(spark):
+    g0 = [_emb(0, 100 + i) for i in range(6)]
+    g1 = [_emb(1, 200 + i) for i in range(6)]
+    g2 = [_emb(2, 300 + i) for i in range(8)]
+    rows = (
+        [(i, _text(i), g0[i]) for i in range(6)]
+        + [(6 + i, _text(6 + i), g1[i]) for i in range(6)]
+        + [(12 + i, _text(12 + i), g2[i]) for i in range(8)]
+    )
+    # semantic dup sets (distinct TEXTS — only the semantic stage sees
+    # them): 3 ~ 1; 9, 10 ~ 6; in the over-cap cluster, 13 ~ 12
+    rows[3] = (3, _text(3), _dup_of(g0[1], 31))
+    rows[9] = (9, _text(9), _dup_of(g1[0], 91))
+    rows[10] = (10, _text(10), _dup_of(g1[0], 101))
+    rows[13] = (13, _text(13), _dup_of(g2[0], 131))
+    rows += [
+        (20, _text(20), _dup_of(g0[1], 201)),  # sem dup of 1, and...
+        (21, _text(20), _emb(3, 990)),  # ...exact dup of 20 (same text)
+        (22, "tiny doc", _emb(3, 991)),  # quality drop
+    ]
+    audit = curate(_df(spark, rows), "doc_id", "text",
+                   semantic_max_cluster_size=7, **SEM)
+    got = {r["doc_id"]: r for r in audit.collect()}
+
+    # min-id keepers, distinct texts: only the semantic stage folds these
+    for d, k in ((3, 1), (9, 6), (10, 6), (20, 1)):
+        assert got[d]["keep"] is False and got[d]["drop_reason"] == "semantic_duplicate"
+        assert got[d]["duplicate_of"] == k
+    # the exact dup of a semantically-folded doc chains one hop further
+    assert got[21]["drop_reason"] == "exact_duplicate"
+    assert got[21]["duplicate_of"] == 1
+    # over-cap cluster (8 > 7): everyone kept + flagged, even the planted
+    # near-identical pair (12, 13) — under-compared, never silently so
+    for i in range(12, 20):
+        assert got[i]["keep"] is True
+        assert got[i]["semantic_audit_incomplete"] is True
+    assert got[13]["drop_reason"] is None
+    # no flags outside the over-cap cluster
+    assert not any(
+        got[i]["semantic_audit_incomplete"] for i in list(range(12)) + [20, 21, 22]
+    )
+    # centroid_sim recorded for every examined doc; NULL for docs that
+    # never reached the stage (exact-dropped 21, quality-dropped 22)
+    assert all(got[i]["semantic_centroid_sim"] is not None for i in range(20))
+    assert got[21]["semantic_centroid_sim"] is None
+    assert got[22]["semantic_centroid_sim"] is None
+    assert got[22]["drop_reason"] == "low_quality"
+    # keepers stay kept
+    for i in (0, 1, 2, 4, 5, 6, 7, 8, 11):
+        assert got[i]["keep"] is True
+
+    # stage off: the two columns are typed NULLs (schema contract)
+    off = curate(_df(spark, rows[:4]), "doc_id", "text")
+    r0 = off.collect()[0]
+    assert r0["semantic_centroid_sim"] is None
+    assert r0["semantic_audit_incomplete"] is None
+
+
+def test_semantic_gate_requires_integral_ids(spark):
+    df = spark.createDataFrame(
+        [("a", "some text here alpha beta", [1.0] * DIM)],
+        "doc_id string, text string, emb array<float>",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        curate(df, "doc_id", "text", **SEM)
+
+
+def _run_both(spark, b1, b2, **params):
+    full = curate(_df(spark, b1 + b2), "doc_id", "text", **params)
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **params)
+    inc, st2 = curate_incremental(_df(spark, b2), "doc_id", "text", state=st, **params)
+    return _sorted(full), _sorted(inc), st2
+
+
+def test_semantic_incremental_equivalence(spark):
+    e1 = _emb(0, 100)
+    e11 = _emb(1, 300, noise=0.09)  # bridge pair: cos(11,12) ~ 0.916...
+    e12 = _emb(1, 301, noise=0.09)  # ...no direct fold at 0.97
+    mid = np.asarray(e11) + np.asarray(e12)
+    mid = [float(x) for x in mid / np.linalg.norm(mid)]  # ~0.979 to both
+    b1 = [
+        (1, _text(1), e1),
+        (2, _text(2), _emb(0, 101)),
+        (3, _text(3), _dup_of(e1, 32)),  # sem-folds -> 1 at bootstrap
+        (10, _text(10), _emb(1, 200)),
+        (11, _text(11), e11),  # keeper at bootstrap...
+        (12, _text(12), e12),  # keeper at bootstrap, RETRO-folds -> 11
+        (13, _text(13), _emb(2, 400)),
+    ]
+    b2 = [
+        (101, _text(101), mid),  # bridges 11 and 12 -> merge under 11
+        (102, _text(102), _dup_of(e1, 52)),  # cross-batch fold -> 1
+        (103, _text(3), _emb(3, 992)),  # exact dup of SEM-FOLDED stored 3
+        (104, _text(104), _emb(2, 401)),  # fresh keeper
+    ]
+    full, inc, st2 = _run_both(spark, b1, b2, **SEM)
+    assert inc == full
+    got = {t[0]: t for t in inc}
+    # (id, keep, reason, dup_of, near_flag, eval, frac, substr, sim, sem_flag)
+    assert got[3][1:4] == (False, "semantic_duplicate", 1)
+    assert got[102][1:4] == (False, "semantic_duplicate", 1)
+    # the bridge merged two stored groups: 12 retro-folds under 11
+    assert got[12][1:4] == (False, "semantic_duplicate", 11)
+    assert got[101][1:4] == (False, "semantic_duplicate", 11)
+    assert got[11][1] is True
+    # exact dup of a semantically-folded stored doc: one hop to its root
+    assert got[103][1:4] == (False, "exact_duplicate", 1)
+    assert got[104][1] is True and got[13][1] is True
+    # the semvecs index covers every examined doc (kept and folded)
+    assert sorted(r["doc_id"] for r in st2.semvecs.collect()) == [
+        1, 2, 3, 10, 11, 12, 13, 101, 102, 104,
+    ]
+
+
+def test_semantic_cap_crossing_is_monotone(spark):
+    e30 = _emb(2, 500)
+    b1 = [
+        (30, _text(30), e30),
+        (31, _text(31), _dup_of(e30, 61)),  # folds -> 30 under the cap
+        (32, _text(32), _emb(2, 502)),
+        (33, _text(33), _emb(2, 503)),
+    ]
+    b2 = [(110 + i, _text(110 + i), _emb(2, 600 + i)) for i in range(3)]
+    params = dict(SEM, semantic_max_cluster_size=5)
+    full, inc, _ = _run_both(spark, b1, b2, **params)
+    fgot = {t[0]: t for t in full}
+    igot = {t[0]: t for t in inc}
+    # full run: 7 > 5 -> nobody compared, everyone kept + flagged
+    assert all(fgot[i][1] for i in fgot) and all(fgot[i][-1] for i in fgot)
+    # incremental: the bootstrap fold is never retracted (monotone) —
+    # 31 stays folded; every member is flagged like the full run
+    assert igot[31][1:4] == (False, "semantic_duplicate", 30)
+    assert all(igot[i][-1] for i in igot)
+    assert all(igot[i][1] for i in igot if i != 31)
+    # formally: incremental keeps are a subset of full-run keeps
+    assert {i for i in igot if igot[i][1]} <= {i for i in fgot if fgot[i][1]}
+
+
+def test_semantic_state_roundtrip_and_guards(spark, tmp_path):
+    e1 = _emb(0, 100)
+    b1 = [(1, _text(1), e1), (2, _text(2), _emb(1, 201)), (3, _text(3), _emb(2, 302))]
+    b2 = [(11, _text(11), _dup_of(e1, 111)), (12, _text(12), _emb(3, 312))]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **SEM)
+    st.save(str(tmp_path / "state"))
+    loaded = CurationState.load(spark, str(tmp_path / "state"))
+    assert loaded.centroids is not None and loaded.semvecs is not None
+    inc, _ = curate_incremental(
+        _df(spark, b2), "doc_id", "text", state=loaded, **SEM
+    )
+    full = curate(_df(spark, b1 + b2), "doc_id", "text", **SEM)
+    assert _sorted(inc) == _sorted(full)
+    got = {r["doc_id"]: r for r in inc.collect()}
+    assert got[11]["drop_reason"] == "semantic_duplicate"
+    assert got[11]["duplicate_of"] == 1
+
+    # parameter guards: the fingerprint catches a changed threshold or a
+    # silently-disabled stage; a different quantizer fails its own check
+    with pytest.raises(ValueError, match="parameters differ"):
+        curate_incremental(
+            _df(spark, b2), "doc_id", "text", state=loaded,
+            **{**SEM, "semantic_threshold": 0.9},
+        )
+    with pytest.raises(ValueError, match="parameters differ"):
+        curate_incremental(_df(spark, b2), "doc_id", "text", state=loaded)
+    other = np.roll(CENTROIDS, 1, axis=0)
+    with pytest.raises(ValueError, match="frozen at bootstrap"):
+        curate_incremental(
+            _df(spark, b2), "doc_id", "text", state=loaded,
+            **{**SEM, "semantic_centroids": other},
+        )

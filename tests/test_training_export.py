@@ -230,3 +230,57 @@ def test_deterministic_and_epoch_seeded(spark, corpus, tmp_path):
     same = all(_shard_rows(a, s) == _shard_rows(b, s) for s in range(4))
     assert same  # byte-order deterministic across input layouts
     assert any(_shard_rows(a, s) != _shard_rows(c, s) for s in range(4))  # epoch knob
+
+
+def test_semantic_gate_threaded_through_export(spark, tmp_path):
+    """curate_kwargs' semantic gate rides the export: the embedding
+    column is carried through the text rewrites into curate()'s audit
+    (which re-joins it by id), semantically-folded docs leave the
+    exported corpus, and the embedding itself is NEVER exported."""
+    import numpy as np
+
+    dim = 12
+    dirs = np.random.default_rng(3).standard_normal((2, dim))
+    dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def emb(g, seed, eps=0.15):
+        r = np.random.default_rng(seed)
+        v = dirs[g] + eps * r.standard_normal(dim)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(24):
+        body = " ".join(rng.choice(words) for _ in range(30))
+        rows.append((i, f"{BOILER}\n\n{body}", emb(i % 2, 70 + i)))
+    # doc 20's text is original; its embedding duplicates doc 4's
+    rows[20] = (
+        20,
+        rows[20][1],
+        [float(x) for x in np.asarray(rows[4][2]) * 0.999 + 0.0005],
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, emb array<float>")
+    out = str(tmp_path / "exp")
+    stats = prepare_training_data(
+        docs,
+        "doc_id",
+        "text",
+        out,
+        n_shards=2,
+        paragraph_dedup=True,
+        capacity=None,
+        curate_kwargs=dict(
+            semantic_vec_col="emb",
+            semantic_threshold=0.97,
+            semantic_centroids=dirs,
+        ),
+    )
+    audit = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/_audit").collect()}
+    assert audit[20]["drop_reason"] == "semantic_duplicate"
+    assert audit[20]["duplicate_of"] == 4
+    exported = spark.read.parquet(out)
+    assert "emb" not in exported.columns
+    ids = {r["doc_id"] for r in exported.collect()}
+    assert 20 not in ids and 4 in ids
+    assert stats["kept_docs"] == stats["input_docs"] - 1

@@ -39,13 +39,17 @@ the corpus the next (more expensive) stage sees:
 
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
 near_dup_audit_incomplete, matched_eval_id, contamination_frac,
-substring_tokens_dropped). ``substring_dedup=True`` adds the ExactSubstr
+substring_tokens_dropped, semantic_centroid_sim,
+semantic_audit_incomplete). ``semantic_vec_col=`` adds a fourth dedup
+stage over the near-dup survivors (SemDeDup — see the curate()
+docstring). ``substring_dedup=True`` adds the ExactSubstr
 rewrite (Lee et al. 2021) between paragraph dedup and the quality gate:
 duplicated >= ``substring_min_tokens``-token runs are removed from all
 but their first corpus occurrence, and each doc's removed-token count
 lands in ``substring_tokens_dropped`` (NULL when the stage is off).
 drop_reason ∈ {low_quality, repetition, classifier, perplexity,
-contaminated, exact_duplicate, near_duplicate}; duplicate_of names the canonical doc a
+contaminated, exact_duplicate, near_duplicate, semantic_duplicate};
+duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops);
 near_dup_audit_incomplete flags every doc that sat in at least one
 over-cap LSH bucket the hot-bucket guard dropped — those docs are kept,
@@ -117,10 +121,34 @@ def curate(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = dedup_ops.DEFAULT_MAX_BUCKET_SIZE,
     canonical_near_dup: bool = True,
+    semantic_vec_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_n_cells: int | None = None,
+    semantic_max_cluster_size: int = 8192,
+    semantic_centroids=None,
     durable: bool = False,
 ) -> DataFrame:
     """(id, keep, drop_reason, duplicate_of, near_dup_audit_incomplete)
     for every input doc.
+
+    ``semantic_vec_col`` switches on a FOURTH dedup stage (SemDeDup,
+    Abbas et al. 2023 — operators.similarity.semantic_dedup) over the
+    near-dup SURVIVORS: meaning-level duplicates (paraphrases,
+    translations, templated rewrites) that every lexical stage above
+    misses are folded under drop_reason ``semantic_duplicate``, with the
+    keeper in ``duplicate_of`` and two audit columns —
+    ``semantic_centroid_sim`` (each examined doc's similarity to its
+    cluster centroid) and ``semantic_audit_incomplete`` (the over-cap
+    cluster flag, the LSH hot-bucket contract; flagged docs are kept but
+    under-compared — route them to similarity.semantic_dedup_refine).
+    The column named must hold the doc's embedding (array<float>) on the
+    INPUT frame; it is re-joined from the input by id, so the text
+    rewrites above don't need to carry it. The keeper rule here is
+    ``min_id`` — NOT the paper's diversity keeper — because the chain's
+    incremental contract (curate_incremental) rests on "min id per
+    cluster" being stable under append-only ids; the standalone operator
+    keeps the diversity default. Both audit columns are typed NULLs when
+    the stage is off (the decontam/substring schema contract).
 
     ``durable=True`` swaps every lineage cut (here and in the
     connected-components rounds) from ``localCheckpoint`` to reliable
@@ -128,6 +156,15 @@ def curate(
     identical output, see operators.lineage for the failure-domain
     tradeoff. Requires ``setCheckpointDir``."""
     id_type = dict(docs.dtypes)[id_col]
+    if semantic_vec_col is not None and id_type not in ("bigint", "int", "smallint"):
+        # the per-cluster Arrow kernel sorts int64 member ids (and the
+        # incremental contract compares them to a watermark) — a string
+        # id would silently mis-sort, so fail loudly (the lehmer guard)
+        raise ValueError(
+            f"semantic dedup requires an integral id column, got {id_col}: {id_type}"
+        )
+    docs_in = docs  # pre-rewrite frame: the semantic stage re-joins the
+    # embedding column from here by id (text rewrites below drop it)
 
     # 0. optional PII scrub BEFORE any hashing: dedup then compares
     # scrubbed text, so two docs differing only in (redacted) PII collide
@@ -389,6 +426,41 @@ def curate(
     else:
         curtailed = None
 
+    # 4. optional SEMANTIC dedup (SemDeDup) over the near-dup SURVIVORS:
+    # the embedding column is re-joined from the input frame by id (one
+    # broadcast-free semi-join shape: survivors ARE the smaller side
+    # after three dedup stages, and at 100 TB the join shuffles ids +
+    # vectors once — the stage's own cluster exchange subsumes it).
+    # min_id keeper: see the docstring's incremental-stability note.
+    if semantic_vec_col is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+
+        survivor_ids = reps.select(id_col).join(
+            near_dropped.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        )
+        sem_input = docs_in.select(id_col, semantic_vec_col).join(
+            survivor_ids, id_col, "left_semi"
+        )
+        # consumed three times (droplist, audit columns, pointer repoint
+        # map) — one cut materializes the cluster pass
+        sem = cut(
+            semantic_dedup(
+                sem_input,
+                id_col,
+                semantic_vec_col,
+                threshold=semantic_threshold,
+                n_cells=semantic_n_cells,
+                max_cluster_size=semantic_max_cluster_size,
+                keeper="min_id",
+                centroids=semantic_centroids,
+            ),
+            durable=durable,
+        )
+        sem_dropped = sem.filter(~F.col("keep")).select(id_col, "duplicate_of")
+    else:
+        sem = None
+        sem_dropped = None
+
     # assemble the audit frame; stage precedence is the run order
     null_dup = F.lit(None).cast(id_type)
     dropped = low_quality.select(
@@ -453,6 +525,30 @@ def curate(
             F.col("component").alias("duplicate_of"),
         )
     )
+    if sem_dropped is not None:
+        dropped = dropped.unionByName(
+            sem_dropped.select(
+                id_col,
+                F.lit("semantic_duplicate").alias("drop_reason"),
+                F.col("duplicate_of"),
+            )
+        )
+        # final-root hop, semantic edition: semantic runs on near-dup
+        # survivors — the docs every exact/near pointer ends at — so a
+        # pointer at a semantically-folded doc resolves ONE hop further
+        # to its semantic keeper (itself semantically kept, so every
+        # chain closes). Mirrors the exact->near fold_map hop above.
+        sem_map = sem_dropped.select(
+            F.col(id_col).alias("__sem_folded"),
+            F.col("duplicate_of").alias("__sem_root"),
+        )
+        dropped = dropped.join(
+            sem_map, dropped["duplicate_of"] == sem_map["__sem_folded"], "left"
+        ).select(
+            id_col,
+            "drop_reason",
+            F.coalesce("__sem_root", "duplicate_of").alias("duplicate_of"),
+        )
     out = (
         docs.select(id_col)
         .join(dropped, id_col, "left")
@@ -492,4 +588,26 @@ def curate(
         out = out.join(sub_audit, id_col, "left")
     else:
         out = out.withColumn("substring_tokens_dropped", F.lit(None).cast("long"))
+    # semantic audit columns: every doc the stage EXAMINED carries its
+    # centroid similarity; the incomplete flag mirrors the near-dup
+    # contract (false also covers docs dropped before the stage — their
+    # comparison wasn't curtailed, it never started, and drop_reason
+    # already records why). Typed NULLs when the stage is off.
+    if sem is not None:
+        out = out.join(
+            sem.select(
+                id_col,
+                F.col("centroid_sim").alias("semantic_centroid_sim"),
+                F.col("semdedup_audit_incomplete").alias("semantic_audit_incomplete"),
+            ),
+            id_col,
+            "left",
+        ).withColumn(
+            "semantic_audit_incomplete",
+            F.coalesce("semantic_audit_incomplete", F.lit(False)),
+        )
+    else:
+        out = out.withColumn(
+            "semantic_centroid_sim", F.lit(None).cast("double")
+        ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
     return out

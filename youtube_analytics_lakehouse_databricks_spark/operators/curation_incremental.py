@@ -72,6 +72,29 @@ operator's: each is per-row and batch-local, so append-mode equivalence
 holds gate-for-gate as long as the SAME parameters (and eval suite) are
 used on every append — the redacted/canonical text the stored index was
 built from must match what new batches hash.
+
+The SEMANTIC stage (``semantic_vec_col``, r10) appends with the stage-3
+machinery transposed to the embedding space: batch survivors assign to
+the FROZEN persisted quantizer (one Arrow pass), stored members of
+touched clusters are pulled by a broadcast cluster-list probe, the
+per-cluster Arrow kernel emits only pairs with >= 1 new member, anchor
+edges (member -> its stored semantic keeper) reconstruct stored groups,
+and connected components + a retro splice fold a stored keeper whose
+group a new doc bridges into an older one (min-id keepers make the
+merged root stable under append-only ids — why the composed gate uses
+keeper='min_id'). Equivalence with ``curate(union)`` holds when both
+paths use the SAME quantizer (pass explicit ``semantic_centroids``, or
+bootstrap the state from the corpus the full run would train on) — the
+quantizer is caller-owned state exactly like the perplexity model.
+Divergences mirror stage 3's monotone contract: (a) a cluster crossing
+``semantic_max_cluster_size`` only after an append keeps its earlier
+folds and flags every member, where the full run keeps everyone
+flagged; (b) in the doubly-adversarial corner where a stored semantic
+KEEPER is near-retro-folded by the same append, its orphaned group
+members stay folded (pointers follow the keeper's relabel) and are
+excluded from this run's comparisons — the full run would reform the
+group without the keeper. Both keep every pointer ending at the final
+cluster root.
 """
 
 from __future__ import annotations
@@ -83,6 +106,17 @@ from youtube_analytics_lakehouse_databricks_spark.operators import dedup as dedu
 from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
 from youtube_analytics_lakehouse_databricks_spark.operators.graph import connected_components
 from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
+
+# audit columns after (id, keep, drop_reason, duplicate_of) — the splice
+# selects below re-emit them verbatim
+_AUDIT_AUX = (
+    "near_dup_audit_incomplete",
+    "matched_eval_id",
+    "contamination_frac",
+    "substring_tokens_dropped",
+    "semantic_centroid_sim",
+    "semantic_audit_incomplete",
+)
 
 
 class CurationState:
@@ -104,6 +138,16 @@ class CurationState:
       ``substring_min_tokens``-token sliding window ever seen, present
       ONLY when the state was built with ``substring_dedup=True`` (same
       contract as ``paras``);
+    - ``centroids``: (cell, v) — the FROZEN SemDeDup coarse quantizer,
+      present ONLY when the state was built with ``semantic_vec_col``
+      (trained at bootstrap or caller-provided; appends assign against
+      it — retraining on a grown corpus would reassign stored docs and
+      re-verdict history, the same reason the perplexity model is
+      caller-frozen);
+    - ``semvecs``: (id, cluster, centroid_sim, v) — every doc the
+      semantic stage ever examined (kept AND folded: a new doc can
+      connect through a previously-folded member, and the cluster cap
+      counts the true population), same presence contract;
     - ``params``: the scalar parameter fingerprint of the run that built
       the state (JSON side file ``params.json``, atomic rename) —
       enforced on append, see ``curate_incremental``.
@@ -122,6 +166,8 @@ class CurationState:
         banded: DataFrame,
         paras: DataFrame | None = None,
         windows: DataFrame | None = None,
+        centroids: DataFrame | None = None,
+        semvecs: DataFrame | None = None,
         params: dict | None = None,
     ) -> None:
         self.audit = audit
@@ -130,6 +176,8 @@ class CurationState:
         self.banded = banded
         self.paras = paras
         self.windows = windows
+        self.centroids = centroids
+        self.semvecs = semvecs
         # the scalar parameter fingerprint of the run that built this
         # state (curate_incremental enforces it on append: the index is
         # shaped by these values and verdict equivalence requires every
@@ -150,7 +198,9 @@ class CurationState:
         import shutil
 
         frames = list(self.FRAMES) + [
-            name for name in ("paras", "windows") if getattr(self, name) is not None
+            name
+            for name in ("paras", "windows", "centroids", "semvecs")
+            if getattr(self, name) is not None
         ]
         for name in frames:
             getattr(self, name).write.mode("overwrite").parquet(
@@ -176,7 +226,7 @@ class CurationState:
                 if os.path.isdir(f"{path}/{name}")
                 else None
             )
-            for name in ("paras", "windows")
+            for name in ("paras", "windows", "centroids", "semvecs")
         }
         params = None
         if os.path.exists(f"{path}/params.json"):
@@ -247,6 +297,11 @@ def curate_incremental(
     decontam_max_frac: float | None = None,
     max_bucket_size: int | None = dedup_ops.DEFAULT_MAX_BUCKET_SIZE,
     canonical_near_dup: bool = True,
+    semantic_vec_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_n_cells: int | None = None,
+    semantic_max_cluster_size: int = 8192,
+    semantic_centroids=None,
     durable: bool = False,
 ) -> tuple[DataFrame, CurationState]:
     """Curate ``batch`` against (and into) the stored corpus.
@@ -294,18 +349,34 @@ def curate_incremental(
         else float(decontam_max_frac),
         "max_bucket_size": None if max_bucket_size is None else int(max_bucket_size),
         "canonical_near_dup": bool(canonical_near_dup),
+        # semantic stage shape: the quantizer itself is PERSISTED frozen
+        # state (state.centroids), so n_cells/kmeans_iters/centroids are
+        # bootstrap-only inputs and deliberately not fingerprinted here
+        "semantic_vec_col": semantic_vec_col,
+        "semantic_threshold": float(semantic_threshold),
+        "semantic_max_cluster_size": int(semantic_max_cluster_size),
     }
-    if state is not None and state.params is not None and state.params != params_sig:
-        diffs = {
-            k: (state.params.get(k), params_sig.get(k))
-            for k in sorted(set(state.params) | set(params_sig))
-            if state.params.get(k) != params_sig.get(k)
+    if state is not None and state.params is not None:
+        stored_params = {
+            # pre-r10 fingerprints predate the semantic stage: default
+            # the new keys so an old state appends under unchanged params
+            # (it provably ran without the stage — no semvecs frame)
+            "semantic_vec_col": None,
+            "semantic_threshold": 0.95,
+            "semantic_max_cluster_size": 8192,
+            **state.params,
         }
-        raise ValueError(
-            "curation parameters differ from the ones the stored state was "
-            f"built with (stored, requested): {diffs} — parameters must "
-            "match across appends to the same state"
-        )
+        if stored_params != params_sig:
+            diffs = {
+                k: (stored_params.get(k), params_sig.get(k))
+                for k in sorted(set(stored_params) | set(params_sig))
+                if stored_params.get(k) != params_sig.get(k)
+            }
+            raise ValueError(
+                "curation parameters differ from the ones the stored state was "
+                f"built with (stored, requested): {diffs} — parameters must "
+                "match across appends to the same state"
+            )
 
     # Watermark: the append-only frontier. Parquet column stats make the
     # max() a footer read, not a data scan.
@@ -700,6 +771,12 @@ def curate_incremental(
             # provenance is honestly NULL — upgrade in place instead of
             # failing the select below
             s = s.withColumn("substring_tokens_dropped", F.lit(None).cast("long"))
+        if "semantic_centroid_sim" not in s.columns:
+            # same in-place upgrade for states saved before the audit
+            # grew the semantic columns (r10)
+            s = s.withColumn(
+                "semantic_centroid_sim", F.lit(None).cast("double")
+            ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
         if retro is not None:
             upd = F.broadcast(
                 retro.select(
@@ -715,17 +792,17 @@ def curate_incremental(
                     .otherwise(F.col("drop_reason"))
                     .alias("drop_reason"),
                     F.coalesce("__new_dup", "duplicate_of").alias("duplicate_of"),
-                    "near_dup_audit_incomplete",
-                    "matched_eval_id",
-                    "contamination_frac",
-                    "substring_tokens_dropped",
+                    *_AUDIT_AUX,
                 )
             )
             # repoint any row whose pointer names a retro-folded node to
             # that node's new label: near-dup survivors of a merged
             # cluster AND exact dups of a retro-folded keeper (both
             # pointer kinds must end at the FINAL cluster root — the
-            # leakage_safe_split contract)
+            # leakage_safe_split contract). SEMANTIC pointers are
+            # deferred: stage 4 below must read the ORIGINAL keeper id
+            # to detect groups orphaned by a keeper's near-retro-fold,
+            # and applies this same relabel afterwards.
             rmap = F.broadcast(
                 retro.select(
                     F.col("node").alias("__old_label"),
@@ -738,15 +815,283 @@ def curate_incremental(
                     id_col,
                     "keep",
                     "drop_reason",
-                    F.coalesce("__relabel", "duplicate_of").alias("duplicate_of"),
-                    "near_dup_audit_incomplete",
-                    "matched_eval_id",
-                    "contamination_frac",
-                    "substring_tokens_dropped",
+                    F.when(
+                        F.col("drop_reason") == "semantic_duplicate",
+                        F.col("duplicate_of"),
+                    )
+                    .otherwise(F.coalesce("__relabel", "duplicate_of"))
+                    .alias("duplicate_of"),
+                    *_AUDIT_AUX,
                 )
             )
     else:
         s = None
+
+    # -- stage 4: optional semantic dedup vs the stored cluster index ----
+    # SemDeDup (similarity.semantic_dedup's semantics, keeper='min_id')
+    # over THIS run's near-dup survivors, against the FROZEN persisted
+    # quantizer and the stored per-cluster member index — the stage-3
+    # machinery transposed: coarse index probe instead of band keys,
+    # anchor edges reconstruct stored duplicate groups (every member
+    # points at its min-id keeper, so the star graph preserves
+    # components), connected components + retro splice fold a stored
+    # keeper whose group a new doc bridges into an older one. Verdicts
+    # are MONOTONE exactly like stage 3: cap-crossing clusters flag
+    # everyone and never resurrect; a group orphaned by its keeper's
+    # near-retro-fold (doubly-adversarial same-append corner) keeps its
+    # folded members folded and excludes them from this run's
+    # comparisons — the full run would reform the group without the
+    # keeper, so incremental keeps stay a subset.
+    if semantic_vec_col is not None:
+        import numpy as np
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+            assign_cells,
+            train_semantic_centroids,
+        )
+
+        if state is not None and (state.centroids is None or state.semvecs is None):
+            raise ValueError(
+                "semantic_vec_col given but the stored state has no semantic "
+                "index — the state must be built with semantic_vec_col from "
+                "its first batch"
+            )
+        sem_cap = int(semantic_max_cluster_size)
+        sem_ids = reps.select(id_col).join(
+            near_dropped_new.select(F.col("node").alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+        sem_input = batch.select(id_col, semantic_vec_col).join(
+            sem_ids, id_col, "left_semi"
+        )
+        if state is not None:
+            # bounded collect: the quantizer is n_cells rows
+            cent_rows = state.centroids.orderBy("cell").collect()
+            cents = np.asarray([r["v"] for r in cent_rows], dtype=np.float64)
+            if semantic_centroids is not None and not np.allclose(
+                np.asarray(semantic_centroids, dtype=np.float64), cents
+            ):
+                raise ValueError(
+                    "semantic_centroids differ from the quantizer persisted "
+                    "in the stored state — the quantizer is frozen at "
+                    "bootstrap (see CurationState.centroids)"
+                )
+        elif semantic_centroids is not None:
+            cents = np.asarray(semantic_centroids, dtype=np.float64)
+        else:
+            cents = train_semantic_centroids(
+                sem_input,
+                id_col,
+                semantic_vec_col,
+                n_cells=semantic_n_cells,
+                max_cluster_size=sem_cap,
+            )
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        # consumed by: sizes, the edge kernel, audit columns, semvecs
+        assigned_new = cut(
+            assign_cells(sem_input, id_col, semantic_vec_col, cents),
+            durable=durable,
+        )
+
+        if state is not None:
+            # stored members of touched clusters — the coarse-index
+            # probe: broadcast the (<= n_cells) touched-cluster list,
+            # one columnar semvecs scan, no corpus shuffle. Drop members
+            # no longer in the semantic population: retro-NEAR-folds
+            # this run (the full run folds them at stage 3, before
+            # semantic) and their ORPHANED group members (see above).
+            touched = F.broadcast(assigned_new.select("cluster").distinct())
+            stored_touched = state.semvecs.join(touched, "cluster", "left_semi")
+            tids = F.broadcast(stored_touched.select(id_col).distinct())
+            s_probe = s.join(tids, id_col, "left_semi")
+            if retro is not None:
+                retro_nodes = F.broadcast(
+                    retro.select(F.col("node").alias("__rn")).distinct()
+                )
+                s_probe = (
+                    s_probe.join(
+                        retro_nodes,
+                        s_probe["duplicate_of"] == retro_nodes["__rn"],
+                        "left",
+                    )
+                    .withColumn("__orphaned", F.col("__rn").isNotNull())
+                    .drop("__rn")
+                )
+            else:
+                s_probe = s_probe.withColumn("__orphaned", F.lit(False))
+            sem_alive = s_probe.filter(
+                F.col("keep")
+                | (
+                    (F.col("drop_reason") == "semantic_duplicate")
+                    & ~F.col("__orphaned")
+                )
+            ).select(id_col)
+            stored_members = stored_touched.join(
+                F.broadcast(sem_alive), id_col, "left_semi"
+            )
+            sem_both = stored_members.select(id_col, "cluster", "v").unionByName(
+                assigned_new.select(id_col, "cluster", "v")
+            )
+        else:
+            sem_both = assigned_new.select(id_col, "cluster", "v")
+        sem_both = cut(sem_both, durable=durable)
+
+        # cap on the MERGED cluster (the stage-3 merged-bucket contract)
+        sem_sizes = sem_both.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        sem_over = sem_sizes.filter(F.col("__n") > sem_cap).select("cluster")
+        sem_work = sem_both.join(
+            F.broadcast(sem_sizes.filter(F.col("__n") <= sem_cap).select("cluster")),
+            "cluster",
+            "left_semi",
+        )
+        sem_thr = float(semantic_threshold)
+        sem_wm = -1 if watermark is None else int(watermark)
+
+        def _sem_edges(pdf):
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                return pd.DataFrame({"doc_a": [], "doc_b": []})
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
+            )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = np.round(mat @ mat.T, 6)
+            ai, bi = np.where(np.triu(cos >= sem_thr, k=1))
+            # stored-stored pairs were resolved by the state-building run
+            new_mask = (ids[ai] > sem_wm) | (ids[bi] > sem_wm)
+            return pd.DataFrame(
+                {"doc_a": ids[ai][new_mask], "doc_b": ids[bi][new_mask]}
+            )
+
+        sem_pairs = sem_work.groupBy("cluster").applyInPandas(
+            _sem_edges, "doc_a long, doc_b long"
+        )
+        if state is not None:
+            # anchor edges: stored node -> its stored semantic label, so
+            # a bridging new doc merges whole stored GROUPS. Labels read
+            # the PRE-relabel pointers (the rmap deferral above), which
+            # for alive members always name kept keepers.
+            sem_nodes = (
+                sem_pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("__n"))
+                .filter(F.col("__n") <= F.lit(sem_wm))
+                .distinct()
+            )
+            sem_label = s.select(
+                F.col(id_col).alias("__n"),
+                F.when(
+                    F.col("drop_reason") == "semantic_duplicate",
+                    F.col("duplicate_of"),
+                )
+                .otherwise(F.col(id_col))
+                .alias("__label"),
+            )
+            sem_anchors = (
+                F.broadcast(sem_nodes)
+                .join(sem_label, "__n")
+                .select(F.col("__n").alias("doc_a"), F.col("__label").alias("doc_b"))
+            )
+            sem_edges_all = sem_pairs.unionByName(sem_anchors)
+        else:
+            sem_edges_all = sem_pairs
+        sem_comp = connected_components(
+            sem_edges_all, "doc_a", "doc_b", durable=durable
+        )
+        sem_changed = F.col("node") != F.col("component")
+        if watermark is not None:
+            sem_dropped_new = sem_comp.filter(
+                sem_changed & (F.col("node") > F.lit(sem_wm))
+            )
+            sem_retro = cut(
+                sem_comp.filter(sem_changed & (F.col("node") <= F.lit(sem_wm))),
+                durable=durable,
+            )
+        else:
+            sem_dropped_new = sem_comp.filter(sem_changed)
+            sem_retro = None
+        # every member (stored and new) of an over-cap merged cluster
+        sem_flagged = sem_both.join(
+            F.broadcast(sem_over), "cluster", "left_semi"
+        ).select(id_col)
+
+        # -- semantic stored-audit splice (mirrors the stage-3 splice) --
+        if s is not None:
+            if sem_retro is not None:
+                upd2 = F.broadcast(
+                    sem_retro.select(
+                        F.col("node").alias(id_col),
+                        F.col("component").alias("__sem_new"),
+                    )
+                )
+                s = s.join(upd2, id_col, "left").select(
+                    id_col,
+                    (F.col("keep") & F.col("__sem_new").isNull()).alias("keep"),
+                    F.when(
+                        F.col("__sem_new").isNotNull(), F.lit("semantic_duplicate")
+                    )
+                    .otherwise(F.col("drop_reason"))
+                    .alias("drop_reason"),
+                    F.coalesce("__sem_new", "duplicate_of").alias("duplicate_of"),
+                    *_AUDIT_AUX,
+                )
+            if retro is not None:
+                # the deferred stage-3 relabel for semantic pointers:
+                # orphaned rows (keeper near-retro-folded) follow the
+                # keeper to its near component root
+                rmap2 = F.broadcast(
+                    retro.select(
+                        F.col("node").alias("__old2"),
+                        F.col("component").alias("__rel2"),
+                    )
+                )
+                s = s.join(
+                    rmap2, s["duplicate_of"] == rmap2["__old2"], "left"
+                ).select(
+                    id_col,
+                    "keep",
+                    "drop_reason",
+                    F.when(
+                        (F.col("drop_reason") == "semantic_duplicate")
+                        & F.col("__rel2").isNotNull(),
+                        F.col("__rel2"),
+                    )
+                    .otherwise(F.col("duplicate_of"))
+                    .alias("duplicate_of"),
+                    *_AUDIT_AUX,
+                )
+                # a near relabel introduced THIS run can name a doc that
+                # was semantically folded at state time — pointers at it
+                # resolve one hop further to its semantic keeper (the
+                # batch operator's sem_map hop, bounded to this run's
+                # introduced labels)
+                intro = F.broadcast(
+                    retro.select(F.col("component").alias("__c")).distinct()
+                )
+                hop = F.broadcast(
+                    s.join(intro, s[id_col] == intro["__c"], "left_semi")
+                    .filter(F.col("drop_reason") == "semantic_duplicate")
+                    .select(
+                        F.col(id_col).alias("__hop_from"),
+                        F.col("duplicate_of").alias("__hop_to"),
+                    )
+                )
+                s = s.join(
+                    hop, s["duplicate_of"] == hop["__hop_from"], "left"
+                ).select(
+                    id_col,
+                    "keep",
+                    "drop_reason",
+                    F.coalesce("__hop_to", "duplicate_of").alias("duplicate_of"),
+                    *_AUDIT_AUX,
+                )
+    else:
+        assigned_new = None
+        sem_dropped_new = None
+        sem_flagged = None
 
     # -- assemble batch audit rows (curate()'s schema) ------------------
     dropped = low_quality.select(
@@ -833,6 +1178,52 @@ def curate_incremental(
             )
         )
     )
+    if sem_dropped_new is not None:
+        dropped = dropped.unionByName(
+            sem_dropped_new.select(
+                F.col("node").alias(id_col),
+                F.lit("semantic_duplicate").alias("drop_reason"),
+                F.col("component").alias("duplicate_of"),
+            )
+        )
+        # final-root hop, semantic edition (mirrors curate()'s sem_map
+        # repoint): a batch pointer ending at a semantically-folded doc
+        # — this run's fold (batch or stored) or a prior run's stored
+        # fold — resolves one hop further to the semantic keeper. The
+        # stored side follows the batch-proportional probe shape: the
+        # stored audit is semi-joined down to the batch's pointer set
+        # via a broadcast key list and never shuffled.
+        sem_map = sem_dropped_new.select(
+            F.col("node").alias("__sem_from"),
+            F.col("component").alias("__sem_to"),
+        )
+        if s is not None:
+            stored_sem_map = (
+                s.filter(F.col("drop_reason") == "semantic_duplicate")
+                .select(
+                    F.col(id_col).alias("__sem_from"),
+                    F.col("duplicate_of").alias("__sem_to"),
+                )
+                .join(
+                    F.broadcast(
+                        dropped.select(
+                            F.col("duplicate_of").alias("__sem_from")
+                        ).distinct()
+                    ),
+                    "__sem_from",
+                    "left_semi",
+                )
+            )
+            sem_map = sem_map.unionByName(stored_sem_map)
+        dropped = dropped.join(
+            F.broadcast(sem_map),
+            dropped["duplicate_of"] == sem_map["__sem_from"],
+            "left",
+        ).select(
+            id_col,
+            "drop_reason",
+            F.coalesce("__sem_to", "duplicate_of").alias("duplicate_of"),
+        )
     batch_audit = (
         batch.select(id_col)
         .join(dropped, id_col, "left")
@@ -869,6 +1260,30 @@ def curate_incremental(
         batch_audit = batch_audit.withColumn(
             "substring_tokens_dropped", F.lit(None).cast("long")
         )
+    if assigned_new is not None:
+        batch_audit = (
+            batch_audit.join(
+                assigned_new.select(
+                    id_col, F.col("centroid_sim").alias("semantic_centroid_sim")
+                ),
+                id_col,
+                "left",
+            )
+            .join(
+                F.broadcast(sem_flagged.withColumn("__sem_flag", F.lit(True))),
+                id_col,
+                "left",
+            )
+            .withColumn(
+                "semantic_audit_incomplete",
+                F.coalesce("__sem_flag", F.lit(False)),
+            )
+            .drop("__sem_flag")
+        )
+    else:
+        batch_audit = batch_audit.withColumn(
+            "semantic_centroid_sim", F.lit(None).cast("double")
+        ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
 
     # -- splice stored audit rows (pointers were updated above) ---------
     if s is not None:
@@ -888,6 +1303,30 @@ def curate_incremental(
                 "matched_eval_id",
                 "contamination_frac",
                 "substring_tokens_dropped",
+                "semantic_centroid_sim",
+                "semantic_audit_incomplete",
+            )
+        if sem_flagged is not None:
+            # OR the over-cap flag into stored members of clusters the
+            # append pushed over the semantic cap (stage-3's
+            # stored_curtailed contract)
+            stored_sem_flag = F.broadcast(
+                sem_flagged.withColumn("__now_sem_flag", F.lit(True))
+            )
+            s = s.join(stored_sem_flag, id_col, "left").select(
+                id_col,
+                "keep",
+                "drop_reason",
+                "duplicate_of",
+                "near_dup_audit_incomplete",
+                "matched_eval_id",
+                "contamination_frac",
+                "substring_tokens_dropped",
+                "semantic_centroid_sim",
+                (
+                    F.coalesce("semantic_audit_incomplete", F.lit(False))
+                    | F.coalesce("__now_sem_flag", F.lit(False))
+                ).alias("semantic_audit_incomplete"),
             )
         audit = s.unionByName(batch_audit)
     else:
@@ -904,6 +1343,23 @@ def curate_incremental(
     banded_all = (
         state.banded.unionByName(new_ex) if state is not None else new_ex
     )
+    if assigned_new is not None:
+        new_semvecs = assigned_new.select(id_col, "cluster", "centroid_sim", "v")
+        semvecs_all = (
+            state.semvecs.unionByName(new_semvecs)
+            if state is not None
+            else new_semvecs
+        )
+        if state is not None:
+            centroids_df = state.centroids
+        else:
+            centroids_df = batch.sparkSession.createDataFrame(
+                [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+                "cell int, v array<double>",
+            )
+    else:
+        semvecs_all = None
+        centroids_df = None
     new_state = CurationState(
         audit=audit,
         hashes=cut(hashes, durable=durable),
@@ -912,6 +1368,10 @@ def curate_incremental(
         paras=cut(paras_all, durable=durable) if paras_all is not None else None,
         windows=cut(windows_all, durable=durable)
         if windows_all is not None
+        else None,
+        centroids=centroids_df,
+        semvecs=cut(semvecs_all, durable=durable)
+        if semvecs_all is not None
         else None,
         params=params_sig,
     )

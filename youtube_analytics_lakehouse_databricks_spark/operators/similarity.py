@@ -362,6 +362,60 @@ def auto_n_cells(n_rows: int, max_cluster_size: int, floor: int = 16) -> int:
     return max(floor, -(-2 * n_rows // max(1, max_cluster_size)))
 
 
+def assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """(id, v, cluster, centroid_sim): nearest-centroid assignment in ONE
+    Arrow pass over the corpus — no shuffle, the quantizer rides a
+    broadcast. centroid_sim is 1e-6-rounded (the verdict-comparison
+    precision used everywhere downstream). Shared by semantic_dedup and
+    the incremental curation stage (which assigns against a FROZEN
+    persisted quantizer)."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            cell = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "v": pdf[vec_col],
+                    "cluster": cell.astype("int32"),
+                    "centroid_sim": np.round(sims[np.arange(len(pdf)), cell], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, v array<float>, cluster int, centroid_sim double"
+    )
+
+
+def train_semantic_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_cells: int | None = None,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+):
+    """Train (and return) SemDeDup's coarse quantizer standalone — a
+    row-normalized float64 numpy array, one centroid per row. Useful when
+    the quantizer must be CALLER-OWNED state: curate_incremental freezes
+    it at bootstrap (retraining on a grown corpus would reassign stored
+    docs and re-verdict history — the perplexity-model contract), and a
+    full-run equivalence check passes the same array to both paths."""
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count(), max_cluster_size)
+    return _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -372,6 +426,7 @@ def semantic_dedup(
     kmeans_iters: int = 3,
     max_cluster_size: int = 8192,
     keeper: str = "diversity",
+    centroids=None,
 ) -> DataFrame:
     """SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — public semantics,
     engine-original distributed formulation): cluster the embedding
@@ -419,33 +474,18 @@ def semantic_dedup(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if keeper not in ("diversity", "min_id"):
         raise ValueError(f"keeper must be 'diversity' or 'min_id', got {keeper!r}")
-    if n_cells is None:
-        n_cells = auto_n_cells(df.count(), max_cluster_size)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
-    )
-
-    def assign(batches):
-        import pandas as pd
-
-        cents = bc.value
-        for pdf in batches:
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ cents.T
-            cell = np.argmax(sims, axis=1)
-            yield pd.DataFrame(
-                {
-                    "sd_id": pdf[id_col],
-                    "vec": pdf[vec_col],
-                    "cluster": cell.astype("int32"),
-                    "centroid_sim": np.round(sims[np.arange(len(pdf)), cell], 6),
-                }
-            )
-
-    assigned = df.select(id_col, vec_col).mapInPandas(
-        assign, f"sd_id long, vec array<float>, cluster int, centroid_sim double"
+    if centroids is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(df.count(), max_cluster_size)
+        centroids = _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
+    else:
+        # caller-owned quantizer (train_semantic_centroids / a persisted
+        # incremental state): normalize defensively — assignment argmaxes
+        # raw dot products, so an unnormalized row would skew every cell
+        centroids = np.asarray(centroids, dtype=np.float64)
+        centroids = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    assigned = assign_cells(df, id_col, vec_col, centroids).withColumnRenamed(
+        id_col, "sd_id"
     )
 
     thr = float(threshold)
@@ -478,7 +518,7 @@ def semantic_dedup(
                 }
             )
         mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["vec"].iloc[order]]
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
         )
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         cos = np.round(mat @ mat.T, 6)

@@ -95,43 +95,57 @@ def prepare_training_data(
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
-    # 1. text transforms FIRST, flags off in curate (see module doc)
-    cleaned = docs.select(id_col, text_col, *([domain_col] if domain_col else []))
+    # 1. text transforms FIRST, flags off in curate (see module doc).
+    # Carry columns ride every rewrite: the mixing domain, and (when
+    # curate_kwargs enables the semantic gate) the embedding column it
+    # re-joins by id — embeddings are audit-side inputs and are NEVER
+    # exported (out_cols below excludes them).
+    sem_vec = (curate_kwargs or {}).get("semantic_vec_col")
+    carry = [c for c in (domain_col, sem_vec) if c is not None]
+    cleaned = docs.select(id_col, text_col, *carry)
+
+    def _recarry(rewritten: DataFrame, prev: DataFrame) -> DataFrame:
+        return (
+            rewritten
+            if not carry
+            else rewritten.join(prev.select(id_col, *carry), id_col)
+        )
+
     if redact:
-        red = text_ops.redact_pii(cleaned, id_col, text_col).select(
-            id_col, F.col("redacted_text").alias(text_col)
+        cleaned = cut(
+            _recarry(
+                text_ops.redact_pii(cleaned, id_col, text_col).select(
+                    id_col, F.col("redacted_text").alias(text_col)
+                ),
+                cleaned,
+            ),
+            durable=durable,
         )
-        cleaned = (
-            red
-            if domain_col is None
-            else red.join(cleaned.select(id_col, domain_col), id_col)
-        )
-        cleaned = cut(cleaned, durable=durable)
     if paragraph_dedup:
-        pd_df = dedup_ops.paragraph_dedup(cleaned, id_col, text_col).select(
-            id_col, F.col("text_deduped").alias(text_col)
+        cleaned = cut(
+            _recarry(
+                dedup_ops.paragraph_dedup(cleaned, id_col, text_col).select(
+                    id_col, F.col("text_deduped").alias(text_col)
+                ),
+                cleaned,
+            ),
+            durable=durable,
         )
-        cleaned = (
-            pd_df
-            if domain_col is None
-            else pd_df.join(cleaned.select(id_col, domain_col), id_col)
-        )
-        cleaned = cut(cleaned, durable=durable)
     if substring_dedup:
         # ExactSubstr rewrite (Lee et al. 2021) after boilerplate removal:
         # duplicated >= substring_min_tokens-token runs survive only at
         # their first corpus occurrence. Same transform-first contract as
         # the paragraph stage — curate() then audits the exact text being
         # exported (drained docs drop as low_quality there).
-        sd_df = dedup_ops.substring_dedup(
-            cleaned, id_col, text_col, min_tokens=substring_min_tokens
-        ).select(id_col, F.col("text_deduped").alias(text_col))
-        cleaned = (
-            sd_df
-            if domain_col is None
-            else sd_df.join(cleaned.select(id_col, domain_col), id_col)
+        cleaned = cut(
+            _recarry(
+                dedup_ops.substring_dedup(
+                    cleaned, id_col, text_col, min_tokens=substring_min_tokens
+                ).select(id_col, F.col("text_deduped").alias(text_col)),
+                cleaned,
+            ),
+            durable=durable,
         )
-        cleaned = cut(cleaned, durable=durable)
 
     # 2. audited curation over the EXACT text being exported
     audit = curate(

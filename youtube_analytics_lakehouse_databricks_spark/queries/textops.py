@@ -663,7 +663,9 @@ def _curate_oracle_sql() -> str:
            FALSE AS near_dup_audit_incomplete,
            CAST(NULL AS VARCHAR) AS matched_eval_id,
            CAST(NULL AS DOUBLE) AS contamination_frac,
-           CAST(NULL AS BIGINT) AS substring_tokens_dropped
+           CAST(NULL AS BIGINT) AS substring_tokens_dropped,
+           CAST(NULL AS DOUBLE) AS semantic_centroid_sim,
+           CAST(NULL AS BOOLEAN) AS semantic_audit_incomplete
     FROM documents d
     LEFT JOIN lowq l ON l.doc_id = d.doc_id
     LEFT JOIN exd e ON e.doc_id = d.doc_id
