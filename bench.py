@@ -128,6 +128,14 @@ def _bench_only() -> dict[str, Query]:
             threshold=0.95, n_cells=32,
         )
 
+    def signup_followup_window(spark, sf_dir):
+        # the former registered query's exact wiring (slot freed in r10
+        # for ngram_lm_scores; the interval-join surface stays oracled
+        # through asof_purchase_prior_click) — timing series continues
+        from youtube_analytics_lakehouse_databricks_spark.queries import advanced
+
+        return advanced.signup_followup_window(spark, sf_dir)
+
     def ngram_jaccard_pairs(spark, sf_dir):
         # the former registered query's exact wiring (slot freed in r10
         # for semantic_dedup_embeddings; Jaccard verification stays
@@ -185,6 +193,7 @@ def _bench_only() -> dict[str, Query]:
             mixture_sample_documents,
             semantic_dedup_embeddings,
             ngram_jaccard_pairs,
+            signup_followup_window,
             quality_classifier_scores,
             bpe_token_counts,
         )

@@ -30,16 +30,36 @@ from youtube_analytics_lakehouse_databricks_spark.queries import read, register
     ), purchases AS (
       SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
       FROM events WHERE event_type = 'purchase'
+    ), pre AS (
+      SELECT p.purchase_id,
+             COUNT(*) AS n_events_prior_1h,
+             CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks_prior_1h
+      FROM purchases p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts >= p.purchase_ts - INTERVAL 1 HOUR
+       AND e.ts < p.purchase_ts
+      GROUP BY p.purchase_id
     )
     SELECT p.user_id, p.purchase_id, p.purchase_ts,
-           c.click_id AS prior_click_id, c.ts AS prior_click_ts
+           c.click_id AS prior_click_id, c.ts AS prior_click_ts,
+           COALESCE(pre.n_events_prior_1h, 0) AS n_events_prior_1h,
+           COALESCE(pre.n_clicks_prior_1h, 0) AS n_clicks_prior_1h
     FROM purchases p
     ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+    LEFT JOIN pre ON pre.purchase_id = p.purchase_id
     """,
     doc=(
-        "As-of (backward) join: each purchase matched to the user's most "
-        "recent click at ts' <= ts. Spark composition: tag + union + "
-        "last(ignorenulls) over rowsBetween(unboundedPreceding, 0)."
+        "Both temporal-join operators on ONE purchase anchor (r10: the "
+        "interval-join surface of the former signup_followup_window row "
+        "consolidated here to free its 50-row-budget slot for "
+        "ngram_lm_scores): (1) as-of backward join — each purchase "
+        "matched to the user's most recent click at ts' <= ts, composed "
+        "as tag + union + last(ignorenulls) over "
+        "rowsBetween(unboundedPreceding, 0); (2) interval (range) join — "
+        "events within [ts - 1h, ts) per purchase, equi key + range "
+        "predicate, aggregated and left-joined back."
     ),
 )
 def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,12 +88,51 @@ def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
         )
     )
-    return carried.filter(F.col("tag") == 1).select(
+    asof = carried.filter(F.col("tag") == 1).select(
         "user_id",
         "purchase_id",
         F.col("ts").alias("purchase_ts"),
         "prior_click_id",
         "prior_click_ts",
+    )
+    # interval-join leg: equi key + range predicate (Spark executes the
+    # equi part as the join key, the range as a post-filter), aggregated
+    # per purchase and left-joined back (absent window -> 0)
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("p_purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pre = (
+        anchors.join(
+            ev.select(
+                F.col("user_id").alias("e_user_id"),
+                F.col("ts").alias("e_ts"),
+                F.col("event_type").alias("e_type"),
+            ),
+            on=(F.col("e_user_id") == F.col("p_user_id"))
+            & (F.col("e_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
+            & (F.col("e_ts") < F.col("p_ts")),
+        )
+        .groupBy("p_purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_ev"),
+            F.sum(F.when(F.col("e_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("__n_clk"),
+        )
+    )
+    return (
+        asof.join(pre, asof["purchase_id"] == pre["p_purchase_id"], "left")
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "prior_click_id",
+            "prior_click_ts",
+            F.coalesce("__n_ev", F.lit(0)).cast("bigint").alias("n_events_prior_1h"),
+            F.coalesce("__n_clk", F.lit(0)).cast("bigint").alias("n_clicks_prior_1h"),
+        )
     )
 
 
@@ -126,29 +185,13 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "signup_followup_window",
-    """
-    WITH signups AS (
-      SELECT user_id, event_id AS signup_id, ts AS signup_ts
-      FROM events WHERE event_type = 'signup'
-    )
-    SELECT s.signup_id, s.user_id,
-           COUNT(*) AS n_followups,
-           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
-    FROM signups s
-    JOIN events e
-      ON e.user_id = s.user_id
-     AND e.ts > s.signup_ts
-     AND e.ts <= s.signup_ts + INTERVAL 1 HOUR
-    GROUP BY s.signup_id, s.user_id
-    """,
-    doc=(
-        "Interval (range) join: events within (signup_ts, signup_ts + 1h] "
-        "per user — equi key + range predicate; Spark executes the equi "
-        "part as the join key and the range as a post-filter."
-    ),
-)
+# NOTE: formerly registered as the oracled query "signup_followup_window";
+# unregistered in round 10 to free the 50-row-budget slot ngram_lm_scores
+# now occupies (queries/textops.py). Its operator surface — the interval
+# (range) join, equi key + range predicate + per-anchor aggregate — stays
+# fully oracled through asof_purchase_prior_click, which runs the
+# IDENTICAL join shape on a purchase anchor ([ts-1h, ts) window) inside
+# its green row. Kept importable; timing series continues in bench.py.
 def signup_followup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     signups = ev.filter(F.col("event_type") == "signup").select(

@@ -851,3 +851,69 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", _PARA_BREAK_SPARK, "$1\n\n").alias("text"),
     )
     return dedup_ops.paragraph_dedup(docs, "doc_id", "text")
+
+
+# --- n-gram LM training (Stupid Backoff): the oracled registry row --------
+#
+# The LM family (operators/lm_quality.py) was the one whose correctness
+# rested on pytest alone; this row puts TRAINING — the canonical
+# tokenization, per-order gram explode+count aggregations, the
+# context-count equi-join, and the count-ratio scores — under the
+# cross-engine hash-match regime. Bigram model (n=2) over the bench
+# harness's reference slice (doc_id % 5 = 0); output is the union of the
+# per-order conditional tables with an `ord` column. Scores are ratios of
+# integer counts, so the doubles are bit-identical cross-engine (IEEE
+# division is exactly rounded — no 1e-6 rounding needed). Scoring
+# (Stupid Backoff probe joins) remains pinned by the independent-reference
+# tests + the plan assertions in tests/test_lm_quality.py; at sf0.01 the
+# trained tables here are exactly the lookup side those probes join.
+
+_LM_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "ngram_lm_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      FROM (
+        SELECT doc_id, list_filter(string_split({_LM_NORM}, ' '), x -> x <> '') AS t
+        FROM documents WHERE doc_id % 5 = 0
+      )
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    big AS (
+      SELECT ctx, w, COUNT(*) AS c FROM (
+        SELECT doc_id, w AS ctx,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w
+        FROM tok
+      ) WHERE w IS NOT NULL GROUP BY ctx, w
+    )
+    SELECT CAST(1 AS INT) AS ord, '' AS ctx, w, c, CAST(c AS DOUBLE) / tot.n AS s
+    FROM uni CROSS JOIN tot
+    UNION ALL
+    SELECT CAST(2 AS INT), b.ctx, b.w, b.c, CAST(b.c AS DOUBLE) / u.c
+    FROM big b JOIN uni u ON u.w = b.ctx
+    """,
+    doc=(
+        "Stupid Backoff n-gram LM TRAINING (CCNet's reference-model "
+        "build): canonical tokenization, per-order gram counting with "
+        "map-side combine, context-count join, count-ratio scores — the "
+        "distributed model tables hash-matched table-for-table against a "
+        "DuckDB rebuild (bigram; unigram floor s = c/N)."
+    ),
+)
+def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import train_ngram_lm
+
+    docs = read(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    model = train_ngram_lm(docs, "text", n=2)
+    out = None
+    for k, t in enumerate(model.orders, start=1):
+        part = t.select(F.lit(k).cast("int").alias("ord"), "ctx", "w", "c", "s")
+        out = part if out is None else out.unionByName(part)
+    return out
