@@ -200,6 +200,15 @@ def _bench_only() -> dict[str, Query]:
     }
 
 
+# Drift notes (r10): asof_purchase_prior_click carries MORE work since
+# r10 — the interval-join leg of the former signup_followup_window row
+# (consolidated to free its registry slot) rides the same query, so its
+# number is a new epoch (expected higher than r9's as-of-only plan);
+# signup_followup_window itself continues unchanged as bench-only.
+# ngram_lm_scores (new oracled row) is deliberately NOT benched: its
+# exact plan is ngram_lm_train at n=2 on the same slice — the n=3 train
+# row already carries the family's timing series.
+#
 # Drift notes (r9) — first like-for-like read under the honest noop sink:
 # NO query drifted slower than 1.3x vs r8. 16 queries drifted FASTER
 # (0.56-0.77x) in a uniform machine-window pattern (every family, incl.

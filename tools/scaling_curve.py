@@ -334,6 +334,24 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return score_perplexity(docs, "doc_id", "text", model)
 
+    def lm_buckets_stage(s, d):
+        # the composed tercile path (r10): perplexity_buckets over the
+        # growing corpus against the same cached reference LM as
+        # lm_perplexity — with the r10 lineage cut, its shuffle must be
+        # ~ONE scoring pass (the lm_perplexity row) + the narrow
+        # checkpointed-scored exchange of the output join, never 2x the
+        # scoring lineage
+        from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+            perplexity_buckets,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        docs = read_fanned(s, d, "documents", by="doc_id")
+        lm_perplexity_stage(s, d)  # ensure the shared model cache is warm
+        return perplexity_buckets(
+            docs, "doc_id", "text", _MODEL_CACHE["__lm_model"]
+        )
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -363,6 +381,7 @@ def _stage_builders(spark) -> dict:
         "shuffle_shards": sharding_stage,
         "classifier_scores": classifier_stage,
         "lm_perplexity": lm_perplexity_stage,
+        "lm_buckets": lm_buckets_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
