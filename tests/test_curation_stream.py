@@ -145,3 +145,46 @@ def test_crash_replay_touches_only_its_own_partition(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(audit).collect())) == want
     # batch 0's partition was never rewritten: same files, same bytes
     assert snapshot(0) == b0_files
+
+
+def test_streamed_semantic_gate_equals_batch_curate(spark, tmp_path):
+    """r10: the semantic gate threads through the stream — the embedding
+    column rides the JSON source schema and each micro-batch, verdicts
+    against the frozen bootstrap quantizer match curate() over the union,
+    including a cross-batch semantic fold."""
+    from tests.test_curation_semantic import CENTROIDS, _dup_of, _emb, _text
+
+    landing = str(tmp_path / "landing")
+    dirs = {
+        "state": str(tmp_path / "state"),
+        "audit": str(tmp_path / "audit"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    e1 = _emb(0, 100)
+    b1 = [(1, _text(1), e1), (2, _text(2), _emb(1, 201)), (3, _text(3), _emb(2, 302))]
+    b2 = [(11, _text(11), _dup_of(e1, 111)), (12, _text(12), _emb(3, 312))]
+
+    os.makedirs(landing, exist_ok=True)
+    sem = dict(
+        semantic_vec_col="emb",
+        semantic_threshold=0.97,
+        semantic_centroids=CENTROIDS,
+    )
+    all_rows = []
+    for i, rows in enumerate((b1, b2)):
+        with open(f"{landing}/batch{i}.json", "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "emb": emb}) + "\n")
+        all_rows += rows
+        _drain(spark, landing, dirs, **sem)
+
+    got = sorted(map(tuple, current_audit(spark, dirs["audit"]).collect()))
+    full = curate(
+        spark.createDataFrame(all_rows, "doc_id long, text string, emb array<float>"),
+        "doc_id",
+        "text",
+        **sem,
+    )
+    assert got == sorted(map(tuple, full.collect()))
+    by_id = {t[0]: t for t in got}
+    assert by_id[11][1:4] == (False, "semantic_duplicate", 1)

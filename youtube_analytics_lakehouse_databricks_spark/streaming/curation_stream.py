@@ -100,12 +100,25 @@ def ingest_curated_batch(
         if wm is not None and batch_max is not None and batch_max <= wm:
             return
 
+    # the semantic gate (r10) reads its embedding column from the batch
+    # frame — carry it through; everything else stays (id, text)
+    batch_cols = [id_col, text_col]
+    sem_vec = curate_params.get("semantic_vec_col")
+    if sem_vec is not None:
+        batch_cols.append(sem_vec)
     audit, new_state = curate_incremental(
-        batch.select(id_col, text_col), id_col, text_col, state=state, **curate_params
+        batch.select(*batch_cols), id_col, text_col, state=state, **curate_params
     )
 
     # delta = this batch's docs + stored docs whose verdict changed
     if prior_audit is not None:
+        if "semantic_audit_incomplete" not in prior_audit.columns:
+            # log written before the audit grew the semantic columns
+            # (r10) — upgrade the comparison side the way
+            # curate_incremental upgrades the state in place
+            prior_audit = prior_audit.withColumn(
+                "semantic_centroid_sim", F.lit(None).cast("double")
+            ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
         watermark = prior_audit.agg(F.max(id_col)).collect()[0][0]
         new_rows = audit.filter(F.col(id_col) > F.lit(watermark))
         cols = audit.columns
@@ -120,6 +133,13 @@ def ingest_curated_batch(
                     & F.col("n.duplicate_of").eqNullSafe(F.col("p.duplicate_of"))
                     & F.col("n.near_dup_audit_incomplete").eqNullSafe(
                         F.col("p.near_dup_audit_incomplete")
+                    )
+                    # a cap-crossing append can flip ONLY this flag on a
+                    # stored doc (semantic retro-folds also change keep/
+                    # reason, but the over-cap flag alone must not be
+                    # lost by the latest-wins log)
+                    & F.col("n.semantic_audit_incomplete").eqNullSafe(
+                        F.col("p.semantic_audit_incomplete")
                     )
                 )
             )
@@ -162,9 +182,11 @@ def curated_ingest_stream(
     """File-source stream of (id, text) JSON-lines docs -> curated audit
     log + state. ``available_now=True`` drains the landing dir and stops
     (deterministic for tests); otherwise runs continuously."""
-    docs = spark.readStream.schema(f"{id_col} long, {text_col} string").json(
-        landing_dir
-    )
+    schema = f"{id_col} long, {text_col} string"
+    sem_vec = curate_params.get("semantic_vec_col")
+    if sem_vec is not None:
+        schema += f", {sem_vec} array<float>"
+    docs = spark.readStream.schema(schema).json(landing_dir)
     writer = docs.writeStream.foreachBatch(
         lambda b, bid: ingest_curated_batch(
             b,
