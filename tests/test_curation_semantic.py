@@ -237,3 +237,34 @@ def test_semantic_state_roundtrip_and_guards(spark, tmp_path):
             _df(spark, b2), "doc_id", "text", state=loaded,
             **{**SEM, "semantic_centroids": other},
         )
+
+
+def test_near_anchor_uses_near_roots_not_hopped_pointers(spark):
+    """r10 regression (found by the scaling measurement, fixed via the
+    nearmap state frame): when a near-dup cluster's ROOT is semantically
+    folded, the folded members' audit pointers hop to the semantic keeper
+    — a later append anchoring near components from those pointers would
+    drag the semantic keeper into the NEAR component and retro-near-fold
+    the cluster's own root, overwriting its semantic verdict."""
+    from tests.test_curation_incremental import A_TXT, PARAMS
+
+    e0 = _emb(0, 100)
+    b1 = [
+        (0, _text(0), e0),  # semantic keeper
+        (1, A_TXT, _dup_of(e0, 11)),  # near root; SEM-folds -> 0
+        (2, A_TXT.replace("bravo", "brave1"), _emb(1, 22)),  # near-dup -> 1
+    ]
+    b2 = [(101, A_TXT.replace("kilo", "kite2"), _emb(1, 33))]  # near-dup of 1/2
+    params = dict(SEM, **PARAMS)
+    full, inc, st2 = _run_both(spark, b1, b2, **params)
+    assert inc == full
+    got = {t[0]: t for t in inc}
+    # the semantic verdict on the near root survives the append
+    assert got[1][1:4] == (False, "semantic_duplicate", 0)
+    # near-folded members point at the FINAL root (through the hop)
+    assert got[2][1:4] == (False, "near_duplicate", 0)
+    assert got[101][1:4] == (False, "near_duplicate", 0)
+    assert got[0][1] is True
+    # the near-root index records the true near topology
+    nm = {r["doc_id"]: r["near_root"] for r in st2.nearmap.collect()}
+    assert nm[2] == 1 and nm[101] == 1

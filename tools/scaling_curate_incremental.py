@@ -37,16 +37,31 @@ BATCH_DOCS = 500
 STATE_ROOT = "/tmp/sparkgraft_curate_state"
 
 
-def make_batch(spark, corpus_dir: str):
-    """Deterministic 500-doc batch with ids above the corpus frontier."""
+def make_batch(spark, corpus_dir: str, semantic: bool = False):
+    """Deterministic 500-doc batch with ids above the corpus frontier.
+    ``semantic=True`` reads the embedded corpus and attaches embeddings:
+    fresh docs get fresh random vectors; text copies/variants get their
+    source doc's vector perturbed by 0.002 — cross-batch SEMANTIC dups
+    the append must fold against the stored cluster index."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{corpus_dir}/documents.parquet", columns=["doc_id", "text"])
+    src = "documents_embedded" if semantic else "documents"
+    cols = ["doc_id", "text"] + (["embedding"] if semantic else [])
+    tbl = pq.read_table(f"{corpus_dir}/{src}.parquet", columns=cols)
     texts = tbl["text"].to_pylist()
+    embs = tbl["embedding"].to_pylist() if semantic else None
     max_id = max(tbl["doc_id"].to_pylist())
     rng = np.random.default_rng(1234)
     words = [f"tok{i:04d}" for i in range(5000)]
+
+    def vec_of(j=None):
+        if j is None:
+            v = rng.normal(0, 1, size=len(embs[0]))
+        else:
+            v = np.asarray(embs[j], dtype=np.float64)
+            v = v + 0.002 * rng.standard_normal(len(v))
+        return [float(x) for x in v / np.linalg.norm(v)]
 
     rows = []
     for i in range(BATCH_DOCS):
@@ -54,18 +69,27 @@ def make_batch(spark, corpus_dir: str):
         kind = i % 5
         if kind < 3:  # fresh text
             n = int(np.clip(rng.normal(45, 15), 10, 100))
-            rows.append((doc_id, " ".join(words[j] for j in rng.integers(0, 5000, n))))
+            t = " ".join(words[j] for j in rng.integers(0, 5000, n))
+            rows.append((doc_id, t) if not semantic else (doc_id, t, vec_of()))
         elif kind == 3:  # exact copy of a corpus doc
-            rows.append((doc_id, texts[int(rng.integers(0, len(texts)))]))
+            j = int(rng.integers(0, len(texts)))
+            rows.append(
+                (doc_id, texts[j]) if not semantic else (doc_id, texts[j], vec_of(j))
+            )
         else:  # near-dup variant of a corpus doc (2 words swapped)
-            toks = texts[int(rng.integers(0, len(texts)))].split(" ")
-            for j in rng.choice(len(toks), size=min(2, len(toks)), replace=False):
-                toks[j] = words[int(rng.integers(0, 5000))]
-            rows.append((doc_id, " ".join(toks)))
-    return spark.createDataFrame(rows, "doc_id long, text string")
+            j = int(rng.integers(0, len(texts)))
+            toks = texts[j].split(" ")
+            for w in rng.choice(len(toks), size=min(2, len(toks)), replace=False):
+                toks[w] = words[int(rng.integers(0, 5000))]
+            t = " ".join(toks)
+            rows.append((doc_id, t) if not semantic else (doc_id, t, vec_of(j)))
+    schema = "doc_id long, text string" + (
+        ", embedding array<float>" if semantic else ""
+    )
+    return spark.createDataFrame(rows, schema)
 
 
-def run_scale(spark, mult: int, corpus_dir: str) -> dict:
+def run_scale(spark, mult: int, corpus_dir: str, semantic: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
@@ -75,15 +99,32 @@ def run_scale(spark, mult: int, corpus_dir: str) -> dict:
     )
     from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
 
-    corpus = read_fanned(spark, corpus_dir, "documents", by="doc_id").select(
-        "doc_id", "text"
-    )
-    batch = make_batch(spark, corpus_dir)
-    state_dir = f"{STATE_ROOT}/x{mult}"
+    if semantic:
+        # built once by scaling_curve's curate_semantic stage; same input
+        # both paths, explicit shared quantizer (caller-owned contract)
+        from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+            train_semantic_centroids,
+        )
+
+        corpus = read_fanned(spark, corpus_dir, "documents_embedded", by="doc_id")
+        sem = dict(
+            semantic_vec_col="embedding",
+            semantic_threshold=0.95,
+            semantic_centroids=train_semantic_centroids(
+                corpus, "doc_id", "embedding", n_cells=32
+            ),
+        )
+    else:
+        corpus = read_fanned(spark, corpus_dir, "documents", by="doc_id").select(
+            "doc_id", "text"
+        )
+        sem = {}
+    batch = make_batch(spark, corpus_dir, semantic=semantic)
+    state_dir = f"{STATE_ROOT}/x{mult}" + ("_sem" if semantic else "")
     shutil.rmtree(state_dir, ignore_errors=True)
 
     # bootstrap (untimed): the state a production pipeline already holds
-    _, st = curate_incremental(corpus, "doc_id", "text")
+    _, st = curate_incremental(corpus, "doc_id", "text", **sem)
     st.save(state_dir)
 
     meter = StageMeter(spark)
@@ -93,7 +134,7 @@ def run_scale(spark, mult: int, corpus_dir: str) -> dict:
     meter.delta()
     t0 = time.time()
     st2 = CurationState.load(spark, state_dir)
-    inc_audit, _ = curate_incremental(batch, "doc_id", "text", state=st2)
+    inc_audit, _ = curate_incremental(batch, "doc_id", "text", state=st2, **sem)
     out["inc_rows"] = inc_audit.count()
     out["incremental_sec"] = round(time.time() - t0, 2)
     out["incremental_shuffle_mb"] = round(meter.delta()[0] / 1e6, 2)
@@ -101,7 +142,7 @@ def run_scale(spark, mult: int, corpus_dir: str) -> dict:
     spark.catalog.clearCache()
     meter.delta()
     t0 = time.time()
-    full_audit = curate(corpus.unionByName(batch), "doc_id", "text")
+    full_audit = curate(corpus.unionByName(batch), "doc_id", "text", **sem)
     out["full_rows"] = full_audit.count()
     out["full_recurate_sec"] = round(time.time() - t0, 2)
     out["full_recurate_shuffle_mb"] = round(meter.delta()[0] / 1e6, 2)
@@ -154,9 +195,10 @@ def main() -> None:
             "spark.ui.retainedStages": "1000000",
         }
     )
+    semantic = "--semantic" in sys.argv
     warm = min(dirs)
-    run_scale(spark, warm, dirs[warm])  # warmup: JIT/codegen, not recorded
-    results = {m: run_scale(spark, m, d) for m, d in dirs.items()}
+    run_scale(spark, warm, dirs[warm], semantic)  # warmup: not recorded
+    results = {m: run_scale(spark, m, d, semantic) for m, d in dirs.items()}
     print(json.dumps(results, indent=2))
     if "--markdown" in sys.argv:
         ms = sorted(results)

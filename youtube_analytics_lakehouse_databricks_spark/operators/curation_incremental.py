@@ -148,6 +148,15 @@ class CurationState:
       semantic stage ever examined (kept AND folded: a new doc can
       connect through a previously-folded member, and the cluster cap
       counts the true population), same presence contract;
+    - ``nearmap``: (id, near_root) — every near-folded doc's NEAR-cluster
+      root, present under the same contract. Needed because the audit's
+      ``duplicate_of`` for a near row is the FINAL root (hopped past a
+      semantically-folded near root to its semantic keeper), so the
+      stage-3 anchor edges can no longer read near topology from the
+      audit once the semantic stage runs — anchoring a near-folded doc
+      at its hopped pointer would drag the semantic keeper into the NEAR
+      component and retro-near-fold its own near root (the r10 append
+      bug this frame fixes);
     - ``params``: the scalar parameter fingerprint of the run that built
       the state (JSON side file ``params.json``, atomic rename) —
       enforced on append, see ``curate_incremental``.
@@ -168,6 +177,7 @@ class CurationState:
         windows: DataFrame | None = None,
         centroids: DataFrame | None = None,
         semvecs: DataFrame | None = None,
+        nearmap: DataFrame | None = None,
         params: dict | None = None,
     ) -> None:
         self.audit = audit
@@ -178,6 +188,7 @@ class CurationState:
         self.windows = windows
         self.centroids = centroids
         self.semvecs = semvecs
+        self.nearmap = nearmap
         # the scalar parameter fingerprint of the run that built this
         # state (curate_incremental enforces it on append: the index is
         # shaped by these values and verdict equivalence requires every
@@ -199,7 +210,7 @@ class CurationState:
 
         frames = list(self.FRAMES) + [
             name
-            for name in ("paras", "windows", "centroids", "semvecs")
+            for name in ("paras", "windows", "centroids", "semvecs", "nearmap")
             if getattr(self, name) is not None
         ]
         for name in frames:
@@ -226,7 +237,7 @@ class CurationState:
                 if os.path.isdir(f"{path}/{name}")
                 else None
             )
-            for name in ("paras", "windows", "centroids", "semvecs")
+            for name in ("paras", "windows", "centroids", "semvecs", "nearmap")
         }
         params = None
         if os.path.exists(f"{path}/params.json"):
@@ -711,7 +722,7 @@ def curate_incremental(
         durable=durable,
     )
 
-    # anchor edges: stored nodes in new pairs pull their stored FINAL
+    # anchor edges: stored nodes in new pairs pull their stored NEAR
     # label into the component, so a bridge doc merges whole stored
     # clusters (not just the members it directly verified against)
     if state is not None:
@@ -720,17 +731,38 @@ def curate_incremental(
             .filter(F.col("__n") <= F.lit(watermark))
             .distinct()
         )
-        stored_label = state.audit.select(
-            F.col(id_col).alias("__n"),
-            F.when(
-                F.col("drop_reason") == "near_duplicate", F.col("duplicate_of")
+        if state.nearmap is not None:
+            # semantic-mode states: the audit's near pointers are FINAL
+            # roots (hopped past semantically-folded near roots to their
+            # semantic keepers), so anchoring from the audit would drag a
+            # semantic keeper into the NEAR component and retro-near-fold
+            # its own near root (found by the r10 append measurement).
+            # The dedicated near-root index keeps near topology exact;
+            # docs absent from it (kept or semantically folded) are their
+            # own near label.
+            nm = state.nearmap.select(
+                F.col(id_col).alias("__n"), F.col("near_root").alias("__label0")
             )
-            .otherwise(F.col(id_col))
-            .alias("__label"),
-        )
-        anchors = F.broadcast(stored_nodes).join(stored_label, "__n").select(
-            F.col("__n").alias("doc_a"), F.col("__label").alias("doc_b")
-        )
+            anchors = (
+                F.broadcast(stored_nodes)
+                .join(nm, "__n", "left")
+                .select(
+                    F.col("__n").alias("doc_a"),
+                    F.coalesce("__label0", "__n").alias("doc_b"),
+                )
+            )
+        else:
+            stored_label = state.audit.select(
+                F.col(id_col).alias("__n"),
+                F.when(
+                    F.col("drop_reason") == "near_duplicate", F.col("duplicate_of")
+                )
+                .otherwise(F.col(id_col))
+                .alias("__label"),
+            )
+            anchors = F.broadcast(stored_nodes).join(stored_label, "__n").select(
+                F.col("__n").alias("doc_a"), F.col("__label").alias("doc_b")
+            )
         edges = pairs.unionByName(anchors)
     else:
         edges = pairs
@@ -749,6 +781,33 @@ def curate_incremental(
     else:
         near_dropped_new = comp.filter(changed)
         retro = None
+
+    # 3c. maintain the near-root index (semantic-mode states only: the
+    # audit carries near roots verbatim otherwise). New folds (batch
+    # docs AND stored retro relabels) enter at their current component;
+    # surviving entries whose root was retro-relabeled follow it.
+    if semantic_vec_col is not None:
+        near_folds = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col), F.col("component").alias("near_root")
+        )
+        if state is not None and state.nearmap is not None:
+            keptm = state.nearmap.join(
+                F.broadcast(near_folds.select(id_col)), id_col, "left_anti"
+            )
+            if retro is not None:
+                rm_nm = F.broadcast(
+                    retro.select(
+                        F.col("node").alias("__o"), F.col("component").alias("__r")
+                    )
+                )
+                keptm = keptm.join(
+                    rm_nm, keptm["near_root"] == rm_nm["__o"], "left"
+                ).select(id_col, F.coalesce("__r", "near_root").alias("near_root"))
+            nearmap_all = keptm.unionByName(near_folds)
+        else:
+            nearmap_all = near_folds
+    else:
+        nearmap_all = None
 
     # 3b. hot-bucket audit over the merged buckets
     if max_bucket_size is not None:
@@ -850,7 +909,9 @@ def curate_incremental(
             train_semantic_centroids,
         )
 
-        if state is not None and (state.centroids is None or state.semvecs is None):
+        if state is not None and (
+            state.centroids is None or state.semvecs is None or state.nearmap is None
+        ):
             raise ValueError(
                 "semantic_vec_col given but the stored state has no semantic "
                 "index — the state must be built with semantic_vec_col from "
@@ -1372,6 +1433,9 @@ def curate_incremental(
         centroids=centroids_df,
         semvecs=cut(semvecs_all, durable=durable)
         if semvecs_all is not None
+        else None,
+        nearmap=cut(nearmap_all, durable=durable)
+        if nearmap_all is not None
         else None,
         params=params_sig,
     )
