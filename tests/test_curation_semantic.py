@@ -213,6 +213,7 @@ def test_semantic_state_roundtrip_and_guards(spark, tmp_path):
     st.save(str(tmp_path / "state"))
     loaded = CurationState.load(spark, str(tmp_path / "state"))
     assert loaded.centroids is not None and loaded.semvecs is not None
+    assert loaded.nearmap is not None  # empty at this fixture, but present
     inc, _ = curate_incremental(
         _df(spark, b2), "doc_id", "text", state=loaded, **SEM
     )

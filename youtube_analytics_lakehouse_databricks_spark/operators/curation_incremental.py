@@ -120,8 +120,8 @@ _AUDIT_AUX = (
 
 
 class CurationState:
-    """The persisted curation index: four core DataFrames plus up to two
-    optional stage indexes.
+    """The persisted curation index: four core DataFrames plus optional
+    stage indexes.
 
     - ``audit``: the full audit frame so far (one row per doc ever seen,
       same 8-column schema ``curate`` emits);
