@@ -128,6 +128,18 @@ def _bench_only() -> dict[str, Query]:
             threshold=0.95, n_cells=32,
         )
 
+    def semantic_decontam_scores(spark, sf_dir):
+        # embedding-space decontamination (r10): the eval side is a fixed
+        # 25-vector benchmark slice (broadcast once, cached per sf); the
+        # timed work is the zero-shuffle Arrow matmul pass over the
+        # growing embeddings corpus
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        emb = read_fanned(spark, sf_dir, "embeddings")
+        ev = emb.filter("vec_id % 20 = 0").limit(25)
+        return semantic_decontaminate(emb, ev, "vec_id", "embedding", threshold=0.9)
+
     def signup_followup_window(spark, sf_dir):
         # the former registered query's exact wiring (slot freed in r10
         # for ngram_lm_scores; the interval-join surface stays oracled
@@ -192,6 +204,7 @@ def _bench_only() -> dict[str, Query]:
             shuffle_shard_export,
             mixture_sample_documents,
             semantic_dedup_embeddings,
+            semantic_decontam_scores,
             ngram_jaccard_pairs,
             signup_followup_window,
             quality_classifier_scores,
@@ -288,6 +301,7 @@ HEADLINE = [
     "shuffle_shard_export",
     "mixture_sample_documents",
     "semantic_dedup_embeddings",
+    "semantic_decontam_scores",
     "quality_classifier_scores",
     "ngram_lm_train",
     "ngram_lm_perplexity",

@@ -269,3 +269,21 @@ def test_near_anchor_uses_near_roots_not_hopped_pointers(spark):
     # the near-root index records the true near topology
     nm = {r["doc_id"]: r["near_root"] for r in st2.nearmap.collect()}
     assert nm[2] == 1 and nm[101] == 1
+
+
+def test_semantic_durable_mode_identical(spark, tmp_path):
+    """durable=True swaps every lineage cut in the semantic append path
+    (assignment, member union, sem components, nearmap) for reliable
+    checkpoint() — identical output."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    e1 = _emb(0, 100)
+    b1 = [(1, _text(1), e1), (2, _text(2), _emb(1, 201))]
+    b2 = [(11, _text(11), _dup_of(e1, 111)), (12, _text(12), _emb(2, 302))]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **SEM)
+    base, _ = curate_incremental(_df(spark, b2), "doc_id", "text", state=st, **SEM)
+    dur, _ = curate_incremental(
+        _df(spark, b2), "doc_id", "text", state=st, durable=True, **SEM
+    )
+    assert _sorted(dur) == _sorted(base)
+    got = {t[0]: t for t in _sorted(dur)}
+    assert got[11][1:4] == (False, "semantic_duplicate", 1)

@@ -231,3 +231,109 @@ def test_pack_sequences_zero_extra_shuffles(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     plan = _plan(pack_sequences(df, "doc_id", "n_tokens", capacity=64))
     assert "Exchange" not in plan  # partition-local: no shuffle at all
+
+
+class TestSemanticDecontaminate:
+    """Embedding-space decontamination (r10): brute cosine vs the
+    broadcast eval matrix, one Arrow pass, zero shuffle."""
+
+    DIM = 12
+
+    def _fixture(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        dirs = rng.standard_normal((3, self.DIM))
+        dirs = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+
+        def emb(g, seed, eps=0.2):
+            r = np.random.default_rng(seed)
+            v = dirs[g] + eps * r.standard_normal(self.DIM)
+            return [float(x) for x in v / np.linalg.norm(v)]
+
+        ev = [(900 + i, emb(i % 3, 50 + i)) for i in range(6)]
+        train = [(i, emb(i % 3, 100 + i)) for i in range(20)]
+        # doc 7 is a PARAPHRASE of eval 903: near-identical embedding
+        base = np.asarray(ev[3][1])
+        v = base + 0.005 * rng.standard_normal(self.DIM)
+        train[7] = (7, [float(x) for x in v / np.linalg.norm(v)])
+        return train, ev
+
+    def _reference(self, train, ev):
+        import numpy as np
+
+        ids = np.array([i for i, _ in ev])
+        em = np.stack([np.asarray(v, dtype=np.float64) for _, v in ev])
+        em = em / np.linalg.norm(em, axis=1, keepdims=True)
+        out = {}
+        for i, v in train:
+            m = np.asarray(v, dtype=np.float64)
+            m = m / np.linalg.norm(m)
+            cos = em @ m
+            j = int(np.argmax(cos))
+            out[i] = (round(float(cos[j]), 5), int(ids[j]))
+        return out
+
+    def test_matches_reference_and_flags_paraphrase(self, spark):
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        got = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                tdf, edf, "doc_id", "emb", threshold=0.95
+            ).collect()
+        }
+        want = self._reference(train, ev)
+        assert len(got) == len(train)
+        for i, (cos, eid) in want.items():
+            # float32 matmul vs float64 reference: equal at 1e-5
+            assert abs(got[i]["max_eval_cosine"] - cos) < 2e-5, i
+            assert got[i]["matched_eval_id"] == eid, i
+        # only the planted paraphrase crosses 0.95
+        flagged = {i for i, r in got.items() if r["is_semantically_contaminated"]}
+        assert flagged == {7}
+        assert got[7]["matched_eval_id"] == 903
+
+    def test_partition_invariant_and_no_shuffle(self, spark):
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        a = sorted(
+            map(tuple, semantic_decontaminate(tdf, edf, "doc_id", "emb").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                semantic_decontaminate(
+                    tdf.repartition(7), edf, "doc_id", "emb", eval_chunk_rows=2
+                ).collect(),
+            )
+        )
+        assert a == b  # partitioning AND eval chunking are invisible
+        plan = (
+            semantic_decontaminate(tdf, edf, "doc_id", "emb")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # zero shuffle at any corpus size
+
+    def test_guards(self, spark):
+        import pytest
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_decontaminate(tdf, edf, "doc_id", "emb", threshold=0.0)
+        with pytest.raises(ValueError, match="empty"):
+            semantic_decontaminate(
+                tdf, edf.filter("doc_id < 0"), "doc_id", "emb"
+            )

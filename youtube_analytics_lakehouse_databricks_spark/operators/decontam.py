@@ -139,3 +139,92 @@ def decontaminate(
         "matched_eval_id",
         (n_hits >= F.lit(min_hits)).alias("is_contaminated"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    eval_id_col: str | None = None,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.9,
+    eval_chunk_rows: int = 8192,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training docs
+    whose embedding is cosine-similar to ANY eval doc's. Catches the
+    leakage n-gram decontamination misses — paraphrased or translated
+    benchmark items share MEANING, not 13-gram spans (the same blind
+    spot SemDeDup covers for dedup; semantic decontamination is the
+    published companion practice).
+
+    Output: one row per training doc — (id, max_eval_cosine,
+    matched_eval_id, is_semantically_contaminated) — nothing dropped
+    here; matched_eval_id names the most-similar eval doc whenever ANY
+    similarity was computed (the review tier), and the flag fires at
+    ``threshold``. Cosines are 1e-6-rounded (the engine's verdict
+    precision).
+
+    Scale shape (the n-gram operator's asymmetry, embedding edition):
+    the eval side is benchmark-sized, so its normalized float32 matrix
+    is collected ONCE (bounded: 1e5 eval docs x 1k dims ~= 400 MB is
+    the practical ceiling — a 'benchmark' beyond that is a corpus) and
+    broadcast; the training side is ONE Arrow mapInPandas pass — a
+    per-batch matmul against the eval matrix, chunked over eval rows so
+    peak memory is bounded — with ZERO shuffle at any corpus size.
+    Composable with curate() by filtering ids out beforehand or joining
+    the flags into a custom gate; kept standalone so the audit schema
+    stays stable (the n-gram gate remains curate()'s built-in).
+    """
+    import numpy as np
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    rows = eval_df.select(eval_id_col, eval_vec_col).collect()
+    if not rows:
+        raise ValueError("eval_df is empty — nothing to decontaminate against")
+    eval_ids = np.array([r[eval_id_col] for r in rows], dtype=np.int64)
+    emat = np.stack([np.asarray(r[eval_vec_col], dtype=np.float64) for r in rows])
+    emat = (emat / np.linalg.norm(emat, axis=1, keepdims=True)).astype(np.float32)
+    bc = train.sparkSession.sparkContext.broadcast((eval_ids, emat))
+    thr = float(threshold)
+    chunk = max(1, int(eval_chunk_rows))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, em = bc.value
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            best = np.full(len(pdf), -np.inf, dtype=np.float64)
+            best_id = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(0, len(ids), chunk):
+                # float64 product: float32 GEMM accumulation order varies
+                # with the chunk SHAPE (1-ulp drift that can flip the
+                # 1e-6 rounding), so chunking must not change verdicts;
+                # the broadcast stays float32 for memory
+                cos = m @ em[s : s + chunk].astype(np.float64).T
+                j = np.argmax(cos, axis=1)
+                cand = cos[np.arange(len(pdf)), j]
+                upd = cand > best
+                best[upd] = cand[upd]
+                best_id[upd] = ids[s + j[upd]]
+            best = np.round(best, 6)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "max_eval_cosine": best,
+                    "matched_eval_id": best_id,
+                    "is_semantically_contaminated": best >= thr,
+                }
+            )
+
+    return train.select(id_col, vec_col).mapInPandas(
+        score,
+        f"{id_col} long, max_eval_cosine double, matched_eval_id long, "
+        "is_semantically_contaminated boolean",
+    )
