@@ -100,12 +100,15 @@ def run_scale(spark, mult: int, corpus_dir: str, semantic: bool = False) -> dict
     from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
 
     if semantic:
-        # built once by scaling_curve's curate_semantic stage; same input
-        # both paths, explicit shared quantizer (caller-owned contract)
+        # same embedded input both paths, explicit shared quantizer
+        # (caller-owned contract); built on demand outside timing
+        from tools.scaling_curve import ensure_embedded
+
         from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
             train_semantic_centroids,
         )
 
+        ensure_embedded(spark, corpus_dir)
         corpus = read_fanned(spark, corpus_dir, "documents_embedded", by="doc_id")
         sem = dict(
             semantic_vec_col="embedding",

@@ -118,6 +118,22 @@ def generate(mult: int, outdir: str, hot: bool) -> None:
     pq.write_table(emb, f"{outdir}/embeddings.parquet")
 
 
+def ensure_embedded(spark, d: str) -> str:
+    """documents_embedded.parquet for scale dir ``d``: (doc_id, text,
+    embedding) — each doc carries the (doc_id % n_vecs)-th scaling
+    embedding. Built once, reused by the semantic curation stages and
+    the incremental append tool; derivation runs OUTSIDE any timing."""
+    path = f"{d}/documents_embedded.parquet"
+    if not os.path.exists(path):
+        docs0 = spark.read.parquet(f"{d}/documents.parquet")
+        emb0 = spark.read.parquet(f"{d}/embeddings.parquet")
+        n_vecs = emb0.count()
+        docs0.selectExpr("doc_id", "text", f"doc_id % {n_vecs} AS vec_id").join(
+            emb0.select("vec_id", "embedding"), "vec_id"
+        ).select("doc_id", "text", "embedding").write.parquet(path)
+    return path
+
+
 class StageMeter:
     """Shuffle byte deltas from the Spark UI REST API between checkpoints."""
 
@@ -193,22 +209,13 @@ def _stage_builders(spark) -> dict:
         # assignment + the ONE cluster exchange + per-cluster pairwise,
         # exactly the standalone semdedup stage's shape on top of
         # curate_full_chain's.
-        import os as _os
-
         from youtube_analytics_lakehouse_databricks_spark.operators.curation import curate
         from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
             train_semantic_centroids,
         )
         from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
 
-        emb_path = f"{d}/documents_embedded.parquet"
-        if not _os.path.exists(emb_path):
-            docs0 = s.read.parquet(f"{d}/documents.parquet")
-            emb0 = s.read.parquet(f"{d}/embeddings.parquet")
-            n_vecs = emb0.count()
-            docs0.selectExpr("doc_id", "text", f"doc_id % {n_vecs} AS vec_id").join(
-                emb0.select("vec_id", "embedding"), "vec_id"
-            ).select("doc_id", "text", "embedding").write.parquet(emb_path)
+        emb_path = ensure_embedded(s, d)
         key = f"__sem_cents:{d}"
         cents = _MODEL_CACHE.get(key)
         if cents is None:
@@ -378,6 +385,24 @@ def _stage_builders(spark) -> dict:
             _MODEL_CACHE[key] = model
         return score_perplexity(docs, "doc_id", "text", model)
 
+    def semantic_decontam_stage(s, d):
+        # embedding-space decontamination (r10): fixed 25-vector eval
+        # side from the 1x corpus (the real asymmetry — the benchmark
+        # does not grow), one zero-shuffle Arrow matmul pass over the
+        # growing embeddings corpus
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import (
+            semantic_decontaminate,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        ev = s.read.parquet(f"{OUT_ROOT}/x1/embeddings.parquet").filter(
+            "vec_id % 80 = 0"
+        ).limit(25)
+        return semantic_decontaminate(
+            read_fanned(s, d, "embeddings"), ev, "vec_id", "embedding",
+            threshold=0.9,
+        )
+
     def lm_buckets_stage(s, d):
         # the composed tercile path (r10): perplexity_buckets over the
         # growing corpus against the same cached reference LM as
@@ -427,6 +452,7 @@ def _stage_builders(spark) -> dict:
         "classifier_scores": classifier_stage,
         "lm_perplexity": lm_perplexity_stage,
         "lm_buckets": lm_buckets_stage,
+        "semantic_decontam": semantic_decontam_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
