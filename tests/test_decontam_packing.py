@@ -337,3 +337,80 @@ class TestSemanticDecontaminate:
             semantic_decontaminate(
                 tdf, edf.filter("doc_id < 0"), "doc_id", "emb"
             )
+
+
+class TestChunkDocuments:
+    """Fixed-window chunking with overlap (r10) — the complement of
+    pack_sequences' is_oversize contract."""
+
+    def test_reconstruction_and_overlap_property(self, spark):
+        import random
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import chunk_documents
+
+        rng = random.Random(3)
+        rows = [
+            (i, " ".join(f"t{i}_{j}" for j in range(rng.randint(0, 37))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {}
+        for r in chunk_documents(df, "id", "text", max_tokens=8, overlap=3).collect():
+            out.setdefault(r["id"], {})[r["chunk_idx"]] = (
+                r["text_chunk"], r["n_tokens"]
+            )
+        step = 8 - 3
+        for i, text in rows:
+            toks = text.split(" ") if text else []
+            toks = [t for t in toks if t]
+            chunks = out[i]
+            assert sorted(chunks) == list(range(len(chunks)))  # dense idx
+            # every chunk is the exact window; de-overlapped concat is
+            # the original token stream; consecutive chunks share the
+            # overlap verbatim
+            rebuilt = []
+            for k in range(len(chunks)):
+                ctoks = chunks[k][0].split(" ") if chunks[k][0] else []
+                assert ctoks == toks[k * step : k * step + 8]
+                assert chunks[k][1] == len(ctoks)
+                rebuilt.extend(ctoks if k == 0 else ctoks[3:])
+            assert rebuilt == toks
+            if not toks:
+                assert len(chunks) == 1 and chunks[0] == ("", 0)
+            else:
+                assert len(chunks[len(chunks) - 1][0].split(" ")) >= 1
+
+    def test_compose_with_packing_no_oversize(self, spark):
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
+            chunk_documents,
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{j}" for j in range(100))), (2, "a b c")],
+            "id long, text string",
+        )
+        chunks = chunk_documents(df, "id", "text", max_tokens=16, overlap=0)
+        keyed = chunks.selectExpr(
+            "concat(id, '#', chunk_idx) AS cid", "text_chunk", "n_tokens"
+        )
+        packed = pack_sequences(keyed, "cid", "n_tokens", capacity=16)
+        assert not any(r["is_oversize"] for r in packed.collect())
+
+    def test_guards_and_plan(self, spark):
+        import pytest
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "id long, text string")
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(df, "id", "text", max_tokens=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "id", "text", max_tokens=4, overlap=4)
+        plan = (
+            chunk_documents(df, "id", "text", max_tokens=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "EvalPython" not in plan

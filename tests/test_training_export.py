@@ -284,3 +284,51 @@ def test_semantic_gate_threaded_through_export(spark, tmp_path):
     ids = {r["doc_id"] for r in exported.collect()}
     assert 20 not in ids and 4 in ids
     assert stats["kept_docs"] == stats["input_docs"] - 1
+
+
+def test_chunking_threaded_through_export(spark, tmp_path):
+    """chunk_max_tokens splits every kept doc into fixed windows BEFORE
+    packing — with chunk_max_tokens <= capacity the export carries no
+    oversize singletons, chunks scatter independently across shards, and
+    reassembling each doc's chunks in chunk_idx order (dropping the
+    overlap) reproduces its token stream."""
+    rng = random.Random(9)
+    words = [f"w{i}" for i in range(300)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(30, 200))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "exp")
+    prepare_training_data(
+        docs,
+        "doc_id",
+        "text",
+        out,
+        n_shards=4,
+        chunk_max_tokens=32,
+        chunk_overlap=4,
+        capacity=32,
+    )
+    exported = spark.read.parquet(out)
+    assert "chunk_idx" in exported.columns
+    got = exported.select("doc_id", "chunk_idx", "text").collect()
+    assert not any(
+        r["is_oversize"] for r in spark.read.parquet(out).collect()
+    )  # every chunk fits the capacity
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["text"]
+    audit = {r["doc_id"]: r["keep"] for r in spark.read.parquet(f"{out}/_audit").collect()}
+    orig = dict(rows)
+    for i, chunks in by_doc.items():
+        assert audit[i] is True
+        toks = orig[i].split(" ")
+        rebuilt = []
+        for k in range(len(chunks)):
+            ctoks = chunks[k].split(" ")
+            assert len(ctoks) <= 32
+            rebuilt.extend(ctoks if k == 0 else ctoks[4:])
+        assert rebuilt == toks
+    # kept docs that were chunked all appear
+    assert set(by_doc) == {i for i, keep in audit.items() if keep}

@@ -204,3 +204,59 @@ def pack_sequences(
         yield pd.DataFrame(out)
 
     return src.mapInPandas(pack, schema=out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split every document into <= ``max_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the complement of pack_sequences' ``is_oversize`` contract: packing
+    never truncates an over-capacity doc, chunking is how the caller
+    makes every row fit. Chunk before packing (max_tokens <= capacity)
+    and the export has no oversize singletons; the standard pretraining
+    shape (fixed windows with a small overlap so no boundary context is
+    lost).
+
+    Output: one row per chunk — (id, chunk_idx, text_chunk, n_tokens) —
+    in document order (chunk_idx 0..k-1); chunk starts advance by
+    ``max_tokens - overlap``, the final chunk is whatever remains (>= 1
+    token past the previous chunk's new content), and empty/whitespace
+    docs yield a single empty chunk 0 so no input id ever vanishes.
+    Reconstruction is whitespace-normalizing (tokens rejoined with a
+    single space — substring_dedup's token-stream contract).
+
+    Scale shape: pure per-row JVM array math (split -> transform over a
+    start sequence -> posexplode) — whole-stage codegen, ZERO shuffle at
+    any corpus size, linear output inflation of exactly
+    overlap/(max_tokens-overlap) on full windows.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} vs {max_tokens}"
+        )
+    step = max_tokens - overlap
+    toks = df.select(
+        id_col, F.expr(f"filter(split({text_col}, ' '), x -> x <> '')").alias("__t")
+    )
+    # start positions: 0, step, 2*step, ... while start < n (and at least
+    # one chunk for empty docs); slice() is 1-based
+    chunks = F.expr(
+        f"transform(sequence(0, greatest(ceil((size(__t) - {overlap}) / {step}) - 1, 0)), "
+        f"i -> slice(__t, int(i) * {step} + 1, {max_tokens}))"
+    )
+    return toks.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "__chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", "__chunk").alias("text_chunk"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+    )

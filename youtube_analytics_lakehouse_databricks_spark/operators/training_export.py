@@ -57,6 +57,8 @@ def prepare_training_data(
     alpha: float | None = None,
     weights: dict[str, float] | None = None,
     target_rows: int | None = None,
+    chunk_max_tokens: int | None = None,
+    chunk_overlap: int = 0,
     capacity: int | None = 2048,
     val_frac: float | None = None,
     split_seed: int = 0,
@@ -186,6 +188,29 @@ def prepare_training_data(
         sides = leakage_safe_split(audit, id_col, val_frac=val_frac, seed=split_seed)
         mixed = mixed.join(sides.select(id_col, "split"), id_col)
 
+    # 3c. optional fixed-window chunking (the complement of packing's
+    # is_oversize contract): every kept doc splits into
+    # <= chunk_max_tokens-token windows with chunk_overlap carry-over,
+    # so with chunk_max_tokens <= capacity the packed export has NO
+    # oversize singletons. Chunks are computed once per distinct doc
+    # (upsampled copies inherit them through the join) and scatter
+    # independently across shards (chunk_idx joins the export key).
+    # The audit stays DOC-level — curation verdicts are about documents;
+    # chunk provenance is (id, chunk_idx) on every exported row.
+    if chunk_max_tokens is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import chunk_documents
+
+        ch = chunk_documents(
+            mixed.select(id_col, text_col).dropDuplicates([id_col]),
+            id_col,
+            text_col,
+            max_tokens=chunk_max_tokens,
+            overlap=chunk_overlap,
+        ).select(
+            id_col, "chunk_idx", F.col("text_chunk").alias(text_col)
+        )
+        mixed = mixed.drop(text_col).join(ch, id_col)
+
     # curation + mixing run ONCE across epochs: this cut materializes the
     # mixed frame, so each epoch's tree pays only its own permutation
     # exchange + packing + write against the cached blocks, never a
@@ -193,12 +218,17 @@ def prepare_training_data(
     mixed = cut(mixed, durable=durable)
 
     split_cols = ["split"] if val_frac is not None else []
+    chunk_cols = ["chunk_idx"] if chunk_max_tokens is not None else []
 
     def _write_epoch(epoch_seed: int, path: str) -> None:
         # 4. the epoch permutation: ONE exchange. The shard key hashes
-        # (id, copy) so upsampled copies of a doc scatter independently.
+        # (id, copy[, chunk_idx]) so upsampled copies — and chunks of
+        # one doc — scatter independently.
         keyed = mixed.withColumn(
-            "__export_id", F.concat_ws("#", F.col(id_col).cast("string"), "copy")
+            "__export_id",
+            F.concat_ws(
+                "#", F.col(id_col).cast("string"), "copy", *chunk_cols
+            ),
         )
         arranged = (
             assign_shards(keyed, "__export_id", n_shards=n_shards, seed=epoch_seed)
@@ -212,7 +242,7 @@ def prepare_training_data(
         # shard VALUE, so one task can hold two shards — packing must
         # never build a sequence spanning them (the partitionBy write
         # below would split it across shard directories).
-        out_cols = [id_col, "copy", text_col, SHARD_COL, *split_cols]
+        out_cols = [id_col, "copy", *chunk_cols, text_col, SHARD_COL, *split_cols]
         if capacity is not None:
             packed = pack_sequences(
                 arranged.withColumn(
@@ -221,7 +251,9 @@ def prepare_training_data(
                 "__export_id",
                 "n_tokens_",
                 capacity=capacity,
-                carry=tuple([id_col, "copy", text_col, SHARD_COL, KEY_COL, *split_cols]),
+                carry=tuple(
+                    [id_col, "copy", *chunk_cols, text_col, SHARD_COL, KEY_COL, *split_cols]
+                ),
                 group_col=SHARD_COL,
             )
             export = packed.select(
