@@ -287,3 +287,29 @@ def test_semantic_durable_mode_identical(spark, tmp_path):
     assert _sorted(dur) == _sorted(base)
     got = {t[0]: t for t in _sorted(dur)}
     assert got[11][1:4] == (False, "semantic_duplicate", 1)
+
+
+def test_semantic_three_appends_chain(spark):
+    """Equivalence composes across THREE appends with semantic folds in
+    every batch — including a third-batch doc folding into a group formed
+    by the SECOND batch's merge."""
+    e1 = _emb(0, 100)
+    e11 = _emb(1, 300, noise=0.09)
+    e12 = _emb(1, 301, noise=0.09)
+    mid = np.asarray(e11) + np.asarray(e12)
+    mid = [float(x) for x in mid / np.linalg.norm(mid)]
+    b1 = [(1, _text(1), e1), (11, _text(11), e11), (12, _text(12), e12)]
+    b2 = [(101, _text(101), mid), (102, _text(102), _emb(2, 500))]
+    b3 = [
+        (201, _text(201), _dup_of(e12, 9)),  # joins the merged group -> 11
+        (202, _text(202), _dup_of(e1, 8)),  # folds to 1
+    ]
+    _, st = curate_incremental(_df(spark, b1), "doc_id", "text", **SEM)
+    _, st = curate_incremental(_df(spark, b2), "doc_id", "text", state=st, **SEM)
+    inc, _ = curate_incremental(_df(spark, b3), "doc_id", "text", state=st, **SEM)
+    full = curate(_df(spark, b1 + b2 + b3), "doc_id", "text", **SEM)
+    assert _sorted(inc) == _sorted(full)
+    got = {t[0]: t for t in _sorted(inc)}
+    assert got[12][1:4] == (False, "semantic_duplicate", 11)
+    assert got[201][1:4] == (False, "semantic_duplicate", 11)
+    assert got[202][1:4] == (False, "semantic_duplicate", 1)
