@@ -313,3 +313,51 @@ def test_semantic_three_appends_chain(spark):
     assert got[12][1:4] == (False, "semantic_duplicate", 11)
     assert got[201][1:4] == (False, "semantic_duplicate", 11)
     assert got[202][1:4] == (False, "semantic_duplicate", 1)
+
+
+def test_orphaned_semantic_group_divergence_is_pinned(spark):
+    """The doubly-adversarial corner, pinned as DOCUMENTED behavior: a
+    stored semantic keeper (1) near-retro-folds in the same append that
+    semantically touches its orphaned member (2). The full run reforms
+    the group without the keeper (keeps 2, folds the new doc 102 into
+    it); the incremental run never resurrects — 2 stays folded with its
+    pointer following the keeper's relabel to a KEPT doc, 102 (compared
+    only against alive members) stays kept. Deliberate monotone
+    divergence, in BOTH directions here: 2 is an inc-only drop, 102 an
+    inc-only keep; every pointer still ends at a kept doc on both sides.
+    """
+    from tests.test_curation_incremental import A_TXT, B_TXT, C_TXT, PARAMS
+
+    e1 = _emb(0, 100)
+    b1 = [
+        (0, B_TXT, _emb(1, 10)),
+        (1, A_TXT, e1),
+        (2, _text(2), _dup_of(e1, 21)),
+    ]
+    b2 = [
+        (101, C_TXT, _emb(2, 30)),  # bridges 0 and 1 -> near merge, root 0
+        (102, _text(102), _dup_of(e1, 22)),
+    ]
+    params = dict(SEM, **PARAMS)
+    full, inc, _ = _run_both(spark, b1, b2, **params)
+    fgot = {t[0]: t for t in full}
+    igot = {t[0]: t for t in inc}
+    # verdict agreement everywhere except the orphaned group (doc 1's
+    # semantic_centroid_sim stays recorded from its bootstrap-time
+    # examination — the full run never examines it — so provenance
+    # columns differ, verdicts don't)
+    for i in (0, 1, 101):
+        assert igot[i][:4] == fgot[i][:4]
+    assert igot[0] == fgot[0] and igot[101] == fgot[101]
+    assert igot[1][1:4] == (False, "near_duplicate", 0)
+    # full run: group reformed without the keeper
+    assert fgot[2][1] is True
+    assert fgot[102][1:4] == (False, "semantic_duplicate", 2)
+    # incremental: monotone — no resurrection; orphan pointer follows the
+    # keeper's relabel to a KEPT doc; the new doc keeps
+    assert igot[2][1:4] == (False, "semantic_duplicate", 0)
+    assert igot[102][1] is True
+    for got in (igot, fgot):  # pointer closure on both sides
+        for t in got.values():
+            if t[3] is not None:
+                assert got[t[3]][1] is True

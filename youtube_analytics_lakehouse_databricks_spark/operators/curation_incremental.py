@@ -91,10 +91,14 @@ Divergences mirror stage 3's monotone contract: (a) a cluster crossing
 folds and flags every member, where the full run keeps everyone
 flagged; (b) in the doubly-adversarial corner where a stored semantic
 KEEPER is near-retro-folded by the same append, its orphaned group
-members stay folded (pointers follow the keeper's relabel) and are
-excluded from this run's comparisons — the full run would reform the
-group without the keeper. Both keep every pointer ending at the final
-cluster root.
+members stay folded (pointers follow the keeper's relabel to a KEPT
+doc) and are excluded from this run's comparisons — the full run
+reforms the group WITHOUT the keeper, which can both keep a member the
+incremental run already dropped AND fold a new doc the incremental run
+keeps (the one corner where the divergence runs in both directions;
+pinned verbatim by
+tests/test_curation_semantic.py::test_orphaned_semantic_group_divergence_is_pinned).
+Both paths keep every pointer ending at a kept doc.
 """
 
 from __future__ import annotations
