@@ -167,9 +167,10 @@ def semantic_decontaminate(
     precision).
 
     Scale shape (the n-gram operator's asymmetry, embedding edition):
-    the eval side is benchmark-sized, so its normalized float32 matrix
-    is collected ONCE (bounded: 1e5 eval docs x 1k dims ~= 400 MB is
-    the practical ceiling — a 'benchmark' beyond that is a corpus) and
+    the eval side is benchmark-sized, so its normalized float64 matrix
+    is collected ONCE (bounded: 1e5 eval docs x 1k dims ~= 800 MB
+    float64 is the practical ceiling — a 'benchmark' beyond that is a
+    corpus) and
     broadcast; the training side is ONE Arrow mapInPandas pass — a
     per-batch matmul against the eval matrix, chunked over eval rows so
     peak memory is bounded — with ZERO shuffle at any corpus size.
@@ -183,12 +184,20 @@ def semantic_decontaminate(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eval_id_col = eval_id_col or id_col
     eval_vec_col = eval_vec_col or vec_col
-    rows = eval_df.select(eval_id_col, eval_vec_col).collect()
+    # collected in eval-id order: numpy argmax takes the FIRST max, so an
+    # exact-tie match deterministically names the LOWEST eval id (and the
+    # cross-engine oracle can mirror the tie-break as ORDER BY cos DESC,
+    # eval id ASC)
+    rows = eval_df.select(eval_id_col, eval_vec_col).orderBy(eval_id_col).collect()
     if not rows:
         raise ValueError("eval_df is empty — nothing to decontaminate against")
     eval_ids = np.array([r[eval_id_col] for r in rows], dtype=np.int64)
     emat = np.stack([np.asarray(r[eval_vec_col], dtype=np.float64) for r in rows])
-    emat = (emat / np.linalg.norm(emat, axis=1, keepdims=True)).astype(np.float32)
+    # float64 end to end: a float32 eval matrix costs ~1e-7 per cosine —
+    # enough to flip the 1e-6-rounded verdicts against the cross-engine
+    # oracle (measured); the eval side is bounded, so the 2x bytes are
+    # control-plane noise
+    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
     bc = train.sparkSession.sparkContext.broadcast((eval_ids, emat))
     thr = float(threshold)
     chunk = max(1, int(eval_chunk_rows))
@@ -203,11 +212,7 @@ def semantic_decontaminate(
             best = np.full(len(pdf), -np.inf, dtype=np.float64)
             best_id = np.zeros(len(pdf), dtype=np.int64)
             for s in range(0, len(ids), chunk):
-                # float64 product: float32 GEMM accumulation order varies
-                # with the chunk SHAPE (1-ulp drift that can flip the
-                # 1e-6 rounding), so chunking must not change verdicts;
-                # the broadcast stays float32 for memory
-                cos = m @ em[s : s + chunk].astype(np.float64).T
+                cos = m @ em[s : s + chunk].T
                 j = np.argmax(cos, axis=1)
                 cand = cos[np.arange(len(pdf)), j]
                 upd = cand > best

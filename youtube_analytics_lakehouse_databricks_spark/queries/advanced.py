@@ -315,7 +315,9 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_matrix_extract",
     """
     SELECT CAST(doc_id AS VARCHAR) AS row_key, lang AS dim_value,
-           CAST(n_chars AS BIGINT) AS metric_value, source AS extra_dim
+           CAST(n_chars AS BIGINT) AS metric_value, source AS extra_dim,
+           CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+                THEN source END AS opt_value
     FROM documents
     """,
     doc=(
@@ -324,32 +326,53 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with primitivesAsString, transform(headers, x -> x.name), "
         "explode_outer(rows), then header-name positional lookup via "
         "element_at(row, array_position(headers, name)) with typed casts "
-        "(P:374-416) — must reproduce the plain projection."
+        "(P:374-416) — must reproduce the plain projection. Since r10 the "
+        "payload carries a CONDITIONALLY-PRESENT header ('opt', only for "
+        "even-digit sources — the reference API's variable report "
+        "columns): its extraction exercises the full missing-column "
+        "semantics (array_position = 0 on absent names, the CASE "
+        "presence guard, element_at never probing position 0) that the "
+        "former positional_token_lookup row carried — that row is "
+        "unregistered, its slot freed for semantic_decontam."
     ),
 )
 def analytics_matrix_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark import contract
 
     docs = read(spark, sf_dir, "documents")
+
+    def hdr(n: str):
+        return F.struct(
+            F.lit(n).alias("name"),
+            F.lit("DIMENSION").alias("columnType"),
+            F.lit("STRING").alias("dataType"),
+        )
+
+    # conditionally-present 4th column: only even-digit sources report it
+    has_opt = F.substring("source", -1, 1).isin("0", "2", "4", "6", "8")
+    base = [hdr(n) for n in ["metric", "key", "dim"]]
     # one matrix payload per source partition, rows in shuffled header order
     payload = docs.groupBy("source").agg(
         F.to_json(
             F.struct(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(n).alias("name"),
-                            F.lit("DIMENSION").alias("columnType"),
-                            F.lit("STRING").alias("dataType"),
-                        )
-                        for n in ["metric", "key", "dim"]
-                    ]
-                ).alias("columnHeaders"),
+                F.when(has_opt, F.array(*base, hdr("opt")))
+                .otherwise(F.array(*base))
+                .alias("columnHeaders"),
                 F.collect_list(
-                    F.array(
-                        F.col("n_chars").cast("string"),
-                        F.col("doc_id").cast("string"),
-                        F.col("lang"),
+                    F.when(
+                        has_opt,
+                        F.array(
+                            F.col("n_chars").cast("string"),
+                            F.col("doc_id").cast("string"),
+                            F.col("lang"),
+                            F.col("source"),
+                        ),
+                    ).otherwise(
+                        F.array(
+                            F.col("n_chars").cast("string"),
+                            F.col("doc_id").cast("string"),
+                            F.col("lang"),
+                        )
                     )
                 ).alias("rows"),
             )
@@ -372,11 +395,17 @@ def analytics_matrix_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_values", F.array_position("header_names", name).cast("int")
         )
 
+    pos_opt = F.array_position("header_names", "opt")
     return rows.select(
         cell("key").alias("row_key"),
         cell("dim").alias("dim_value"),
         cell("metric").cast("bigint").alias("metric_value"),
         F.col("source").alias("extra_dim"),
+        # the missing-column guard: array_position = 0 when the header is
+        # absent; element_at must never see position 0 (it raises there)
+        F.when(pos_opt > 0, F.element_at("row_values", pos_opt.cast("int"))).alias(
+            "opt_value"
+        ),
     )
 
 

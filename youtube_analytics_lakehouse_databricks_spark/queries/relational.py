@@ -540,21 +540,18 @@ def latest_purchasing_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(1)
 
 
-@register(
-    "positional_token_lookup",
-    """
-    SELECT doc_id,
-           CAST(list_position(tokens, 'table') AS BIGINT) AS pos_table,
-           CASE WHEN list_position(tokens, 'table') > 0
-                 AND list_position(tokens, 'table') < len(tokens)
-                THEN tokens[list_position(tokens, 'table') + 1] END AS word_after_table
-    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-    """,
-    doc=(
-        "Header-positional extraction: array_position + element_at with CASE presence guard, "
-        "the analytics-matrix lookup pattern (P:396-410, 543-570). Both engines return 0 for missing."
-    ),
-)
+# NOTE: formerly registered as the oracled query "positional_token_lookup";
+# unregistered in round 10 to free the 50-row-budget slot
+# semantic_decontam now occupies (queries/vectorops.py) — the r9 VERDICT
+# itself proposed this fold ("positional_token_lookup folds into
+# analytics_matrix_extract, same element_at surface"). The surface moved
+# INTO that query rather than merely being subsumed: its payload now
+# carries a conditionally-present header ('opt', even-digit sources
+# only), so the missing-column semantics this row existed for —
+# array_position = 0 on absent names, the CASE presence guard,
+# element_at never probing position 0 — run inside the green
+# analytics_matrix_extract row against real variable-column reports.
+# Kept importable.
 def positional_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))

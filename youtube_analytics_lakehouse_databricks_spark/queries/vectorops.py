@@ -414,6 +414,57 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic decontamination: embedding-space eval-similarity flags ------
+
+SEMDECON_THRESHOLD = 0.9
+SEMDECON_EVAL_MOD = 97  # eval suite = vec_id % 97 = 0 (deterministic slice)
+
+
+@register(
+    "semantic_decontam",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {_NORM_DD.format(a="embedding")} AS norm
+      FROM embeddings
+    ),
+    ev AS (SELECT * FROM normed WHERE vec_id % {SEMDECON_EVAL_MOD} = 0),
+    scored AS (
+      SELECT t.vec_id, e.vec_id AS eid,
+             {_DOT_DD.format(a="t.embedding", b="e.embedding")} / (t.norm * e.norm) AS cos,
+             row_number() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY {_DOT_DD.format(a="t.embedding", b="e.embedding")}
+                          / (t.norm * e.norm) DESC,
+                        e.vec_id ASC) AS rn
+      FROM normed t CROSS JOIN ev e
+    )
+    SELECT vec_id, round(cos, 6) AS max_eval_cosine,
+           eid AS matched_eval_id,
+           round(cos, 6) >= {SEMDECON_THRESHOLD} AS is_semantically_contaminated
+    FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "Embedding-space benchmark decontamination (the leakage the "
+        "13-gram rule misses): max cosine of every training vector "
+        "against the broadcast benchmark-sized eval matrix, ONE Arrow "
+        "pass, zero shuffle; the oracle brute-forces the small cross "
+        "product with the same fold arithmetic and the same lowest-id "
+        "tie-break. The eval slice (every 97th vector) sits INSIDE the "
+        "corpus, so the planted self-leaks flag at threshold "
+        f"{SEMDECON_THRESHOLD} while near-misses exercise the review "
+        "tier's best-match pointers."
+    ),
+)
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+    emb = read(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % SEMDECON_EVAL_MOD == 0)
+    return semantic_decontaminate(
+        emb, ev, "vec_id", "embedding", threshold=SEMDECON_THRESHOLD
+    )
+
+
 # --- int8 quantization: the 4x storage cut for 100 TB embedding corpora ---
 
 _Q_SCALE = "greatest({mx}, CAST(1e-30 AS DOUBLE))"
