@@ -220,7 +220,8 @@ def _bench_only() -> dict[str, Query]:
 # signup_followup_window itself continues unchanged as bench-only.
 # ngram_lm_scores (new oracled row) is deliberately NOT benched: its
 # exact plan is ngram_lm_train at n=2 on the same slice — the n=3 train
-# row already carries the family's timing series.
+# row already carries the family's timing series. First-epoch r10 rows:
+# semantic_decontam_scores (new operator, ~0.45-0.83 s at sf0.1).
 #
 # Drift notes (r9) — first like-for-like read under the honest noop sink:
 # NO query drifted slower than 1.3x vs r8. 16 queries drifted FASTER
