@@ -414,3 +414,37 @@ class TestChunkDocuments:
             .toString()
         )
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_chunk_documents_parameter_sweep(spark):
+    """Hypothesis-style sweep over (max_tokens, overlap, doc length):
+    the reconstruction property holds for every combination."""
+    import random
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.packing import chunk_documents
+
+    rng = random.Random(17)
+    cases = [(1, 0), (2, 0), (2, 1), (5, 0), (5, 4), (8, 3), (16, 15), (64, 7)]
+    rows = [
+        (i, " ".join(f"x{i}_{j}" for j in range(rng.randint(0, 130))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for max_tokens, overlap in cases:
+        step = max_tokens - overlap
+        out = {}
+        for r in chunk_documents(
+            df, "id", "text", max_tokens=max_tokens, overlap=overlap
+        ).collect():
+            out.setdefault(r["id"], {})[r["chunk_idx"]] = r["text_chunk"]
+        for i, text in rows:
+            toks = [t for t in text.split(" ") if t]
+            chunks = out[i]
+            assert sorted(chunks) == list(range(len(chunks))), (max_tokens, overlap, i)
+            rebuilt = []
+            for k in range(len(chunks)):
+                ctoks = [t for t in chunks[k].split(" ") if t]
+                assert len(ctoks) <= max_tokens
+                assert ctoks == toks[k * step : k * step + max_tokens]
+                rebuilt.extend(ctoks if k == 0 else ctoks[overlap:])
+            assert rebuilt == toks, (max_tokens, overlap, i)

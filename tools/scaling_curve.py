@@ -403,6 +403,17 @@ def _stage_builders(spark) -> dict:
             threshold=0.9,
         )
 
+    def chunk_documents_stage(s, d):
+        # fixed-window chunking (r10): pure per-row codegen array math —
+        # the only shuffle is the harness fan-out
+        from youtube_analytics_lakehouse_databricks_spark.operators.packing import chunk_documents
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        return chunk_documents(
+            read_fanned(s, d, "documents", by="doc_id"), "doc_id", "text",
+            max_tokens=32, overlap=4,
+        )
+
     def lm_buckets_stage(s, d):
         # the composed tercile path (r10): perplexity_buckets over the
         # growing corpus against the same cached reference LM as
@@ -446,6 +457,7 @@ def _stage_builders(spark) -> dict:
         "substring_dedup": substring_stage,
         "semantic_dedup": semdedup_stage,
         "pack_sequences": packing_stage,
+        "chunk_documents": chunk_documents_stage,
         "mixture_sample": mixing_stage,
         "bpe_token_counts": bpe_stage,
         "shuffle_shards": sharding_stage,
