@@ -338,6 +338,62 @@ class TestSemanticDecontaminate:
                 tdf, edf.filter("doc_id < 0"), "doc_id", "emb"
             )
 
+    def test_string_ids_raise_loudly(self, spark):
+        """r10 verdict #1: a string-keyed corpus must raise the documented
+        ValueError, not die inside the Arrow kernel's numpy cast."""
+        import pytest
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        tdf_s = spark.createDataFrame(
+            [(f"d{i}", v) for i, v in train], "doc_id string, emb array<float>"
+        )
+        with pytest.raises(ValueError, match="integral id"):
+            semantic_decontaminate(tdf_s, edf, "doc_id", "emb")
+        edf_s = spark.createDataFrame(
+            [(f"e{i}", v) for i, v in ev], "doc_id string, emb array<float>"
+        )
+        with pytest.raises(ValueError, match="integral id"):
+            semantic_decontaminate(tdf, edf_s, "doc_id", "emb")
+
+    def test_zero_norm_vectors(self, spark):
+        """r10 verdict #2: a planted zero-vector doc yields a NULL/False
+        row (never a silent -inf); a zero-norm EVAL vector raises."""
+        import pytest
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        train = train + [(99, [0.0] * self.DIM)]
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        rows = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                tdf, edf, "doc_id", "emb", threshold=0.95
+            ).collect()
+        }
+        z = rows[99]
+        assert z["max_eval_cosine"] is None
+        assert z["matched_eval_id"] is None
+        assert z["is_semantically_contaminated"] is False
+        # the rest of the corpus is untouched by the guard
+        assert rows[7]["is_semantically_contaminated"] is True
+        assert all(
+            rows[i]["max_eval_cosine"] is not None for i, _ in train if i != 99
+        )
+        ev_bad = ev + [(999, [0.0] * self.DIM)]
+        with pytest.raises(ValueError, match="zero norm"):
+            semantic_decontaminate(
+                tdf,
+                spark.createDataFrame(ev_bad, "doc_id long, emb array<float>"),
+                "doc_id",
+                "emb",
+            )
+
 
 class TestChunkDocuments:
     """Fixed-window chunking with overlap (r10) — the complement of

@@ -164,7 +164,11 @@ def semantic_decontaminate(
     here; matched_eval_id names the most-similar eval doc whenever ANY
     similarity was computed (the review tier), and the flag fires at
     ``threshold``. Cosines are 1e-6-rounded (the engine's verdict
-    precision).
+    precision). Ids must be integral on BOTH sides (loud ValueError
+    otherwise — the curate() guard pattern); a zero-norm training vector
+    has no direction, so its row reports NULL cosine/match and a False
+    flag, while a zero-norm EVAL vector raises (it could never match
+    anything, which is a broken benchmark, not a scoring outcome).
 
     Scale shape (the n-gram operator's asymmetry, embedding edition):
     the eval side is benchmark-sized, so its normalized float64 matrix
@@ -184,6 +188,19 @@ def semantic_decontaminate(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eval_id_col = eval_id_col or id_col
     eval_vec_col = eval_vec_col or vec_col
+    # loud integral-id guard (the curate() lehmer-guard pattern): the
+    # Arrow kernel carries ids as int64 and the output schema is typed
+    # long — a string-keyed corpus would otherwise die inside the numpy
+    # cast (or at schema mismatch) with no useful message
+    integral = ("bigint", "int", "smallint", "tinyint")
+    id_type = dict(train.dtypes)[id_col]
+    ev_type = dict(eval_df.dtypes)[eval_id_col]
+    if id_type not in integral or ev_type not in integral:
+        raise ValueError(
+            "semantic decontamination requires integral id columns "
+            f"(got {id_col}: {id_type}, {eval_id_col}: {ev_type}); "
+            "map string keys to a surrogate long first"
+        )
     # collected in eval-id order: numpy argmax takes the FIRST max, so an
     # exact-tie match deterministically names the LOWEST eval id (and the
     # cross-engine oracle can mirror the tie-break as ORDER BY cos DESC,
@@ -197,7 +214,14 @@ def semantic_decontaminate(
     # enough to flip the 1e-6-rounded verdicts against the cross-engine
     # oracle (measured); the eval side is bounded, so the 2x bytes are
     # control-plane noise
-    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+    enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+    if not np.all(enorm > 0):
+        bad = eval_ids[enorm[:, 0] == 0][:5]
+        raise ValueError(
+            f"eval embeddings with zero norm (ids {bad.tolist()}): a zero "
+            "vector has no direction and can never match — fix the eval set"
+        )
+    emat = emat / enorm
     bc = train.sparkSession.sparkContext.broadcast((eval_ids, emat))
     thr = float(threshold)
     chunk = max(1, int(eval_chunk_rows))
@@ -208,7 +232,9 @@ def semantic_decontaminate(
         ids, em = bc.value
         for pdf in batches:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1)
+            zero = norms == 0.0  # no direction -> cosine undefined
+            m = m / np.maximum(norms, 1e-30)[:, None]
             best = np.full(len(pdf), -np.inf, dtype=np.float64)
             best_id = np.zeros(len(pdf), dtype=np.int64)
             for s in range(0, len(ids), chunk):
@@ -219,12 +245,19 @@ def semantic_decontaminate(
                 best[upd] = cand[upd]
                 best_id[upd] = ids[s + j[upd]]
             best = np.round(best, 6)
+            # zero-norm docs report NULL cosine/match and a False flag —
+            # never a silent -inf row; the NULLs ARE the audit signal
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "max_eval_cosine": best,
-                    "matched_eval_id": best_id,
-                    "is_semantically_contaminated": best >= thr,
+                    "max_eval_cosine": pd.array(
+                        np.where(zero, np.nan, best), dtype="Float64"
+                    ),
+                    "matched_eval_id": pd.array(
+                        [None if z else int(b) for z, b in zip(zero, best_id)],
+                        dtype="Int64",
+                    ),
+                    "is_semantically_contaminated": np.where(zero, False, best >= thr),
                 }
             )
 

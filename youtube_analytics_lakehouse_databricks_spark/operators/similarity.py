@@ -204,7 +204,10 @@ def _train_centroids(
         df.select(id_col, vec_col).orderBy(id_col).limit(max(n_cells * 64, 2048)).toPandas()
     )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # eps guard: a zero-norm sample row becomes the zero vector (sims 0
+    # everywhere) instead of a NaN row that would poison every centroid
+    # it touches through the mean re-center
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     centroids = mat[: min(n_cells, len(mat))].copy()
     for _ in range(kmeans_iters):
         assign = np.argmax(mat @ centroids.T, axis=1)  # cosine on normalized rows
@@ -251,9 +254,12 @@ def ivf_topk(
         cents = bc.value
         for pdf in batches:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = m @ cents.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: an exact similarity tie deterministically
+            # probes the LOWEST cell index (ORDER BY sim DESC, cell ASC —
+            # the tie-break the cross-engine oracle mirrors)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             out_id, out_vec, out_cell, out_side = [], [], [], []
             for i in range(len(pdf)):
                 out_id.append(pdf[id_col].iloc[i])
@@ -379,7 +385,10 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFra
         cents = bc.value
         for pdf in batches:
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # eps guard: a zero-norm vector assigns deterministically to
+            # cell 0 with centroid_sim 0.0 instead of an ill-defined
+            # argmax over a NaN row
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = m @ cents.T
             cell = np.argmax(sims, axis=1)
             yield pd.DataFrame(
@@ -520,7 +529,7 @@ def semantic_dedup(
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["v"].iloc[order]]
         )
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
         cos = np.round(mat @ mat.T, 6)
         # union-find over the above-threshold pairs (upper triangle)
         parent = np.arange(n)

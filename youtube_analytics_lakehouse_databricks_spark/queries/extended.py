@@ -389,49 +389,5 @@ def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_ivf_ann",
-    None,  # iterative k-means quantizer -> not SQL-expressible; rows-only.
-    # SELF-VALIDATING: every hit carries in_exact_topk (is this pair in
-    # the exact top-k?) and recall_at_k (per-query fraction of exact
-    # neighbors retrieved) computed against the exact grid operator in
-    # the same plan; tests assert the columns agree with an independent
-    # exact-vs-ivf comparison (test_ivf_recall).
-    doc=(
-        "IVF ANN: sample-trained deterministic k-means coarse quantizer, "
-        "corpus sharded into centroid cells, queries probe the 2 nearest "
-        "cells, exact rank within cells + global re-rank. The third ANN "
-        "strategy next to brute-force and SRP-LSH. Output is joined "
-        "against the exact top-k to emit in_exact_topk and recall_at_k "
-        "columns — the query grades its own recall."
-    ),
-)
-def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
-        cosine_topk,
-        ivf_topk,
-    )
-
-    # fan the scan so the fused Arrow assignment pass isn't single-partition
-    emb = read_fanned(spark, sf_dir, "embeddings")
-    ivf = ivf_topk(emb, "vec_id", "embedding", n_cells=16, n_probe=2, k=5)
-    # n_exact rides along on the exact side so recall's denominator is the
-    # exact top-k size (min(k, corpus-1)), not however many rows IVF happened
-    # to retrieve — avg over retrieved rows would report precision, not recall.
-    exact = cosine_topk(emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
-    )
-    exact = exact.withColumn(
-        "n_exact", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
-    )
-    w = Window.partitionBy("query_id")
-    hits = F.sum(F.col("in_exact_topk").cast("double")).over(w)
-    # max() recovers n_exact for rows the left join left null; a query with
-    # zero exact hits has null n_exact everywhere but its recall is 0 anyway.
-    denom = F.max("n_exact").over(w)
-    return (
-        ivf.join(exact, ["query_id", "neighbor_id"], "left")
-        .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
-        .withColumn("recall_at_k", F.coalesce(F.round(hits / denom, 3), F.lit(0.0)))
-        .select("query_id", "neighbor_id", "cosine", "rank", "in_exact_topk", "recall_at_k")
-    )
+# NOTE: embedding_ivf_ann moved to queries/vectorops.py in r11, where it
+# gained its DuckDB oracle (the quantizer unroll lives there).

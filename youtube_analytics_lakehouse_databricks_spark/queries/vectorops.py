@@ -322,21 +322,34 @@ def _semdedup_iter_cte(k: int) -> str:
     )"""
 
 
+def _quantizer_ctes(n_cells: int, iters: int) -> str:
+    """The deterministic mini-Lloyd coarse quantizer, unrolled as DuckDB
+    CTEs: ``snorm`` (lowest-id normalized sample, the same
+    max(n_cells*64, 2048) bound as operators.similarity._train_centroids),
+    ``c0`` (init = first n_cells sample rows), then ``iters``
+    assign/re-center rounds; the trained centroids are ``c{iters}``.
+    Shared by the SemDeDup and IVF oracles — both operators train THIS
+    quantizer, so both oracles unroll THIS block."""
+    sample = max(n_cells * 64, 2048)
+    raw_norm = _NORM_DD.format(a="embedding")
+    rounds = ",".join(_semdedup_iter_cte(k) for k in range(1, iters + 1))
+    return f"""snorm AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM (SELECT vec_id, embedding, {raw_norm} AS nrm
+            FROM embeddings ORDER BY vec_id LIMIT {sample})
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+      FROM snorm ORDER BY vec_id LIMIT {n_cells}
+    ),{rounds}"""
+
+
 def _semdedup_oracle_sql() -> str:
-    iters = ",".join(_semdedup_iter_cte(k) for k in range(1, SEMDEDUP_ITERS + 1))
     fdot = _DOT_D_DD.format(a="s.v", b="c.v")
     pdot = _DOT_D_DD.format(a="a.v", b="b.v")
     raw_norm = _NORM_DD.format(a="embedding")
     return f"""
-    WITH RECURSIVE snorm AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
-      FROM (SELECT vec_id, embedding, {raw_norm} AS nrm
-            FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_SAMPLE})
-    ),
-    c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
-      FROM snorm ORDER BY vec_id LIMIT {SEMDEDUP_N_CELLS}
-    ),{iters},
+    WITH RECURSIVE {_quantizer_ctes(SEMDEDUP_N_CELLS, SEMDEDUP_ITERS)},
     corpus AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
       FROM (SELECT vec_id, embedding, {raw_norm} AS nrm FROM embeddings)
@@ -411,6 +424,141 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=SEMDEDUP_N_CELLS,
         kmeans_iters=SEMDEDUP_ITERS,
         max_cluster_size=SEMDEDUP_CAP,
+    )
+
+
+# --- IVF ANN: the oracled registry row (r11) -------------------------------
+#
+# The oracle mirrors operators/similarity.py::ivf_topk END TO END, reusing
+# the SemDeDup oracle's quantizer unroll (_quantizer_ctes — ivf_topk trains
+# the SAME _train_centroids mini-Lloyd, with the same n_cells=16/iters=3/
+# sample=2048 parameters at the registered sizes): full-corpus
+# nearest-centroid assignment (rn=1 = the corpus cell; rn<=n_probe = the
+# query probes — argsort is kind='stable' in the operator so an exact tie
+# probes the lowest cell, ORDER BY sim DESC, cell ASC here), candidates =
+# probe-cell x corpus-cell equi-join minus self, exact 1e-6-rounded cosine
+# on the raw vectors (the embedding_topk_cosine fold regime), global top-k
+# re-rank. The per-cell top-k truncation in the operator uses the same
+# total order as the global rank, so skipping it here is exact. The
+# recall columns are deterministic too: the exact top-k is the
+# embedding_topk_cosine plan, in_exact_topk is a left-join hit flag, and
+# recall_at_k = round(hits / n_exact, 3) — Spark's coalesce(round(hits /
+# max(n_exact) over qid, 3), 0.0) reduces to this because n_exact is
+# per-query constant and hits = 0 whenever the max() window sees no match.
+
+IVF_N_CELLS = 16
+IVF_N_PROBE = 2
+IVF_K = 5
+IVF_ITERS = 3
+
+
+def _ivf_oracle_sql() -> str:
+    adot = _DOT_D_DD.format(a="s.v", b="c.v")
+    pdot = _DOT_DD.format(a="a.embedding", b="b.embedding")
+    raw_norm = _NORM_DD.format(a="embedding")
+    return f"""
+    WITH RECURSIVE {_quantizer_ctes(IVF_N_CELLS, IVF_ITERS)},
+    normed AS (
+      SELECT vec_id, embedding, {raw_norm} AS norm FROM embeddings
+    ),
+    corpusn AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) AS v
+      FROM normed
+    ),
+    fa AS (
+      SELECT vec_id, cell, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM (SELECT s.vec_id, c.cell, {adot} AS sim
+            FROM corpusn s CROSS JOIN c{IVF_ITERS} c)
+    ),
+    cassign AS (SELECT vec_id, cell FROM fa WHERE rn = 1),
+    probes AS (SELECT vec_id, cell FROM fa WHERE rn <= {IVF_N_PROBE}),
+    cand AS (
+      SELECT p.vec_id AS query_id, ca.vec_id AS neighbor_id
+      FROM probes p JOIN cassign ca
+        ON ca.cell = p.cell AND ca.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({pdot} / (a.norm * b.norm), 6) AS cosine
+      FROM cand
+      JOIN normed a ON a.vec_id = query_id
+      JOIN normed b ON b.vec_id = neighbor_id
+    ),
+    ivf AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, cosine, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored) WHERE rank <= {IVF_K}
+    ),
+    ex AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, row_number() OVER (
+          PARTITION BY a.vec_id
+          ORDER BY round({pdot} / (a.norm * b.norm), 6) DESC, b.vec_id ASC) AS rn
+        FROM normed a JOIN normed b ON a.vec_id <> b.vec_id) WHERE rn <= {IVF_K}
+    ),
+    nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+    hit AS (
+      SELECT i.query_id, i.neighbor_id, i.cosine, i.rank,
+             (e.neighbor_id IS NOT NULL) AS in_exact_topk
+      FROM ivf i LEFT JOIN ex e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    )
+    SELECT h.query_id, h.neighbor_id, h.cosine, CAST(h.rank AS INT) AS rank,
+           h.in_exact_topk,
+           round(sum(CASE WHEN h.in_exact_topk THEN 1.0 ELSE 0.0 END)
+                   OVER (PARTITION BY h.query_id) / nx.n_exact, 3) AS recall_at_k
+    FROM hit h JOIN nex nx ON nx.query_id = h.query_id
+    """
+
+
+@register(
+    "embedding_ivf_ann",
+    _ivf_oracle_sql(),
+    doc=(
+        "IVF ANN: sample-trained deterministic k-means coarse quantizer, "
+        "corpus sharded into centroid cells, queries probe the 2 nearest "
+        "cells, exact rank within cells + global re-rank, with "
+        "in_exact_topk / recall_at_k graded against the exact top-k in "
+        "the same plan. ORACLED since r11: the DuckDB mirror unrolls the "
+        "same mini-Lloyd quantizer the SemDeDup oracle proved out, plus "
+        "assignment, probes, candidate join, rounded-cosine rank AND the "
+        "recall grading — the full 6-column output hash-matches."
+    ),
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+    # fan the scan so the fused Arrow assignment pass isn't single-partition
+    emb = read_fanned(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(
+        emb, "vec_id", "embedding",
+        n_cells=IVF_N_CELLS, n_probe=IVF_N_PROBE, k=IVF_K,
+    )
+    # n_exact rides along on the exact side so recall's denominator is the
+    # exact top-k size (min(k, corpus-1)), not however many rows IVF happened
+    # to retrieve — avg over retrieved rows would report precision, not recall.
+    exact = cosine_topk(emb, "vec_id", "embedding", k=IVF_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    exact = exact.withColumn(
+        "n_exact", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+    )
+    w = Window.partitionBy("query_id")
+    hits = F.sum(F.col("in_exact_topk").cast("double")).over(w)
+    # max() recovers n_exact for rows the left join left null; a query with
+    # zero exact hits has null n_exact everywhere but its recall is 0 anyway.
+    denom = F.max("n_exact").over(w)
+    return (
+        ivf.join(exact, ["query_id", "neighbor_id"], "left")
+        .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
+        .withColumn("recall_at_k", F.coalesce(F.round(hits / denom, 3), F.lit(0.0)))
+        .select("query_id", "neighbor_id", "cosine", "rank", "in_exact_topk", "recall_at_k")
     )
 
 
