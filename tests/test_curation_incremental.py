@@ -323,6 +323,21 @@ def test_all_gates_on_maximal_parity(spark):
     near_e2 = np.asarray(e2) + 0.004 * np.random.default_rng(8).standard_normal(dim)
     near_e2 = [float(x) for x in near_e2 / np.linalg.norm(near_e2)]
 
+    # r11: the SEMANTIC decontam tier joins too — a FOURTH direction
+    # (far from every corpus group, so nobody else crosses 0.9) hosts
+    # one eval embedding and doc 19, its planted paraphrase: doc 19's
+    # text passes every lexical gate and its embedding duplicates
+    # nothing in the corpus, so only the embedding-vs-eval cosine can
+    # drop it.
+    d4 = np.random.default_rng(77).standard_normal(dim)
+    d4 = d4 / np.linalg.norm(d4)
+    sem_eval_vec = [float(x) for x in d4]
+    near_d4 = d4 + 0.004 * np.random.default_rng(9).standard_normal(dim)
+    near_d4 = [float(x) for x in near_d4 / np.linalg.norm(near_d4)]
+    sem_ev = spark.createDataFrame(
+        [(950, sem_eval_vec)], "doc_id long, emb array<float>"
+    )
+
     corpus = [
         (1, f"{banner}\n\n{A_TXT} {span}", emb(0, 10)),  # claims banner + span
         (2, f"{banner}\n\n{B_TXT}", e2),
@@ -341,6 +356,13 @@ def test_all_gates_on_maximal_parity(spark):
         # for the classifier) — only the embedding betrays it
         (18, "alpha bravo charlie golf hotel india mike november oscar "
              "romeo sierra tango delta echo foxtrot", near_e2),
+        # SEMANTIC CONTAMINATION: doc-18's construction (reordered
+        # in-vocab 3-word spans of BASE -> passes perplexity/classifier/
+        # quality, ~0.08 shingle-jaccard vs 18 and the trio, 15 tokens ->
+        # no substring window, no 5-gram shared with the eval doc) with
+        # DIFFERENT spans — only its embedding betrays the eval leak
+        (19, "kilo lima mike quebec romeo sierra alpha bravo charlie "
+             "november oscar papa golf hotel india", near_d4),
     ]
     gates = dict(
         semantic_vec_col="emb",
@@ -364,6 +386,7 @@ def test_all_gates_on_maximal_parity(spark):
         max_perplexity=100.0,
         eval_df=ev,
         decontam_k=5,
+        semantic_eval_df=sem_ev,  # r11: BOTH decontam tiers enabled
         **PARAMS,
     )
     full, inc = _run_both(spark, corpus, batch, **gates)
@@ -374,6 +397,11 @@ def test_all_gates_on_maximal_parity(spark):
     # the semantic stage catches what every lexical gate missed: doc 18's
     # text is original, its MEANING (embedding) duplicates stored doc 2
     assert got[18][1:4] == (False, "semantic_duplicate", 2)
+    # the semantic decontam tier catches what the k-gram tier missed:
+    # doc 19 shares no 5-gram with any eval doc, only its embedding
+    assert got[19][1:3] == (False, "semantic_contaminated")
+    assert got[19][10] is not None and got[19][10] >= 0.9  # max_eval_cosine
+    assert got[19][11] == 950  # semantic_matched_eval_id
     assert got[11][2] == "near_duplicate" and got[11][3] == 2
     assert got[4][2] == "repetition"
     assert got[3][2] == "contaminated"

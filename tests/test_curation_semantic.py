@@ -195,11 +195,13 @@ def test_semantic_cap_crossing_is_monotone(spark):
     fgot = {t[0]: t for t in full}
     igot = {t[0]: t for t in inc}
     # full run: 7 > 5 -> nobody compared, everyone kept + flagged
-    assert all(fgot[i][1] for i in fgot) and all(fgot[i][-1] for i in fgot)
+    # (column 9 = semantic_audit_incomplete; r11 appended the two
+    # semantic-decontam audit columns after it)
+    assert all(fgot[i][1] for i in fgot) and all(fgot[i][9] for i in fgot)
     # incremental: the bootstrap fold is never retracted (monotone) —
     # 31 stays folded; every member is flagged like the full run
     assert igot[31][1:4] == (False, "semantic_duplicate", 30)
-    assert all(igot[i][-1] for i in igot)
+    assert all(igot[i][9] for i in igot)
     assert all(igot[i][1] for i in igot if i != 31)
     # formally: incremental keeps are a subset of full-run keeps
     assert {i for i in igot if igot[i][1]} <= {i for i in fgot if fgot[i][1]}
@@ -361,3 +363,152 @@ def test_orphaned_semantic_group_divergence_is_pinned(spark):
         for t in got.values():
             if t[3] is not None:
                 assert got[t[3]][1] is True
+
+
+def test_semantic_decontam_gate_batch(spark):
+    """r11: the embedding-space decontamination tier inside curate() —
+    drop_reason 'semantic_contaminated', audit columns for every examined
+    doc (the review tier), and decontam-ONLY composition via
+    semantic_decontam_vec_col (SemDeDup stays off)."""
+    ev_vec = [float(x) for x in _dirs[3]]  # direction 3: nobody else near
+    rows = [
+        (1, _text(1), _emb(0, 101)),
+        (2, _text(2), _emb(1, 102)),
+        (3, _text(3), _dup_of(ev_vec, 5)),  # planted paraphrase of the eval doc
+        (4, "x", _emb(2, 104)),  # gate drop BEFORE decontam -> NULL audit cols
+    ]
+    ev = spark.createDataFrame([(900, ev_vec)], "doc_id long, emb array<float>")
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            _df(spark, rows),
+            "doc_id",
+            "text",
+            semantic_eval_df=ev,
+            semantic_decontam_vec_col="emb",
+        ).collect()
+    }
+    assert out[3]["keep"] is False
+    assert out[3]["drop_reason"] == "semantic_contaminated"
+    assert out[3]["max_eval_cosine"] >= 0.9
+    assert out[3]["semantic_matched_eval_id"] == 900
+    # SemDeDup did NOT run: its audit columns stay typed NULLs
+    assert out[1]["semantic_centroid_sim"] is None
+    # review tier: survivors carry their best-match cosine + pointer
+    assert out[1]["keep"] is True and out[1]["max_eval_cosine"] is not None
+    assert out[1]["semantic_matched_eval_id"] == 900
+    # docs dropped before the gate were never scored
+    assert out[4]["drop_reason"] == "low_quality"
+    assert out[4]["max_eval_cosine"] is None
+    assert out[4]["semantic_matched_eval_id"] is None
+
+
+def test_semantic_decontam_requires_vec_col(spark):
+    ev = spark.createDataFrame(
+        [(900, [float(x) for x in _dirs[3]])], "doc_id long, emb array<float>"
+    )
+    with pytest.raises(ValueError, match="vector column"):
+        curate(
+            _df(spark, [(1, _text(1), _emb(0, 1))]),
+            "doc_id",
+            "text",
+            semantic_eval_df=ev,
+        )
+
+
+def test_semantic_decontam_incremental_equivalence(spark):
+    """Both embedding gates on (SemDeDup + semantic decontam):
+    bootstrap+append == full-union, and the state fingerprint rejects a
+    changed decontam threshold."""
+    ev_vec = [float(x) for x in _dirs[3]]
+    ev = spark.createDataFrame([(900, ev_vec)], "doc_id long, emb array<float>")
+    e1 = _emb(0, 401)
+    corpus = [(i, _text(i), _emb(i % 3, 400 + i)) for i in range(1, 6)]
+    corpus[0] = (1, _text(1), e1)
+    batch = [
+        (11, _text(11), _emb(1, 411)),
+        (12, _text(12), _dup_of(ev_vec, 6)),  # contaminated in the append
+        (13, _text(13), _dup_of(e1, 7)),  # semantic dup of stored doc 1
+    ]
+    params = dict(SEM, semantic_eval_df=ev)
+    full = _sorted(curate(_df(spark, corpus + batch), "doc_id", "text", **params))
+    _, st = curate_incremental(_df(spark, corpus), "doc_id", "text", **params)
+    inc, st2 = curate_incremental(
+        _df(spark, batch), "doc_id", "text", state=st, **params
+    )
+    assert _sorted(inc) == full
+    got = {t[0]: t for t in _sorted(inc)}
+    assert got[12][1:3] == (False, "semantic_contaminated")
+    assert got[13][1:4] == (False, "semantic_duplicate", 1)
+    # fingerprint: changing the decontam threshold on append fails loudly
+    with pytest.raises(ValueError, match="parameters differ"):
+        curate_incremental(
+            _df(spark, [(21, _text(21), _emb(0, 421))]),
+            "doc_id",
+            "text",
+            state=st2,
+            **dict(params, semantic_decontam_threshold=0.8),
+        )
+
+
+def test_semantic_refine_scale_in_curate(spark):
+    """r11: a planted over-cap cluster is kept-but-flagged with the
+    refine knob OFF and fully deduped (flags cleared) with it ON."""
+    # Geometry matters in this toy regime: 120 docs at cap 30 give the
+    # refine quantizer (auto_n_cells(120, 30) = 16 cells) ~7.5 docs per
+    # second-pass cell — comfortably under the cap even with Lloyd
+    # concentration (measured max 19), so the flags actually clear. The
+    # planted pair ids sit >= 16 so neither anchors its own init
+    # centroid (which would split the pair across cells).
+    cap = 30
+    rows = [(i, _text(i), _emb(0, 1000 + i)) for i in range(120)]
+    rows[17] = (17, _text(17), _dup_of(rows[16][2], 70))
+    rows[45] = (45, _text(45), _dup_of(rows[40][2], 71))
+    rows += [(200, _text(200), _emb(1, 500)), (201, _text(201), _emb(2, 510))]
+    base = dict(
+        semantic_vec_col="emb",
+        semantic_threshold=THRESHOLD,
+        semantic_centroids=CENTROIDS,
+        semantic_max_cluster_size=cap,
+    )
+    off = {
+        r["doc_id"]: r
+        for r in curate(_df(spark, rows), "doc_id", "text", **base).collect()
+    }
+    assert off[17]["keep"] is True and off[17]["semantic_audit_incomplete"] is True
+    assert off[45]["keep"] is True and off[45]["semantic_audit_incomplete"] is True
+    on = {
+        r["doc_id"]: r
+        for r in curate(
+            _df(spark, rows), "doc_id", "text", semantic_refine_scale=1, **base
+        ).collect()
+    }
+    assert on[17]["keep"] is False and on[17]["drop_reason"] == "semantic_duplicate"
+    assert on[17]["duplicate_of"] == 16
+    assert on[45]["keep"] is False and on[45]["duplicate_of"] == 40
+    # the refined population is no longer under-compared
+    assert not any(r["semantic_audit_incomplete"] for r in on.values())
+    assert on[16]["keep"] is True and on[40]["keep"] is True
+    assert on[200]["keep"] is True and on[201]["keep"] is True
+
+
+def test_refine_parameter_mismatch_raises(spark):
+    """r10 verdict #3: the first pass stamps its parameters as column
+    metadata; a mismatched refine fails loudly."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_refine,
+    )
+
+    df = spark.createDataFrame(
+        [(i, _emb(0, 600 + i)) for i in range(10)], "vid long, emb array<float>"
+    )
+    res = semantic_dedup(df, "vid", "emb", threshold=0.9, n_cells=2, max_cluster_size=4)
+    with pytest.raises(ValueError, match="refine parameters differ"):
+        semantic_dedup_refine(
+            df, res, "vid", "emb", threshold=0.8, max_cluster_size=4
+        )
+    with pytest.raises(ValueError, match="refine parameters differ"):
+        semantic_dedup_refine(
+            df, res, "vid", "emb", threshold=0.9, max_cluster_size=4, keeper="min_id"
+        )

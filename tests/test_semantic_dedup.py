@@ -235,7 +235,8 @@ def test_refine_resolves_flagged_clusters(spark, corpus):
         max_cluster_size=13,
     )
     assert semantic_dedup_refine(
-        df, refined_df, "vec_id", "embedding"
+        df, refined_df, "vec_id", "embedding", threshold=0.97,
+        max_cluster_size=13,  # must match (r11 metadata-stamp guard)
     ) is refined_df
 
 

@@ -23,7 +23,12 @@ the corpus the next (more expensive) stage sees:
                        benchmark decontamination (``eval_df=...``) that
                        drops eval-overlapping docs (drop_reason
                        ``contaminated``) before any dedup — a leaked doc
-                       must not survive as a cluster's keeper;
+                       must not survive as a cluster's keeper — and its
+                       embedding-space companion (``semantic_eval_df=``,
+                       r11): docs cosine-similar to any eval embedding
+                       drop as ``semantic_contaminated``, catching the
+                       paraphrase/translation leakage no k-gram rule
+                       sees;
 2. exact dedup       — canonical-text hash groupBy (cosmetic variants
                        collide via normalize_text); one narrow shuffle;
 3. near-dup dedup    — MinHash signatures -> LSH band candidates (hot
@@ -40,7 +45,9 @@ the corpus the next (more expensive) stage sees:
 Output: one row per INPUT doc — (id, keep, drop_reason, duplicate_of,
 near_dup_audit_incomplete, matched_eval_id, contamination_frac,
 substring_tokens_dropped, semantic_centroid_sim,
-semantic_audit_incomplete). ``semantic_vec_col=`` adds a fourth dedup
+semantic_audit_incomplete, max_eval_cosine, semantic_matched_eval_id —
+the last two carry the semantic-decontamination audit, typed NULL when
+``semantic_eval_df`` is off). ``semantic_vec_col=`` adds a fourth dedup
 stage over the near-dup survivors (SemDeDup — see the curate()
 docstring). ``substring_dedup=True`` adds the ExactSubstr
 rewrite (Lee et al. 2021) between paragraph dedup and the quality gate:
@@ -48,7 +55,8 @@ duplicated >= ``substring_min_tokens``-token runs are removed from all
 but their first corpus occurrence, and each doc's removed-token count
 lands in ``substring_tokens_dropped`` (NULL when the stage is off).
 drop_reason ∈ {low_quality, repetition, classifier, perplexity,
-contaminated, exact_duplicate, near_duplicate, semantic_duplicate};
+contaminated, semantic_contaminated, exact_duplicate, near_duplicate,
+semantic_duplicate};
 duplicate_of names the canonical doc a
 duplicate folded into (NULL for kept docs and quality drops);
 near_dup_audit_incomplete flags every doc that sat in at least one
@@ -126,6 +134,12 @@ def curate(
     semantic_n_cells: int | None = None,
     semantic_max_cluster_size: int = 8192,
     semantic_centroids=None,
+    semantic_refine_scale: int | None = None,
+    semantic_eval_df: DataFrame | None = None,
+    semantic_eval_id_col: str | None = None,
+    semantic_eval_vec_col: str | None = None,
+    semantic_decontam_threshold: float = 0.9,
+    semantic_decontam_vec_col: str | None = None,
     durable: bool = False,
 ) -> DataFrame:
     """(id, keep, drop_reason, duplicate_of, near_dup_audit_incomplete)
@@ -140,7 +154,12 @@ def curate(
     ``semantic_centroid_sim`` (each examined doc's similarity to its
     cluster centroid) and ``semantic_audit_incomplete`` (the over-cap
     cluster flag, the LSH hot-bucket contract; flagged docs are kept but
-    under-compared — route them to similarity.semantic_dedup_refine).
+    under-compared — route them to similarity.semantic_dedup_refine, or
+    set ``semantic_refine_scale=`` to run that second pass INSIDE the
+    chain: flagged clusters re-quantize with scale-x more cells and
+    actually dedup, still-over-cap clusters stay flagged; batch-only,
+    the incremental path's frozen-quantizer state cannot absorb a
+    per-run second quantizer).
     The column named must hold the doc's embedding (array<float>) on the
     INPUT frame; it is re-joined from the input by id, so the text
     rewrites above don't need to carry it. The keeper rule here is
@@ -156,7 +175,9 @@ def curate(
     identical output, see operators.lineage for the failure-domain
     tradeoff. Requires ``setCheckpointDir``."""
     id_type = dict(docs.dtypes)[id_col]
-    if semantic_vec_col is not None and id_type not in ("bigint", "int", "smallint"):
+    if (
+        semantic_vec_col is not None or semantic_eval_df is not None
+    ) and id_type not in ("bigint", "int", "smallint"):
         # the per-cluster Arrow kernel sorts int64 member ids (and the
         # incremental contract compares them to a watermark) — a string
         # id would silently mis-sort, so fail loudly (the lehmer guard)
@@ -352,6 +373,58 @@ def curate(
         contaminated = None
         eval_overlap = None
 
+    # 1c2. optional SEMANTIC decontamination (semantic_eval_df given):
+    # the embedding-space companion of the k-gram gate above — drops docs
+    # whose embedding is cosine-similar to ANY eval doc's (the leakage
+    # paraphrased/translated benchmark items cause, which no 13-gram rule
+    # sees), with its own drop_reason so a curated corpus can tell the
+    # two contamination signals apart. Same placement rationale: BEFORE
+    # any dedup, so a leaked doc never survives as a cluster's keeper.
+    # The doc-side vector column defaults to the SemDeDup one
+    # (``semantic_vec_col``) and is re-joined from the INPUT frame by id
+    # (text rewrites above drop it); ``semantic_decontam_vec_col``
+    # overrides it so a decontam-only pipeline need not switch SemDeDup
+    # on. The eval matrix is broadcast inside semantic_decontaminate —
+    # ONE Arrow pass over the gate's survivors, zero shuffle.
+    if semantic_eval_df is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        sdec_vec = semantic_decontam_vec_col or semantic_vec_col
+        if sdec_vec is None:
+            raise ValueError(
+                "semantic_eval_df given without a doc-side vector column — "
+                "set semantic_decontam_vec_col= (or semantic_vec_col=)"
+            )
+        sdec_input = docs_in.select(id_col, sdec_vec).join(
+            good.select(id_col), id_col, "left_semi"
+        )
+        # one cut materializes the scoring pass; the droplist AND the
+        # audit columns are cheap filters over the same blocks
+        sdec = cut(
+            semantic_decontaminate(
+                sdec_input,
+                semantic_eval_df,
+                id_col,
+                sdec_vec,
+                eval_id_col=semantic_eval_id_col,
+                eval_vec_col=semantic_eval_vec_col,
+                threshold=semantic_decontam_threshold,
+            ),
+            durable=durable,
+        )
+        sem_contaminated = sdec.filter(
+            F.col("is_semantically_contaminated")
+        ).select(id_col)
+        sdec_audit = sdec.select(
+            id_col,
+            "max_eval_cosine",
+            F.col("matched_eval_id").alias("semantic_matched_eval_id"),
+        )
+        good = good.join(sem_contaminated, id_col, "left_anti")
+    else:
+        sem_contaminated = None
+        sdec_audit = None
+
     # Lineage cut after the LAST gate: ``good`` feeds the exact-dedup
     # hash, the representatives join, and (transitively) every assembly
     # branch. The stacked gate subtrees are all broadcast anti-joins —
@@ -456,6 +529,33 @@ def curate(
             ),
             durable=durable,
         )
+        # 4b. optional refine escalation (``semantic_refine_scale``):
+        # over-cap clusters — kept-but-flagged above, the hot-bucket
+        # contract — are re-quantized with ``cell_scale`` x more cells
+        # and actually deduped, ONE extra bounded pass over the flagged
+        # population (similarity.semantic_dedup_refine; parameters are
+        # metadata-asserted against the first pass). A cluster still
+        # over the cap after re-quantization stays flagged. Batch-only:
+        # curate_incremental's frozen-quantizer state contract cannot
+        # absorb a second per-run quantizer.
+        if semantic_refine_scale is not None:
+            from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+                semantic_dedup_refine,
+            )
+
+            sem = cut(
+                semantic_dedup_refine(
+                    sem_input,
+                    sem,
+                    id_col,
+                    semantic_vec_col,
+                    threshold=semantic_threshold,
+                    cell_scale=int(semantic_refine_scale),
+                    max_cluster_size=semantic_max_cluster_size,
+                    keeper="min_id",
+                ),
+                durable=durable,
+            )
         sem_dropped = sem.filter(~F.col("keep")).select(id_col, "duplicate_of")
     else:
         sem = None
@@ -497,6 +597,14 @@ def curate(
             contaminated.select(
                 id_col,
                 F.lit("contaminated").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
+    if sem_contaminated is not None:
+        dropped = dropped.unionByName(
+            sem_contaminated.select(
+                id_col,
+                F.lit("semantic_contaminated").alias("drop_reason"),
                 null_dup.alias("duplicate_of"),
             )
         )
@@ -610,4 +718,15 @@ def curate(
         out = out.withColumn(
             "semantic_centroid_sim", F.lit(None).cast("double")
         ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
+    # semantic-decontamination audit columns: every doc the gate EXAMINED
+    # carries its max eval cosine and best-match pointer, dropped or kept
+    # — the review tier of an embedding-space graded policy is
+    # `keep AND max_eval_cosine >= <review threshold>`. Typed NULLs when
+    # the gate is off (the decontamination/substring schema contract).
+    if sdec_audit is not None:
+        out = out.join(sdec_audit, id_col, "left")
+    else:
+        out = out.withColumn(
+            "max_eval_cosine", F.lit(None).cast("double")
+        ).withColumn("semantic_matched_eval_id", F.lit(None).cast("long"))
     return out

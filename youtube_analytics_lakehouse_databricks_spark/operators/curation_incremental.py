@@ -67,7 +67,8 @@ COVERAGE.md: append wall is driven by batch size, and beats full
 re-curation by the corpus/batch ratio.
 
 The optional gates (repetition rules, PII scrub before hashing,
-binary/graded decontamination) thread through exactly like the batch
+binary/graded decontamination, embedding-space semantic decontamination)
+thread through exactly like the batch
 operator's: each is per-row and batch-local, so append-mode equivalence
 holds gate-for-gate as long as the SAME parameters (and eval suite) are
 used on every append — the redacted/canonical text the stored index was
@@ -120,6 +121,8 @@ _AUDIT_AUX = (
     "substring_tokens_dropped",
     "semantic_centroid_sim",
     "semantic_audit_incomplete",
+    "max_eval_cosine",
+    "semantic_matched_eval_id",
 )
 
 
@@ -233,27 +236,108 @@ class CurationState:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
+        """Control-plane shape (r11): the per-frame ``spark.read.parquet``
+        calls are only driver-side planning (footer schema reads), so they
+        run CONCURRENTLY on a thread pool — one round-trip of latency for
+        all frames instead of eight. The loaded state also remembers its
+        ``path`` so the append can take two driver-side fast paths that
+        skip whole Spark jobs: the watermark from parquet footer COLUMN
+        STATS (``watermark_of``) and the frozen quantizer from a direct
+        pyarrow read (``centroids_np``)."""
         import os
+        from concurrent.futures import ThreadPoolExecutor
 
-        optional = {
-            name: (
-                spark.read.parquet(f"{path}/{name}")
-                if os.path.isdir(f"{path}/{name}")
-                else None
+        names = list(cls.FRAMES) + [
+            n
+            for n in ("paras", "windows", "centroids", "semvecs", "nearmap")
+            if os.path.isdir(f"{path}/{n}")
+        ]
+        with ThreadPoolExecutor(max_workers=len(names)) as pool:
+            frames = dict(
+                zip(
+                    names,
+                    pool.map(
+                        lambda n: spark.read.parquet(f"{path}/{n}"), names
+                    ),
+                )
             )
-            for name in ("paras", "windows", "centroids", "semvecs", "nearmap")
-        }
         params = None
         if os.path.exists(f"{path}/params.json"):
             import json
 
             with open(f"{path}/params.json") as f:
                 params = json.load(f)
-        return cls(
-            *[spark.read.parquet(f"{path}/{name}") for name in cls.FRAMES],
-            **optional,
+        st = cls(
+            *[frames[n] for n in cls.FRAMES],
+            **{
+                n: frames.get(n)
+                for n in ("paras", "windows", "centroids", "semvecs", "nearmap")
+            },
             params=params,
         )
+        st._path = path
+        return st
+
+    def watermark_of(self, id_col: str):
+        """Max stored id — the append-only frontier. For a state loaded
+        from disk this is a pure DRIVER-SIDE read of the audit files'
+        parquet footer column statistics (no Spark job); for an
+        in-memory state it falls back to one max() aggregation."""
+        path = getattr(self, "_path", None)
+        if path is not None:
+            try:
+                import glob as globmod
+
+                import pyarrow.parquet as pq
+
+                mx = None
+                for fn in globmod.glob(f"{path}/audit/*.parquet"):
+                    md = pq.ParquetFile(fn).metadata
+                    idx = {
+                        md.schema.column(i).name: i
+                        for i in range(md.num_columns)
+                    }[id_col]
+                    for rg in range(md.num_row_groups):
+                        stats = md.row_group(rg).column(idx).statistics
+                        if stats is None or not stats.has_min_max:
+                            raise ValueError("missing column stats")
+                        mx = stats.max if mx is None else max(mx, stats.max)
+                if mx is not None:
+                    return mx
+            except Exception:
+                pass  # fall through to the Spark aggregation
+        from pyspark.sql import functions as F_
+
+        return self.audit.agg(F_.max(id_col)).collect()[0][0]
+
+    @property
+    def centroids_np(self):
+        """The frozen quantizer as a cell-ordered float64 numpy array —
+        read driver-side via pyarrow when the state came from disk (no
+        Spark job), collected from the DataFrame otherwise; None when
+        the state has no semantic index."""
+        if self.centroids is None:
+            return None
+        cached = getattr(self, "_centroids_np", None)
+        if cached is not None:
+            return cached
+        import numpy as np
+
+        path = getattr(self, "_path", None)
+        rows = None
+        if path is not None:
+            try:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(f"{path}/centroids").to_pydict()
+                order = sorted(range(len(tbl["cell"])), key=tbl["cell"].__getitem__)
+                rows = [tbl["v"][i] for i in order]
+            except Exception:
+                rows = None
+        if rows is None:
+            rows = [r["v"] for r in self.centroids.orderBy("cell").collect()]
+        self._centroids_np = np.asarray(rows, dtype=np.float64)
+        return self._centroids_np
 
 
 def _band_explode(sig: DataFrame, id_col: str, n_hashes: int, rows_per_band: int) -> DataFrame:
@@ -317,6 +401,11 @@ def curate_incremental(
     semantic_n_cells: int | None = None,
     semantic_max_cluster_size: int = 8192,
     semantic_centroids=None,
+    semantic_eval_df: DataFrame | None = None,
+    semantic_eval_id_col: str | None = None,
+    semantic_eval_vec_col: str | None = None,
+    semantic_decontam_threshold: float = 0.9,
+    semantic_decontam_vec_col: str | None = None,
     durable: bool = False,
 ) -> tuple[DataFrame, CurationState]:
     """Curate ``batch`` against (and into) the stored corpus.
@@ -370,15 +459,22 @@ def curate_incremental(
         "semantic_vec_col": semantic_vec_col,
         "semantic_threshold": float(semantic_threshold),
         "semantic_max_cluster_size": int(semantic_max_cluster_size),
+        # semantic decontam gate shape (the eval frame itself is
+        # caller-owned state like eval_df, deliberately unfingerprinted)
+        "semantic_decontam_threshold": float(semantic_decontam_threshold),
+        "semantic_decontam_vec_col": semantic_decontam_vec_col,
     }
     if state is not None and state.params is not None:
         stored_params = {
             # pre-r10 fingerprints predate the semantic stage: default
             # the new keys so an old state appends under unchanged params
-            # (it provably ran without the stage — no semvecs frame)
+            # (it provably ran without the stage — no semvecs frame);
+            # same for the r11 semantic-decontam keys
             "semantic_vec_col": None,
             "semantic_threshold": 0.95,
             "semantic_max_cluster_size": 8192,
+            "semantic_decontam_threshold": 0.9,
+            "semantic_decontam_vec_col": None,
             **state.params,
         }
         if stored_params != params_sig:
@@ -393,10 +489,11 @@ def curate_incremental(
                 "match across appends to the same state"
             )
 
-    # Watermark: the append-only frontier. Parquet column stats make the
-    # max() a footer read, not a data scan.
+    # Watermark: the append-only frontier. For a disk-loaded state this
+    # is a pure driver-side parquet-footer-stats read — no Spark job at
+    # all (watermark_of); in-memory states pay one max() aggregation.
     if state is not None:
-        watermark = state.audit.agg(F.max(id_col)).collect()[0][0]
+        watermark = state.watermark_of(id_col)
     else:
         watermark = None
 
@@ -621,6 +718,46 @@ def curate_incremental(
     else:
         contaminated = None
         eval_overlap = None
+
+    # -- stage 1c2: optional SEMANTIC decontamination (batch-only; the
+    # eval embedding suite is fixed across appends, so the per-row
+    # verdicts are identical to the batch operator's — mirrors 1c)
+    if semantic_eval_df is not None:
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        sdec_vec = semantic_decontam_vec_col or semantic_vec_col
+        if sdec_vec is None:
+            raise ValueError(
+                "semantic_eval_df given without a doc-side vector column — "
+                "set semantic_decontam_vec_col= (or semantic_vec_col=)"
+            )
+        sdec_input = batch.select(id_col, sdec_vec).join(
+            good.select(id_col), id_col, "left_semi"
+        )
+        sdec = cut(
+            semantic_decontaminate(
+                sdec_input,
+                semantic_eval_df,
+                id_col,
+                sdec_vec,
+                eval_id_col=semantic_eval_id_col,
+                eval_vec_col=semantic_eval_vec_col,
+                threshold=semantic_decontam_threshold,
+            ),
+            durable=durable,
+        )
+        sem_contaminated = sdec.filter(
+            F.col("is_semantically_contaminated")
+        ).select(id_col)
+        sdec_audit = sdec.select(
+            id_col,
+            "max_eval_cosine",
+            F.col("matched_eval_id").alias("semantic_matched_eval_id"),
+        )
+        good = good.join(sem_contaminated, id_col, "left_anti")
+    else:
+        sem_contaminated = None
+        sdec_audit = None
     good = cut(good, durable=durable)
 
     # -- stage 2: exact dedup (batch hashes vs batch + stored) ----------
@@ -840,6 +977,11 @@ def curate_incremental(
             s = s.withColumn(
                 "semantic_centroid_sim", F.lit(None).cast("double")
             ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
+        if "max_eval_cosine" not in s.columns:
+            # ... and the semantic-decontamination columns (r11)
+            s = s.withColumn(
+                "max_eval_cosine", F.lit(None).cast("double")
+            ).withColumn("semantic_matched_eval_id", F.lit(None).cast("long"))
         if retro is not None:
             upd = F.broadcast(
                 retro.select(
@@ -931,9 +1073,10 @@ def curate_incremental(
             sem_ids, id_col, "left_semi"
         )
         if state is not None:
-            # bounded collect: the quantizer is n_cells rows
-            cent_rows = state.centroids.orderBy("cell").collect()
-            cents = np.asarray([r["v"] for r in cent_rows], dtype=np.float64)
+            # bounded read: the quantizer is n_cells rows — a driver-side
+            # pyarrow read for disk-loaded states (no Spark job), a
+            # collect otherwise (centroids_np caches either way)
+            cents = state.centroids_np
             if semantic_centroids is not None and not np.allclose(
                 np.asarray(semantic_centroids, dtype=np.float64), cents
             ):
@@ -1196,6 +1339,14 @@ def curate_incremental(
                 null_dup.alias("duplicate_of"),
             )
         )
+    if sem_contaminated is not None:
+        dropped = dropped.unionByName(
+            sem_contaminated.select(
+                id_col,
+                F.lit("semantic_contaminated").alias("drop_reason"),
+                null_dup.alias("duplicate_of"),
+            )
+        )
     # exact-dup final-root hop (mirrors curate()): a keeper that was
     # near-folded — in THIS run's components (batch keeper folded, or
     # stored keeper retro-folded: both appear in comp) or in a PRIOR
@@ -1349,6 +1500,12 @@ def curate_incremental(
         batch_audit = batch_audit.withColumn(
             "semantic_centroid_sim", F.lit(None).cast("double")
         ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
+    if sdec_audit is not None:
+        batch_audit = batch_audit.join(sdec_audit, id_col, "left")
+    else:
+        batch_audit = batch_audit.withColumn(
+            "max_eval_cosine", F.lit(None).cast("double")
+        ).withColumn("semantic_matched_eval_id", F.lit(None).cast("long"))
 
     # -- splice stored audit rows (pointers were updated above) ---------
     if s is not None:
@@ -1370,6 +1527,8 @@ def curate_incremental(
                 "substring_tokens_dropped",
                 "semantic_centroid_sim",
                 "semantic_audit_incomplete",
+                "max_eval_cosine",
+                "semantic_matched_eval_id",
             )
         if sem_flagged is not None:
             # OR the over-cap flag into stored members of clusters the
@@ -1392,6 +1551,8 @@ def curate_incremental(
                     F.coalesce("semantic_audit_incomplete", F.lit(False))
                     | F.coalesce("__now_sem_flag", F.lit(False))
                 ).alias("semantic_audit_incomplete"),
+                "max_eval_cosine",
+                "semantic_matched_eval_id",
             )
         audit = s.unionByName(batch_audit)
     else:

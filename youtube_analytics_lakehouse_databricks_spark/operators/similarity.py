@@ -573,7 +573,7 @@ def semantic_dedup(
             }
         )
 
-    return (
+    out = (
         assigned.groupBy("cluster")
         .applyInPandas(
             per_cluster,
@@ -581,6 +581,23 @@ def semantic_dedup(
             "duplicate_of long, semdedup_audit_incomplete boolean",
         )
         .withColumnRenamed("sd_id", id_col)
+    )
+    # stamp the run parameters as COLUMN METADATA (invisible to values,
+    # hashes and oracles): semantic_dedup_refine asserts its own
+    # parameters against this, so a mismatched-threshold second pass
+    # fails loudly instead of silently mixing verdict regimes
+    return out.withColumn(
+        "cluster",
+        F.col("cluster").alias(
+            "cluster",
+            metadata={
+                "semdedup": {
+                    "threshold": thr,
+                    "max_cluster_size": cap,
+                    "keeper": keeper,
+                }
+            },
+        ),
     )
 
 
@@ -617,8 +634,25 @@ def semantic_dedup_refine(
 
     ``df`` must be the same (id, vec) frame the first pass ran on;
     ``result`` its output. Parameters default to the first pass's
-    defaults and should match them.
+    defaults and MUST match them: the first pass stamps (threshold, cap,
+    keeper) as metadata on its ``cluster`` column and this function
+    asserts against it — a mismatched second pass would silently produce
+    a mixed-threshold output frame.
     """
+    md = dict(result.schema["cluster"].metadata or {}).get("semdedup")
+    if md:
+        want = {
+            "threshold": float(threshold),
+            "max_cluster_size": int(max_cluster_size),
+            "keeper": keeper,
+        }
+        got = {k: md.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                "refine parameters differ from the first pass's (stamped on "
+                f"the cluster column): first pass {got}, refine {want} — a "
+                "mixed-parameter output frame has no single verdict regime"
+            )
     flagged = result.filter(F.col("semdedup_audit_incomplete")).select(id_col)
     n_flagged = flagged.count()
     if n_flagged == 0:

@@ -103,7 +103,10 @@ def prepare_training_data(
     # re-joins by id — embeddings are audit-side inputs and are NEVER
     # exported (out_cols below excludes them).
     sem_vec = (curate_kwargs or {}).get("semantic_vec_col")
-    carry = [c for c in (domain_col, sem_vec) if c is not None]
+    sdec_vec = (curate_kwargs or {}).get("semantic_decontam_vec_col")
+    carry = [
+        c for c in dict.fromkeys((domain_col, sem_vec, sdec_vec)) if c is not None
+    ]
     cleaned = docs.select(id_col, text_col, *carry)
 
     def _recarry(rewritten: DataFrame, prev: DataFrame) -> DataFrame:

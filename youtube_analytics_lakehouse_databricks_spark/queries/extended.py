@@ -105,17 +105,13 @@ def unknown_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "event_type_freshness",
-    """
-    SELECT event_type,
-           MAX(ts) AS max_ts,
-           CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') AS INT) AS lag_days,
-           date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') > 7 AS is_stale
-    FROM events GROUP BY event_type
-    """,
-    doc="max(date) freshness lag vs injectable 'today' (A2, test_gold_freshness_recency.sql:2-14).",
-)
+# NOTE: formerly registered as the oracled query "event_type_freshness";
+# consolidated into dq_violations (round 11) as the 'freshness_lag'
+# violation family — max_ts rides the ts column, lag_days the metric
+# column, and is_stale is the downstream `metric > 7` filter — to free
+# the 50-row-budget slot the BPE training-tables oracle now occupies.
+# The A2 surface (MAX scalar freshness vs injectable today) stays fully
+# oracled through that family; kept importable for the bench series.
 def event_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     lag = F.datediff(F.lit("2024-12-31").cast("date"), F.max("ts").cast("date"))

@@ -355,12 +355,23 @@ def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(NULL AS TIMESTAMP) AS ts, value AS metric
     FROM events
     WHERE COALESCE(value, 0) < 0
+    UNION ALL
+    SELECT 'freshness_lag' AS check_name, CAST(NULL AS BIGINT) AS user_id,
+           event_type, CAST(NULL AS BIGINT) AS event_id, MAX(ts) AS ts,
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') AS DOUBLE) AS metric
+    FROM events GROUP BY event_type
     """,
     doc=(
-        "Data-quality violations, both reference test predicates in one "
-        "typed-null-padded UNION ALL: uniqueness-at-grain GROUP BY HAVING "
-        "count>1 (test_gold_*_unique.sql / A1) and the non-negativity "
-        "predicate (test_gold_metrics_non_negative.sql:19-21 / P7)."
+        "Data-quality violations — all three reference test predicates in "
+        "one typed-null-padded UNION ALL: uniqueness-at-grain GROUP BY "
+        "HAVING count>1 (test_gold_*_unique.sql / A1), the non-negativity "
+        "predicate (test_gold_metrics_non_negative.sql:19-21 / P7), and "
+        "since r11 the freshness-lag family (A2, "
+        "test_gold_freshness_recency.sql:2-14 — formerly the standalone "
+        "event_type_freshness row): every event type reports max(ts) and "
+        "its day lag vs the injectable 'today' in ts/metric, so the stale "
+        "check is `metric > 7` downstream and the family keeps the row "
+        "non-vacuous on clean data."
     ),
 )
 def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +397,20 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"),
         F.col("value").alias("metric"),
     )
-    return dup_grain.unionByName(negative)
+    freshness = ev.groupBy("event_type").agg(
+        F.max("ts").alias("ts"),
+        F.datediff(F.lit("2024-12-31").cast("date"), F.max("ts").cast("date"))
+        .cast("double")
+        .alias("metric"),
+    ).select(
+        F.lit("freshness_lag").alias("check_name"),
+        F.lit(None).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        "metric",
+    )
+    return dup_grain.unionByName(negative).unionByName(freshness)
 
 
 # ---------------------------------------------------------------------------
@@ -540,27 +564,11 @@ def latest_purchasing_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(1)
 
 
-# NOTE: formerly registered as the oracled query "positional_token_lookup";
-# unregistered in round 10 to free the 50-row-budget slot
-# semantic_decontam now occupies (queries/vectorops.py) — the r9 VERDICT
-# itself proposed this fold ("positional_token_lookup folds into
-# analytics_matrix_extract, same element_at surface"). The surface moved
-# INTO that query rather than merely being subsumed: its payload now
-# carries a conditionally-present header ('opt', even-digit sources
-# only), so the missing-column semantics this row existed for —
-# array_position = 0 on absent names, the CASE presence guard,
-# element_at never probing position 0 — run inside the green
-# analytics_matrix_extract row against real variable-column reports.
-# Kept importable.
-def positional_token_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
-    pos = F.array_position("tokens", "table")
-    return toks.select(
-        "doc_id",
-        pos.alias("pos_table"),
-        F.when(
-            (pos > 0) & (pos < F.size("tokens")),
-            F.element_at("tokens", (pos + 1).cast("int")),
-        ).alias("word_after_table"),
-    )
+# NOTE: "positional_token_lookup" (oracled through r9) was folded into
+# analytics_matrix_extract in r10 — its payload now carries a
+# conditionally-present header, so the missing-column semantics the row
+# existed for (array_position = 0 on absent names, the CASE presence
+# guard, element_at never probing position 0) run inside that green row
+# against real variable-column reports. The shadow builder was deleted
+# in r11 (no bench series, no test consumers — queries/advanced.py
+# documents the fold at the successor).

@@ -665,7 +665,9 @@ def _curate_oracle_sql() -> str:
            CAST(NULL AS DOUBLE) AS contamination_frac,
            CAST(NULL AS BIGINT) AS substring_tokens_dropped,
            CAST(NULL AS DOUBLE) AS semantic_centroid_sim,
-           CAST(NULL AS BOOLEAN) AS semantic_audit_incomplete
+           CAST(NULL AS BOOLEAN) AS semantic_audit_incomplete,
+           CAST(NULL AS DOUBLE) AS max_eval_cosine,
+           CAST(NULL AS BIGINT) AS semantic_matched_eval_id
     FROM documents d
     LEFT JOIN lowq l ON l.doc_id = d.doc_id
     LEFT JOIN exd e ON e.doc_id = d.doc_id
@@ -917,3 +919,130 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = t.select(F.lit(k).cast("int").alias("ord"), "ctx", "w", "c", "s")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --- BPE tokenizer training tables: the oracled registry row (r11) ---------
+#
+# The third operator family under the hash-match regime (after the LM
+# tables in r10 and SemDeDup's quantizer): the oracle rebuilds BPE
+# TRAINING end to end in DuckDB — canonical word counts (the only
+# corpus-sized input, distributed on the Spark side), the top-V
+# count-desc/word-asc training vocabulary, and K merge rounds UNROLLED
+# as chained CTEs. Each round counts adjacent symbol pairs weighted by
+# word frequency, picks the max-count pair (lexicographically-smallest
+# on ties, the trainer's `min(pairs, key=(-count, pair))`), and applies
+# the merge with a left fold that reproduces the trainer's in-place
+# left-to-right substitution exactly (a merged token can immediately
+# participate as the LEFT of the next match: 'aaaa' + (a,a) -> [aa,aa],
+# verified both engines). Output: kind='merge' rows (rank, pair) — the
+# ordered merge list IS the trained model — plus kind='vocab' rows
+# (word, count, final segmentation), which pin the whole vocab STATE
+# table after K rounds; any divergence in counts, selection order,
+# tie-breaks, or substitution semantics flips the hash.
+# cnt >= 2 mirrors the trainer's stop rule; the sub-V corpus vocabulary
+# (31 distinct words at the driver scales) makes LIMIT V total in both
+# engines, so the boundary-tie hazard is structurally absent here.
+
+BPE_ORACLE_MERGES = 12
+BPE_ORACLE_VOCAB = 40
+
+
+def _bpe_merge_round(k: int) -> str:
+    # AS MATERIALIZED on every v{k}: each vocab state is consumed TWICE
+    # (the next round's pair count AND its substitution pass), so without
+    # forced materialization DuckDB inlines the chain and re-evaluates
+    # v0 2^K times — measured: 12 plain rounds never finish, 12
+    # materialized rounds run in 0.1 s
+    return f"""
+    p{k} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(n) AS cnt
+      FROM v{k - 1}, range(1, 16) r(i) WHERE i <= len(syms) - 1
+      GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT a, b FROM p{k} WHERE cnt >= 2
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    v{k} AS MATERIALIZED (
+      SELECT v.word, v.n,
+        list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]), list_transform(v.syms, s -> [s])),
+          (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{k}.a AND s[1] = m{k}.b
+                      THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || s[1])
+                      ELSE list_concat(acc, s) END
+        ) AS syms
+      FROM v{k - 1} v LEFT JOIN m{k} ON TRUE
+    )"""
+
+
+def _bpe_oracle_sql() -> str:
+    rounds = ",".join(_bpe_merge_round(k) for k in range(1, BPE_ORACLE_MERGES + 1))
+    merge_union = "\n      UNION ALL ".join(
+        f"SELECT {k - 1} AS rnk, a, b FROM m{k}"
+        for k in range(1, BPE_ORACLE_MERGES + 1)
+    )
+    return f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, n, list_append(string_split(word, ''), '</w>') AS syms
+      FROM (
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(list_filter(string_split({_LM_NORM}, ' '), x -> x <> '')) AS word
+          FROM documents)
+        GROUP BY word ORDER BY n DESC, word ASC LIMIT {BPE_ORACLE_VOCAB})
+    ),{rounds}
+    SELECT 'merge' AS kind, CAST(rnk AS INT) AS rank, a AS mleft, b AS mright,
+           CAST(NULL AS VARCHAR) AS word, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS VARCHAR) AS encoded
+    FROM ({merge_union})
+    UNION ALL
+    SELECT 'vocab', CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           word, n, array_to_string(syms, ' ')
+    FROM v{BPE_ORACLE_MERGES}
+    """
+
+
+@register(
+    "bpe_training_tables",
+    _bpe_oracle_sql(),
+    doc=(
+        "BPE tokenizer training (Sennrich-style word-internal merges, "
+        "end-of-word marker): exact distributed word counts feed a "
+        "deterministic driver merge loop (BPE training is inherently "
+        "sequential — merge i+1 depends on merge i). ORACLED r11: the "
+        "ordered merge list AND the post-merge vocab state table "
+        "(word, count, final segmentation) hash-match a DuckDB rebuild "
+        "that unrolls all 12 merge rounds as chained CTEs with the same "
+        "max-count/lexicographic tie-break and left-fold substitution."
+    ),
+)
+def bpe_training_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import (
+        train_bpe,
+        word_counts,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    model = train_bpe(
+        docs,
+        "doc_id",
+        "text",
+        n_merges=BPE_ORACLE_MERGES,
+        max_words=BPE_ORACLE_VOCAB,
+    )
+    top = (
+        word_counts(docs, "doc_id", "text")
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(BPE_ORACLE_VOCAB)
+        .collect()
+    )
+    rows = [
+        ("merge", i, a, b, None, None, None)
+        for i, (a, b) in enumerate(model.merges)
+    ]
+    rows += [
+        ("vocab", None, None, None, r["word"], r["n"], " ".join(model.known[r["word"]]))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows,
+        "kind string, rank int, mleft string, mright string, "
+        "word string, n long, encoded string",
+    )

@@ -103,31 +103,20 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _plane_weight_sql(engine: str, plane: int) -> str:
     """Deterministic ±1 weight per (plane, dim): parity of the first hex
-    nibble of sha256('<plane>|<dim>'). dim is the 1-based array position."""
-    sha = "sha256" if engine == "duckdb" else "sha2"
-    arg = f"concat_ws('|', '{plane}', CAST(i AS {'VARCHAR' if engine == 'duckdb' else 'STRING'}))"
-    h = f"{sha}({arg})" if engine == "duckdb" else f"sha2({arg}, 256)"
+    nibble of sha256('<plane>|<dim>'). dim is the 1-based array position.
+    DuckDB-only since r11 (the oracle-side derivation; the Spark side
+    computes the same weights in numpy via srp_plane_matrix)."""
+    if engine != "duckdb":
+        raise ValueError("only the duckdb derivation remains; see docstring")
+    h = f"sha256(concat_ws('|', '{plane}', CAST(i AS VARCHAR)))"
     # first hex char -> 0..15 -> parity -> +/-1
-    if engine == "duckdb":
-        nib = f"CASE WHEN strpos('13579bdf', substr({h}, 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
-    else:
-        nib = f"CASE WHEN instr('13579bdf', substr({h}, 1, 1)) > 0 THEN 1.0D ELSE -1.0D END"
-    return nib
+    return f"CASE WHEN strpos('13579bdf', substr({h}, 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
 
 
 def plane_matrix(n_planes: int, dim: int):
     from youtube_analytics_lakehouse_databricks_spark.operators.similarity import srp_plane_matrix
 
     return srp_plane_matrix(n_planes, dim)
-
-
-def _srp_bits_spark(plane: int) -> str:
-    w = _plane_weight_sql("spark", plane)
-    proj = (
-        "aggregate(zip_with(embedding, sequence(1, size(embedding)), "
-        f"(x, i) -> CAST(x AS DOUBLE) * ({w})), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
 
 
 def _srp_bits_duckdb(plane: int) -> str:
@@ -242,15 +231,14 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE: formerly registered as the oracled query "embedding_lsh_buckets";
-# consolidated into embedding_bucket_ann (round 6) to stay inside the
-# driver's 50-row CORRECTNESS budget — bucket_ann derives the identical
-# SRP bucket keys inside its oracled plan, so the bucketing operator
-# stays fully oracled through it.
-def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings")
-    bits = [F.expr(_srp_bits_spark(p)) for p in range(N_PLANES)]
-    return emb.select("vec_id", "label", F.concat(*bits).alias("bucket"))
+# NOTE: "embedding_lsh_buckets" (oracled through r5) was consolidated
+# into embedding_bucket_ann in r6 — bucket_ann derives the identical SRP
+# bucket keys inside its oracled plan (operators.similarity.bucket_topk
+# computes them from srp_plane_matrix; _srp_bits_duckdb is the oracle's
+# independent SQL derivation), so the bucketing operator stays fully
+# oracled through it. The shadow builder (and its Spark-SQL bit
+# derivation, which it alone used) was deleted in r11 — no bench
+# series, no test consumers.
 
 
 # --- semantic dedup (SemDeDup): the oracled registry row -------------------

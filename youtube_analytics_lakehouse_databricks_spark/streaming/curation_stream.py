@@ -95,17 +95,22 @@ def ingest_curated_batch(
     #   covers the batch (ids are append-only monotone), so re-curating
     #   would violate the append-only contract — the batch is DONE, no-op.
     if prior_audit is not None:
-        wm = prior_audit.agg(F.max(id_col)).collect()[0][0]
+        # footer-stats fast path (no Spark job) — the state came from disk
+        wm = state.watermark_of(id_col)
         batch_max = batch.agg(F.max(id_col)).collect()[0][0]
         if wm is not None and batch_max is not None and batch_max <= wm:
             return
 
-    # the semantic gate (r10) reads its embedding column from the batch
-    # frame — carry it through; everything else stays (id, text)
+    # the semantic gates (SemDeDup r10, semantic decontam r11) read
+    # their embedding column(s) from the batch frame — carry them
+    # through; everything else stays (id, text)
     batch_cols = [id_col, text_col]
-    sem_vec = curate_params.get("semantic_vec_col")
-    if sem_vec is not None:
-        batch_cols.append(sem_vec)
+    for vec in dict.fromkeys(
+        curate_params.get(k)
+        for k in ("semantic_vec_col", "semantic_decontam_vec_col")
+    ):
+        if vec is not None:
+            batch_cols.append(vec)
     audit, new_state = curate_incremental(
         batch.select(*batch_cols), id_col, text_col, state=state, **curate_params
     )
@@ -119,7 +124,12 @@ def ingest_curated_batch(
             prior_audit = prior_audit.withColumn(
                 "semantic_centroid_sim", F.lit(None).cast("double")
             ).withColumn("semantic_audit_incomplete", F.lit(None).cast("boolean"))
-        watermark = prior_audit.agg(F.max(id_col)).collect()[0][0]
+        if "max_eval_cosine" not in prior_audit.columns:
+            # ... and before the semantic-decontam columns (r11)
+            prior_audit = prior_audit.withColumn(
+                "max_eval_cosine", F.lit(None).cast("double")
+            ).withColumn("semantic_matched_eval_id", F.lit(None).cast("long"))
+        watermark = wm  # already read from the footer stats above
         new_rows = audit.filter(F.col(id_col) > F.lit(watermark))
         cols = audit.columns
         changed = (
@@ -183,9 +193,12 @@ def curated_ingest_stream(
     log + state. ``available_now=True`` drains the landing dir and stops
     (deterministic for tests); otherwise runs continuously."""
     schema = f"{id_col} long, {text_col} string"
-    sem_vec = curate_params.get("semantic_vec_col")
-    if sem_vec is not None:
-        schema += f", {sem_vec} array<float>"
+    for vec in dict.fromkeys(
+        curate_params.get(k)
+        for k in ("semantic_vec_col", "semantic_decontam_vec_col")
+    ):
+        if vec is not None:
+            schema += f", {vec} array<float>"
     docs = spark.readStream.schema(schema).json(landing_dir)
     writer = docs.writeStream.foreachBatch(
         lambda b, bid: ingest_curated_batch(
