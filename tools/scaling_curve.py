@@ -219,8 +219,20 @@ def _stage_builders(spark) -> dict:
         key = f"__sem_cents:{d}"
         cents = _MODEL_CACHE.get(key)
         if cents is None:
+            # cells TRACK the corpus (floored at the r10 rows' 32 so the
+            # 1x/10x series stays comparable): with a fixed cell count a
+            # 500k-doc corpus would push every cluster over the 8192 cap
+            # and the stage would degrade to flag-and-skip — the 100x row
+            # would then measure the audit path, not the pairwise work.
+            # auto_n_cells is the operator's own default-sizing contract.
+            import pyarrow.dataset as pads
+
+            from youtube_analytics_lakehouse_databricks_spark.operators.similarity import auto_n_cells
+
+            n_docs = pads.dataset(emb_path).count_rows()  # footer-only
             cents = train_semantic_centroids(
-                s.read.parquet(emb_path), "doc_id", "embedding", n_cells=32
+                s.read.parquet(emb_path), "doc_id", "embedding",
+                n_cells=max(32, auto_n_cells(n_docs, 8192)),
             )
             _MODEL_CACHE[key] = cents
         docs = read_fanned(s, d, "documents_embedded", by="doc_id")
