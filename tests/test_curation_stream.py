@@ -188,3 +188,46 @@ def test_streamed_semantic_gate_equals_batch_curate(spark, tmp_path):
     assert got == sorted(map(tuple, full.collect()))
     by_id = {t[0]: t for t in got}
     assert by_id[11][1:4] == (False, "semantic_duplicate", 1)
+
+
+def test_streamed_semantic_decontam_gate(spark, tmp_path):
+    """r11: the semantic DECONTAMINATION tier threads through the stream
+    in decontam-only mode — the embedding rides the JSON source schema
+    via semantic_decontam_vec_col (SemDeDup off), a cross-batch eval
+    paraphrase drops as semantic_contaminated, and the audit columns
+    land in the latest-wins log."""
+    from tests.test_curation_semantic import _dup_of, _emb, _text
+
+    landing = str(tmp_path / "landing")
+    dirs = {
+        "state": str(tmp_path / "state"),
+        "audit": str(tmp_path / "audit"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    ev_vec = _emb(3, 900, noise=0.0)  # direction 3: nobody else near it
+    ev = spark.createDataFrame([(900, ev_vec)], "doc_id long, emb array<float>")
+    b1 = [(1, _text(1), _emb(0, 101)), (2, _text(2), _emb(1, 102))]
+    b2 = [(11, _text(11), _emb(2, 103)), (12, _text(12), _dup_of(ev_vec, 5))]
+
+    os.makedirs(landing, exist_ok=True)
+    params = dict(semantic_eval_df=ev, semantic_decontam_vec_col="emb")
+    all_rows = []
+    for i, rows in enumerate((b1, b2)):
+        with open(f"{landing}/batch{i}.json", "w") as f:
+            for doc_id, text, emb in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text, "emb": emb}) + "\n")
+        all_rows += rows
+        _drain(spark, landing, dirs, **params)
+
+    got = sorted(map(tuple, current_audit(spark, dirs["audit"]).collect()))
+    full = curate(
+        spark.createDataFrame(all_rows, "doc_id long, text string, emb array<float>"),
+        "doc_id",
+        "text",
+        **params,
+    )
+    assert got == sorted(map(tuple, full.collect()))
+    by_id = {t[0]: t for t in got}
+    assert by_id[12][1:3] == (False, "semantic_contaminated")
+    assert by_id[12][10] >= 0.9 and by_id[12][11] == 900  # audit columns
+    assert by_id[1][1] is True and by_id[1][10] is not None  # review tier
