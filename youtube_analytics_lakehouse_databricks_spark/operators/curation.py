@@ -381,11 +381,19 @@ def curate(
     # two contamination signals apart. Same placement rationale: BEFORE
     # any dedup, so a leaked doc never survives as a cluster's keeper.
     # The doc-side vector column defaults to the SemDeDup one
-    # (``semantic_vec_col``) and is re-joined from the INPUT frame by id
-    # (text rewrites above drop it); ``semantic_decontam_vec_col``
-    # overrides it so a decontam-only pipeline need not switch SemDeDup
-    # on. The eval matrix is broadcast inside semantic_decontaminate —
-    # ONE Arrow pass over the gate's survivors, zero shuffle.
+    # (``semantic_vec_col``) and is read from the INPUT frame (text
+    # rewrites above drop it); ``semantic_decontam_vec_col`` overrides
+    # it so a decontam-only pipeline need not switch SemDeDup on.
+    # Shuffle shape: the scorer runs over EVERY input row (the eval
+    # matrix is broadcast inside semantic_decontaminate — one Arrow
+    # pass, zero exchange), and the gate population is selected by
+    # semi-joining the (id, score) VERDICTS — ~tens of bytes/row —
+    # never the vector column: restricting the input frame first would
+    # semi-join dim*4 bytes/row of vectors against a corpus-sized key
+    # set, a full vector shuffle at 100 TB, where the extra matmuls for
+    # already-dropped docs are bounded (<2x) and exchange-free. (The
+    # SemDeDup stage below rightly does restrict its vector frame — ITS
+    # downstream cluster exchange needs the vectors shuffled anyway.)
     if semantic_eval_df is not None:
         from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
 
@@ -395,14 +403,11 @@ def curate(
                 "semantic_eval_df given without a doc-side vector column — "
                 "set semantic_decontam_vec_col= (or semantic_vec_col=)"
             )
-        sdec_input = docs_in.select(id_col, sdec_vec).join(
-            good.select(id_col), id_col, "left_semi"
-        )
         # one cut materializes the scoring pass; the droplist AND the
-        # audit columns are cheap filters over the same blocks
-        sdec = cut(
+        # audit columns are cheap id-score joins over the same blocks
+        sdec_all = cut(
             semantic_decontaminate(
-                sdec_input,
+                docs_in.select(id_col, sdec_vec),
                 semantic_eval_df,
                 id_col,
                 sdec_vec,
@@ -412,6 +417,7 @@ def curate(
             ),
             durable=durable,
         )
+        sdec = sdec_all.join(good.select(id_col), id_col, "left_semi")
         sem_contaminated = sdec.filter(
             F.col("is_semantically_contaminated")
         ).select(id_col)

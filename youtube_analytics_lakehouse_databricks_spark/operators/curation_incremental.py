@@ -721,7 +721,10 @@ def curate_incremental(
 
     # -- stage 1c2: optional SEMANTIC decontamination (batch-only; the
     # eval embedding suite is fixed across appends, so the per-row
-    # verdicts are identical to the batch operator's — mirrors 1c)
+    # verdicts are identical to the batch operator's — mirrors 1c).
+    # Same shuffle shape as the batch operator: score EVERY batch row
+    # (zero exchange), then select the gate population by semi-joining
+    # the id-score verdicts, never the vector column.
     if semantic_eval_df is not None:
         from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
 
@@ -731,12 +734,9 @@ def curate_incremental(
                 "semantic_eval_df given without a doc-side vector column — "
                 "set semantic_decontam_vec_col= (or semantic_vec_col=)"
             )
-        sdec_input = batch.select(id_col, sdec_vec).join(
-            good.select(id_col), id_col, "left_semi"
-        )
-        sdec = cut(
+        sdec_all = cut(
             semantic_decontaminate(
-                sdec_input,
+                batch.select(id_col, sdec_vec),
                 semantic_eval_df,
                 id_col,
                 sdec_vec,
@@ -746,6 +746,7 @@ def curate_incremental(
             ),
             durable=durable,
         )
+        sdec = sdec_all.join(good.select(id_col), id_col, "left_semi")
         sem_contaminated = sdec.filter(
             F.col("is_semantically_contaminated")
         ).select(id_col)
