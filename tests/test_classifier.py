@@ -157,3 +157,79 @@ def test_curate_classifier_gate(spark, corpora, model):
         ).collect()
     }
     assert inc == full
+
+
+def test_oracle_feature_space_is_collision_free(spark):
+    """The classifier_training_scores registry row keys its DuckDB mirror
+    on gram STRINGS, which is valid iff the 2^61-bucket hashing trick is
+    injective on the fixture vocabulary — assert zero gram-pair
+    collisions over the driver testdata the oracle actually runs on."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.classifier import _feature_rows
+    from youtube_analytics_lakehouse_databricks_spark.operators.text import norm_expr
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = read(spark, sf_dir, "documents").select(
+            "doc_id", norm_expr("text").alias("text")
+        )
+        toks = docs.select(
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("__t")
+        )
+        uni = toks.select(F.explode("__t").alias("__g"))
+        bi = toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(__t) >= 2 THEN transform("
+                    "sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1]))"
+                    " ELSE CAST(array() AS array<string>) END"
+                )
+            ).alias("__g")
+        )
+        grams = uni.unionByName(bi).distinct()
+        n_grams, n_buckets = grams.select(
+            F.count(F.lit(1)),
+            F.countDistinct(F.pmod(F.xxhash64("__g"), F.lit(1 << 61))),
+        ).first()
+        assert n_grams == n_buckets, (sf_dir, n_grams, n_buckets)
+
+
+def test_registered_row_matches_operator_at_production_width(spark):
+    """The registry row's 2^61 feature space is a test-only twist; pin
+    that the SAME train+score path at the production 2^18 width yields
+    scores within hashing-collision distance (identical here — the
+    fixture vocab is ~950 grams, collisions merely possible, and any
+    that occur shift only the colliding buckets' weights)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+    from youtube_analytics_lakehouse_databricks_spark.queries.textops import (
+        CLF_ORACLE_EPOCHS,
+        CLF_ORACLE_SAMPLE,
+    )
+
+    docs = read(spark, "/root/testdata/sf0.001", "documents")
+    outs = []
+    for n_features in (1 << 61, 1 << 18):
+        model = train_quality_classifier(
+            docs.filter("lang = 'en'"),
+            docs.filter("lang <> 'en'"),
+            "doc_id",
+            "text",
+            n_features=n_features,
+            sample_per_class=CLF_ORACLE_SAMPLE,
+            epochs=CLF_ORACLE_EPOCHS,
+        )
+        outs.append(
+            {
+                r["doc_id"]: r["quality_logit"]
+                for r in score_quality(docs, "doc_id", "text", model).collect()
+            }
+        )
+    wide, prod = outs
+    assert set(wide) == set(prod)
+    # identical unless a 2^18 collision exists in the fixture vocab; keep
+    # the tolerance loose enough to survive one (weights are ~1e-3 here)
+    diffs = [abs(wide[k] - prod[k]) for k in wide]
+    assert max(diffs) < 1e-2, max(diffs)

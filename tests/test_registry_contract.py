@@ -16,7 +16,12 @@ TABLES = [
 ]
 # Iterative builders run Spark jobs at build time by design (driver-side
 # convergence loops); they are exercised by their own oracle rows instead.
-ITERATIVE = {"dedup_keepers", "curate_audit", "ngram_lm_scores"}
+ITERATIVE = {
+    "dedup_keepers",
+    "curate_audit",
+    "ngram_lm_scores",
+    "classifier_training_scores",
+}
 
 
 def test_every_builder_constructs_and_every_oracle_parses(spark):

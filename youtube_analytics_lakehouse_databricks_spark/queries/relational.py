@@ -500,33 +500,40 @@ def customer_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
            CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' ELSE 'high' END AS value_bucket,
            upper(event_type) AS event_type_uc,
-           COALESCE(value, 0) AS value_filled
+           COALESCE(value, 0) AS value_filled,
+           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f')
+             AS ts_roundtrip,
+           CAST(ts AS DATE) AS ts_date
     FROM events
     """,
-    doc="CASE WHEN column guards + coalesce defaults (P:543-570, gold coalesce policy).",
+    doc=(
+        "CASE WHEN column guards + coalesce defaults (P:543-570, gold "
+        "coalesce policy); since r11 also carries the former "
+        "timestamp_parse_roundtrip row's F15 surface — the "
+        "to_timestamp(date_format(...)) microsecond round-trip and "
+        "to_date cast, hash-matched at full timestamp fidelity on the "
+        "same per-event grain."
+    ),
 )
 def conditional_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     return ev.select(
         "event_id",
         F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_value"),
         F.when(F.col("value") < 25, "low").when(F.col("value") < 75, "mid").otherwise("high").alias("value_bucket"),
         F.upper("event_type").alias("event_type_uc"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.to_timestamp(F.date_format("ts", fmt), fmt).alias("ts_roundtrip"),
+        F.to_date("ts").alias("ts_date"),
     )
 
 
-@register(
-    "timestamp_parse_roundtrip",
-    """
-    SELECT event_id, ts,
-           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f')
-             AS ts_roundtrip,
-           CAST(ts AS DATE) AS ts_date
-    FROM events
-    """,
-    doc="String<->timestamp parsing: to_timestamp(date_format(...)) microsecond round-trip (P:32 to_timestamp, P:404 to_date).",
-)
+# NOTE: "timestamp_parse_roundtrip" (oracled through r11) was folded into
+# conditional_metrics — the to_timestamp(date_format(...)) microsecond
+# round-trip and to_date cast now ride that row at the same per-event
+# grain and full timestamp fidelity, freeing a 50-row-budget slot for
+# classifier_training_scores. The standalone builder stays importable.
 def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"

@@ -1046,3 +1046,152 @@ def bpe_training_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind string, rank int, mleft string, mright string, "
         "word string, n long, encoded string",
     )
+
+
+# --- Quality-classifier training + inference: the oracled registry row -----
+#
+# The fourth operator family under the cross-engine hash-match regime
+# (after the LM tables, SemDeDup's quantizer, and the BPE merges): the
+# oracle rebuilds the CCNet/GPT-3-style hashed-linear quality classifier
+# END TO END in DuckDB — the canonical tokenization, the per-doc
+# unigram+bigram term-frequency design matrix, the lowest-id-per-class
+# deterministic training sample, ALL gradient-descent epochs UNROLLED as
+# chained materialized CTEs (zero init, full-batch logistic updates with
+# L2, exactly the driver's numpy loop: g computed from the PREVIOUS
+# weights/bias, then w -= lr*(X'g/n + l2*w), b -= lr*mean(g)), and the
+# distributed inference arithmetic (per-occurrence weight sum over the
+# doc's grams / total gram count + bias -> sigmoid). Any divergence in
+# tokenization, sampling, the epoch recurrence, or the scoring join
+# flips the hash on the 1e-6-rounded logits/probs.
+#
+# The registered row runs the REAL operator (train_quality_classifier +
+# score_quality) with one test-only twist: n_features = 2^61, so the
+# hashing trick's gram->bucket map is injective on the fixture vocabulary
+# (~950 grams vs 2.3e18 buckets; verified collision-free in
+# tests/test_classifier.py) and the DuckDB mirror can key the SAME model
+# on gram STRINGS — the established oracle stance ("the engine's hash
+# keys stand in for exactly these strings"). Collision behavior at the
+# production 2^18 width stays pinned by the classifier's own tests.
+# Positive class = lang='en' docs (the wiki-vs-crawl shape), negative =
+# the rest; empty-normalized docs score the bare bias through the same
+# restore join in both engines.
+
+CLF_ORACLE_SAMPLE = 20  # lowest-id docs per class
+CLF_ORACLE_EPOCHS = 10
+CLF_ORACLE_LR = 0.5
+CLF_ORACLE_L2 = 1e-4
+
+
+def _clf_epoch_cte(k: int) -> str:
+    # MATERIALIZED: each epoch state is consumed by BOTH next-epoch legs
+    # (g uses w and b; w and b each use g) — without it DuckDB inlines
+    # the chain and re-evaluates the prefix exponentially (the BPE/
+    # mini-Lloyd lesson).
+    return f"""
+    g{k} AS MATERIALIZED (
+      SELECT td.doc_id,
+             1.0 / (1.0 + exp(-(s.dot + (SELECT b FROM b{k - 1})))) - td.y AS gval
+      FROM td
+      JOIN (SELECT tx.doc_id, SUM(tx.x * w.w) AS dot
+            FROM tx JOIN w{k - 1} w USING (gram) GROUP BY tx.doc_id) s USING (doc_id)
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT w.gram,
+             w.w - {CLF_ORACLE_LR} * (COALESCE(gr.s, 0.0) / (SELECT n FROM nn)
+                                      + {CLF_ORACLE_L2} * w.w) AS w
+      FROM w{k - 1} w LEFT JOIN (
+        SELECT tx.gram, SUM(tx.x * g{k}.gval) AS s
+        FROM tx JOIN g{k} USING (doc_id) GROUP BY tx.gram) gr USING (gram)
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT (SELECT b FROM b{k - 1}) - {CLF_ORACLE_LR} * (SELECT AVG(gval) FROM g{k}) AS b
+    )"""
+
+
+def _clf_oracle_sql() -> str:
+    epochs = ",".join(_clf_epoch_cte(k) for k in range(1, CLF_ORACLE_EPOCHS + 1))
+    e = CLF_ORACLE_EPOCHS
+    return f"""
+    WITH tsel AS MATERIALIZED (
+      (SELECT doc_id, 1.0 AS y FROM documents WHERE lang = 'en'
+       ORDER BY doc_id LIMIT {CLF_ORACLE_SAMPLE})
+      UNION ALL
+      (SELECT doc_id, 0.0 AS y FROM documents WHERE lang <> 'en'
+       ORDER BY doc_id LIMIT {CLF_ORACLE_SAMPLE})
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split({_LM_NORM}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, g, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+        SELECT doc_id, w AS g FROM tok
+        UNION ALL
+        SELECT doc_id, w || ' ' || nxt AS g FROM (
+          SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM tok
+        ) WHERE nxt IS NOT NULL
+      ) GROUP BY doc_id, g
+    ),
+    dtot AS MATERIALIZED (SELECT doc_id, SUM(c) AS tot FROM grams GROUP BY doc_id),
+    tx AS MATERIALIZED (
+      SELECT g.doc_id, g.g AS gram, g.c / d.tot AS x
+      FROM grams g JOIN dtot d USING (doc_id) JOIN tsel USING (doc_id)
+    ),
+    td AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id, t.y FROM tsel t JOIN grams g USING (doc_id)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM td),
+    w0 AS MATERIALIZED (SELECT DISTINCT gram, 0.0 AS w FROM tx),
+    b0 AS (SELECT 0.0 AS b),{epochs},
+    scored AS (
+      SELECT g.doc_id, SUM(g.c * COALESCE(w.w, 0.0)) / SUM(g.c) AS dotn
+      FROM grams g LEFT JOIN w{e} w ON w.gram = g.g
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(s.dotn, 0.0) + (SELECT b FROM b{e}), 6) AS quality_logit,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(s.dotn, 0.0) + (SELECT b FROM b{e})))), 6)
+             AS quality_prob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
+@register(
+    "classifier_training_scores",
+    _clf_oracle_sql(),
+    doc=(
+        "Hashed-linear quality classifier (CCNet/GPT-3 wiki-vs-crawl "
+        "gate): deterministic lowest-id training sample, zero-init "
+        "full-batch logistic GD on the driver, JVM-only distributed "
+        "inference — training AND scoring hash-matched against a DuckDB "
+        "rebuild that unrolls every GD epoch as chained CTEs (slot freed "
+        "by folding timestamp_parse_roundtrip into conditional_metrics)."
+    ),
+)
+def classifier_training_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    model = train_quality_classifier(
+        docs.filter("lang = 'en'"),
+        docs.filter("lang <> 'en'"),
+        "doc_id",
+        "text",
+        n_features=1 << 61,  # injective on the fixture vocab -> gram-keyed oracle
+        sample_per_class=CLF_ORACLE_SAMPLE,
+        epochs=CLF_ORACLE_EPOCHS,
+        lr=CLF_ORACLE_LR,
+        l2=CLF_ORACLE_L2,
+    )
+    return score_quality(docs, "doc_id", "text", model).select(
+        "doc_id",
+        F.round("quality_logit", 6).alias("quality_logit"),
+        F.round("quality_prob", 6).alias("quality_prob"),
+    )
