@@ -512,3 +512,38 @@ def test_refine_parameter_mismatch_raises(spark):
         semantic_dedup_refine(
             df, res, "vid", "emb", threshold=0.9, max_cluster_size=4, keeper="min_id"
         )
+
+
+def test_decontam_only_curate_never_shuffles_vectors(spark):
+    """r11 shuffle shape: the semantic decontam gate scores EVERY input
+    row through the broadcast-eval Arrow pass (zero exchange) and selects
+    the gate population by semi-joining the (id, score) VERDICTS — the
+    vector column itself must appear in NO Exchange of the composed
+    decontam-only curate plan (at 100 TB a vector shuffle is dim*4
+    bytes/row; the verdict semi-join is tens of bytes/row)."""
+    import contextlib
+    import re
+    from io import StringIO
+
+    rows = [(i, _text(i), _emb(i % 4, 600 + i)) for i in range(1, 40)]
+    ev = spark.createDataFrame(
+        [(900, [float(x) for x in _dirs[3]])], "doc_id long, emb array<float>"
+    )
+    out = curate(
+        _df(spark, rows),
+        "doc_id",
+        "text",
+        semantic_eval_df=ev,
+        semantic_decontam_vec_col="emb",
+    )
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    blocks = re.split(r"\n(?=\(\d+\) )", buf.getvalue())
+    exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert exchanges  # the chain itself does shuffle (dedup stages)
+    leaking = [b.splitlines()[0] for b in exchanges if re.search(r"\bemb#", b)]
+    assert not leaking, leaking
