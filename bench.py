@@ -180,6 +180,13 @@ def _bench_only() -> dict[str, Query]:
             )
         return score_quality(docs, "doc_id", "text", _models[sf_dir])
 
+    def value_percentiles(spark, sf_dir):
+        # unregistered r11 (folded into events_rollup's rollup grains);
+        # timing series continues on the original event_type-grain plan
+        from youtube_analytics_lakehouse_databricks_spark.queries import advanced
+
+        return advanced.value_percentiles(spark, sf_dir)
+
     def bpe_token_counts(spark, sf_dir):
         # merges trained once per sf (priming run pays it); timed work is
         # the distributed cached encoding of the whole corpus
@@ -207,12 +214,26 @@ def _bench_only() -> dict[str, Query]:
             semantic_decontam_scores,
             ngram_jaccard_pairs,
             signup_followup_window,
+            value_percentiles,
             quality_classifier_scores,
             bpe_token_counts,
         )
     }
 
 
+# Drift notes (r11): events_rollup carries MORE work since r11 (the
+# folded value_percentiles row's exact percentiles ride every rollup
+# grain) and conditional_metrics likewise (the folded
+# timestamp_parse_roundtrip row's microsecond round-trip columns) — both
+# are new epochs; value_percentiles continues unchanged as bench-only on
+# its original event_type-grain plan. First-epoch r11 rows:
+# embedding_pca_project (train moments + power-deflation solve +
+# zero-shuffle projection, all in the timed run). The oracled
+# classifier_training_scores row is deliberately NOT benched: its plan
+# is quality_classifier_scores' inference at a 2^61 feature width over a
+# 40-doc model — the production 2^18 row above already carries the
+# family's timing series.
+#
 # Drift notes (r10): asof_purchase_prior_click carries MORE work since
 # r10 — the interval-join leg of the former signup_followup_window row
 # (consolidated to free its registry slot) rides the same query, so its
@@ -286,6 +307,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_bucket_ann",
     "embedding_ivf_ann",
+    "embedding_pca_project",
     "simhash_fingerprints",
     "events_rollup",
     "date_dim_attributes",

@@ -47,7 +47,8 @@ def test_dedup_windows_share_one_shuffle(spark):
 
 
 def test_percentile_stays_jvm_side(spark):
-    plan = _plan(spark, "value_percentiles")
+    # percentiles ride events_rollup since the r11 fold
+    plan = _plan(spark, "events_rollup")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

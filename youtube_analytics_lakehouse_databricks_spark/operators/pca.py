@@ -1,0 +1,245 @@
+"""Embedding PCA / whitening: the dimensionality-reduction pre-step.
+
+Real vector pipelines shrink and decorrelate embeddings before the
+expensive geometry (IVF/SemDeDup clustering, ANN indexes, int8 codes):
+a 64-d embedding projected to its top-k principal axes keeps most of
+the variance at a fraction of the storage and compute, and whitening
+equalizes the axes so cosine thresholds mean the same thing in every
+direction. The engine splits the operator the way it splits IVF and
+the quality classifier — the corpus-sized work is distributed and
+shuffle-free, the tiny dense solve is driver-side and DETERMINISTIC:
+
+- ``train_pca``: ONE Arrow ``mapInPandas`` pass emits per-partition
+  moment partials (count, sum, d*d raw second-moment sum) — constant
+  rows per partition, so the driver collect is O(partitions * d^2)
+  regardless of corpus size and the corpus itself never shuffles. The
+  driver assembles the population covariance and extracts the top-k
+  axes by FIXED-ITERATION POWER DEFLATION (deterministic init from the
+  largest-norm covariance column, a fixed iteration count, canonical
+  sign = largest-|coordinate| entry positive, then rank-1 deflation).
+  numpy's ``eigh`` would be the classic choice; the fixed-iteration
+  recurrence is chosen because it is EXPRESSIBLE — the DuckDB oracle
+  unrolls the identical recurrence as chained CTEs (the mini-Lloyd /
+  BPE / GD-epoch playbook), putting the trainer under the cross-engine
+  hash-match regime instead of trusting a LAPACK black box.
+- ``project_embeddings``: broadcast (mean, components), ONE Arrow
+  ``mapInPandas`` pass, ZERO shuffle at any corpus size — the same
+  shape as semantic decontamination. ``whiten=True`` additionally
+  scales each axis by 1/sqrt(eigenvalue + eps).
+
+At 100 TB: training reads the corpus once with no exchange and ships
+d^2 doubles per partition to the driver; projection is embarrassingly
+parallel. Nothing here is quadratic in rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["PCAModel", "train_pca", "project_embeddings"]
+
+
+@dataclass
+class PCAModel:
+    """Fitted PCA: per-dimension mean, (k, d) principal axes (rows are
+    unit-norm, canonical-signed), and their eigenvalues (the per-axis
+    variance, used for whitening and variance-explained reporting)."""
+
+    mean: "object"  # np.ndarray (d,)
+    components: "object"  # np.ndarray (k, d)
+    eigenvalues: "object"  # np.ndarray (k,)
+    n_rows: int
+
+    def explained_variance_ratio(self) -> list[float]:
+        import numpy as np
+
+        tot = float(getattr(self, "_total_variance", 0.0))
+        if tot <= 0.0:
+            return [0.0] * len(np.asarray(self.eigenvalues))
+        return [float(e) / tot for e in np.asarray(self.eigenvalues)]
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        import numpy as np
+
+        rows = [("mean", 0, [float(x) for x in np.asarray(self.mean)])]
+        rows += [
+            ("component", i, [float(x) for x in row])
+            for i, row in enumerate(np.asarray(self.components))
+        ]
+        rows.append(
+            ("eigenvalues", 0, [float(x) for x in np.asarray(self.eigenvalues)])
+        )
+        rows.append(
+            ("meta", 0, [float(self.n_rows), float(getattr(self, "_total_variance", 0.0))])
+        )
+        spark.createDataFrame(
+            rows, "kind string, idx int, vals array<double>"
+        ).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PCAModel":
+        import numpy as np
+
+        rows = spark.read.parquet(path).collect()
+        by = {}
+        comps = {}
+        for r in rows:
+            if r["kind"] == "component":
+                comps[r["idx"]] = r["vals"]
+            else:
+                by[r["kind"]] = r["vals"]
+        model = cls(
+            mean=np.asarray(by["mean"], dtype=np.float64),
+            components=np.asarray(
+                [comps[i] for i in sorted(comps)], dtype=np.float64
+            ),
+            eigenvalues=np.asarray(by["eigenvalues"], dtype=np.float64),
+            n_rows=int(by["meta"][0]),
+        )
+        model._total_variance = float(by["meta"][1])
+        return model
+
+
+def _power_deflation(cov, k: int, iters: int):
+    """Top-k eigenpairs of a symmetric PSD matrix by fixed-iteration
+    power iteration with rank-1 deflation. Fully deterministic: init is
+    the largest-L2-norm column of the (deflated) matrix (lowest index on
+    ties — numpy argmax semantics), exactly ``iters`` multiplications,
+    canonical sign makes the largest-|coordinate| entry positive (lowest
+    index on ties). The DuckDB oracle mirrors this recurrence verbatim;
+    do not "improve" it with tolerance-based stopping or random init —
+    determinism IS the contract."""
+    import numpy as np
+
+    A = np.asarray(cov, dtype=np.float64).copy()
+    comps, eigs = [], []
+    for _ in range(k):
+        norms = np.linalg.norm(A, axis=0)
+        j = int(np.argmax(norms))
+        if norms[j] <= 0.0:
+            raise ValueError(
+                f"covariance rank < k: no direction left for component {len(comps)}"
+            )
+        v = A[:, j] / norms[j]
+        for _ in range(iters):
+            w = A @ v
+            nw = float(np.linalg.norm(w))
+            if nw == 0.0:
+                raise ValueError(
+                    "power iteration annihilated the iterate (rank-deficient "
+                    "covariance) — lower k"
+                )
+            v = w / nw
+        i = int(np.argmax(np.abs(v)))
+        if v[i] < 0.0:
+            v = -v
+        lam = float(v @ A @ v)
+        comps.append(v)
+        eigs.append(lam)
+        A = A - lam * np.outer(v, v)
+    return np.asarray(comps), np.asarray(eigs)
+
+
+def train_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    iters: int = 20,
+) -> PCAModel:
+    """Fit PCA over an embedding column. The distributed pass is a single
+    Arrow scan emitting per-partition (count, sum, raw second-moment)
+    partials — no shuffle, O(partitions * d^2) bytes to the driver. The
+    population covariance (divide by n, not n-1) feeds the deterministic
+    power-deflation solve; same input, same model, no RNG."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        o = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            oo = m.T @ m
+            o = oo if o is None else o + oo
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [[float(x) for x in s]],
+                    "o": [[float(x) for x in o.ravel()]],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, o array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    if not (0 < k <= d):
+        raise ValueError(f"k must be in 1..{d}, got {k}")
+    s = np.zeros(d)
+    o = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        o += np.asarray(r["o"]).reshape(d, d)
+    mean = s / n
+    cov = (o - n * np.outer(mean, mean)) / n
+    comps, eigs = _power_deflation(cov, k, iters)
+    model = PCAModel(mean=mean, components=comps, eigenvalues=eigs, n_rows=int(n))
+    model._total_variance = float(np.trace(cov))
+    return model
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: PCAModel,
+    *,
+    whiten: bool = False,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """(id, pc array<double>): project onto the model's axes in ONE Arrow
+    pass — (mean, components) ride a broadcast, the plan has no Exchange
+    at any corpus size. ``whiten=True`` scales axis c by
+    1/sqrt(eigenvalue_c + eps) so downstream distances are isotropic."""
+    import numpy as np
+
+    comps = np.asarray(model.components, dtype=np.float64)
+    mean = np.asarray(model.mean, dtype=np.float64)
+    scale = (
+        1.0 / np.sqrt(np.asarray(model.eigenvalues, dtype=np.float64) + eps)
+        if whiten
+        else None
+    )
+    bc = df.sparkSession.sparkContext.broadcast((mean, comps, scale))
+
+    def project(batches):
+        import pandas as pd
+
+        mu, c, sc = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            p = (m - mu) @ c.T
+            if sc is not None:
+                p = p * sc
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, pc array<double>"
+    )

@@ -285,18 +285,11 @@ def cumulative_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "value_percentiles",
-    """
-    SELECT event_type,
-           round(q[1], 6) AS p50, round(q[2], 6) AS p90, round(q[3], 6) AS p99
-    FROM (
-      SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS q
-      FROM events GROUP BY event_type
-    )
-    """,
-    doc="Exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont).",
-)
+# NOTE: "value_percentiles" (oracled through r11) was folded into
+# events_rollup — the exact interpolated percentiles (Spark percentile ==
+# DuckDB quantile_cont) now ride every rollup grain of that row, a
+# strictly larger surface than the event_type-only grain here; slot freed
+# for embedding_pca_project. The standalone builder stays importable.
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     return (

@@ -130,14 +130,24 @@ def event_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_rollup",
     """
-    SELECT COALESCE(event_type, '(all)') AS event_type,
-           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS event_date,
-           COUNT(*) AS cnt,
-           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
-    FROM events
-    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    SELECT event_type, event_date, cnt, total_value,
+           round(q[1], 6) AS p50, round(q[2], 6) AS p90, round(q[3], 6) AS p99
+    FROM (
+      SELECT COALESCE(event_type, '(all)') AS event_type,
+             COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS event_date,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value,
+             quantile_cont(value, [0.5, 0.9, 0.99]) AS q
+      FROM events
+      GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    )
     """,
-    doc="ROLLUP hierarchical aggregate (event_type -> date -> grand total), partial-agg friendly.",
+    doc=(
+        "ROLLUP hierarchical aggregate (event_type -> date -> grand "
+        "total), partial-agg friendly; since r11 also carries the folded "
+        "value_percentiles row's exact interpolated percentiles (Spark "
+        "percentile == DuckDB quantile_cont) at every rollup grain."
+    ),
 )
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events").withColumn("event_date", F.col("ts").cast("date"))
@@ -148,12 +158,16 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")).cast("double") / 10000.0).alias(
                 "total_value"
             ),
+            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("q"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
             F.coalesce(F.col("event_date").cast("string"), F.lit("(all)")).alias("event_date"),
             "cnt",
             "total_value",
+            F.round(F.element_at("q", 1), 6).alias("p50"),
+            F.round(F.element_at("q", 2), 6).alias("p90"),
+            F.round(F.element_at("q", 3), 6).alias("p99"),
         )
     )
 

@@ -656,3 +656,127 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(recon), 6).alias("recon_mae"),
         )
     )
+
+
+# --- Embedding PCA: the oracled registry row (r11) --------------------------
+#
+# The fifth operator family under the cross-engine hash-match regime
+# (after the LM tables, SemDeDup's quantizer, the BPE merges, and the
+# classifier's GD epochs): the oracle rebuilds PCA TRAINING and the
+# projection end to end in DuckDB. The operator's eigensolver is a
+# fixed-iteration POWER-DEFLATION recurrence chosen precisely because it
+# is expressible — per component: init from the largest-L2-norm column
+# of the (deflated) covariance (lowest index on ties), PCA_ORACLE_ITERS
+# matvec+normalize steps, canonical sign (largest-|coordinate| entry
+# positive, lowest index on ties), Rayleigh eigenvalue, rank-1
+# deflation — all unrolled as chained MATERIALIZED CTEs over the (r, q,
+# a) covariance table, exactly the mini-Lloyd / BPE / GD-epoch playbook.
+# The covariance itself is the population (divide-by-n) moment identity
+# (SUM(xi*xj) - n*mi*mj)/n, mirroring the operator's one-pass partials.
+# Output: per-vector projections onto the k axes, 1e-6-rounded — any
+# divergence in the moments, the init choice, the iteration count, the
+# sign rule, or the deflation flips the hash.
+
+PCA_ORACLE_K = 4
+PCA_ORACLE_ITERS = 20
+
+
+def _pca_component_ctes(c: int) -> str:
+    prev = f"a{c - 1}"
+    steps = []
+    steps.append(f"""
+    cn{c} AS (SELECT q, sqrt(SUM(a * a)) AS nrm FROM {prev} GROUP BY q),
+    j{c} AS (SELECT q, nrm FROM cn{c} ORDER BY nrm DESC, q ASC LIMIT 1),
+    v{c}_0 AS MATERIALIZED (
+      SELECT r AS i, a / (SELECT nrm FROM j{c}) AS v
+      FROM {prev} WHERE q = (SELECT q FROM j{c})
+    )""")
+    for t in range(1, PCA_ORACLE_ITERS + 1):
+        steps.append(f"""
+    v{c}_{t} AS MATERIALIZED (
+      SELECT i, w / sqrt(SUM(w * w) OVER ()) AS v FROM (
+        SELECT m.r AS i, SUM(m.a * p.v) AS w
+        FROM {prev} m JOIN v{c}_{t - 1} p ON p.i = m.q GROUP BY m.r)
+    )""")
+    last = f"v{c}_{PCA_ORACLE_ITERS}"
+    steps.append(f"""
+    sg{c} AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+              FROM {last} ORDER BY abs(v) DESC, i ASC LIMIT 1),
+    vc{c} AS MATERIALIZED (SELECT i, v * (SELECT s FROM sg{c}) AS v FROM {last}),
+    lam{c} AS (
+      SELECT SUM(av.w * v.v) AS l FROM (
+        SELECT m.r AS i, SUM(m.a * v.v) AS w
+        FROM {prev} m JOIN vc{c} v ON v.i = m.q GROUP BY m.r) av
+      JOIN vc{c} v USING (i)
+    ),
+    a{c} AS MATERIALIZED (
+      SELECT m.r, m.q, m.a - (SELECT l FROM lam{c}) * vr.v * vq.v AS a
+      FROM {prev} m JOIN vc{c} vr ON vr.i = m.r JOIN vc{c} vq ON vq.i = m.q
+    )""")
+    return ",".join(steps)
+
+
+def _pca_oracle_sql() -> str:
+    comps = ",".join(_pca_component_ctes(c) for c in range(1, PCA_ORACLE_K + 1))
+    comp_union = "\n      UNION ALL ".join(
+        f"SELECT {c} AS kc, i, v FROM vc{c}" for c in range(1, PCA_ORACLE_K + 1)
+    )
+    pivot = ", ".join(
+        f"round(MAX(CASE WHEN kc = {c} THEN p END), 6) AS p{c}"
+        for c in range(1, PCA_ORACLE_K + 1)
+    )
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    mu AS MATERIALIZED (
+      SELECT i, SUM(val) / (SELECT n FROM nr) AS m FROM x GROUP BY i
+    ),
+    a0 AS MATERIALIZED (
+      SELECT xi.i AS r, xj.i AS q,
+             (SUM(xi.val * xj.val) - (SELECT n FROM nr) * mi.m * mj.m)
+               / (SELECT n FROM nr) AS a
+      FROM x xi JOIN x xj USING (vec_id)
+      JOIN mu mi ON mi.i = xi.i JOIN mu mj ON mj.i = xj.i
+      GROUP BY xi.i, xj.i, mi.m, mj.m
+    ),{comps},
+    comps AS MATERIALIZED ({comp_union}),
+    proj AS (
+      SELECT x.vec_id, c.kc, SUM((x.val - mu.m) * c.v) AS p
+      FROM x JOIN mu USING (i) JOIN comps c USING (i)
+      GROUP BY x.vec_id, c.kc
+    )
+    SELECT vec_id, {pivot} FROM proj GROUP BY vec_id
+    """
+
+
+@register(
+    "embedding_pca_project",
+    _pca_oracle_sql(),
+    doc=(
+        "Embedding PCA (the dimensionality-reduction pre-step before "
+        "clustering/ANN/int8 at 100 TB): one-pass distributed moments "
+        "(no shuffle — per-partition Arrow partials), deterministic "
+        "fixed-iteration power-deflation eigensolver on the driver, "
+        "zero-shuffle broadcast projection; training AND projection "
+        "hash-matched against a DuckDB rebuild that unrolls every power "
+        "iteration and deflation as chained CTEs (slot freed by folding "
+        "value_percentiles into events_rollup)."
+    ),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import project_embeddings, train_pca
+
+    emb = read(spark, sf_dir, "embeddings")
+    model = train_pca(emb, "embedding", PCA_ORACLE_K, iters=PCA_ORACLE_ITERS)
+    proj = project_embeddings(emb, "vec_id", "embedding", model)
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.col("pc")[c - 1], 6).alias(f"p{c}")
+            for c in range(1, PCA_ORACLE_K + 1)
+        ],
+    )
