@@ -163,3 +163,42 @@ def test_guards(spark):
     # explained_variance_ratio exposes.)
     with pytest.raises(ValueError, match="rank"):
         _power_deflation(np.zeros((6, 6)), 1, 10)
+
+
+def test_composes_with_semantic_dedup(spark):
+    """The 100 TB composition the operator exists for: whiten-project the
+    corpus down to the informative axes, then run SemDeDup on the compact
+    vectors. Planted near-duplicate pairs survive the projection (a
+    linear map sends x and x+eps to nearby points) and are folded by
+    semantic_dedup over the PROJECTED column."""
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    X = _planted(n=200, d=16, seed=31)
+    # plant 5 near-duplicate pairs: row 100+i is row i + tiny noise
+    r = np.random.default_rng(99)
+    for i in range(5):
+        X[100 + i] = X[i] + 1e-3 * r.standard_normal(16)
+    df = _df(spark, X)
+    model = train_pca(df, "embedding", 4, iters=40)
+    proj = project_embeddings(df, "vec_id", "embedding", model).select(
+        "vec_id", F.col("pc").cast("array<float>").alias("pc")
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            proj, "vec_id", "pc", threshold=0.999, n_cells=16, keeper="min_id"
+        ).collect()
+    }
+    assert len(out) == 200  # nothing silently dropped
+    for i in range(5):
+        a, b = out[i], out[100 + i]
+        kept = [x for x in (a, b) if x["keep"]]
+        dropped = [x for x in (a, b) if not x["keep"]]
+        # the planted pair folds: exactly one survivor, the drop points home
+        assert len(kept) == 1 and len(dropped) == 1, (i, a, b)
+        assert dropped[0]["duplicate_of"] == kept[0]["vec_id"]
+

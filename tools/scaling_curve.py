@@ -444,6 +444,21 @@ def _stage_builders(spark) -> dict:
             docs, "doc_id", "text", _MODEL_CACHE["__lm_model"]
         )
 
+    def pca_stage(s, d):
+        # embedding PCA (r11): train moments (one Arrow pass, partials to
+        # the driver) + zero-shuffle broadcast projection over the
+        # growing embeddings corpus — both legs are fan-out-only, so the
+        # shuffle column must track the harness fan-out and nothing else
+        from youtube_analytics_lakehouse_databricks_spark.operators.pca import (
+            project_embeddings,
+            train_pca,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+        emb = read_fanned(s, d, "embeddings")
+        model = train_pca(emb, "embedding", 4, iters=20)
+        return project_embeddings(emb, "vec_id", "embedding", model)
+
     def packing_stage(s, d):
         from youtube_analytics_lakehouse_databricks_spark.operators.packing import (
             pack_sequences,
@@ -477,6 +492,7 @@ def _stage_builders(spark) -> dict:
         "lm_perplexity": lm_perplexity_stage,
         "lm_buckets": lm_buckets_stage,
         "semantic_decontam": semantic_decontam_stage,
+        "pca_project": pca_stage,
         "ann_brute_topk": reg["embedding_topk_cosine"].builder,
         "ann_srp_buckets": reg["embedding_bucket_ann"].builder,
         "ann_ivf": reg["embedding_ivf_ann"].builder,
