@@ -202,3 +202,33 @@ def test_composes_with_semantic_dedup(spark):
         assert len(kept) == 1 and len(dropped) == 1, (i, a, b)
         assert dropped[0]["duplicate_of"] == kept[0]["vec_id"]
 
+
+
+def test_string_ids_project(spark):
+    """The projection derives its id type from the input — string-keyed
+    corpora work (the decontam operator's integral-id lesson, applied
+    at birth instead of retrofitted)."""
+    X = _planted(n=30, d=6, seed=41)
+    df = spark.createDataFrame(
+        [(f"doc-{i}", [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id string, embedding array<float>",
+    )
+    model = train_pca(df, "embedding", 2, iters=10)
+    out = project_embeddings(df, "vec_id", "embedding", model).collect()
+    assert len(out) == 30 and out[0]["vec_id"].startswith("doc-")
+
+
+def test_whiten_never_nan_on_degenerate_tail(spark):
+    """A float-negative trailing eigenvalue (deflation residue on a
+    near-degenerate spectrum) must clip, not sqrt to NaN."""
+    model = PCAModel(
+        mean=np.zeros(4),
+        components=np.eye(4)[:2],
+        eigenvalues=np.array([1.0, -1e-12]),
+        n_rows=10,
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = project_embeddings(df, "vec_id", "embedding", model, whiten=True).first()
+    assert all(np.isfinite(row["pc"]))

@@ -220,8 +220,14 @@ def project_embeddings(
 
     comps = np.asarray(model.components, dtype=np.float64)
     mean = np.asarray(model.mean, dtype=np.float64)
+    # deflation float residue can leave a trailing eigenvalue a hair
+    # NEGATIVE on near-degenerate spectra — clip before the sqrt so
+    # whitening degrades to a large-but-finite scale, never NaN
     scale = (
-        1.0 / np.sqrt(np.asarray(model.eigenvalues, dtype=np.float64) + eps)
+        1.0
+        / np.sqrt(
+            np.maximum(np.asarray(model.eigenvalues, dtype=np.float64), 0.0) + eps
+        )
         if whiten
         else None
     )
@@ -240,6 +246,9 @@ def project_embeddings(
                 p = p * sc
             yield pd.DataFrame({id_col: pdf[id_col], "pc": list(p)})
 
+    # id type derived from the input (string keys work — the decontam
+    # operator's integral-id lesson applied at birth)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        project, f"{id_col} long, pc array<double>"
+        project, f"{id_col} {id_type}, pc array<double>"
     )
