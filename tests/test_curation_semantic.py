@@ -547,3 +547,32 @@ def test_decontam_only_curate_never_shuffles_vectors(spark):
     assert exchanges  # the chain itself does shuffle (dedup stages)
     leaking = [b.splitlines()[0] for b in exchanges if re.search(r"\bemb#", b)]
     assert not leaking, leaking
+
+
+def test_decontam_gate_survives_null_vector_on_dropped_doc(spark):
+    """The r11 verdict-semi-join shape scores EVERY input row — including
+    gate-dropped docs — so a doc with a NULL embedding must score as a
+    NULL/False audit row instead of killing the Arrow shard."""
+    rows = [
+        (1, _text(1), _emb(0, 101)),
+        (2, "x", None),  # quality-gate drop AND no embedding
+        (3, _text(3), None),  # survivor with no embedding: audit NULLs
+    ]
+    ev = spark.createDataFrame(
+        [(900, [float(x) for x in _dirs[3]])], "doc_id long, emb array<float>"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate(
+            _df(spark, rows),
+            "doc_id",
+            "text",
+            semantic_eval_df=ev,
+            semantic_decontam_vec_col="emb",
+        ).collect()
+    }
+    assert out[2]["drop_reason"] == "low_quality"
+    assert out[3]["keep"] is True
+    assert out[3]["max_eval_cosine"] is None
+    assert out[3]["semantic_matched_eval_id"] is None
+    assert out[1]["keep"] is True and out[1]["max_eval_cosine"] is not None

@@ -394,6 +394,29 @@ class TestSemanticDecontaminate:
                 "emb",
             )
 
+    def test_null_vectors(self, spark):
+        """A NULL embedding (doc with no vector, e.g. after a left join)
+        scores like a zero-norm one: NULL cosine/match, False flag —
+        never a shard-killing np.stack shape error. Matters since the
+        r11 gate composition scores EVERY input row."""
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        train = train + [(98, None)]
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        rows = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                tdf, edf, "doc_id", "emb", threshold=0.95
+            ).collect()
+        }
+        z = rows[98]
+        assert z["max_eval_cosine"] is None
+        assert z["matched_eval_id"] is None
+        assert z["is_semantically_contaminated"] is False
+        assert rows[7]["is_semantically_contaminated"] is True
+
 
 class TestChunkDocuments:
     """Fixed-window chunking with overlap (r10) — the complement of

@@ -165,10 +165,12 @@ def semantic_decontaminate(
     similarity was computed (the review tier), and the flag fires at
     ``threshold``. Cosines are 1e-6-rounded (the engine's verdict
     precision). Ids must be integral on BOTH sides (loud ValueError
-    otherwise — the curate() guard pattern); a zero-norm training vector
-    has no direction, so its row reports NULL cosine/match and a False
-    flag, while a zero-norm EVAL vector raises (it could never match
-    anything, which is a broken benchmark, not a scoring outcome).
+    otherwise — the curate() guard pattern); a zero-norm OR NULL training
+    vector has no direction, so its row reports NULL cosine/match and a
+    False flag (a doc without an embedding must not kill the shard — the
+    gate composition scores every input row), while a zero-norm EVAL
+    vector raises (it could never match anything, which is a broken
+    benchmark, not a scoring outcome).
 
     Scale shape (the n-gram operator's asymmetry, embedding edition):
     the eval side is benchmark-sized, so its normalized float64 matrix
@@ -231,9 +233,20 @@ def semantic_decontaminate(
 
         ids, em = bc.value
         for pdf in batches:
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # a NULL vector (doc with no embedding, e.g. after a left
+            # join) is scored like a zero-norm one: NULL cosine/match,
+            # False flag — np.stack on the raw column would instead kill
+            # the task with a shape error. This matters since the gate
+            # composition scores EVERY input row (r11 shuffle shape).
+            isnull = pdf[vec_col].isna().to_numpy()
+            m = np.stack(
+                [
+                    np.zeros(em.shape[1]) if null else np.asarray(v, dtype=np.float64)
+                    for v, null in zip(pdf[vec_col], isnull)
+                ]
+            )
             norms = np.linalg.norm(m, axis=1)
-            zero = norms == 0.0  # no direction -> cosine undefined
+            zero = (norms == 0.0) | isnull  # no direction -> cosine undefined
             m = m / np.maximum(norms, 1e-30)[:, None]
             best = np.full(len(pdf), -np.inf, dtype=np.float64)
             best_id = np.zeros(len(pdf), dtype=np.int64)
