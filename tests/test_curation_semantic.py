@@ -576,3 +576,32 @@ def test_decontam_gate_survives_null_vector_on_dropped_doc(spark):
     assert out[3]["max_eval_cosine"] is None
     assert out[3]["semantic_matched_eval_id"] is None
     assert out[1]["keep"] is True and out[1]["max_eval_cosine"] is not None
+
+
+def test_semantic_stage_skips_null_vector_docs(spark):
+    """A doc WITHOUT an embedding cannot be semantically compared: it
+    skips stage 4 and stays kept with NULL semantic audit columns (it
+    must not kill the Arrow shard). Batch and incremental agree."""
+    rows = [
+        (1, _text(1), _emb(0, 201)),
+        (2, _text(2), _dup_of(_emb(0, 201), 7)),  # semantic dup of 1
+        (3, _text(3), None),  # no embedding: skips the stage, kept
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curate(_df(spark, rows), "doc_id", "text", **SEM).collect()
+    }
+    assert out[3]["keep"] is True
+    assert out[3]["semantic_centroid_sim"] is None
+    assert out[3]["drop_reason"] is None
+    # the embedded pair still folds
+    folded = [i for i in (1, 2) if not out[i]["keep"]]
+    assert len(folded) == 1
+    inc_audit, _ = curate_incremental(
+        _df(spark, rows), "doc_id", "text",
+        semantic_centroids=CENTROIDS,
+        semantic_vec_col="emb", semantic_threshold=THRESHOLD,
+    )
+    inc = {r["doc_id"]: r for r in inc_audit.collect()}
+    for i in (1, 2, 3):
+        assert inc[i]["keep"] == out[i]["keep"], i

@@ -517,8 +517,15 @@ def curate(
         survivor_ids = reps.select(id_col).join(
             near_dropped.select(F.col("node").alias(id_col)), id_col, "left_anti"
         )
-        sem_input = docs_in.select(id_col, semantic_vec_col).join(
-            survivor_ids, id_col, "left_semi"
+        # docs WITHOUT an embedding (NULL after the caller's vector join)
+        # cannot be semantically compared: they skip the stage and stay
+        # kept with NULL semantic audit columns — same contract as every
+        # other gate's "not examined" rows, and it keeps the NULL out of
+        # the Arrow kernels (which loudly reject it)
+        sem_input = (
+            docs_in.select(id_col, semantic_vec_col)
+            .filter(F.col(semantic_vec_col).isNotNull())
+            .join(survivor_ids, id_col, "left_semi")
         )
         # consumed three times (droplist, audit columns, pointer repoint
         # map) — one cut materializes the cluster pass

@@ -1070,8 +1070,12 @@ def curate_incremental(
             id_col,
             "left_anti",
         )
-        sem_input = batch.select(id_col, semantic_vec_col).join(
-            sem_ids, id_col, "left_semi"
+        # NULL-embedding docs skip the stage (kept, NULL audit columns) —
+        # mirrors the batch operator so append/full verdicts stay equal
+        sem_input = (
+            batch.select(id_col, semantic_vec_col)
+            .filter(F.col(semantic_vec_col).isNotNull())
+            .join(sem_ids, id_col, "left_semi")
         )
         if state is not None:
             # bounded read: the quantizer is n_cells rows — a driver-side

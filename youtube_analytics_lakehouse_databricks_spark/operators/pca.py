@@ -165,6 +165,11 @@ def train_pca(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"train_pca: NULL {vec_col} vector — filter docs "
+                    "without embeddings out before fitting"
+                )
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
@@ -240,6 +245,12 @@ def project_embeddings(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"project_embeddings: NULL {vec_col} vector — filter "
+                    "docs without embeddings out (or left-join the "
+                    "projections back) instead of projecting nothing"
+                )
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             p = (m - mu) @ c.T
             if sc is not None:

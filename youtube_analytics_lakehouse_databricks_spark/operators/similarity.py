@@ -384,6 +384,12 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFra
 
         cents = bc.value
         for pdf in batches:
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"assign_cells: NULL {vec_col} vector — a doc without "
+                    "an embedding cannot be clustered; filter it out "
+                    "first (curate()'s semantic stage does)"
+                )
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             # eps guard: a zero-norm vector assigns deterministically to
             # cell 0 with centroid_sim 0.0 instead of an ill-defined
