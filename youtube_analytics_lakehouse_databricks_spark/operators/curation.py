@@ -391,9 +391,12 @@ def curate(
     # never the vector column: restricting the input frame first would
     # semi-join dim*4 bytes/row of vectors against a corpus-sized key
     # set, a full vector shuffle at 100 TB, where the extra matmuls for
-    # already-dropped docs are bounded (<2x) and exchange-free. (The
-    # SemDeDup stage below rightly does restrict its vector frame — ITS
-    # downstream cluster exchange needs the vectors shuffled anyway.)
+    # already-dropped docs are bounded (<2x) and exchange-free.
+    # MEASURED (tools/decontam_gate_shape_probe.py): ~13x less gate
+    # exchange at both probe decades AND lower CPU/wall — the extra
+    # matmuls cost less than shuffling vectors. (The SemDeDup stage
+    # below rightly does restrict its vector frame — ITS downstream
+    # cluster exchange needs the vectors shuffled anyway.)
     if semantic_eval_df is not None:
         from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
 
