@@ -232,3 +232,47 @@ def test_whiten_never_nan_on_degenerate_tail(spark):
     )
     row = project_embeddings(df, "vec_id", "embedding", model, whiten=True).first()
     assert all(np.isfinite(row["pc"]))
+
+
+def test_incremental_moments_match_full_fit(spark, tmp_path):
+    """The append path: moments of batch A merged with moments of batch B
+    reproduce the full-corpus model without re-reading A — a 100 TB
+    corpus refreshes its PCA with one pass over the new batch. Agreement
+    is up to float summation order, far inside the 1e-6 verdict
+    precision."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import (
+        PCAMoments,
+        compute_moments,
+        solve_pca,
+    )
+
+    X = _planted(n=360, d=12, seed=17)
+    a, b = X[:240], X[240:]
+    full = train_pca(_df(spark, X), "embedding", 3, iters=20)
+    ma = compute_moments(_df(spark, a), "embedding")
+    # persist/restore between "runs" like curate_incremental's state
+    path = str(tmp_path / "pca_moments")
+    ma.save(spark, path)
+    ma_back = PCAMoments.load(spark, path)
+    assert ma_back.n == ma.n == 240
+    mb = compute_moments(
+        spark.createDataFrame(
+            [(240 + i, [float(x) for x in row]) for i, row in enumerate(b)],
+            "vec_id long, embedding array<float>",
+        ),
+        "embedding",
+    )
+    inc = solve_pca(ma_back.merge(mb), 3, iters=20)
+    assert inc.n_rows == full.n_rows == 360
+    assert np.allclose(inc.eigenvalues, full.eigenvalues, atol=1e-9)
+    assert np.allclose(inc.components, full.components, atol=1e-8)
+    assert np.allclose(inc.mean, full.mean, atol=1e-12)
+    # dimension-mismatch merges fail loudly
+    bad = compute_moments(
+        spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        ),
+        "embedding",
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        ma_back.merge(bad)

@@ -38,7 +38,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["PCAModel", "train_pca", "project_embeddings"]
+__all__ = [
+    "PCAModel",
+    "PCAMoments",
+    "compute_moments",
+    "solve_pca",
+    "train_pca",
+    "project_embeddings",
+]
 
 
 @dataclass
@@ -142,18 +149,63 @@ def _power_deflation(cov, k: int, iters: int):
     return np.asarray(comps), np.asarray(eigs)
 
 
-def train_pca(
-    df: DataFrame,
-    vec_col: str,
-    k: int,
-    *,
-    iters: int = 20,
-) -> PCAModel:
-    """Fit PCA over an embedding column. The distributed pass is a single
-    Arrow scan emitting per-partition (count, sum, raw second-moment)
-    partials — no shuffle, O(partitions * d^2) bytes to the driver. The
-    population covariance (divide by n, not n-1) feeds the deterministic
-    power-deflation solve; same input, same model, no RNG."""
+@dataclass
+class PCAMoments:
+    """Sufficient statistics for PCA: (n, per-dim sum, d*d raw second
+    moment). ADDITIVE — merging the moments of two disjoint corpora
+    equals the moments of their union (up to float summation order), so
+    a 100 TB corpus that appends daily refreshes its PCA with ONE pass
+    over the NEW batch: ``moments.merge(compute_moments(batch))`` then
+    ``solve_pca`` — the stored corpus is never re-read. The engine's
+    incremental-state theme (curate_incremental's frames), applied to
+    the embedding-compression pre-step."""
+
+    n: int
+    s: "object"  # np.ndarray (d,)
+    o: "object"  # np.ndarray (d, d)
+
+    def merge(self, other: "PCAMoments") -> "PCAMoments":
+        import numpy as np
+
+        if np.shape(self.s) != np.shape(other.s):
+            raise ValueError(
+                f"moment dimension mismatch: {np.shape(self.s)} vs {np.shape(other.s)}"
+            )
+        return PCAMoments(
+            n=self.n + other.n,
+            s=np.asarray(self.s) + np.asarray(other.s),
+            o=np.asarray(self.o) + np.asarray(other.o),
+        )
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        import numpy as np
+
+        o = np.asarray(self.o)
+        rows = [("meta", 0, [float(self.n)]), ("s", 0, [float(x) for x in np.asarray(self.s)])]
+        rows += [("o", i, [float(x) for x in o[i]]) for i in range(o.shape[0])]
+        spark.createDataFrame(
+            rows, "kind string, idx int, vals array<double>"
+        ).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PCAMoments":
+        import numpy as np
+
+        rows = spark.read.parquet(path).collect()
+        n = next(int(r["vals"][0]) for r in rows if r["kind"] == "meta")
+        s = np.asarray(next(r["vals"] for r in rows if r["kind"] == "s"))
+        orows = sorted(
+            ((r["idx"], r["vals"]) for r in rows if r["kind"] == "o"),
+            key=lambda t: t[0],
+        )
+        return cls(n=n, s=s, o=np.asarray([v for _, v in orows]))
+
+
+def compute_moments(df: DataFrame, vec_col: str) -> PCAMoments:
+    """ONE Arrow scan emitting per-partition (count, sum, raw second-
+    moment) partials — no shuffle, O(partitions * d^2) bytes to the
+    driver. The corpus-sized leg of PCA training, factored out so
+    appends pay it over the new batch only (see PCAMoments.merge)."""
     import numpy as np
 
     def partials(batches):
@@ -193,19 +245,48 @@ def train_pca(
         raise ValueError("train_pca: empty input")
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
-    if not (0 < k <= d):
-        raise ValueError(f"k must be in 1..{d}, got {k}")
     s = np.zeros(d)
     o = np.zeros((d, d))
     for r in rows:
         s += np.asarray(r["s"])
         o += np.asarray(r["o"]).reshape(d, d)
+    return PCAMoments(n=int(n), s=s, o=o)
+
+
+def solve_pca(moments: PCAMoments, k: int, *, iters: int = 20) -> PCAModel:
+    """Driver-side solve from sufficient statistics: population
+    covariance via the moment identity, then the deterministic
+    power-deflation recurrence. Same moments, same model — so the
+    incremental path (merged moments) reproduces the full-corpus model
+    up to float summation order."""
+    import numpy as np
+
+    n = moments.n
+    s = np.asarray(moments.s, dtype=np.float64)
+    o = np.asarray(moments.o, dtype=np.float64)
+    d = s.shape[0]
+    if not (0 < k <= d):
+        raise ValueError(f"k must be in 1..{d}, got {k}")
     mean = s / n
     cov = (o - n * np.outer(mean, mean)) / n
     comps, eigs = _power_deflation(cov, k, iters)
     model = PCAModel(mean=mean, components=comps, eigenvalues=eigs, n_rows=int(n))
     model._total_variance = float(np.trace(cov))
     return model
+
+
+def train_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    iters: int = 20,
+) -> PCAModel:
+    """Fit PCA over an embedding column: ``compute_moments`` (one
+    shuffle-free Arrow pass) + ``solve_pca`` (deterministic driver
+    solve). For append-only corpora, persist the moments and use
+    ``PCAMoments.merge`` + ``solve_pca`` instead of re-reading history."""
+    return solve_pca(compute_moments(df, vec_col), k, iters=iters)
 
 
 def project_embeddings(
