@@ -162,8 +162,11 @@ def test_curate_classifier_gate(spark, corpora, model):
 def test_oracle_feature_space_is_collision_free(spark):
     """The classifier_training_scores registry row keys its DuckDB mirror
     on gram STRINGS, which is valid iff the 2^61-bucket hashing trick is
-    injective on the fixture vocabulary — assert zero gram-pair
-    collisions over the driver testdata the oracle actually runs on."""
+    injective on the fixture vocabulary. The BUCKET side comes from the
+    REAL operator code (_feature_rows — so a change to its hashing or
+    tokenization fails here, not silently under the oracle); the GRAM
+    side is an independent inline derivation of the same token/bigram
+    space. Injective <=> the two distinct counts agree."""
     from youtube_analytics_lakehouse_databricks_spark.operators.classifier import _feature_rows
     from youtube_analytics_lakehouse_databricks_spark.operators.text import norm_expr
     from youtube_analytics_lakehouse_databricks_spark.queries import read
@@ -171,6 +174,12 @@ def test_oracle_feature_space_is_collision_free(spark):
     for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         docs = read(spark, sf_dir, "documents").select(
             "doc_id", norm_expr("text").alias("text")
+        )
+        n_buckets = (
+            _feature_rows(docs, "doc_id", "text", n_features=1 << 61, bigrams=True)
+            .select("feat")
+            .distinct()
+            .count()
         )
         toks = docs.select(
             F.expr("filter(split(text, ' '), x -> x <> '')").alias("__t")
@@ -185,11 +194,7 @@ def test_oracle_feature_space_is_collision_free(spark):
                 )
             ).alias("__g")
         )
-        grams = uni.unionByName(bi).distinct()
-        n_grams, n_buckets = grams.select(
-            F.count(F.lit(1)),
-            F.countDistinct(F.pmod(F.xxhash64("__g"), F.lit(1 << 61))),
-        ).first()
+        n_grams = uni.unionByName(bi).distinct().count()
         assert n_grams == n_buckets, (sf_dir, n_grams, n_buckets)
 
 

@@ -417,6 +417,29 @@ class TestSemanticDecontaminate:
         assert z["is_semantically_contaminated"] is False
         assert rows[7]["is_semantically_contaminated"] is True
 
+    def test_wrong_dimension_vectors(self, spark):
+        """A corrupt (wrong-dimension) embedding is scored like a
+        missing one: NULL cosine/match, False flag — the gate
+        composition scores every row, so a bad embed on an
+        already-dropped doc must not kill the shard."""
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        train = train + [(97, [1.0, 2.0, 3.0])]  # 3-dim in a DIM-dim corpus
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        rows = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                tdf, edf, "doc_id", "emb", threshold=0.95
+            ).collect()
+        }
+        z = rows[97]
+        assert z["max_eval_cosine"] is None
+        assert z["matched_eval_id"] is None
+        assert z["is_semantically_contaminated"] is False
+        assert rows[7]["is_semantically_contaminated"] is True
+
 
 class TestChunkDocuments:
     """Fixed-window chunking with overlap (r10) — the complement of

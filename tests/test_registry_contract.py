@@ -21,6 +21,7 @@ ITERATIVE = {
     "curate_audit",
     "ngram_lm_scores",
     "classifier_training_scores",
+    "embedding_pca_project",  # train_pca collects moments at build time
 }
 
 

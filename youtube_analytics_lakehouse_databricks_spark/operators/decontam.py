@@ -165,12 +165,13 @@ def semantic_decontaminate(
     similarity was computed (the review tier), and the flag fires at
     ``threshold``. Cosines are 1e-6-rounded (the engine's verdict
     precision). Ids must be integral on BOTH sides (loud ValueError
-    otherwise — the curate() guard pattern); a zero-norm OR NULL training
-    vector has no direction, so its row reports NULL cosine/match and a
-    False flag (a doc without an embedding must not kill the shard — the
-    gate composition scores every input row), while a zero-norm EVAL
-    vector raises (it could never match anything, which is a broken
-    benchmark, not a scoring outcome).
+    otherwise — the curate() guard pattern); a zero-norm, NULL, or
+    wrong-dimension training vector has no usable direction, so its row
+    reports NULL cosine/match and a False flag (a doc with a missing or
+    corrupt embedding must not kill the shard — the gate composition
+    scores every input row), while a zero-norm EVAL vector raises (it
+    could never match anything, which is a broken benchmark, not a
+    scoring outcome).
 
     Scale shape (the n-gram operator's asymmetry, embedding edition):
     the eval side is benchmark-sized, so its normalized float64 matrix
@@ -232,21 +233,32 @@ def semantic_decontaminate(
         import pandas as pd
 
         ids, em = bc.value
+        dim = em.shape[1]
         for pdf in batches:
+            if not len(pdf):
+                continue
             # a NULL vector (doc with no embedding, e.g. after a left
-            # join) is scored like a zero-norm one: NULL cosine/match,
-            # False flag — np.stack on the raw column would instead kill
-            # the task with a shape error. This matters since the gate
-            # composition scores EVERY input row (r11 shuffle shape).
-            isnull = pdf[vec_col].isna().to_numpy()
+            # join) or a WRONG-DIMENSION one (corrupt upstream embed) is
+            # scored like a zero-norm one: NULL cosine/match, False flag
+            # — np.stack on the raw column would instead kill the task
+            # with a shape error. This matters since the gate composition
+            # scores EVERY input row (r11 shuffle shape): a bad embedding
+            # on a doc an earlier gate already dropped must not kill the
+            # shard (the multimodal contract — audit rows, not failures).
+            def _usable(v) -> bool:
+                return v is not None and len(v) == dim
+
+            unusable = np.fromiter(
+                (not _usable(v) for v in pdf[vec_col]), dtype=bool, count=len(pdf)
+            )
             m = np.stack(
                 [
-                    np.zeros(em.shape[1]) if null else np.asarray(v, dtype=np.float64)
-                    for v, null in zip(pdf[vec_col], isnull)
+                    np.zeros(dim) if bad else np.asarray(v, dtype=np.float64)
+                    for v, bad in zip(pdf[vec_col], unusable)
                 ]
             )
             norms = np.linalg.norm(m, axis=1)
-            zero = (norms == 0.0) | isnull  # no direction -> cosine undefined
+            zero = (norms == 0.0) | unusable  # no direction -> cosine undefined
             m = m / np.maximum(norms, 1e-30)[:, None]
             best = np.full(len(pdf), -np.inf, dtype=np.float64)
             best_id = np.zeros(len(pdf), dtype=np.int64)

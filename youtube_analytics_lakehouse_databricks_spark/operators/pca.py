@@ -48,6 +48,42 @@ __all__ = [
 ]
 
 
+def _write_kinded(spark: SparkSession, path: str, kinds: dict) -> None:
+    """One (kind, idx, vals) parquet layout for every PCA artifact: a
+    kind maps to a vector (stored at idx 0) or a matrix (one row per
+    idx). Shared by PCAModel and PCAMoments so the format lives once."""
+    import numpy as np
+
+    rows = []
+    for kind, arr in kinds.items():
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 1:
+            rows.append((kind, 0, [float(x) for x in a]))
+        else:
+            rows += [(kind, i, [float(x) for x in a[i]]) for i in range(a.shape[0])]
+    spark.createDataFrame(
+        rows, "kind string, idx int, vals array<double>"
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_kinded(spark: SparkSession, path: str) -> dict:
+    """Inverse of _write_kinded: kind -> 1-d array (single idx) or 2-d
+    array (rows in idx order)."""
+    import numpy as np
+
+    by: dict[str, dict[int, list]] = {}
+    for r in spark.read.parquet(path).collect():
+        by.setdefault(r["kind"], {})[r["idx"]] = r["vals"]
+    return {
+        kind: (
+            np.asarray(rows[0])
+            if set(rows) == {0}
+            else np.asarray([rows[i] for i in sorted(rows)])
+        )
+        for kind, rows in by.items()
+    }
+
+
 @dataclass
 class PCAModel:
     """Fitted PCA: per-dimension mean, (k, d) principal axes (rows are
@@ -68,40 +104,29 @@ class PCAModel:
         return [float(e) / tot for e in np.asarray(self.eigenvalues)]
 
     def save(self, spark: SparkSession, path: str) -> None:
-        import numpy as np
-
-        rows = [("mean", 0, [float(x) for x in np.asarray(self.mean)])]
-        rows += [
-            ("component", i, [float(x) for x in row])
-            for i, row in enumerate(np.asarray(self.components))
-        ]
-        rows.append(
-            ("eigenvalues", 0, [float(x) for x in np.asarray(self.eigenvalues)])
+        _write_kinded(
+            spark,
+            path,
+            {
+                "mean": self.mean,
+                "component": self.components,
+                "eigenvalues": self.eigenvalues,
+                "meta": [
+                    float(self.n_rows),
+                    float(getattr(self, "_total_variance", 0.0)),
+                ],
+            },
         )
-        rows.append(
-            ("meta", 0, [float(self.n_rows), float(getattr(self, "_total_variance", 0.0))])
-        )
-        spark.createDataFrame(
-            rows, "kind string, idx int, vals array<double>"
-        ).write.mode("overwrite").parquet(path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PCAModel":
         import numpy as np
 
-        rows = spark.read.parquet(path).collect()
-        by = {}
-        comps = {}
-        for r in rows:
-            if r["kind"] == "component":
-                comps[r["idx"]] = r["vals"]
-            else:
-                by[r["kind"]] = r["vals"]
+        by = _read_kinded(spark, path)
+        comps = np.asarray(by["component"], dtype=np.float64)
         model = cls(
             mean=np.asarray(by["mean"], dtype=np.float64),
-            components=np.asarray(
-                [comps[i] for i in sorted(comps)], dtype=np.float64
-            ),
+            components=comps if comps.ndim == 2 else comps[None, :],
             eigenvalues=np.asarray(by["eigenvalues"], dtype=np.float64),
             n_rows=int(by["meta"][0]),
         )
@@ -178,27 +203,14 @@ class PCAMoments:
         )
 
     def save(self, spark: SparkSession, path: str) -> None:
-        import numpy as np
-
-        o = np.asarray(self.o)
-        rows = [("meta", 0, [float(self.n)]), ("s", 0, [float(x) for x in np.asarray(self.s)])]
-        rows += [("o", i, [float(x) for x in o[i]]) for i in range(o.shape[0])]
-        spark.createDataFrame(
-            rows, "kind string, idx int, vals array<double>"
-        ).write.mode("overwrite").parquet(path)
+        _write_kinded(
+            spark, path, {"meta": [float(self.n)], "s": self.s, "o": self.o}
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PCAMoments":
-        import numpy as np
-
-        rows = spark.read.parquet(path).collect()
-        n = next(int(r["vals"][0]) for r in rows if r["kind"] == "meta")
-        s = np.asarray(next(r["vals"] for r in rows if r["kind"] == "s"))
-        orows = sorted(
-            ((r["idx"], r["vals"]) for r in rows if r["kind"] == "o"),
-            key=lambda t: t[0],
-        )
-        return cls(n=n, s=s, o=np.asarray([v for _, v in orows]))
+        by = _read_kinded(spark, path)
+        return cls(n=int(by["meta"][0]), s=by["s"], o=by["o"])
 
 
 def compute_moments(df: DataFrame, vec_col: str) -> PCAMoments:

@@ -144,9 +144,15 @@ def event_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "ROLLUP hierarchical aggregate (event_type -> date -> grand "
-        "total), partial-agg friendly; since r11 also carries the folded "
-        "value_percentiles row's exact interpolated percentiles (Spark "
-        "percentile == DuckDB quantile_cont) at every rollup grain."
+        "total); count/sum stay partial-agg (constant space per group). "
+        "Since r11 also carries the folded value_percentiles row's exact "
+        "interpolated percentiles (Spark percentile == DuckDB "
+        "quantile_cont) at every rollup grain — EXACT percentile is the "
+        "oracle-exact correctness surface and buffers each group's "
+        "values (the grand-total group buffers the corpus), so it is "
+        "deliberately NOT the 100 TB path: production reporting uses "
+        "approx_percentile, exercised with self-graded error bounds by "
+        "sketch_user_counts."
     ),
 )
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
