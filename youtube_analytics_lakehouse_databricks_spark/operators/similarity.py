@@ -390,7 +390,15 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFra
                     "an embedding cannot be clustered; filter it out "
                     "first (curate()'s semantic stage does)"
                 )
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"assign_cells: ragged {vec_col} dimensions in batch — "
+                    "a corrupt (wrong-length) embedding is a data bug; fix "
+                    "it upstream (the decontam scorer, by contrast, audits "
+                    "such rows because it scores pre-gate junk too)"
+                ) from None
             # eps guard: a zero-norm vector assigns deterministically to
             # cell 0 with centroid_sim 0.0 instead of an ill-defined
             # argmax over a NaN row
