@@ -276,3 +276,67 @@ def test_incremental_moments_match_full_fit(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension mismatch"):
         ma_back.merge(bad)
+
+
+def test_streamed_moments_equal_batch_fit(spark, tmp_path):
+    """Streaming arrival: per-micro-batch moment partials merged at read
+    time reproduce the full-corpus fit, and a crash-replayed batch
+    overwrites only its own partition (no double counting)."""
+    import json
+    import os
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import solve_pca
+    from youtube_analytics_lakehouse_databricks_spark.streaming.pca_stream import (
+        ingest_moments_batch,
+        load_streamed_moments,
+        pca_moments_stream,
+    )
+
+    X = _planted(n=240, d=10, seed=23)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+
+    def land(name, rows):
+        with open(f"{landing}/{name}", "w") as f:
+            for i, row in rows:
+                f.write(
+                    json.dumps({"vec_id": i, "embedding": [float(x) for x in row]})
+                    + "\n"
+                )
+
+    land("a.jsonl", list(enumerate(X[:150])))
+    dirs = {
+        "moments": str(tmp_path / "moments"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    q = pca_moments_stream(
+        spark, landing, moments_dir=dirs["moments"],
+        checkpoint_dir=dirs["ckpt"], available_now=True,
+    )
+    q.awaitTermination(120)
+    land("b.jsonl", [(150 + j, row) for j, row in enumerate(X[150:])])
+    q = pca_moments_stream(
+        spark, landing, moments_dir=dirs["moments"],
+        checkpoint_dir=dirs["ckpt"], available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = solve_pca(load_streamed_moments(spark, dirs["moments"]), 3, iters=20)
+    full = train_pca(_df(spark, X), "embedding", 3, iters=20)
+    assert streamed.n_rows == full.n_rows == 240
+    assert np.allclose(streamed.eigenvalues, full.eigenvalues, atol=1e-9)
+    assert np.allclose(streamed.components, full.components, atol=1e-8)
+
+    # crash replay: re-ingesting a batch under its OWN id is a no-op for
+    # the merged total (dynamic overwrite replaces its partition)
+    replay = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X[:150])],
+        "vec_id long, embedding array<float>",
+    )
+    before = load_streamed_moments(spark, dirs["moments"])
+    ingest_moments_batch(replay, 0, "embedding", dirs["moments"])
+    after = load_streamed_moments(spark, dirs["moments"])
+    assert after.n == before.n == 240
+    # the replayed frame partitions differently, so partial summation
+    # order may differ at float epsilon — but never double-count
+    assert np.allclose(np.asarray(after.o), np.asarray(before.o), rtol=1e-12)
