@@ -440,6 +440,33 @@ class TestSemanticDecontaminate:
         assert z["is_semantically_contaminated"] is False
         assert rows[7]["is_semantically_contaminated"] is True
 
+    def test_non_finite_vectors(self, spark):
+        """A NaN/inf component gives a non-finite norm — without the
+        isfinite mask such a row sailed past every cosine comparison and
+        emitted -inf with matched_eval_id=0 (silently naming a real eval
+        doc). It must report the NULL/False audit row like every other
+        unusable embedding."""
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        nan_vec = [float("nan")] + [0.0] * (self.DIM - 1)
+        inf_vec = [float("inf")] + [1.0] * (self.DIM - 1)
+        train = train + [(96, nan_vec), (95, inf_vec)]
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        edf = spark.createDataFrame(ev, "doc_id long, emb array<float>")
+        rows = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                tdf, edf, "doc_id", "emb", threshold=0.95
+            ).collect()
+        }
+        for bad in (96, 95):
+            z = rows[bad]
+            assert z["max_eval_cosine"] is None, z
+            assert z["matched_eval_id"] is None, z
+            assert z["is_semantically_contaminated"] is False, z
+        assert rows[7]["is_semantically_contaminated"] is True
+
 
 class TestChunkDocuments:
     """Fixed-window chunking with overlap (r10) — the complement of

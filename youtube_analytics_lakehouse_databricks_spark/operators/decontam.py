@@ -258,7 +258,11 @@ def semantic_decontaminate(
                 ]
             )
             norms = np.linalg.norm(m, axis=1)
-            zero = (norms == 0.0) | unusable  # no direction -> cosine undefined
+            # no usable direction -> cosine undefined: zero-norm, NULL,
+            # wrong-dimension, or NON-FINITE (NaN/inf components give a
+            # NaN norm, which would otherwise sail past every comparison
+            # and emit -inf/eval-id-0 instead of the NULL audit row)
+            zero = (norms == 0.0) | ~np.isfinite(norms) | unusable
             m = m / np.maximum(norms, 1e-30)[:, None]
             best = np.full(len(pdf), -np.inf, dtype=np.float64)
             best_id = np.zeros(len(pdf), dtype=np.int64)

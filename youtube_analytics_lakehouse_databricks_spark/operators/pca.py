@@ -48,10 +48,11 @@ __all__ = [
 ]
 
 
-def _write_kinded(spark: SparkSession, path: str, kinds: dict) -> None:
-    """One (kind, idx, vals) parquet layout for every PCA artifact: a
-    kind maps to a vector (stored at idx 0) or a matrix (one row per
-    idx). Shared by PCAModel and PCAMoments so the format lives once."""
+def _kinded_rows(kinds: dict) -> list:
+    """Encode arrays into the shared (kind, idx, vals) row layout: a kind
+    maps to a vector (stored at idx 0) or a matrix (one row per idx).
+    One codec for every PCA artifact — PCAModel, PCAMoments, and the
+    streaming per-batch partials (streaming/pca_stream.py)."""
     import numpy as np
 
     rows = []
@@ -61,27 +62,36 @@ def _write_kinded(spark: SparkSession, path: str, kinds: dict) -> None:
             rows.append((kind, 0, [float(x) for x in a]))
         else:
             rows += [(kind, i, [float(x) for x in a[i]]) for i in range(a.shape[0])]
+    return rows
+
+
+def _arrays_from_kinded(rows) -> dict:
+    """Inverse of _kinded_rows over an iterable of Row-likes with
+    kind/idx/vals fields: kind -> 1-d array (single idx 0) or 2-d array
+    (rows in idx order)."""
+    import numpy as np
+
+    by: dict[str, dict[int, list]] = {}
+    for r in rows:
+        by.setdefault(r["kind"], {})[r["idx"]] = r["vals"]
+    return {
+        kind: (
+            np.asarray(vals[0])
+            if set(vals) == {0}
+            else np.asarray([vals[i] for i in sorted(vals)])
+        )
+        for kind, vals in by.items()
+    }
+
+
+def _write_kinded(spark: SparkSession, path: str, kinds: dict) -> None:
     spark.createDataFrame(
-        rows, "kind string, idx int, vals array<double>"
+        _kinded_rows(kinds), "kind string, idx int, vals array<double>"
     ).write.mode("overwrite").parquet(path)
 
 
 def _read_kinded(spark: SparkSession, path: str) -> dict:
-    """Inverse of _write_kinded: kind -> 1-d array (single idx) or 2-d
-    array (rows in idx order)."""
-    import numpy as np
-
-    by: dict[str, dict[int, list]] = {}
-    for r in spark.read.parquet(path).collect():
-        by.setdefault(r["kind"], {})[r["idx"]] = r["vals"]
-    return {
-        kind: (
-            np.asarray(rows[0])
-            if set(rows) == {0}
-            else np.asarray([rows[i] for i in sorted(rows)])
-        )
-        for kind, rows in by.items()
-    }
+    return _arrays_from_kinded(spark.read.parquet(path).collect())
 
 
 @dataclass

@@ -956,7 +956,8 @@ def _bpe_merge_round(k: int) -> str:
     return f"""
     p{k} AS (
       SELECT syms[i] AS a, syms[i+1] AS b, SUM(n) AS cnt
-      FROM v{k - 1}, range(1, 16) r(i) WHERE i <= len(syms) - 1
+      FROM (SELECT n, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM v{k - 1})
       GROUP BY 1, 2
     ),
     m{k} AS (SELECT a, b FROM p{k} WHERE cnt >= 2

@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from youtube_analytics_lakehouse_databricks_spark.operators.pca import PCAMoments, compute_moments
+from youtube_analytics_lakehouse_databricks_spark.operators.pca import (
+    PCAMoments,
+    _arrays_from_kinded,
+    _kinded_rows,
+    compute_moments,
+)
 
 __all__ = ["ingest_moments_batch", "pca_moments_stream", "load_streamed_moments"]
 
@@ -36,14 +41,10 @@ def ingest_moments_batch(
     """foreachBatch body: compute the batch's moment partial and write it
     under its own batch_id partition (dynamic overwrite = replay-safe).
     Empty micro-batches write nothing."""
-    import numpy as np
-
     if batch.isEmpty():
         return
     m = compute_moments(batch, vec_col)
-    o = np.asarray(m.o)
-    rows = [("meta", 0, [float(m.n)]), ("s", 0, [float(x) for x in np.asarray(m.s)])]
-    rows += [("o", i, [float(x) for x in o[i]]) for i in range(o.shape[0])]
+    rows = _kinded_rows({"meta": [float(m.n)], "s": m.s, "o": m.o})
     spark = batch.sparkSession
     (
         spark.createDataFrame(rows, "kind string, idx int, vals array<double>")
@@ -83,27 +84,15 @@ def load_streamed_moments(spark: SparkSession, moments_dir: str) -> PCAMoments:
     """Merge every batch's partial into one PCAMoments (batch_id order,
     so the float summation order is deterministic across reloads). Feed
     the result to ``operators.pca.solve_pca`` for the current model."""
-    import numpy as np
-
     rows = spark.read.parquet(moments_dir).collect()
     if not rows:
         raise ValueError(f"no moment partials under {moments_dir}")
-    by_batch: dict[int, dict] = {}
+    by_batch: dict[int, list] = {}
     for r in rows:
-        b = by_batch.setdefault(int(r["batch_id"]), {"o": {}})
-        if r["kind"] == "meta":
-            b["n"] = int(r["vals"][0])
-        elif r["kind"] == "s":
-            b["s"] = np.asarray(r["vals"])
-        else:
-            b["o"][r["idx"]] = r["vals"]
+        by_batch.setdefault(int(r["batch_id"]), []).append(r)
     merged: PCAMoments | None = None
     for bid in sorted(by_batch):
-        b = by_batch[bid]
-        m = PCAMoments(
-            n=b["n"],
-            s=b["s"],
-            o=np.asarray([b["o"][i] for i in sorted(b["o"])]),
-        )
+        by = _arrays_from_kinded(by_batch[bid])
+        m = PCAMoments(n=int(by["meta"][0]), s=by["s"], o=by["o"])
         merged = m if merged is None else merged.merge(m)
     return merged
