@@ -112,3 +112,45 @@ def test_plan_is_one_exchange_no_udfs(spark, docs):
 def test_rejects_bad_shard_count(spark, docs):
     with pytest.raises(ValueError):
         assign_shards(docs, "doc_id", n_shards=0)
+
+
+M31 = 2147483647
+
+
+def test_lehmer_draw_matches_python_reference(spark, docs):
+    """draw='lehmer' (the ANSI-replayable verification mode) must
+    reproduce the Park-Miller recurrence exactly — the property the
+    shard_split_assignment oracle's DuckDB replay rests on."""
+    seed = 3
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["shard"])
+        for r in assign_shards(
+            docs, "doc_id", n_shards=N_SHARDS, seed=seed, draw="lehmer"
+        ).collect()
+    }
+    assert len(got) == N
+    for i in range(N):
+        key = ((i + seed + 1) * 48271) % M31
+        assert got[i] == (key, key % N_SHARDS)
+
+
+def test_lehmer_rejects_non_integral_id(spark, docs):
+    strdocs = docs.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+    with pytest.raises(ValueError, match="integral id"):
+        assign_shards(strdocs, "doc_id", n_shards=N_SHARDS, draw="lehmer")
+
+
+def test_lehmer_shard_order_is_key_then_id(spark, docs):
+    """shuffle_shards under lehmer keeps the (key, id) within-shard
+    order contract — the rank the registered oracle row hash-matches."""
+    shuffled = shuffle_shards(docs, "doc_id", n_shards=N_SHARDS, seed=3, draw="lehmer")
+
+    def per_partition(it):
+        rows = list(it)
+        for shard in {r["shard"] for r in rows}:
+            keys = [(r["shuffle_key"], r["doc_id"]) for r in rows if r["shard"] == shard]
+            yield (shard, keys == sorted(keys), len(keys))
+
+    checks = shuffled.rdd.mapPartitions(per_partition).collect()
+    assert all(ok for _, ok, _ in checks)
+    assert sum(n for _, _, n in checks) == N

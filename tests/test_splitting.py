@@ -101,3 +101,25 @@ def test_deterministic_and_nested(spark, audit):
 def test_validates_frac(spark, audit):
     with pytest.raises(ValueError):
         leakage_safe_split(audit, "doc_id", val_frac=1.5)
+
+
+def test_lehmer_split_matches_python_reference(spark, audit):
+    """draw='lehmer' reproduces the Park-Miller threshold draw on the
+    CLUSTER ROOT exactly (the shard_split_assignment oracle contract),
+    and clusters still never straddle the split."""
+    M31 = 2147483647
+    seed, frac = 7, 0.3
+    got = splits(audit, val_frac=frac, seed=seed, include_dropped=True, draw="lehmer")
+    assert len(got) == 360
+    sides_by_root: dict[int, set[str]] = {}
+    for doc_id, (root, side) in got.items():
+        expect = "validation" if ((root + seed + 1) * 48271) % M31 / M31 < frac else "train"
+        assert side == expect, (doc_id, root)
+        sides_by_root.setdefault(root, set()).add(side)
+    assert all(len(s) == 1 for s in sides_by_root.values())
+
+
+def test_lehmer_split_rejects_non_integral_ids(spark, audit):
+    bad = audit.withColumn("duplicate_of", F.col("duplicate_of").cast("string"))
+    with pytest.raises(ValueError, match="integral id"):
+        leakage_safe_split(bad, "doc_id", val_frac=0.3, draw="lehmer")

@@ -25,7 +25,7 @@ exists whenever copy k+1 does (same nesting property).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 2^63 as a double: maps xxhash64's signed range onto [0, 1).
@@ -36,34 +36,64 @@ _LEHMER_M = 2147483647  # 2^31 - 1 (prime)
 _LEHMER_A = 48271
 
 
-def _uniform_draw(id_col: str, seed: int, draw: str = "xxhash64"):
-    """Deterministic uniform [0,1) draw per (id, seed).
+def lehmer_key(col: Column, seed: int) -> Column:
+    """One Park-Miller step as a BIGINT column in [0, 2^31 - 1):
+    ((col + seed + 1) * 48271) mod (2^31 - 1). Exactly expressible in
+    ANSI SQL BIGINT arithmetic (no overflow for |col + seed| < ~1.9e14),
+    so an external engine (e.g. DuckDB) replays the key bit-for-bit —
+    the shared primitive behind every ``draw='lehmer'`` verification
+    mode (mixing, sharding, splitting)."""
+    return F.pmod(
+        (col.cast("long") + F.lit(int(seed) + 1)) * F.lit(_LEHMER_A),
+        F.lit(_LEHMER_M),
+    )
+
+
+def unit_draw(col: Column, seed: int, draw: str = "xxhash64") -> Column:
+    """Deterministic uniform [0,1) draw per (col value, seed).
 
     - ``xxhash64`` (default): xxhash64 scaled out of its signed 64-bit
       range. Resolution 2^-64 — far below any meaningful sampling rate.
-    - ``lehmer``: one Park-Miller step, ((id + seed + 1) * 48271) mod
-      (2^31 - 1), scaled to [0,1). Exactly expressible in ANSI SQL
-      BIGINT arithmetic (no overflow for |id + seed| < ~1.9e14), so an
-      external engine (e.g. DuckDB) can replay the draw bit-for-bit —
-      the cross-engine VERIFICATION mode. Statistically weaker than
+    - ``lehmer``: ``lehmer_key`` scaled to [0,1) — the cross-engine
+      VERIFICATION mode (ANSI-SQL-replayable). Statistically weaker than
       xxhash64 (one multiplicative-congruential step, resolution
-      ~4.7e-10); keep the default for production mixes.
+      ~4.7e-10); keep the default for production.
 
-    Both draws are pure functions of (id, seed): task retries re-derive
-    the same decision, and the threshold-nesting property (kept at rate
-    r' < r ⊂ kept at r) holds for either.
+    Both draws are pure functions of (value, seed): task retries
+    re-derive the same decision, and the threshold-nesting property
+    (kept at rate r' < r ⊂ kept at r) holds for either.
     """
     if draw == "xxhash64":
         return (
-            F.xxhash64(F.col(id_col), F.lit(int(seed))).cast("double") / F.lit(_TWO63)
+            F.xxhash64(col, F.lit(int(seed))).cast("double") / F.lit(_TWO63)
             + F.lit(1.0)
         ) / F.lit(2.0)
     if draw == "lehmer":
-        return F.pmod(
-            (F.col(id_col).cast("long") + F.lit(int(seed) + 1)) * F.lit(_LEHMER_A),
-            F.lit(_LEHMER_M),
-        ).cast("double") / F.lit(float(_LEHMER_M))
+        return lehmer_key(col, seed).cast("double") / F.lit(float(_LEHMER_M))
     raise ValueError(f"unknown draw {draw!r} (xxhash64 | lehmer)")
+
+
+def require_integral_id(df: DataFrame, col_name: str, op: str) -> None:
+    """Fail loudly when a ``draw='lehmer'`` id column is not integral.
+
+    The lehmer draw is BIGINT arithmetic over the id; a non-integral id
+    (string/UUID doc ids) would cast to NULL, make the draw NULL, and
+    silently mis-assign EVERY row — the xxhash64 default accepts any id
+    type, and this asymmetry is a trap worth a named error."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col_name].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{op}: draw='lehmer' needs an integral id column; {col_name} is "
+            f"{dt.simpleString()} (use the default draw='xxhash64', "
+            f"which hashes any id type)"
+        )
+
+
+def _uniform_draw(id_col: str, seed: int, draw: str = "xxhash64"):
+    """See ``unit_draw`` — string-column-name convenience wrapper."""
+    return unit_draw(F.col(id_col), seed, draw)
 
 
 def domain_rates(
@@ -154,19 +184,7 @@ def mixture_sample(
     ``draw``: the per-row uniform source — see ``_uniform_draw``
     (``lehmer`` is the ANSI-SQL-replayable verification mode)."""
     if draw == "lehmer":
-        # the lehmer draw is BIGINT arithmetic over the id; a non-integral
-        # id (string/UUID doc ids) would cast to NULL, make __u NULL, and
-        # silently drop EVERY row from the mix — fail loudly instead (the
-        # xxhash64 default accepts any id type; this asymmetry is a trap)
-        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-        dt = df.schema[id_col].dataType
-        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-            raise ValueError(
-                f"draw='lehmer' needs an integral id column; {id_col} is "
-                f"{dt.simpleString()} (use the default draw='xxhash64', "
-                f"which hashes any id type)"
-            )
+        require_integral_id(df, id_col, "mixture_sample")
     rates = domain_rates(
         df,
         domain_col,

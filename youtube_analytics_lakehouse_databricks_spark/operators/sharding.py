@@ -20,6 +20,15 @@ No sampled range boundaries (`repartitionByRange` samples → output
 depends on input partitioning), no ``rand()`` (non-deterministic under
 task retry — a retried task would re-draw and corrupt the epoch), no
 driver collection.
+
+``draw='lehmer'`` swaps the key for one Park-Miller step
+(((id + seed + 1) * 48271) mod (2^31 - 1)) — the same ANSI-SQL-
+replayable verification mode as operators.mixing: an external engine
+(DuckDB) recomputes the key, the shard assignment, and the within-shard
+order bit-for-bit, putting the epoch permutation under the cross-engine
+hash-match regime (the registered `shard_split_assignment` row).
+Statistically weaker (2^31 period, multiplicative-congruential); keep
+the xxhash64 default for production epochs.
 """
 
 from __future__ import annotations
@@ -27,8 +36,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators.mixing import (
+    lehmer_key,
+    require_integral_id,
+)
+
 SHARD_COL = "shard"
 KEY_COL = "shuffle_key"
+
+
+def _shuffle_key(df: DataFrame, id_col: str, seed: int, draw: str):
+    if draw == "xxhash64":
+        return F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    if draw == "lehmer":
+        require_integral_id(df, id_col, "assign_shards")
+        return lehmer_key(F.col(id_col), seed)
+    raise ValueError(f"unknown draw {draw!r} (xxhash64 | lehmer)")
 
 
 def assign_shards(
@@ -37,13 +60,15 @@ def assign_shards(
     *,
     n_shards: int,
     seed: int = 0,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """Input columns + (shuffle_key, shard). Narrow — no shuffle; the
     assignment is a pure function of (id, seed), so it survives retries,
-    repartitioning, and re-reads bit-for-bit."""
+    repartitioning, and re-reads bit-for-bit. ``draw='lehmer'`` is the
+    ANSI-replayable verification mode (module docstring)."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+    key = _shuffle_key(df, id_col, seed, draw)
     return df.withColumn(KEY_COL, key).withColumn(
         SHARD_COL, F.pmod(key, F.lit(int(n_shards))).cast("int")
     )
@@ -55,13 +80,14 @@ def shuffle_shards(
     *,
     n_shards: int,
     seed: int = 0,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """The shuffled corpus, physically arranged for export: partitioned
     by shard (one exchange), each partition sorted by (shuffle_key, id).
     Iterating partition by partition yields the epoch's global order
     interleaved across shards — exactly what a sharded data loader
     consumes."""
-    assigned = assign_shards(df, id_col, n_shards=n_shards, seed=seed)
+    assigned = assign_shards(df, id_col, n_shards=n_shards, seed=seed, draw=draw)
     # repartition hash-partitions the shard VALUE, so two shards can
     # share a task (and some tasks are empty) — all rows of one shard
     # still land together, which is what partitionBy-write needs. Sort
@@ -79,6 +105,7 @@ def write_shards(
     *,
     n_shards: int,
     seed: int = 0,
+    draw: str = "xxhash64",
     format: str = "parquet",
 ) -> None:
     """Materialize <path>/shard=K/... with rows in shuffled order.
@@ -87,5 +114,5 @@ def write_shards(
     rows of the shards it was hash-assigned, already sorted — so each
     shard directory's content AND order are a pure function of
     (input rows, seed, n_shards)."""
-    shuffled = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed)
+    shuffled = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed, draw=draw)
     shuffled.write.mode("overwrite").format(format).partitionBy(SHARD_COL).save(path)

@@ -26,6 +26,13 @@ exact->near one-hop chain; pinned by the chained fixtures in
 tests/test_curation.py and test_splitting.py). The split is therefore
 one scan of the audit frame with a per-row hash draw — no corpus
 shuffle.
+
+``draw='lehmer'`` swaps the xxhash64 draw for the Park-Miller step
+shared with operators.mixing/sharding — ANSI-SQL-replayable, so DuckDB
+recomputes every cluster's side bit-for-bit (the registered
+`shard_split_assignment` row). The split decides what the model never
+sees; the verification mode puts that decision under cross-engine
+evidence. Keep the xxhash64 default for production splits.
 """
 
 from __future__ import annotations
@@ -33,7 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TWO63 = float(1 << 63)
+from youtube_analytics_lakehouse_databricks_spark.operators.mixing import (
+    require_integral_id,
+    unit_draw,
+)
 
 
 def leakage_safe_split(
@@ -43,6 +53,7 @@ def leakage_safe_split(
     val_frac: float,
     seed: int = 0,
     include_dropped: bool = False,
+    draw: str = "xxhash64",
 ) -> DataFrame:
     """(id, cluster_root, split): 'train' | 'validation' per doc.
 
@@ -50,15 +61,19 @@ def leakage_safe_split(
     ``duplicate_of``). By default only kept docs are assigned (the
     dropped ones aren't part of any dataset); ``include_dropped=True``
     also labels duplicates with their cluster's side — useful for
-    auditing what WOULD have leaked.
+    auditing what WOULD have leaked. ``draw='lehmer'`` is the
+    ANSI-replayable verification mode (module docstring).
     """
     if not 0.0 <= val_frac <= 1.0:
         raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    if draw == "lehmer":
+        # the draw is over the CLUSTER ROOT = coalesce(duplicate_of, id):
+        # both legs must be integral or the BIGINT step nulls out
+        require_integral_id(audit, id_col, "leakage_safe_split")
+        require_integral_id(audit, "duplicate_of", "leakage_safe_split")
     pool = audit if include_dropped else audit.filter(F.col("keep"))
     root = F.coalesce("duplicate_of", F.col(id_col))
-    u = (
-        F.xxhash64(root, F.lit(int(seed))).cast("double") / F.lit(_TWO63) + F.lit(1.0)
-    ) / F.lit(2.0)
+    u = unit_draw(root, seed, draw)
     return pool.select(
         id_col,
         root.alias("cluster_root"),

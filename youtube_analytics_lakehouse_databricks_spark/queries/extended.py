@@ -111,18 +111,9 @@ def unknown_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column, and is_stale is the downstream `metric > 7` filter — to free
 # the 50-row-budget slot the BPE training-tables oracle now occupies.
 # The A2 surface (MAX scalar freshness vs injectable today) stays fully
-# oracled through that family. This builder was never benched (unlike
-# value_percentiles, which kept a bench-only shim) — it stays importable
-# only as the standalone form of the folded semantics; delete it if a
-# future consolidation pass wants the lines back.
-def event_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    lag = F.datediff(F.lit("2024-12-31").cast("date"), F.max("ts").cast("date"))
-    return ev.groupBy("event_type").agg(
-        F.max("ts").alias("max_ts"),
-        lag.alias("lag_days"),
-        (lag > 7).alias("is_stale"),
-    )
+# oracled through that family. The shadow builder was deleted in r12
+# (never benched, no test consumers — the keep-note's delete clause,
+# taken).
 
 
 # ---------------------------------------------------------------------------

@@ -307,7 +307,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "daily_orders_with_top_customer",
     f"""
-    SELECT d.order_date, d.order_cnt, d.total_price, t.top_custkey, t.top_cust_name
+    SELECT d.order_date, d.order_cnt, d.total_price, t.top_custkey, t.top_cust_name,
+           u.latest_user_id, u.last_purchase_ts, u.last_event_ts
     FROM (
       SELECT CAST(o_orderdate AS DATE) AS order_date,
              COUNT(*) AS order_cnt,
@@ -318,12 +319,31 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey AS top_custkey, c_name AS top_cust_name
       FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
     ) t
+    CROSS JOIN (
+      SELECT user_id AS latest_user_id, last_purchase_ts, last_event_ts
+      FROM (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
+               MAX(ts) AS last_event_ts
+        FROM events GROUP BY user_id
+      )
+      ORDER BY COALESCE(last_purchase_ts, last_event_ts) DESC, user_id ASC
+      LIMIT 1
+    ) u
     """,
-    doc="Cross join with deterministic top-1 subquery (current_channel pattern, P:368-399 / J3+O1).",
+    doc=(
+        "Cross join with deterministic top-1 subqueries (current_channel "
+        "pattern, P:368-399 / J3+O1). Since r12 also carries the folded "
+        "latest_purchasing_user row's COALESCE-ordered top-1 run-status "
+        "idiom (O3, post_deploy_smoke_checks.py:240-245): a second 1-row "
+        "broadcast cross join picks the user with the most recent "
+        "purchase (falling back to any event), id-tie-broken."
+    ),
 )
 def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read(spark, sf_dir, "orders")
     customer = read(spark, sf_dir, "customer")
+    ev = read(spark, sf_dir, "events")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
         F.count(F.lit(1)).alias("order_cnt"),
         _dsum(F.col("o_totalprice"), "total_price"),
@@ -333,7 +353,22 @@ def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .limit(1)
         .select(F.col("c_custkey").alias("top_custkey"), F.col("c_name").alias("top_cust_name"))
     )
-    return daily.crossJoin(F.broadcast(top))
+    latest = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "last_purchase_ts"
+            ),
+            F.max("ts").alias("last_event_ts"),
+        )
+        .orderBy(
+            F.coalesce("last_purchase_ts", "last_event_ts").desc(),
+            F.col("user_id").asc(),
+        )
+        .limit(1)
+        .withColumnRenamed("user_id", "latest_user_id")
+    )
+    return daily.crossJoin(F.broadcast(top)).crossJoin(F.broadcast(latest))
 
 
 # ---------------------------------------------------------------------------
@@ -545,30 +580,15 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "latest_purchasing_user",
-    """
-    SELECT user_id, last_purchase_ts, last_event_ts
-    FROM (
-      SELECT user_id,
-             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts,
-             MAX(ts) AS last_event_ts
-      FROM events GROUP BY user_id
-    )
-    ORDER BY COALESCE(last_purchase_ts, last_event_ts) DESC, user_id ASC
-    LIMIT 1
-    """,
-    doc="Top-1 by COALESCE-ordered recency (O3, post_deploy_smoke_checks.py:240-245 latest-run-status idiom).",
-)
-def latest_purchasing_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    agg = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase_ts"),
-        F.max("ts").alias("last_event_ts"),
-    )
-    return agg.orderBy(
-        F.coalesce("last_purchase_ts", "last_event_ts").desc(), F.col("user_id").asc()
-    ).limit(1)
+# NOTE: formerly registered as the oracled query "latest_purchasing_user"
+# (O3: top-1 by COALESCE-ordered recency, the
+# post_deploy_smoke_checks.py:240-245 latest-run-status idiom);
+# consolidated into daily_orders_with_top_customer (round 12) as its
+# second 1-row broadcast cross join (latest_user_id / last_purchase_ts /
+# last_event_ts columns) to free the 50-row-budget slot the
+# shard_split_assignment oracle now occupies. Never benched, no test
+# consumers — the builder was deleted outright (this NOTE names the
+# successor row, matching the positional_token_lookup precedent).
 
 
 # NOTE: "positional_token_lookup" (oracled through r9) was folded into

@@ -695,6 +695,124 @@ def curate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# ---------------------------------------------------------------------------
+# Epoch shuffle-shard + leakage-safe split under the hash-match regime
+# ---------------------------------------------------------------------------
+
+SHARD_N = 4
+SHARD_SEED = 3
+SPLIT_SEED = 7
+SPLIT_VAL_FRAC = 0.25
+_LEHMER_M = 2147483647  # 2^31 - 1, mirrors operators.mixing
+_LEHMER_A = 48271
+
+
+def _shard_split_oracle_sql() -> str:
+    """DuckDB mirror of the lehmer-mode epoch shuffle + leakage-safe
+    split: canonical-hash exact-dedup clusters (keeper = min id), the
+    split draw on the CLUSTER ROOT (every member inherits its keeper's
+    side), and the kept docs' shard id / shuffle key / within-shard rank
+    recomputed from the same Park-Miller step — all BIGINT-exact."""
+    shard_key = f"((doc_id + {SHARD_SEED + 1}) * {_LEHMER_A}) % {_LEHMER_M}"
+    split_key = f"((keeper + {SPLIT_SEED + 1}) * {_LEHMER_A}) % {_LEHMER_M}"
+    return f"""
+    WITH normed AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, sha256(ntext) AS h FROM normed),
+    hkeep AS (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h),
+    m AS (SELECT hashed.doc_id, keeper FROM hashed JOIN hkeep USING (h)),
+    split AS (
+      SELECT doc_id, keeper AS cluster_root,
+             CASE WHEN CAST({split_key} AS DOUBLE) / {_LEHMER_M}.0 < {SPLIT_VAL_FRAC}
+                  THEN 'validation' ELSE 'train' END AS split
+      FROM m
+    ),
+    sharded AS (
+      SELECT doc_id, {shard_key} AS shuffle_key
+      FROM m WHERE doc_id = keeper
+    ),
+    ranked AS (
+      SELECT doc_id, shuffle_key,
+             CAST(shuffle_key % {SHARD_N} AS INTEGER) AS shard,
+             row_number() OVER (PARTITION BY shuffle_key % {SHARD_N}
+                                ORDER BY shuffle_key, doc_id) AS shard_rank
+      FROM sharded
+    )
+    SELECT s.doc_id, s.cluster_root, s.split,
+           r.shard, r.shuffle_key, CAST(r.shard_rank AS BIGINT) AS shard_rank
+    FROM split s LEFT JOIN ranked r USING (doc_id)
+    """
+
+
+@register(
+    "shard_split_assignment",
+    _shard_split_oracle_sql(),
+    doc=(
+        "The training-export endgame under the cross-engine hash-match "
+        "regime (the mixture_sample_domains lehmer playbook applied to "
+        "operators.sharding + operators.splitting): canonical-hash exact "
+        "dedup builds the cluster audit, leakage_safe_split(draw='lehmer', "
+        "include_dropped) assigns every doc its CLUSTER's train/validation "
+        "side, and the kept docs get shuffle_shards' epoch permutation — "
+        "shuffle_key, shard id, and the within-shard (key, id) order "
+        "surfaced as an explicit rank so the physical sort contract is "
+        "hash-comparable. Production keeps draw='xxhash64' (same code "
+        "path, stronger hash); the lehmer mode exists so DuckDB replays "
+        "the permutation and the split bit-for-bit. Dropped duplicates "
+        "carry NULL shard columns: they are not exported, but their "
+        "inherited split side (the anti-leak property) IS checked."
+    ),
+)
+def shard_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.sharding import assign_shards
+    from youtube_analytics_lakehouse_databricks_spark.operators.splitting import (
+        leakage_safe_split,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(text_ops.norm_expr("text"), 256).alias("h")
+    )
+    keep_map = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    audit = hashed.join(keep_map, "h").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper")).alias("keep"),
+        F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_duplicate")).alias(
+            "drop_reason"
+        ),
+        F.when(F.col("doc_id") != F.col("keeper"), F.col("keeper")).alias(
+            "duplicate_of"
+        ),
+    )
+    split = leakage_safe_split(
+        audit,
+        "doc_id",
+        val_frac=SPLIT_VAL_FRAC,
+        seed=SPLIT_SEED,
+        include_dropped=True,
+        draw="lehmer",
+    )
+    kept = assign_shards(
+        audit.filter("keep").select("doc_id"),
+        "doc_id",
+        n_shards=SHARD_N,
+        seed=SHARD_SEED,
+        draw="lehmer",
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    sharded = kept.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_rank"),
+    )
+    return split.join(sharded, "doc_id", "left")
+
+
 # The synthetic documents are single-line; both engines insert a
 # paragraph break after every 12 whitespace-delimited tokens so the
 # corpus has real multi-paragraph structure to dedup (same rewrite the
