@@ -75,10 +75,15 @@ class BPEModel:
     encodings of the training vocabulary (free at train time — the
     merge loop ends holding each word's final symbols), so corpus-scale
     encoding is a dict hit for every in-vocab word and the merge loop
-    runs only for OOV tails. save/load via parquet."""
+    runs only for OOV tails. ``vocab`` is the training word-frequency
+    table [(word, count)] in the trainer's count-desc/word-asc order —
+    also free at train time, so consumers that want (word, count,
+    encoding) rows (the bpe_training_tables oracle) never re-scan the
+    corpus for a second word count. save/load via parquet."""
 
     merges: list[tuple[str, str]]
     known: dict[str, tuple[str, ...]] | None = None
+    vocab: list[tuple[str, int]] | None = None
 
     @property
     def ranks(self) -> dict[tuple[str, str], int]:
@@ -181,7 +186,11 @@ def train_bpe(
     # ship them as the precomputed encoding table (greedy re-encoding of
     # an in-vocab word provably reproduces them; pinned by test)
     known = {w: tuple(syms) for w, (syms, _n) in zip(words, vocab)}
-    return BPEModel(merges=merges, known=known)
+    return BPEModel(
+        merges=merges,
+        known=known,
+        vocab=[(r["word"], r["n"]) for r in rows],
+    )
 
 
 def bpe_tokenize(

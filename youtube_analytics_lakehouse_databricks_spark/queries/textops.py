@@ -1092,29 +1092,75 @@ def _bpe_merge_round(k: int) -> str:
     )"""
 
 
+def _bpe_encode_round(k: int) -> str:
+    # corpus ENCODE chain (r12): the trained merges m1..mK applied IN
+    # RANK ORDER to every distinct corpus word via the same left-fold.
+    # Rank-order sequential application equals the encoder's greedy
+    # lowest-rank-iterative loop: a merge's operands are tokens formed
+    # by strictly earlier merges, so a lower-rank pair can never be
+    # created by a later merge — the same invariant that makes the
+    # in-vocab `known` table valid (pinned by test_tokenizer).
+    return f"""
+    w{k} AS MATERIALIZED (
+      SELECT w.word,
+        list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]), list_transform(w.syms, s -> [s])),
+          (acc, s) -> CASE WHEN len(acc) > 0 AND acc[-1] = m{k}.a AND s[1] = m{k}.b
+                      THEN list_append(list_slice(acc, 1, len(acc) - 1), acc[-1] || s[1])
+                      ELSE list_concat(acc, s) END
+        ) AS syms
+      FROM w{k - 1} w LEFT JOIN m{k} ON TRUE
+    )"""
+
+
 def _bpe_oracle_sql() -> str:
     rounds = ",".join(_bpe_merge_round(k) for k in range(1, BPE_ORACLE_MERGES + 1))
+    encode_rounds = ",".join(
+        _bpe_encode_round(k) for k in range(1, BPE_ORACLE_MERGES + 1)
+    )
     merge_union = "\n      UNION ALL ".join(
         f"SELECT {k - 1} AS rnk, a, b FROM m{k}"
         for k in range(1, BPE_ORACLE_MERGES + 1)
     )
     return f"""
-    WITH v0 AS MATERIALIZED (
+    WITH docw AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_filter(string_split({_LM_NORM}, ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    v0 AS MATERIALIZED (
       SELECT word, n, list_append(string_split(word, ''), '</w>') AS syms
       FROM (
-        SELECT word, COUNT(*) AS n FROM (
-          SELECT unnest(list_filter(string_split({_LM_NORM}, ' '), x -> x <> '')) AS word
-          FROM documents)
+        SELECT word, COUNT(*) AS n FROM docw
         GROUP BY word ORDER BY n DESC, word ASC LIMIT {BPE_ORACLE_VOCAB})
-    ),{rounds}
+    ),{rounds},
+    w0 AS MATERIALIZED (
+      SELECT DISTINCT word, list_append(string_split(word, ''), '</w>') AS syms
+      FROM docw
+    ),{encode_rounds},
+    wlen AS (SELECT word, len(syms) AS l FROM w{BPE_ORACLE_MERGES}),
+    doctok AS (
+      SELECT doc.doc_id, CAST(COALESCE(SUM(wlen.l), 0) AS BIGINT) AS n_tokens
+      FROM documents doc
+      LEFT JOIN docw d ON d.doc_id = doc.doc_id
+      LEFT JOIN wlen ON wlen.word = d.word
+      GROUP BY doc.doc_id
+    )
     SELECT 'merge' AS kind, CAST(rnk AS INT) AS rank, a AS mleft, b AS mright,
            CAST(NULL AS VARCHAR) AS word, CAST(NULL AS BIGINT) AS n,
-           CAST(NULL AS VARCHAR) AS encoded
+           CAST(NULL AS VARCHAR) AS encoded,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens
     FROM ({merge_union})
     UNION ALL
     SELECT 'vocab', CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-           word, n, array_to_string(syms, ' ')
+           word, n, array_to_string(syms, ' '),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM v{BPE_ORACLE_MERGES}
+    UNION ALL
+    SELECT 'doc', CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           doc_id, n_tokens
+    FROM doctok
     """
 
 
@@ -1129,13 +1175,20 @@ def _bpe_oracle_sql() -> str:
         "ordered merge list AND the post-merge vocab state table "
         "(word, count, final segmentation) hash-match a DuckDB rebuild "
         "that unrolls all 12 merge rounds as chained CTEs with the same "
-        "max-count/lexicographic tie-break and left-fold substitution."
+        "max-count/lexicographic tie-break and left-fold substitution. "
+        "Since r12 the row ALSO carries the corpus ENCODE: kind='doc' "
+        "rows are bpe_tokenize's distributed Arrow mapInPandas per-doc "
+        "token counts, hash-matched against a second CTE chain that "
+        "applies the trained merges in rank order to every distinct "
+        "corpus word (rank-order == greedy, see _bpe_encode_round); the "
+        "training vocab rides the model (model.vocab), so the corpus is "
+        "word-counted exactly once."
     ),
 )
 def bpe_training_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import (
+        bpe_tokenize,
         train_bpe,
-        word_counts,
     )
 
     docs = read(spark, sf_dir, "documents")
@@ -1146,25 +1199,35 @@ def bpe_training_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_merges=BPE_ORACLE_MERGES,
         max_words=BPE_ORACLE_VOCAB,
     )
-    top = (
-        word_counts(docs, "doc_id", "text")
-        .orderBy(F.col("n").desc(), F.col("word").asc())
-        .limit(BPE_ORACLE_VOCAB)
-        .collect()
-    )
     rows = [
         ("merge", i, a, b, None, None, None)
         for i, (a, b) in enumerate(model.merges)
     ]
     rows += [
-        ("vocab", None, None, None, r["word"], r["n"], " ".join(model.known[r["word"]]))
-        for r in top
+        ("vocab", None, None, None, w, n, " ".join(model.known[w]))
+        for w, n in model.vocab
     ]
-    return spark.createDataFrame(
+    lit = spark.createDataFrame(
         rows,
         "kind string, rank int, mleft string, mright string, "
         "word string, n long, encoded string",
+    ).select(
+        "*",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
     )
+    encoded = bpe_tokenize(docs, "doc_id", "text", model).select(
+        F.lit("doc").alias("kind"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("string").alias("mleft"),
+        F.lit(None).cast("string").alias("mright"),
+        F.lit(None).cast("string").alias("word"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("string").alias("encoded"),
+        "doc_id",
+        "n_tokens",
+    )
+    return lit.unionByName(encoded)
 
 
 # --- Quality-classifier training + inference: the oracled registry row -----
