@@ -467,6 +467,28 @@ class TestSemanticDecontaminate:
             assert z["is_semantically_contaminated"] is False, z
         assert rows[7]["is_semantically_contaminated"] is True
 
+    def test_non_finite_eval_vectors_raise(self, spark):
+        """An EVAL embedding with an inf component passes the zero-norm
+        guard (inf norm > 0) but normalizes to a NaN-bearing row, and the
+        chunked argmax then latches onto the NaN column — every doc's
+        `cand > best` goes False and the whole scoring chunk silently
+        contributes no matches. A NaN component used to die with a
+        misleading 'zero norm' message. Both must raise NAMING the
+        offending ids as non-finite."""
+        import pytest
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.decontam import semantic_decontaminate
+
+        train, ev = self._fixture(spark)
+        tdf = spark.createDataFrame(train, "doc_id long, emb array<float>")
+        for comp in (float("inf"), float("nan")):
+            bad_vec = [comp] + [1.0] * (self.DIM - 1)
+            edf = spark.createDataFrame(
+                ev + [(998, bad_vec)], "doc_id long, emb array<float>"
+            )
+            with pytest.raises(ValueError, match=r"non-finite.*998"):
+                semantic_decontaminate(tdf, edf, "doc_id", "emb")
+
 
 class TestChunkDocuments:
     """Fixed-window chunking with overlap (r10) — the complement of

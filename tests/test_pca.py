@@ -340,3 +340,91 @@ def test_streamed_moments_equal_batch_fit(spark, tmp_path):
     # the replayed frame partitions differently, so partial summation
     # order may differ at float epsilon — but never double-count
     assert np.allclose(np.asarray(after.o), np.asarray(before.o), rtol=1e-12)
+
+
+def test_ragged_and_wrong_dim_guards(spark):
+    """The kernels get the same loud named-failure treatment as
+    assign_cells (r11 VERDICT #1): a ragged vector in a PCA fit or
+    projection is a data bug — named error, never a raw np.stack shape
+    trace; a wrong-dimension MODEL names the fitted d."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import PCAMoments, compute_moments
+
+    X = _planted(n=40, d=6, seed=5)
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(X)]
+    ragged = spark.createDataFrame(
+        rows + [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        compute_moments(ragged, "embedding")
+    with pytest.raises(Exception, match="ragged"):
+        model6 = train_pca(_df(spark, X), "embedding", 2, iters=5)
+        project_embeddings(ragged, "vec_id", "embedding", model6).collect()
+
+    # wrong-dimension model: every vector is 4-dim, model fitted on 6
+    model6 = train_pca(_df(spark, X), "embedding", 2, iters=5)
+    four = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="6-dim"):
+        project_embeddings(four, "vec_id", "embedding", model6).collect()
+
+    # moment merge validates BOTH s and o shapes
+    m = compute_moments(_df(spark, X), "embedding")
+    bad = PCAMoments(n=m.n, s=m.s, o=np.zeros((3, 3)))
+    with pytest.raises(ValueError, match="second-moment"):
+        m.merge(bad)
+
+
+def test_compact_streamed_moments(spark, tmp_path):
+    """Long-running-stream hygiene: per-batch moment partitions older
+    than the replay horizon fold into ONE consolidated partial (the
+    moments are additive), totals bit-stable; an interrupted GC (a
+    folded partition still on disk) is skipped via the covers marker,
+    never double-counted; re-running compaction finishes the GC."""
+    import glob
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.pca_stream import (
+        compact_streamed_moments,
+        ingest_moments_batch,
+        load_streamed_moments,
+    )
+
+    X = _planted(n=200, d=8, seed=29)
+    mdir = str(tmp_path / "moments")
+
+    def batch_df(idx):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in X[i]]) for i in idx],
+            "vec_id long, embedding array<float>",
+        )
+
+    chunks = np.array_split(np.arange(200), 10)
+    for bid, idx in enumerate(chunks):
+        ingest_moments_batch(batch_df(idx), bid, "embedding", mdir)
+    before = load_streamed_moments(spark, mdir)
+    assert before.n == 200
+
+    assert compact_streamed_moments(spark, mdir, keep_latest=3) == 7
+    parts = glob.glob(f"{mdir}/batch_id=*")
+    assert len(parts) == 4  # consolidated(id 0) + live batches 7, 8, 9
+    after = load_streamed_moments(spark, mdir)
+    assert after.n == 200
+    assert np.allclose(np.asarray(after.s), np.asarray(before.s), rtol=1e-12)
+    assert np.allclose(np.asarray(after.o), np.asarray(before.o), rtol=1e-12)
+
+    # interrupted GC: a folded partition resurfaces (crash between the
+    # consolidated write and its delete) -> the marker skips it
+    ingest_moments_batch(batch_df(chunks[3]), 3, "embedding", mdir)
+    mid = load_streamed_moments(spark, mdir)
+    assert mid.n == 200
+    # re-running compaction garbage-collects it without shrinking the
+    # horizon (covers stays at the prior consolidation's max)
+    assert compact_streamed_moments(spark, mdir, keep_latest=3) == 2
+    fin = load_streamed_moments(spark, mdir)
+    assert fin.n == 200
+    assert np.allclose(np.asarray(fin.o), np.asarray(before.o), rtol=1e-12)
+
+    # frontier replay stays exactly-once after compaction
+    ingest_moments_batch(batch_df(chunks[9]), 9, "embedding", mdir)
+    assert load_streamed_moments(spark, mdir).n == 200

@@ -280,11 +280,22 @@ class CurationState:
 
     def watermark_of(self, id_col: str):
         """Max stored id — the append-only frontier. For a state loaded
-        from disk this is a pure DRIVER-SIDE read of the audit files'
-        parquet footer column statistics (no Spark job); for an
-        in-memory state it falls back to one max() aggregation."""
+        from disk with an INTEGRAL id column this is a pure DRIVER-SIDE
+        read of the audit files' parquet footer column statistics (no
+        Spark job); otherwise one max() aggregation. The fast path is
+        integral-only by design: parquet writers may truncate binary
+        (string) min-max to a bounding prefix — a rounded-UP max is a
+        valid scan-pruning bound but EXCEEDS the true max, which would
+        inflate the watermark and misclassify genuinely-new ids as
+        already stored. Integral stats are exact."""
         path = getattr(self, "_path", None)
-        if path is not None:
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        integral = isinstance(
+            self.audit.schema[id_col].dataType,
+            (ByteType, ShortType, IntegerType, LongType),
+        )
+        if path is not None and integral:
             try:
                 import glob as globmod
 
@@ -304,8 +315,22 @@ class CurationState:
                         mx = stats.max if mx is None else max(mx, stats.max)
                 if mx is not None:
                     return mx
-            except Exception:
-                pass  # fall through to the Spark aggregation
+            except Exception as exc:
+                # correct-by-fallback, but a chronically corrupt stats
+                # read would silently re-pay the Spark job on EVERY
+                # append — surface the fast path's health once
+                if not getattr(self, "_watermark_fallback_warned", False):
+                    self._watermark_fallback_warned = True
+                    import warnings
+
+                    warnings.warn(
+                        f"watermark_of: footer-stats fast path failed "
+                        f"({exc!r}); falling back to a Spark max() "
+                        "aggregation — if this repeats, the stored "
+                        "audit's parquet footers are unhealthy",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         from pyspark.sql import functions as F_
 
         return self.audit.agg(F_.max(id_col)).collect()[0][0]

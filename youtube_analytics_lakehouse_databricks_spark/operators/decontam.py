@@ -217,6 +217,22 @@ def semantic_decontaminate(
     # enough to flip the 1e-6-rounded verdicts against the cross-engine
     # oracle (measured); the eval side is bounded, so the 2x bytes are
     # control-plane noise
+    # finite check FIRST: an inf component passes the zero-norm guard
+    # (inf norm > 0) but normalizes to a NaN-bearing eval row, and the
+    # chunked argmax then latches onto the NaN column — `cand > best` is
+    # always False and the whole chunk silently contributes no matches
+    # (contamination suppressed with no error). A NaN component would
+    # instead fail the norm guard with a MISLEADING 'zero norm' message.
+    # Mirrors the train-side non-finite mask (d813f39), but the eval set
+    # is the contract side — it raises rather than audits.
+    finite = np.isfinite(emat).all(axis=1)
+    if not finite.all():
+        bad = eval_ids[~finite][:5]
+        raise ValueError(
+            f"eval embeddings with non-finite components (ids {bad.tolist()}): "
+            "NaN/inf has no direction and silently suppresses every match "
+            "in its scoring chunk — fix the eval set"
+        )
     enorm = np.linalg.norm(emat, axis=1, keepdims=True)
     if not np.all(enorm > 0):
         bad = eval_ids[enorm[:, 0] == 0][:5]

@@ -206,6 +206,11 @@ class PCAMoments:
             raise ValueError(
                 f"moment dimension mismatch: {np.shape(self.s)} vs {np.shape(other.s)}"
             )
+        if np.shape(self.o) != np.shape(other.o):
+            raise ValueError(
+                "second-moment shape mismatch: "
+                f"{np.shape(self.o)} vs {np.shape(other.o)}"
+            )
         return PCAMoments(
             n=self.n + other.n,
             s=np.asarray(self.s) + np.asarray(other.s),
@@ -244,7 +249,20 @@ def compute_moments(df: DataFrame, vec_col: str) -> PCAMoments:
                     f"train_pca: NULL {vec_col} vector — filter docs "
                     "without embeddings out before fitting"
                 )
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"train_pca: ragged {vec_col} dimensions in batch — "
+                    "a corrupt (wrong-length) embedding is a data bug in "
+                    "a PCA fit; fix it upstream (the assign_cells stance)"
+                ) from None
+            if s is not None and m.shape[1] != s.shape[0]:
+                raise ValueError(
+                    f"train_pca: {vec_col} dimension changed mid-scan "
+                    f"({s.shape[0]} -> {m.shape[1]}) — mixed-dimension "
+                    "embeddings cannot share one moment matrix"
+                )
             n += m.shape[0]
             s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
             oo = m.T @ m
@@ -270,6 +288,12 @@ def compute_moments(df: DataFrame, vec_col: str) -> PCAMoments:
     s = np.zeros(d)
     o = np.zeros((d, d))
     for r in rows:
+        if len(r["s"]) != d:
+            raise ValueError(
+                f"train_pca: {vec_col} dimension differs across partitions "
+                f"({d} vs {len(r['s'])}) — mixed-dimension embeddings "
+                "cannot share one moment matrix"
+            )
         s += np.asarray(r["s"])
         o += np.asarray(r["o"]).reshape(d, d)
     return PCAMoments(n=int(n), s=s, o=o)
@@ -280,7 +304,18 @@ def solve_pca(moments: PCAMoments, k: int, *, iters: int = 20) -> PCAModel:
     covariance via the moment identity, then the deterministic
     power-deflation recurrence. Same moments, same model — so the
     incremental path (merged moments) reproduces the full-corpus model
-    up to float summation order."""
+    up to float summation order.
+
+    Precision constraint: the moment identity (o - n*mean*mean^T)/n
+    cancels catastrophically when ||mean||^2 dominates the variance —
+    trailing eigenvalues/components of a HIGH-OFFSET (far-from-centered)
+    embedding space can lose most of their float64 precision. This is
+    the deliberate price of ADDITIVE moments (the append-only refit and
+    streaming paths need them); typical learned embeddings are
+    near-centered, where the identity is well-conditioned. For a corpus
+    with a large known offset, subtract a fixed provisional center from
+    the vectors before compute_moments and add it back to model.mean —
+    the moments stay additive for any FIXED shift."""
     import numpy as np
 
     n = moments.n
@@ -354,7 +389,20 @@ def project_embeddings(
                     "docs without embeddings out (or left-join the "
                     "projections back) instead of projecting nothing"
                 )
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"project_embeddings: ragged {vec_col} dimensions in "
+                    "batch — a corrupt (wrong-length) embedding is a data "
+                    "bug; fix it upstream (the assign_cells stance)"
+                ) from None
+            if m.shape[1] != mu.shape[0]:
+                raise ValueError(
+                    f"project_embeddings: {vec_col} is {m.shape[1]}-dim but "
+                    f"the model was fitted on {mu.shape[0]}-dim embeddings "
+                    "— wrong model for this corpus"
+                )
             p = (m - mu) @ c.T
             if sc is not None:
                 p = p * sc

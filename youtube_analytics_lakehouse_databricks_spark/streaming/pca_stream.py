@@ -32,7 +32,12 @@ from youtube_analytics_lakehouse_databricks_spark.operators.pca import (
     compute_moments,
 )
 
-__all__ = ["ingest_moments_batch", "pca_moments_stream", "load_streamed_moments"]
+__all__ = [
+    "ingest_moments_batch",
+    "pca_moments_stream",
+    "load_streamed_moments",
+    "compact_streamed_moments",
+]
 
 
 def ingest_moments_batch(
@@ -80,19 +85,111 @@ def pca_moments_stream(
     return writer.start()
 
 
+def compact_streamed_moments(
+    spark: SparkSession, moments_dir: str, *, keep_latest: int = 16
+) -> int:
+    """Merge every batch partition OLDER than the newest ``keep_latest``
+    into one consolidated partial; returns how many partitions were
+    folded (0 = nothing to do).
+
+    Without compaction a long-running stream accumulates one
+    ~(d^2 + d + 1)-double partition per micro-batch forever (8 MB/batch
+    at d=1024 — a week of 1-minute batches is ~80 GB), and
+    ``load_streamed_moments`` collects every partition to the driver.
+    The moments are ADDITIVE by design, so the old partials fold into
+    one row set losslessly; it lands under the OLDEST compacted
+    batch_id, so the batch_id-ordered reload keeps a deterministic float
+    summation order across compactions of the same prefix.
+
+    Replay safety: foreachBatch replays happen at the checkpoint
+    FRONTIER (the newest, possibly-uncommitted batch) — never at ids a
+    committed checkpoint already covers — so only recent partitions need
+    to stay individually replaceable. ``keep_latest`` >= 1 suffices for
+    structured streaming's replay contract; the default 16 is headroom
+    for checkpoint rollbacks done by hand.
+
+    Crash safety: the consolidated partial lands FIRST (under the oldest
+    compacted batch_id, with a ``covers`` marker naming the highest
+    batch it folded), and only then are the folded partitions deleted —
+    pure garbage collection, because ``load_streamed_moments`` skips any
+    unmarked partition at or below the marker. A crash between the two
+    steps therefore never double-counts; re-running compaction finishes
+    the GC."""
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    rows = spark.read.parquet(moments_dir).collect()
+    ids = sorted({int(r["batch_id"]) for r in rows})
+    old = ids[:-keep_latest]
+    if len(old) < 2:
+        return 0
+    oldset = set(old)
+    by_batch: dict[int, list] = {}
+    for r in rows:
+        bid = int(r["batch_id"])
+        if bid in oldset:
+            by_batch.setdefault(bid, []).append(r)
+    merged: PCAMoments | None = None
+    already_covered = -1
+    for bid in sorted(by_batch):
+        by = _arrays_from_kinded(by_batch[bid])
+        if "covers" in by:  # a prior consolidation (always the oldest id)
+            already_covered = int(by["covers"][0])
+        elif bid <= already_covered:
+            continue  # folded by the prior consolidation; GC pending
+        m = PCAMoments(n=int(by["meta"][0]), s=by["s"], o=by["o"])
+        merged = m if merged is None else merged.merge(m)
+    # the new horizon can never RETREAT below a prior consolidation's:
+    # a shrunken marker would re-admit still-on-disk folded partitions
+    # in (new, old] on the next load (double count)
+    out = _kinded_rows(
+        {
+            "meta": [float(merged.n)],
+            "s": merged.s,
+            "o": merged.o,
+            "covers": [float(max(old[-1], already_covered))],
+        }
+    )
+    (
+        spark.createDataFrame(out, "kind string, idx int, vals array<double>")
+        .withColumn("batch_id", F.lit(int(old[0])).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(moments_dir)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for bid in old[1:]:
+        p = jvm.org.apache.hadoop.fs.Path(f"{moments_dir}/batch_id={bid}")
+        p.getFileSystem(conf).delete(p, True)
+    return len(old)
+
+
 def load_streamed_moments(spark: SparkSession, moments_dir: str) -> PCAMoments:
     """Merge every batch's partial into one PCAMoments (batch_id order,
     so the float summation order is deterministic across reloads). Feed
-    the result to ``operators.pca.solve_pca`` for the current model."""
+    the result to ``operators.pca.solve_pca`` for the current model.
+
+    Honors ``compact_streamed_moments``' consolidation marker: an
+    unmarked partition at or below a consolidated partial's ``covers``
+    batch is already folded into it (its deletion is garbage collection
+    that may not have completed) and is skipped, never double-counted."""
     rows = spark.read.parquet(moments_dir).collect()
     if not rows:
         raise ValueError(f"no moment partials under {moments_dir}")
     by_batch: dict[int, list] = {}
     for r in rows:
         by_batch.setdefault(int(r["batch_id"]), []).append(r)
+    arrays = {bid: _arrays_from_kinded(by_batch[bid]) for bid in by_batch}
+    covered = max(
+        (int(by["covers"][0]) for by in arrays.values() if "covers" in by),
+        default=-1,
+    )
     merged: PCAMoments | None = None
-    for bid in sorted(by_batch):
-        by = _arrays_from_kinded(by_batch[bid])
+    for bid in sorted(arrays):
+        by = arrays[bid]
+        if "covers" not in by and bid <= covered:
+            continue
         m = PCAMoments(n=int(by["meta"][0]), s=by["s"], o=by["o"])
         merged = m if merged is None else merged.merge(m)
     return merged
