@@ -428,3 +428,94 @@ def test_compact_streamed_moments(spark, tmp_path):
     # frontier replay stays exactly-once after compaction
     ingest_moments_batch(batch_df(chunks[9]), 9, "embedding", mdir)
     assert load_streamed_moments(spark, mdir).n == 200
+
+
+def test_composes_with_ivf_ann(spark):
+    """PCA as the ANN pre-step (the operator tour's claim, made
+    evidence): project the 16-d corpus onto its 4 informative axes and
+    run IVF ANN over the COMPACT vectors. Recall vs the exact top-k in
+    the projected space stays high (the composition is sound), and the
+    projected neighbors still recover most of the FULL-dim exact
+    neighbors on planted-structure data (the projection kept the
+    geometry that matters)."""
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    X = _planted(n=300, d=16, seed=37)
+    df = _df(spark, X)
+    model = train_pca(df, "embedding", 4, iters=40)
+    proj = (
+        project_embeddings(df, "vec_id", "embedding", model)
+        .select("vec_id", F.col("pc").cast("array<float>").alias("pc"))
+        .cache()
+    )
+
+    def pairs(out):
+        return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    K = 5
+    ivf = pairs(ivf_topk(proj, "vec_id", "pc", n_cells=8, n_probe=3, k=K))
+    exact_pc = pairs(cosine_topk(proj, "vec_id", "pc", k=K))
+    exact_full = pairs(cosine_topk(df, "vec_id", "embedding", k=K))
+    recall_same_space = len(ivf & exact_pc) / len(exact_pc)
+    recall_vs_full = len(ivf & exact_full) / len(exact_full)
+    print(f"recall same-space {recall_same_space:.3f} vs-full {recall_vs_full:.3f}")
+    assert recall_same_space >= 0.85
+    assert recall_vs_full >= 0.5
+
+
+def test_whitened_int8_shrinks_similarity_error(spark):
+    """project(whiten=True) -> int8 beats int8 -> project on the
+    geometry downstream actually uses. Both pipelines deliver WHITENED
+    similarities to ANN/dedup from int8-stored embeddings; quantizing
+    BEFORE the projection spends the 127-level budget on the offset +
+    top-axis-dominated raw max-abs scale, and whitening then AMPLIFIES
+    that quantization noise on the low-variance axes — quantizing the
+    already-whitened axes spreads the same budget over unit-variance
+    coordinates. (Judging each space against its own exact cosines would
+    be misleading: raw cosines are inflated toward 1 by the shared mean
+    offset, hiding the damage.)"""
+    import itertools
+
+    X = _planted(n=120, d=16, seed=43)
+    df = _df(spark, X)
+    model = train_pca(df, "embedding", 4, iters=40)
+    wproj = {
+        r["vec_id"]: np.asarray(r["pc"])
+        for r in project_embeddings(
+            df, "vec_id", "embedding", model, whiten=True
+        ).collect()
+    }
+    W = np.stack([wproj[i] for i in range(len(X))])  # exact whitened coords
+
+    def int8_roundtrip(m):
+        scale = np.maximum(np.abs(m).max(axis=1, keepdims=True), 1e-30)
+        return np.round(m / scale * 127) * scale / 127
+
+    # pipeline A: int8 in RAW space, then whiten-project the dequantized
+    # vectors (the model's own transform, mirrored in numpy)
+    comps = np.asarray(model.components)
+    wscale = 1.0 / np.sqrt(np.maximum(np.asarray(model.eigenvalues), 0.0) + 1e-12)
+    W_from_raw_q = ((int8_roundtrip(X) - np.asarray(model.mean)) @ comps.T) * wscale
+    # pipeline B: whiten-project first, int8 the compact coords
+    W_q = int8_roundtrip(W)
+
+    def mean_cos_err(approx):
+        t = W / np.linalg.norm(W, axis=1, keepdims=True)
+        a = approx / np.linalg.norm(approx, axis=1, keepdims=True)
+        idx = list(itertools.combinations(range(0, len(W), 7), 2))
+        return float(
+            np.mean([abs(float(t[i] @ t[j]) - float(a[i] @ a[j])) for i, j in idx])
+        )
+
+    raw_first_err = mean_cos_err(W_from_raw_q)
+    whiten_first_err = mean_cos_err(W_q)
+    print(f"int8 whitened-cos error raw-first {raw_first_err:.6f} "
+          f"whiten-first {whiten_first_err:.6f}")
+    # measured ~1.8x on this spectrum (whiten-first 0.0020 vs raw-first
+    # 0.0035); the margin asserts a real, not epsilon, improvement
+    assert whiten_first_err < 0.75 * raw_first_err

@@ -16,3 +16,59 @@ def test_hll_and_quantile_sketches_bounded(spark):
         # the query's own self-validation columns agree
         assert r["hll_ok"] and r["p50_ok"] and r["p99_ok"], r
         assert r["hll_rel_err"] <= 0.15
+
+
+def test_rollup_percentiles_have_a_bounded_approx_path(spark):
+    """events_rollup's EXACT percentiles are the oracle-correctness
+    surface; the documented 100 TB path is approx_percentile (constant
+    memory per group — the grand-total group would otherwise buffer the
+    whole corpus's value column in one aggregation buffer). Turn that
+    claim into evidence: at EVERY rollup grain, including '(all)', the
+    approx value's EXACT RANK is within ±0.005 of the requested quantile
+    (the accuracy=1000 guarantee is ±0.001; rank-space is the honest
+    check — approx returns real elements while `percentile` interpolates,
+    so value-space envelopes false-positive on small groups)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+    ev = read(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    approx = (
+        ev.rollup("event_type", "event_date")
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)"
+            ).alias("aq")
+        )
+        .collect()
+    )
+    pdf = ev.select("event_type", "event_date", "value").toPandas()
+    vals = pdf["value"].to_numpy()
+
+    def group_values(r):
+        m = np.ones(len(pdf), dtype=bool)
+        if r["event_type"] is not None:
+            m &= (pdf["event_type"] == r["event_type"]).to_numpy()
+        if r["event_date"] is not None:
+            m &= (pdf["event_date"] == r["event_date"]).to_numpy()
+        v = vals[m]
+        return v[~np.isnan(v)]
+
+    grand = [r for r in approx if r["event_type"] is None and r["event_date"] is None]
+    assert len(grand) == 1  # the group the exact path buffers corpus-wide
+    assert len(approx) > 30  # type, (type, date), and (all) grains present
+    checked = 0
+    for r in approx:
+        if r["aq"] is None:
+            continue  # all-NULL value group: both paths agree on nothing
+        v = np.sort(group_values(r))
+        n = len(v)
+        for q, p in zip(r["aq"], (0.5, 0.9, 0.99)):
+            below = np.searchsorted(v, q, side="left") / n   # frac strictly <
+            at_or_below = np.searchsorted(v, q, side="right") / n
+            assert below <= p + 0.005 and at_or_below >= p - 0.005, (r, p, q)
+            checked += 1
+    assert checked >= 3 * (len(approx) - 1)

@@ -146,7 +146,9 @@ def unknown_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "values (the grand-total group buffers the corpus), so it is "
         "deliberately NOT the 100 TB path: production reporting uses "
         "approx_percentile, exercised with self-graded error bounds by "
-        "sketch_user_counts."
+        "sketch_user_counts and PINNED at these exact rollup grains "
+        "(incl. the grand total) within the ±0.005 exact-rank envelope "
+        "by test_sketches.test_rollup_percentiles_have_a_bounded_approx_path."
     ),
 )
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

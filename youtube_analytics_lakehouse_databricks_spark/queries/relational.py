@@ -395,6 +395,8 @@ def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFram
            event_type, CAST(NULL AS BIGINT) AS event_id, MAX(ts) AS ts,
            CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') AS DOUBLE) AS metric
     FROM events GROUP BY event_type
+    HAVING date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-12-31') > 7
+        OR MAX(ts) IS NULL
     """,
     doc=(
         "Data-quality violations — all three reference test predicates in "
@@ -403,10 +405,12 @@ def daily_orders_with_top_customer(spark: SparkSession, sf_dir: str) -> DataFram
         "predicate (test_gold_metrics_non_negative.sql:19-21 / P7), and "
         "since r11 the freshness-lag family (A2, "
         "test_gold_freshness_recency.sql:2-14 — formerly the standalone "
-        "event_type_freshness row): every event type reports max(ts) and "
-        "its day lag vs the injectable 'today' in ts/metric, so the stale "
-        "check is `metric > 7` downstream and the family keeps the row "
-        "non-vacuous on clean data."
+        "event_type_freshness row). Since r12 freshness emits VIOLATIONS "
+        "ONLY, restoring the row's non-empty-means-failure contract: the "
+        "reference predicate (day lag vs the injectable 'today' > 7, or "
+        "no timestamp at all) gates the rows, and the family stays "
+        "non-vacuous because the synthetic corpus is stale by "
+        "construction (lag 336 at every sf)."
     ),
 )
 def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,7 +441,7 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("2024-12-31").cast("date"), F.max("ts").cast("date"))
         .cast("double")
         .alias("metric"),
-    ).select(
+    ).filter((F.col("metric") > 7) | F.col("ts").isNull()).select(
         F.lit("freshness_lag").alias("check_name"),
         F.lit(None).cast("long").alias("user_id"),
         "event_type",
