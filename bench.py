@@ -322,6 +322,7 @@ HEADLINE = [
     "substring_dedup_documents",
     "mixture_sample_domains",
     "shuffle_shard_export",
+    "shard_split_assignment",
     "mixture_sample_documents",
     "semantic_dedup_embeddings",
     "semantic_decontam_scores",

@@ -231,3 +231,60 @@ def test_streamed_semantic_decontam_gate(spark, tmp_path):
     assert by_id[12][1:3] == (False, "semantic_contaminated")
     assert by_id[12][10] >= 0.9 and by_id[12][11] == 900  # audit columns
     assert by_id[1][1] is True and by_id[1][10] is not None  # review tier
+
+
+def test_compact_audit_log_value_stable(spark, tmp_path):
+    """Folding old audit partitions into one latest-verdict partition
+    leaves current_audit() value-identical (incl. the retro-folded
+    verdicts that live ONLY in later partitions), shrinks the log to
+    one row per doc among the folded batches, and never touches the
+    live partitions — subsequent ingest keeps working against the
+    untouched state."""
+    import glob
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import (
+        compact_audit_log,
+    )
+
+    landing = str(tmp_path / "landing")
+    dirs = {
+        "state": str(tmp_path / "state"),
+        "audit": str(tmp_path / "audit"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    batches = [
+        [(1, A_TXT), (2, OTHER), (3, B_TXT), (4, "tiny doc")],
+        [(11, OTHER), (12, "a fresh unique doc about gardening with "
+                           "tomatoes herbs and patient watering schedules")],
+        [(21, C_TXT)],  # bridges keepers 1 and 3 -> retro fold of 3
+        [(31, "another entirely fresh doc on mountain weather patterns "
+              "and seasonal snowpack measurement methodology details")],
+    ]
+    for i, rows in enumerate(batches):
+        _write_landing(landing, f"batch{i}.json", rows)
+        _drain(spark, landing, dirs, **PARAMS)
+
+    def snapshot():
+        return sorted(map(tuple, current_audit(spark, dirs["audit"]).collect()))
+
+    before = snapshot()
+    part_dirs = lambda: sorted(  # noqa: E731
+        os.path.basename(p) for p in glob.glob(f"{dirs['audit']}/batch_id=*")
+    )
+    assert len(part_dirs()) == 4
+    # fold batches 0..2 (keep_latest=1 keeps only the frontier live)
+    assert compact_audit_log(spark, dirs["audit"], keep_latest=1) == 3
+    assert part_dirs() == ["batch_id=2", "batch_id=3"]
+    assert snapshot() == before
+    # the consolidated partition holds ONE row per doc seen in 0..2
+    folded = spark.read.parquet(f"{dirs['audit']}/batch_id=2")
+    assert folded.count() == folded.select("doc_id").distinct().count()
+    # nothing left to fold at this horizon
+    assert compact_audit_log(spark, dirs["audit"], keep_latest=1) == 0
+
+    # ingest continues against the untouched state after compaction
+    _write_landing(landing, "batch4.json", [(41, A_TXT)])  # exact dup of 1
+    _drain(spark, landing, dirs, **PARAMS)
+    after = {r["doc_id"]: r for r in current_audit(spark, dirs["audit"]).collect()}
+    assert after[41]["keep"] is False and after[41]["duplicate_of"] == 1
+    assert after[1]["keep"] is True

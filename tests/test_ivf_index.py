@@ -1,0 +1,140 @@
+"""Persisted IVF index (operators/ivf_index.py): build / append / search.
+
+Contracts under test: search over the persisted index is bit-identical
+to ivf_topk given the same quantizer; the search SCAN is partition-
+pruned to the probed cells; appends against the frozen quantizer leave
+search results identical to a from-scratch build over the union (given
+the same quantizer training corpus); guards are loud.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+    append_ivf_index,
+    build_ivf_index,
+    ivf_search,
+    load_ivf_centroids,
+)
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import ivf_topk
+
+N, D = 240, 12
+
+
+def _vecs(n=N, d=D, seed=7):
+    r = np.random.default_rng(seed)
+    return r.standard_normal((n, d))
+
+
+def _df(spark, X, start=0):
+    return spark.createDataFrame(
+        [(start + i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _res(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    df = _df(spark, _vecs())
+    build_ivf_index(df, "vec_id", "embedding", path, n_cells=8, kmeans_iters=3)
+    return path, df
+
+
+def test_search_matches_ivf_topk_bit_for_bit(spark, index):
+    """Same quantizer, same corpus-as-queries -> the persisted-index
+    search reproduces ivf_topk exactly (cell assignment, probe
+    tie-break, 1e-6 rounding, rank order)."""
+    path, df = index
+    got = _res(
+        ivf_search(spark, path, df, "vec_id", "embedding", n_probe=2, k=5)
+    )
+    want = _res(ivf_topk(df, "vec_id", "embedding", n_cells=8, n_probe=2, k=5))
+    assert got == want
+
+
+def test_search_scan_is_partition_pruned(spark, index):
+    """A small query batch reads only its probed cell directories — the
+    PartitionFilters on the corpus scan name the probed cells, and the
+    scanned partition count is bounded by queries * n_probe."""
+    path, df = index
+    queries = df.filter(F.col("vec_id") < 2)  # 2 queries, n_probe=2
+    out = ivf_search(spark, path, queries, "vec_id", "embedding", n_probe=2, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell#" in line and " IN (" in line, line
+    n_cells_scanned = line.split(" IN (")[1].split(")")[0].count(",") + 1
+    assert n_cells_scanned <= 4, line
+    assert len(out.collect()) > 0
+
+
+def test_append_equals_rebuild_under_frozen_quantizer(spark, index, tmp_path):
+    """append_ivf_index assigns the new batch against the FROZEN
+    quantizer; searching the appended index equals searching a
+    from-scratch index built with the SAME quantizer over the union."""
+    path, df = index
+    X2 = _vecs(n=60, seed=11)
+    batch = _df(spark, X2, start=N)
+    append_ivf_index(batch, "vec_id", "embedding", path)
+
+    union = df.unionByName(batch)
+    got = _res(
+        ivf_search(spark, path, union, "vec_id", "embedding", n_probe=2, k=5)
+    )
+    # rebuild at the union but REUSING the frozen quantizer via ivf_topk
+    # is not possible (it retrains) — instead rebuild the reference index
+    # by assigning the union against the same persisted centroids
+    ref_path = str(tmp_path / "ref")
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import assign_cells
+
+    cents = load_ivf_centroids(path)
+    assigned = assign_cells(union, "vec_id", "embedding", cents)
+    assigned.select("vec_id", "v", F.col("cluster").alias("cell")).write.partitionBy(
+        "cell"
+    ).parquet(f"{ref_path}/corpus")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, v array<double>",
+    ).write.parquet(f"{ref_path}/centroids")
+    want = _res(
+        ivf_search(spark, ref_path, union, "vec_id", "embedding", n_probe=2, k=5)
+    )
+    assert got == want
+    # the appended rows are actually searchable (a new vector's exact
+    # duplicate planted in the batch must surface as its top neighbor)
+    dup = _df(spark, X2[:1], start=9000)
+    append_ivf_index(dup, "vec_id", "embedding", path)
+    hit = (
+        ivf_search(spark, path, dup, "vec_id", "embedding", n_probe=2, k=1)
+        .collect()[0]
+    )
+    assert hit["neighbor_id"] == N and hit["cosine"] == 1.0
+
+
+def test_guards(spark, index, tmp_path):
+    path, df = index
+    strdf = df.selectExpr("CAST(vec_id AS STRING) AS vec_id", "embedding")
+    with pytest.raises(ValueError, match="integral id"):
+        build_ivf_index(strdf, "vec_id", "embedding", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="integral id"):
+        ivf_search(spark, path, strdf, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="empty query"):
+        ivf_search(spark, path, df.filter("vec_id < 0"), "vec_id", "embedding")
+    wrongd = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=f"{D}-dim"):
+        ivf_search(spark, path, wrongd, "vec_id", "embedding")

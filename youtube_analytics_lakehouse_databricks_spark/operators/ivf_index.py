@@ -1,0 +1,220 @@
+"""Persisted IVF index: build the coarse quantizer + cell-partitioned
+corpus ONCE, then serve query batches by reading only the probed cells.
+
+``similarity.ivf_topk`` is the all-pairs-of-one-corpus shape (every doc
+is also a query — dedup/analysis workloads). The serving shape is
+different: the corpus is huge and STABLE, queries arrive in small
+batches, and re-assigning 100 TB of vectors per query batch would be
+absurd. This module factors the index into state on disk:
+
+    <path>/centroids/          (cell, v) — the frozen coarse quantizer
+    <path>/corpus/cell=K/      (id, v)   — vectors partitioned by cell
+
+so a search reads ONLY ``union(probed cells)`` — parquet partition
+pruning turns n_probe/n_cells into the scanned fraction of the corpus
+(at n_cells=50k, n_probe=8 a query batch touches ~0.016% of the data) —
+and appends assign against the FROZEN quantizer (one Arrow pass over the
+new batch, append-mode write into its cell partitions; the engine's
+frozen-state contract from curate_incremental, applied to ANN).
+
+Search semantics are bit-identical to ``ivf_topk`` given the same
+quantizer: same normalized-cosine cell assignment, same stable
+lowest-cell probe tie-break, same 1e-6 cosine rounding, same
+(cosine desc, id asc) rank order — pinned by a parity test.
+
+Reference shape: FAISS's IndexIVFFlat (public semantics; engine-original
+formulation on parquet + Arrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
+    _train_centroids,
+    assign_cells,
+    auto_n_cells,
+)
+
+__all__ = [
+    "build_ivf_index",
+    "append_ivf_index",
+    "ivf_search",
+    "load_ivf_centroids",
+]
+
+
+def _require_long_id(df: DataFrame, id_col: str, op: str) -> None:
+    # the IVF family's Arrow schemas carry ids as long (ivf_topk does
+    # the same); a string-keyed corpus dies inside a numpy cast with no
+    # useful message — the decontam integral-id lesson
+    integral = ("bigint", "int", "smallint", "tinyint")
+    if dict(df.dtypes)[id_col] not in integral:
+        raise ValueError(
+            f"{op}: requires an integral id column; {id_col} is "
+            f"{dict(df.dtypes)[id_col]} — map string keys to a surrogate "
+            "long first"
+        )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    n_cells: int | None = None,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+) -> None:
+    """Train the quantizer (deterministic mini-Lloyd on a bounded
+    lowest-id sample) and materialize the cell-partitioned corpus.
+    ``n_cells=None`` auto-scales from one count() so expected cell size
+    stays bounded (the SemDeDup knob)."""
+    _require_long_id(df, id_col, "build_ivf_index")
+    spark = df.sparkSession
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count(), max_cluster_size)
+    centroids = _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = assign_cells(df, id_col, vec_col, centroids)
+    (
+        assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def load_ivf_centroids(path: str):
+    """The frozen quantizer as a cell-ordered float64 array — direct
+    pyarrow read, no Spark job (the CurationState.centroids_np stance)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{path}/centroids").to_pydict()
+    order = sorted(range(len(tbl["cell"])), key=tbl["cell"].__getitem__)
+    return np.asarray([tbl["v"][i] for i in order], dtype=np.float64)
+
+
+def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    """Assign a NEW batch against the frozen quantizer and append its
+    rows into their cell partitions — one Arrow pass over the batch, the
+    stored corpus is never re-read or re-assigned. (Re-training the
+    quantizer on a grown corpus would reassign stored vectors — the same
+    reason curate_incremental freezes its centroids; rebuild the index
+    when the corpus has drifted enough to warrant it.)"""
+    centroids = load_ivf_centroids(path)
+    assigned = assign_cells(df, id_col, vec_col, centroids)
+    (
+        assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) top-k over the persisted
+    index, scanning ONLY the probed cells.
+
+    The query batch is the SERVING side — bounded by contract (a
+    driver-side collect sizes the probe set; at corpus-sized query sets
+    use ``similarity.ivf_topk``, which never collects). Each executor
+    task scans pruned corpus rows once, computes this partition's
+    candidates for every query probing that cell (numpy matmul), and
+    only candidate rows (<= partitions * |queries| * k) ever shuffle for
+    the global re-rank."""
+    import numpy as np
+
+    _require_long_id(queries, id_col, "ivf_search")
+    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("ivf_search: empty query batch")
+    centroids = load_ivf_centroids(path)
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    try:
+        q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    except ValueError:
+        raise ValueError(
+            f"ivf_search: ragged {vec_col} dimensions in the query batch"
+        ) from None
+    if q_mat.shape[1] != centroids.shape[1]:
+        raise ValueError(
+            f"ivf_search: {vec_col} is {q_mat.shape[1]}-dim but the index "
+            f"was built on {centroids.shape[1]}-dim vectors"
+        )
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
+    sims = (q_mat / q_norm) @ centroids.T
+    # stable argsort: exact ties probe the LOWEST cell (the ivf_topk /
+    # oracle tie-break)
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probes[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    probed = sorted(by_cell)
+
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cell").isin(probed)  # partition pruning: only probed dirs scan
+    )
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm[:, 0], by_cell))
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def candidates(batches):
+        import pandas as pd
+
+        ids, qm, qn, cells = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_c = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qidx = cells.get(int(cell))
+                if not qidx:
+                    continue
+                c_ids = grp[id_col].to_numpy(dtype=np.int64)
+                c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["v"]])
+                c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+                cos = np.round(
+                    (qm[qidx] @ c_mat.T) / np.outer(qn[qidx], c_norm), 6
+                )
+                for row, qi in enumerate(qidx):
+                    mask = c_ids != ids[qi] if excl else np.ones(len(c_ids), bool)
+                    cand_ids, cand_cos = c_ids[mask], cos[row][mask]
+                    order = np.lexsort((cand_ids, -cand_cos))[: min(kk, len(cand_ids))]
+                    out_q.extend([ids[qi]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    hits = corpus.mapInPandas(
+        candidates, "query_id long, neighbor_id long, cosine double"
+    )
+    # cells are disjoint corpora, so a (query, neighbor) pair appears at
+    # most once even across probes — global re-rank only
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -764,7 +764,11 @@ def _shard_split_oracle_sql() -> str:
         "path, stronger hash); the lehmer mode exists so DuckDB replays "
         "the permutation and the split bit-for-bit. Dropped duplicates "
         "carry NULL shard columns: they are not exported, but their "
-        "inherited split side (the anti-leak property) IS checked."
+        "inherited split side (the anti-leak property) IS checked. The "
+        "row_number window partitioned by shard is VERIFICATION harness, "
+        "not the production path (n_shards-way window = n_shards tasks at "
+        "100 TB): write_shards materializes the same order with "
+        "sortWithinPartitions, one exchange, no window."
     ),
 )
 def shard_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

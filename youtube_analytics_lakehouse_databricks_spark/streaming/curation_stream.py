@@ -229,3 +229,92 @@ def current_audit(spark: SparkSession, audit_dir: str, id_col: str = "doc_id") -
         .filter(F.col("__rn") == 1)
         .drop("__rn", "batch_id")
     )
+
+
+def compact_audit_log(
+    spark: SparkSession,
+    audit_dir: str,
+    id_col: str = "doc_id",
+    *,
+    keep_latest: int = 16,
+) -> int:
+    """Fold every audit partition OLDER than the newest ``keep_latest``
+    batches into one latest-verdict-per-doc partition; returns how many
+    partitions were folded (0 = nothing to do).
+
+    A long-running stream's log otherwise accumulates superseded rows
+    forever (every retro-delta re-states a doc under a newer batch_id,
+    and ``current_audit`` window-scans the whole log). Folding keeps
+    exactly the latest row per doc among the old batches, stamped with
+    the NEWEST folded batch_id, so latest-wins ordering vs both live and
+    folded rows is unchanged.
+
+    Crash-safe by construction — the sequence only ever ADDS dominated-
+    or-identical rows before it removes anything:
+    1. the consolidated rows land in an underscore-prefixed temp dir
+       (invisible to readers), then move file-by-file (atomic renames)
+       into the ``batch_id=<newest folded>`` partition — until the old
+       partitions are deleted, every consolidated row coexists with its
+       value-identical original at an equal-or-lower batch_id, so
+       ``current_audit`` is value-stable through any prefix of the moves;
+    2. the strictly-older partitions are deleted (GC — their latest rows
+       all live in the consolidated files now);
+    3. the newest folded partition's ORIGINAL files are deleted last
+       (the consolidated files restate that batch's still-current rows).
+    A crash mid-sequence leaves value-identical duplicate rows at worst;
+    re-running compaction (once the next ``keep_latest`` horizon covers
+    two or more old partitions) folds the residue away.
+
+    ``keep_latest`` must exceed the stream's replay depth (frontier-only
+    under Structured Streaming's checkpoint contract, so >= 1 suffices;
+    16 is headroom): a replayed batch dynamic-overwrites its OWN
+    partition, which must never be the consolidated one.
+    """
+    if keep_latest < 1:
+        raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def hpath(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    root = hpath(audit_dir)
+    fs = root.getFileSystem(conf)
+    ids = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    )
+    old = ids[:-keep_latest]
+    if len(old) < 2:
+        return 0
+    target = old[-1]
+
+    log = spark.read.parquet(audit_dir).filter(F.col("batch_id").isin(old))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+    consolidated = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")  # partition value comes from the dir name
+    )
+    tmp = f"{audit_dir}/_compact_tmp"
+    consolidated.write.mode("overwrite").parquet(tmp)
+
+    part_dir = hpath(f"{audit_dir}/batch_id={target}")
+    originals = [
+        st.getPath()
+        for st in fs.listStatus(part_dir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    for st in fs.listStatus(hpath(tmp)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            fs.rename(st.getPath(), hpath(f"{audit_dir}/batch_id={target}/compact-{name}"))
+    for bid in old[:-1]:
+        fs.delete(hpath(f"{audit_dir}/batch_id={bid}"), True)
+    for p in originals:
+        fs.delete(p, False)
+    fs.delete(hpath(tmp), True)
+    return len(old)
