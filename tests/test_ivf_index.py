@@ -57,10 +57,33 @@ def test_search_matches_ivf_topk_bit_for_bit(spark, index):
     tie-break, 1e-6 rounding, rank order)."""
     path, df = index
     got = _res(
-        ivf_search(spark, path, df, "vec_id", "embedding", n_probe=2, k=5)
+        ivf_search(
+            spark, path, df, "vec_id", "embedding", n_probe=2, k=5,
+            exclude_self=True,  # corpus-as-queries IS the parity shape
+        )
     )
     want = _res(ivf_topk(df, "vec_id", "embedding", n_cells=8, n_probe=2, k=5))
     assert got == want
+
+    # parity must hold for array<double> input too: ivf_topk truncates
+    # vectors to float32 through its Arrow schema, and ivf_search
+    # truncates the query matrix the same way after probing
+    ddf = df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dpath = f"{td}/index64"
+        build_ivf_index(ddf, "vec_id", "embedding", dpath, n_cells=8, kmeans_iters=3)
+        got64 = _res(
+            ivf_search(
+                spark, dpath, ddf, "vec_id", "embedding", n_probe=2, k=5,
+                exclude_self=True,
+            )
+        )
+        want64 = _res(
+            ivf_topk(ddf, "vec_id", "embedding", n_cells=8, n_probe=2, k=5)
+        )
+        assert got64 == want64
 
 
 def test_search_scan_is_partition_pruned(spark, index):
@@ -92,7 +115,10 @@ def test_append_equals_rebuild_under_frozen_quantizer(spark, index, tmp_path):
 
     union = df.unionByName(batch)
     got = _res(
-        ivf_search(spark, path, union, "vec_id", "embedding", n_probe=2, k=5)
+        ivf_search(
+            spark, path, union, "vec_id", "embedding", n_probe=2, k=5,
+            exclude_self=True,
+        )
     )
     # rebuild at the union but REUSING the frozen quantizer via ivf_topk
     # is not possible (it retrains) — instead rebuild the reference index
@@ -110,7 +136,10 @@ def test_append_equals_rebuild_under_frozen_quantizer(spark, index, tmp_path):
         "cell int, v array<double>",
     ).write.parquet(f"{ref_path}/centroids")
     want = _res(
-        ivf_search(spark, ref_path, union, "vec_id", "embedding", n_probe=2, k=5)
+        ivf_search(
+            spark, ref_path, union, "vec_id", "embedding", n_probe=2, k=5,
+            exclude_self=True,
+        )
     )
     assert got == want
     # the appended rows are actually searchable (a new vector's exact

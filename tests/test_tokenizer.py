@@ -128,6 +128,9 @@ def test_save_load_roundtrip(spark, tmp_path):
     loaded = BPEModel.load(spark, p)
     assert loaded.merges == model.merges
     assert loaded.known == model.known
+    # the training vocab table round-trips in order (r12 — consumers
+    # like bpe_training_tables must not re-scan the corpus after a load)
+    assert loaded.vocab == model.vocab and model.vocab is not None
 
 
 def test_counts_feed_packing(spark):

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators.mixing import require_integral_id
 from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
     _train_centroids,
     assign_cells,
@@ -45,17 +46,14 @@ __all__ = [
 ]
 
 
+# the IVF family's Arrow schemas carry ids as long (ivf_topk does the
+# same); the shared integral-id guard names the failure up front — the
+# decontam integral-id lesson
+_IVF_HINT = "map string keys to a surrogate long first"
+
+
 def _require_long_id(df: DataFrame, id_col: str, op: str) -> None:
-    # the IVF family's Arrow schemas carry ids as long (ivf_topk does
-    # the same); a string-keyed corpus dies inside a numpy cast with no
-    # useful message — the decontam integral-id lesson
-    integral = ("bigint", "int", "smallint", "tinyint")
-    if dict(df.dtypes)[id_col] not in integral:
-        raise ValueError(
-            f"{op}: requires an integral id column; {id_col} is "
-            f"{dict(df.dtypes)[id_col]} — map string keys to a surrogate "
-            "long first"
-        )
+    require_integral_id(df, id_col, op, hint=_IVF_HINT)
 
 
 def build_ivf_index(
@@ -108,6 +106,7 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     quantizer on a grown corpus would reassign stored vectors — the same
     reason curate_incremental freezes its centroids; rebuild the index
     when the corpus has drifted enough to warrant it.)"""
+    _require_long_id(df, id_col, "append_ivf_index")
     centroids = load_ivf_centroids(path)
     assigned = assign_cells(df, id_col, vec_col, centroids)
     (
@@ -127,7 +126,7 @@ def ivf_search(
     *,
     n_probe: int = 2,
     k: int = 5,
-    exclude_self: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) top-k over the persisted
     index, scanning ONLY the probed cells.
@@ -138,7 +137,13 @@ def ivf_search(
     task scans pruned corpus rows once, computes this partition's
     candidates for every query probing that cell (numpy matmul), and
     only candidate rows (<= partitions * |queries| * k) ever shuffle for
-    the global re-rank."""
+    the global re-rank.
+
+    ``exclude_self`` defaults OFF: serving queries and the stored corpus
+    are usually different id namespaces, and the dedup-shape default
+    would silently drop any corpus vector whose id numerically collides
+    with an unrelated query id. Set it True only when the query batch IS
+    a corpus subset keyed identically (the ivf_topk-parity shape)."""
     import numpy as np
 
     _require_long_id(queries, id_col, "ivf_search")
@@ -172,7 +177,15 @@ def ivf_search(
     corpus = spark.read.parquet(f"{path}/corpus").filter(
         F.col("cell").isin(probed)  # partition pruning: only probed dirs scan
     )
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm[:, 0], by_cell))
+    # bit-parity with ivf_topk for ANY input vector type: ivf_topk probes
+    # from the raw column but carries vectors through an array<float>
+    # Arrow schema, so its per-cell cosines see float32-truncated values
+    # (as does this index's stored corpus). Truncate the query matrix the
+    # same way AFTER probing — an array<double> query would otherwise
+    # round a near-boundary cosine differently at the 1e-6 step
+    q32 = q_mat.astype(np.float32).astype(np.float64)
+    q32_norm = np.maximum(np.linalg.norm(q32, axis=1), 1e-30)
+    bc = spark.sparkContext.broadcast((q_ids, q32, q32_norm, by_cell))
     kk = int(k)
     excl = bool(exclude_self)
 

@@ -73,21 +73,29 @@ def unit_draw(col: Column, seed: int, draw: str = "xxhash64") -> Column:
     raise ValueError(f"unknown draw {draw!r} (xxhash64 | lehmer)")
 
 
-def require_integral_id(df: DataFrame, col_name: str, op: str) -> None:
-    """Fail loudly when a ``draw='lehmer'`` id column is not integral.
-
-    The lehmer draw is BIGINT arithmetic over the id; a non-integral id
-    (string/UUID doc ids) would cast to NULL, make the draw NULL, and
-    silently mis-assign EVERY row — the xxhash64 default accepts any id
-    type, and this asymmetry is a trap worth a named error."""
+def require_integral_id(
+    df: DataFrame,
+    col_name: str,
+    op: str,
+    hint: str = (
+        "use the default draw='xxhash64', which hashes any id type"
+    ),
+) -> None:
+    """Fail loudly when an operator needs an integral id column and got
+    something else. The one shared predicate (and message shape) for
+    every integral-id contract in the engine: the lehmer verification
+    draws (BIGINT arithmetic over the id — a string id would cast to
+    NULL and silently mis-assign EVERY row, while the xxhash64 default
+    accepts any type) and the IVF index family (Arrow schemas carry ids
+    as long — a string-keyed corpus dies inside a numpy cast with no
+    useful message). ``hint`` names the caller-appropriate way out."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     dt = df.schema[col_name].dataType
     if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
         raise ValueError(
-            f"{op}: draw='lehmer' needs an integral id column; {col_name} is "
-            f"{dt.simpleString()} (use the default draw='xxhash64', "
-            f"which hashes any id type)"
+            f"{op}: needs an integral id column; {col_name} is "
+            f"{dt.simpleString()} ({hint})"
         )
 
 

@@ -121,6 +121,13 @@ class BPEModel:
                 [(w, list(t)) for w, t in self.known.items()],
                 "word string, tokens array<string>",
             ).write.mode("overwrite").parquet(f"{path}/known")
+        if self.vocab is not None:
+            # own file (not a column on known/): pre-r12 saved models
+            # load unchanged, and load() treats its absence as vocab=None
+            spark.createDataFrame(
+                [(i, w, int(n)) for i, (w, n) in enumerate(self.vocab)],
+                "pos long, word string, n long",
+            ).write.mode("overwrite").parquet(f"{path}/vocab")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BPEModel":
@@ -135,7 +142,16 @@ class BPEModel:
                 r["word"]: tuple(r["tokens"])
                 for r in spark.read.parquet(f"{path}/known").collect()
             }
-        return cls(merges=[(r["left"], r["right"]) for r in rows], known=known)
+        vocab = None
+        if os.path.isdir(f"{path}/vocab"):
+            vrows = sorted(
+                spark.read.parquet(f"{path}/vocab").collect(),
+                key=lambda r: r["pos"],  # the trainer's count-desc/word-asc order
+            )
+            vocab = [(r["word"], r["n"]) for r in vrows]
+        return cls(
+            merges=[(r["left"], r["right"]) for r in rows], known=known, vocab=vocab
+        )
 
 
 def train_bpe(
