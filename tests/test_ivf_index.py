@@ -167,3 +167,54 @@ def test_guards(spark, index, tmp_path):
     )
     with pytest.raises(ValueError, match=f"{D}-dim"):
         ivf_search(spark, path, wrongd, "vec_id", "embedding")
+
+
+def test_distributed_search_matches_collect_path(spark, index):
+    """ivf_search_distributed (no driver collect; query side probes via
+    Arrow, corpus joins in pre-partitioned) returns bit-identical
+    results to ivf_search on the same index — both exclude_self modes,
+    external-namespace queries included."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_search_distributed,
+    )
+
+    path, df = index
+    # external query namespace: fresh vectors whose ids collide with
+    # corpus ids on purpose (the exclude_self distinction is visible)
+    Q = _vecs(n=40, d=D, seed=99)
+    queries = _df(spark, Q, start=0)
+    for excl in (False, True):
+        got = _res(
+            ivf_search_distributed(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, exclude_self=excl,
+            )
+        )
+        want = _res(
+            ivf_search(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, exclude_self=excl,
+            )
+        )
+        assert got == want, excl
+    assert len(got) == 40 * 5
+
+
+def test_distributed_search_has_no_corpus_assignment_pass(spark, index):
+    """The stored corpus enters the distributed search ALREADY
+    cell-partitioned: the plan's only Python evaluations are the query
+    probe pass and the per-cell kernel — the corpus-side assign pass
+    (ivf_topk's fused scan) is gone, paid once at build time."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_search_distributed,
+    )
+
+    path, df = index
+    out = ivf_search_distributed(spark, path, df, "vec_id", "embedding")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists each node twice (tree + numbered detail)
+    assert plan.count("MapInPandas") == 2, plan  # ONE node: the query probe
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # ONE per-cell kernel

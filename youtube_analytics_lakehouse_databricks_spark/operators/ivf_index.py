@@ -42,6 +42,7 @@ __all__ = [
     "build_ivf_index",
     "append_ivf_index",
     "ivf_search",
+    "ivf_search_distributed",
     "load_ivf_centroids",
 ]
 
@@ -132,8 +133,8 @@ def ivf_search(
     index, scanning ONLY the probed cells.
 
     The query batch is the SERVING side — bounded by contract (a
-    driver-side collect sizes the probe set; at corpus-sized query sets
-    use ``similarity.ivf_topk``, which never collects). Each executor
+    driver-side collect sizes the probe set; for corpus-sized query sets
+    use ``ivf_search_distributed``, which never collects). Each executor
     task scans pruned corpus rows once, computes this partition's
     candidates for every query probing that cell (numpy matmul), and
     only candidate rows (<= partitions * |queries| * k) ever shuffle for
@@ -223,6 +224,120 @@ def ivf_search(
     )
     # cells are disjoint corpora, so a (query, neighbor) pair appears at
     # most once even across probes — global re-rank only
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_search_distributed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """``ivf_search`` for CORPUS-SIZED external query sets: no driver
+    collect anywhere. The query side probes its cells in one Arrow pass
+    (broadcast centroids, n_probe rows per query), the stored corpus
+    joins in ALREADY CELL-PARTITIONED (the index's one-time shuffle,
+    amortized across every search), and one groupBy(cell) exchange of
+    the QUERY rows co-locates them with their cells — the ivf_topk
+    shape, minus the corpus-side assignment pass and its shuffle, which
+    the index paid at build time.
+
+    Completes the serving matrix: small batch -> ``ivf_search``
+    (partition-pruned scan); huge batch -> this (no pruning — a
+    corpus-sized query set probes essentially every cell); self-search
+    without an index -> ``similarity.ivf_topk``. Results are
+    bit-identical to ``ivf_search`` on the same index (parity test)."""
+    import numpy as np
+
+    _require_long_id(queries, id_col, "ivf_search_distributed")
+    centroids = load_ivf_centroids(path)
+    bc = spark.sparkContext.broadcast(centroids)
+    npb = int(n_probe)
+
+    def probe(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"ivf_search_distributed: NULL {vec_col} query vector"
+                )
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"ivf_search_distributed: ragged {vec_col} dimensions"
+                ) from None
+            if m.shape[1] != cents.shape[1]:
+                raise ValueError(
+                    f"ivf_search_distributed: {vec_col} is {m.shape[1]}-dim "
+                    f"but the index was built on {cents.shape[1]}-dim vectors"
+                )
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            out_id, out_vec, out_cell = [], [], []
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(pdf[vec_col].iloc[i])
+                    out_cell.append(int(c))
+            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe, "any_id long, vec array<float>, cell int"
+    ).withColumn("side", F.lit("q"))
+    c = spark.read.parquet(f"{path}/corpus").select(
+        F.col(id_col).alias("any_id"),
+        F.col("v").alias("vec"),
+        "cell",
+        F.lit("c").alias("side"),
+    )
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def per_cell(pdf):
+        import pandas as pd
+
+        corp = pdf[pdf["side"] == "c"]
+        qs = pdf[pdf["side"] == "q"]
+        if len(corp) == 0 or len(qs) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        c_ids = corp["any_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corp["vec"]])
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+        q_ids = qs["any_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        cos = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 6)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = c_ids != q_ids[i] if excl else np.ones(len(c_ids), bool)
+            cand_ids, cand_cos = c_ids[mask], cos[i][mask]
+            order = np.lexsort((cand_ids, -cand_cos))[: min(kk, len(cand_ids))]
+            out_q.extend([q_ids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_cos[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    hits = c.unionByName(q).groupBy("cell").applyInPandas(
+        per_cell, "query_id long, neighbor_id long, cosine double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
