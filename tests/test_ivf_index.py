@@ -217,4 +217,61 @@ def test_distributed_search_has_no_corpus_assignment_pass(spark, index):
     plan = buf.getvalue()
     # formatted explain lists each node twice (tree + numbered detail)
     assert plan.count("MapInPandas") == 2, plan  # ONE node: the query probe
-    assert plan.count("FlatMapGroupsInPandas") == 2, plan  # ONE per-cell kernel
+    assert plan.count("FlatMapCoGroupsInPandas") == 2, plan  # ONE per-cell kernel
+
+
+def test_bucketed_corpus_elides_its_search_exchange(spark, tmp_path):
+    """build_ivf_index(bucket_table=...) stores the corpus bucketed by
+    cell; ivf_search_distributed's cogroup then plans WITHOUT a
+    corpus-side Exchange (the planner trusts the bucket distribution) —
+    only the query rows shuffle on cell. Results stay bit-identical to
+    the unbucketed path."""
+    import re
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_search_distributed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivfidx")
+    df = _df(spark, _vecs(seed=21))
+    plain = str(tmp_path / "plain")
+    bucketed = str(tmp_path / "bucketed")
+    build_ivf_index(df, "vec_id", "embedding", plain, n_cells=8, kmeans_iters=3)
+    build_ivf_index(
+        df, "vec_id", "embedding", bucketed, n_cells=8, kmeans_iters=3,
+        bucket_table="ivfidx.corpus_b", n_buckets=8,
+    )
+    queries = _df(spark, _vecs(n=50, seed=22), start=5000)
+
+    def plan_of(path):
+        out = ivf_search_distributed(
+            spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        return out, buf.getvalue()
+
+    out_p, plan_p = plan_of(plain)
+    out_b, plan_b = plan_of(bucketed)
+
+    def cell_exchanges(plan):
+        # formatted explain puts Exchange args on their own line; each
+        # exchange node contributes exactly one Arguments occurrence
+        return len(re.findall(r"Arguments: hashpartitioning\(cell", plan))
+
+    assert cell_exchanges(plan_p) == 2, plan_p  # both cogroup children shuffle
+    assert cell_exchanges(plan_b) == 1, plan_b  # corpus side elided
+    assert "Bucketed: true" in plan_b, plan_b
+    assert _res(out_b) == _res(out_p)
+
+    # appends keep the bucketed layout searchable and exchange-free
+    batch = _df(spark, _vecs(n=30, seed=23), start=N + 1000)
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import append_ivf_index
+
+    append_ivf_index(batch, "vec_id", "embedding", bucketed)
+    append_ivf_index(batch, "vec_id", "embedding", plain)
+    out_p2, _ = plan_of(plain)
+    out_b2, plan_b2 = plan_of(bucketed)
+    assert cell_exchanges(plan_b2) == 1, plan_b2
+    assert _res(out_b2) == _res(out_p2)

@@ -66,11 +66,24 @@ def build_ivf_index(
     n_cells: int | None = None,
     kmeans_iters: int = 3,
     max_cluster_size: int = 8192,
+    bucket_table: str | None = None,
+    n_buckets: int = 32,
 ) -> None:
     """Train the quantizer (deterministic mini-Lloyd on a bounded
     lowest-id sample) and materialize the cell-partitioned corpus.
     ``n_cells=None`` auto-scales from one count() so expected cell size
-    stays bounded (the SemDeDup knob)."""
+    stays bounded (the SemDeDup knob).
+
+    ``bucket_table`` (a managed-table FQN) ADDITIONALLY writes the
+    corpus BUCKETED BY cell: a bucketed scan reports its hash
+    distribution to the planner, so ``ivf_search_distributed``'s
+    per-cell cogroup plans with NO corpus-side exchange — the index's
+    one-time shuffle really is amortized across every search. The
+    dir-partitioned copy stays the small-batch path (partition-pruned
+    scans); opting into both layouts costs 2x index storage, which at
+    n_probe/n_cells scanned per serving query is the cheap side of the
+    trade. The table name lands in the index meta so append/search
+    discover it."""
     _require_long_id(df, id_col, "build_ivf_index")
     spark = df.sparkSession
     if n_cells is None:
@@ -81,12 +94,19 @@ def build_ivf_index(
         "cell int, v array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = assign_cells(df, id_col, vec_col, centroids)
-    (
-        assigned.select(id_col, "v", F.col("cluster").alias("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/corpus")
-    )
+    corpus = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    if bucket_table is not None:
+        (
+            corpus.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(int(n_buckets), "cell")
+            .saveAsTable(bucket_table)
+        )
+    spark.createDataFrame(
+        [(id_col, bucket_table, int(n_buckets))],
+        "id_col string, bucket_table string, n_buckets int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_ivf_centroids(path: str):
@@ -100,6 +120,23 @@ def load_ivf_centroids(path: str):
     return np.asarray([tbl["v"][i] for i in order], dtype=np.float64)
 
 
+def _load_meta(path: str) -> dict:
+    """Index meta (id_col, optional bucket_table) — direct pyarrow read;
+    absent for pre-meta indexes (path-corpus only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(f"{path}/meta"):
+        return {}
+    t = pq.read_table(f"{path}/meta").to_pydict()
+    return {
+        "id_col": t["id_col"][0],
+        "bucket_table": t["bucket_table"][0],
+        "n_buckets": t["n_buckets"][0],
+    }
+
+
 def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
     """Assign a NEW batch against the frozen quantizer and append its
     rows into their cell partitions — one Arrow pass over the batch, the
@@ -110,12 +147,15 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     _require_long_id(df, id_col, "append_ivf_index")
     centroids = load_ivf_centroids(path)
     assigned = assign_cells(df, id_col, vec_col, centroids)
-    (
-        assigned.select(id_col, "v", F.col("cluster").alias("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/corpus")
-    )
+    batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+    batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+    meta = _load_meta(path)
+    if meta.get("bucket_table"):
+        # append with the SAME bucket spec: Spark validates it against
+        # the table, so the co-located layout can't silently degrade
+        batch.write.mode("append").format("parquet").bucketBy(
+            int(meta["n_buckets"]), "cell"
+        ).saveAsTable(meta["bucket_table"])
 
 
 def ivf_search(
@@ -258,7 +298,17 @@ def ivf_search_distributed(
     (partition-pruned scan); huge batch -> this (no pruning — a
     corpus-sized query set probes essentially every cell); self-search
     without an index -> ``similarity.ivf_topk``. Results are
-    bit-identical to ``ivf_search`` on the same index (parity test)."""
+    bit-identical to ``ivf_search`` on the same index (parity test).
+
+    Exchange accounting (the honest version): with the default
+    dir-partitioned corpus, the per-cell cogroup must still hash BOTH
+    sides on cell (the on-disk layout is invisible to the planner) — the
+    saving over ivf_topk is the corpus-side Arrow ASSIGNMENT pass. With
+    ``build_ivf_index(bucket_table=...)``, the corpus scans AS a
+    bucketed table whose hash distribution the planner trusts, the
+    corpus-side Exchange is ELIDED (plan-asserted in tests), and only
+    the query rows shuffle — the index's one-time shuffle amortized
+    across every search."""
     import numpy as np
 
     _require_long_id(queries, id_col, "ivf_search_distributed")
@@ -301,25 +351,23 @@ def ivf_search_distributed(
 
     q = queries.select(id_col, vec_col).mapInPandas(
         probe, "any_id long, vec array<float>, cell int"
-    ).withColumn("side", F.lit("q"))
-    c = spark.read.parquet(f"{path}/corpus").select(
-        F.col(id_col).alias("any_id"),
-        F.col("v").alias("vec"),
-        "cell",
-        F.lit("c").alias("side"),
     )
+    meta = _load_meta(path)
+    if meta.get("bucket_table"):
+        c = spark.table(meta["bucket_table"])
+    else:
+        c = spark.read.parquet(f"{path}/corpus")
+    c = c.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_vec"), "cell")
     kk = int(k)
     excl = bool(exclude_self)
 
-    def per_cell(pdf):
+    def per_cell(qs, corp):
         import pandas as pd
 
-        corp = pdf[pdf["side"] == "c"]
-        qs = pdf[pdf["side"] == "q"]
         if len(corp) == 0 or len(qs) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        c_ids = corp["any_id"].to_numpy(dtype=np.int64)
-        c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corp["vec"]])
+        c_ids = corp["c_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in corp["c_vec"]])
         c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
         q_ids = qs["any_id"].to_numpy(dtype=np.int64)
         q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
@@ -335,8 +383,13 @@ def ivf_search_distributed(
             out_c.extend(cand_cos[order])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    hits = c.unionByName(q).groupBy("cell").applyInPandas(
-        per_cell, "query_id long, neighbor_id long, cosine double"
+    # cogroup, not union+groupBy: each side keeps its own distribution
+    # requirement, so a bucketed corpus satisfies its side WITHOUT an
+    # Exchange while the (much smaller) query side shuffles to match
+    hits = (
+        q.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(per_cell, "query_id long, neighbor_id long, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
