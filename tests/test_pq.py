@@ -1,0 +1,153 @@
+"""Product quantization (operators/pq.py): train / encode / ADC search.
+
+Contracts: deterministic training (partition-invariant, no RNG); encode
+is a zero-shuffle Arrow pass; ADC top-k recall against exact cosine is
+high on structured data and degrades gracefully; the self-graded audit
+bounds reconstruction error; finer quantization (more subspaces) is
+monotonically more accurate; guards are loud.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.pq import (
+    PQModel,
+    pq_audit,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
+
+N, D = 400, 16
+
+
+def _planted(n=N, d=D, seed=13):
+    """Anisotropic cloud: PQ codebooks have real structure to learn."""
+    r = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(r.standard_normal((d, d)))
+    scales = np.array([8.0, 5.0, 3.0, 2.0] + [0.4] * (d - 4))
+    return r.standard_normal((n, d)) @ (q * scales).T
+
+
+def _df(spark, X, start=0):
+    return spark.createDataFrame(
+        [(start + i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    df = _df(spark, _planted())
+    model = train_pq(df, "vec_id", "embedding", m=8, n_codes=64, iters=5)
+    return df, model
+
+
+def test_training_is_deterministic_and_partition_invariant(spark, fitted):
+    df, model = fitted
+    again = train_pq(
+        df.repartition(13), "vec_id", "embedding", m=8, n_codes=64, iters=5
+    )
+    assert np.array_equal(np.asarray(model.codebooks), np.asarray(again.codebooks))
+    assert model.m == 8 and model.n_codes == 64 and model.dim == D
+
+
+def test_encode_shape_and_zero_shuffle(spark, fitted):
+    import io
+    from contextlib import redirect_stdout
+
+    df, model = fitted
+    codes = pq_encode(df, "vec_id", "embedding", model)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        codes.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+    rows = codes.collect()
+    assert len(rows) == N
+    for r in rows[:10]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 64 for c in r["codes"])
+        assert r["norm"] > 0
+
+
+def test_adc_recall_and_self_grading(spark, fitted):
+    df, model = fitted
+    codes = pq_encode(df, "vec_id", "embedding", model).cache()
+    queries = df.filter("vec_id < 30")
+    K = 10
+    adc = pq_topk(codes, queries, "vec_id", "embedding", model, k=K, exclude_self=True)
+    exact = cosine_topk(df, "vec_id", "embedding", k=K)
+    adc_pairs = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact.collect()
+        if r["query_id"] < 30
+    }
+    recall = len(adc_pairs & exact_pairs) / len(exact_pairs)
+    print(f"PQ ADC recall@{K}: {recall:.3f}")
+    assert recall >= 0.5  # 8 bytes/vector vs 64 — structure survives
+
+    audit = pq_audit(df, "vec_id", "embedding", model)
+    stats = audit.agg(
+        F.mean("recon_rel_err").alias("err"), F.min("cos_self").alias("cmin")
+    ).collect()[0]
+    assert stats["err"] < 0.5
+    assert stats["cmin"] > 0.7
+
+
+def test_finer_quantization_is_more_accurate(spark, fitted):
+    df, _ = fitted
+
+    def mean_err(m):
+        model = train_pq(df, "vec_id", "embedding", m=m, n_codes=64, iters=5)
+        return (
+            pq_audit(df, "vec_id", "embedding", model)
+            .agg(F.mean("recon_rel_err"))
+            .collect()[0][0]
+        )
+
+    e2, e4, e8 = mean_err(2), mean_err(4), mean_err(8)
+    print(f"recon err m=2 {e2:.4f} m=4 {e4:.4f} m=8 {e8:.4f}")
+    assert e8 < e4 < e2
+
+
+def test_save_load_roundtrip(spark, fitted, tmp_path):
+    df, model = fitted
+    p = str(tmp_path / "pq")
+    model.save(spark, p)
+    loaded = PQModel.load(p)
+    assert np.array_equal(np.asarray(model.codebooks), np.asarray(loaded.codebooks))
+    a = sorted(map(tuple, pq_encode(df, "vec_id", "embedding", model).collect()))
+    b = sorted(map(tuple, pq_encode(df, "vec_id", "embedding", loaded).collect()))
+    assert a == b
+
+
+def test_guards(spark, fitted):
+    df, model = fitted
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq(df, "vec_id", "embedding", m=5)
+    strdf = df.selectExpr("CAST(vec_id AS STRING) AS vec_id", "embedding")
+    with pytest.raises(ValueError, match="integral id"):
+        train_pq(strdf, "vec_id", "embedding", m=8)
+    with pytest.raises(Exception, match="ragged"):
+        ragged = spark.createDataFrame(
+            [(1, [1.0] * D), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        pq_encode(ragged, "vec_id", "embedding", model).collect()
+    wrongd = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match=f"{D}-dim"):
+        pq_encode(wrongd, "vec_id", "embedding", model).collect()
+    with pytest.raises(ValueError, match="empty query"):
+        pq_topk(
+            pq_encode(df, "vec_id", "embedding", model),
+            df.filter("vec_id < 0"),
+            "vec_id",
+            "embedding",
+            model,
+        )
