@@ -224,3 +224,74 @@ def test_lehmer_rejects_non_integral_id(spark):
     with pytest.raises(ValueError, match="integral id"):
         mixture_sample(df, "domain", "doc_id", alpha=0.5, draw="lehmer")
     assert mixture_sample(df, "domain", "doc_id", alpha=1.0).count() == 20
+
+
+def test_token_budget_mix(spark):
+    """weight_col switches the budget unit to tokens: the realized
+    per-domain TOKEN totals land on count*rate (linearity of the
+    independent draw), temperature shares run over token mass, and the
+    nesting property survives — shrinking the token budget only removes
+    docs."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(3000):
+        domain = ("web", "code", "books")[i % 3]
+        # skewed doc lengths so tokens != rows: web docs short, books long
+        n_tok = {"web": rng.randint(10, 50), "code": rng.randint(50, 150),
+                 "books": rng.randint(200, 600)}[domain]
+        rows.append((i, domain, n_tok))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens long")
+    tokens = {d: sum(n for _, dd, n in rows if dd == d) for d in ("web", "code", "books")}
+    total_tokens = sum(tokens.values())
+
+    budget = total_tokens // 4
+    # weights sized WITHIN each domain's token supply (web is token-poor:
+    # a 0.5 share of the budget would exceed it and hit the honest
+    # rate<=1 cap — the separately-tested undershoot behavior)
+    mix = {"web": 0.5, "code": 1.0, "books": 2.5}
+    out = mixture_sample(
+        df, "domain", "doc_id", weights=mix,
+        target_rows=budget, weight_col="n_tokens", seed=3,
+    )
+    got = {
+        r["domain"]: r["t"]
+        for r in out.groupBy("domain").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    for d, share in (("web", 0.125), ("code", 0.25), ("books", 0.625)):
+        want = budget * share
+        assert abs(got[d] - want) / want < 0.15, (d, got[d], want)
+
+    # nesting: the half-budget mix is a subset of the full-budget mix
+    small = mixture_sample(
+        df, "domain", "doc_id", weights=mix,
+        target_rows=budget // 2, weight_col="n_tokens", seed=3,
+    )
+    big_ids = {r["doc_id"] for r in out.collect()}
+    small_ids = {r["doc_id"] for r in small.collect()}
+    assert small_ids <= big_ids and len(small_ids) < len(big_ids)
+
+    # temperature over token MASS: alpha=0 targets equal token shares
+    # (budget small enough that a third fits inside web's token supply)
+    eq_budget = total_tokens // 8
+    eq = mixture_sample(
+        df, "domain", "doc_id", alpha=0.0, target_rows=eq_budget,
+        weight_col="n_tokens", seed=3,
+    )
+    got_eq = {
+        r["domain"]: r["t"]
+        for r in eq.groupBy("domain").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    for d in ("web", "code", "books"):
+        want = eq_budget / 3
+        assert abs(got_eq[d] - want) / want < 0.15, (d, got_eq[d], want)
+
+    # a NULL token column cannot be budgeted — loud
+    withnull = df.withColumn(
+        "n_tokens", F.when(F.col("domain") == "code", None).otherwise(F.col("n_tokens"))
+    )
+    with pytest.raises(ValueError, match="NULL/negative"):
+        mixture_sample(
+            withnull, "domain", "doc_id", alpha=0.5, weight_col="n_tokens"
+        )

@@ -112,6 +112,7 @@ def domain_rates(
     weights: dict[str, float] | None = None,
     target_rows: int | None = None,
     allow_upsample: bool = False,
+    weight_col: str | None = None,
 ) -> list[tuple[str, int, float]]:
     """[(domain, count, rate)]: the per-domain sampling rate realizing
     the requested mix.
@@ -130,15 +131,37 @@ def domain_rates(
     realized total can undershoot the target when a small domain's
     target exceeds its supply — the cap is reported honestly in the
     returned rates rather than silently shifted onto other domains.
+
+    ``weight_col`` switches the BUDGET UNIT from rows to that column's
+    sum — pretraining mixes are specified in TOKENS, not documents
+    (GPT-3's table 2.2 weights are token shares), so pass the n_tokens
+    column and read ``target_rows`` as target TOKENS. The realized
+    per-domain token total concentrates on count * rate by linearity of
+    the independent per-row draw (a domain's sampled token sum has
+    expectation rate * domain_tokens regardless of how tokens are
+    distributed across its docs); temperature shares are then over
+    token masses, matching the multilingual (mass)^alpha convention.
     """
     if (alpha is None) == (weights is None):
         raise ValueError("specify exactly one of alpha / weights")
+    unit = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("double"))
+    )
     counts = {
         r["d"]: r["n"]
         for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(unit.alias("n"))
         .collect()
     }
+    if weight_col is not None:
+        bad = sorted(d for d, n in counts.items() if n is None or n < 0)
+        if bad:
+            raise ValueError(
+                f"weight_col={weight_col!r} sums to NULL/negative for "
+                f"domains {bad} — a weightless domain cannot be budgeted"
+            )
     if alpha is not None:
         shares = {d: float(n) ** float(alpha) for d, n in counts.items()}
     else:
@@ -185,12 +208,15 @@ def mixture_sample(
     seed: int = 0,
     allow_upsample: bool = False,
     draw: str = "xxhash64",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The mixed corpus: input columns + ``copy`` (0 without
     upsampling). Deterministic in (rows, parameters, seed); each
     domain's realized size concentrates tightly around count * rate.
     ``draw``: the per-row uniform source — see ``_uniform_draw``
-    (``lehmer`` is the ANSI-SQL-replayable verification mode)."""
+    (``lehmer`` is the ANSI-SQL-replayable verification mode).
+    ``weight_col``: budget in that column's units (tokens) instead of
+    rows — see ``domain_rates``."""
     if draw == "lehmer":
         require_integral_id(df, id_col, "mixture_sample")
     rates = domain_rates(
@@ -200,6 +226,7 @@ def mixture_sample(
         weights=weights,
         target_rows=target_rows,
         allow_upsample=allow_upsample,
+        weight_col=weight_col,
     )
     spark = df.sparkSession
     rate_df = F.broadcast(
