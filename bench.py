@@ -224,6 +224,37 @@ def _bench_only() -> dict[str, Query]:
             _models[key] = train_bpe(docs, "doc_id", "text", n_merges=200)
         return bpe_tokenize(docs, "doc_id", "text", _models[key])
 
+    def pq_adc_search(spark, sf_dir):
+        # PQ serving path at PRODUCTION sizes (m=8, 256 codes — the
+        # registry's embedding_pq_adc row runs oracle-tractable m=4/8):
+        # codebooks + the encoded corpus persist once per sf (priming run
+        # pays it), timed runs measure the ADC scan over the 16x-compressed
+        # codes — the shape a 100 TB embedding corpus actually serves.
+        import os
+
+        from youtube_analytics_lakehouse_databricks_spark.operators.pq import (
+            PQModel,
+            pq_encode,
+            pq_topk,
+            train_pq,
+        )
+        from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+        emb = read(spark, sf_dir, "embeddings")
+        out = f"/tmp/sparkgraft_bench_pq/{os.path.basename(sf_dir.rstrip('/'))}"
+        if not os.path.exists(f"{out}/codes"):
+            model = train_pq(emb, "vec_id", "embedding", m=8, n_codes=256)
+            model.save(spark, f"{out}/model")
+            pq_encode(emb, "vec_id", "embedding", model).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/codes")
+        model = PQModel.load(f"{out}/model")
+        codes = spark.read.parquet(f"{out}/codes")
+        queries = emb.filter("vec_id % 97 = 0")
+        return pq_topk(
+            codes, queries, "vec_id", "embedding", model, k=5, exclude_self=True
+        )
+
     return {
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
         for f in (
@@ -233,6 +264,7 @@ def _bench_only() -> dict[str, Query]:
             ngram_lm_perplexity,
             shuffle_shard_export,
             ivf_index_search,
+            pq_adc_search,
             mixture_sample_documents,
             semantic_dedup_embeddings,
             semantic_decontam_scores,
@@ -245,6 +277,17 @@ def _bench_only() -> dict[str, Query]:
     }
 
 
+# Drift notes (r12): orders_enriched carries MORE work since r12 — the
+# folded customers_without_orders anti-join family rides as the
+# is_customer_only null channel (left_anti + the same broadcast dim
+# chain), a new epoch for that series. First-epoch r12 rows:
+# shard_split_assignment (lehmer-draw shard+split verification),
+# ivf_index_search (persisted-index pruned serving), pq_adc_search
+# (production m=8/256-code ADC scan over the persisted 16x-compressed
+# codes; the oracled embedding_pq_adc registry row runs oracle-tractable
+# m=4/8 and is deliberately NOT benched — this row carries the family's
+# timing series, the classifier_training_scores stance).
+#
 # Drift notes (r11): events_rollup carries MORE work since r11 (the
 # folded value_percentiles row's exact percentiles ride every rollup
 # grain) and conditional_metrics likewise (the folded
@@ -348,6 +391,7 @@ HEADLINE = [
     "shuffle_shard_export",
     "shard_split_assignment",
     "ivf_index_search",
+    "pq_adc_search",
     "mixture_sample_documents",
     "semantic_dedup_embeddings",
     "semantic_decontam_scores",

@@ -151,3 +151,32 @@ def test_guards(spark, fitted):
             "embedding",
             model,
         )
+
+
+def test_pq_oracle_params_train_unpadded():
+    """The embedding_pq_adc oracle does not model train_pq's zero-row
+    codebook padding (applied when the sample has fewer distinct
+    subvectors than n_codes): pin that at the registered sizes every
+    subspace has at least PQ_CODES distinct subvectors in the training
+    sample at BOTH driver scales, so the trained books are unpadded and
+    the oracle's init matches the operator's."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import (
+        PQ_CODES,
+        PQ_M,
+        PQ_SAMPLE,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq_.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        order = np.argsort(np.asarray(t["vec_id"]))[:PQ_SAMPLE]
+        mat = np.stack(
+            [np.asarray(t["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+        )
+        d_sub = mat.shape[1] // PQ_M
+        for s in range(PQ_M):
+            sub = mat[:, s * d_sub : (s + 1) * d_sub]
+            n_distinct = len(np.unique(sub, axis=0))
+            assert n_distinct >= PQ_CODES, (sf, s, n_distinct)

@@ -22,6 +22,7 @@ ITERATIVE = {
     "ngram_lm_scores",
     "classifier_training_scores",
     "embedding_pca_project",  # train_pca collects moments at build time
+    "embedding_pq_adc",  # train_pq samples + pq_topk collects queries at build time
 }
 
 

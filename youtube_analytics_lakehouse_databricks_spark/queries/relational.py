@@ -258,50 +258,68 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_enriched",
     """
     SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus,
-           c.c_name, c.c_mktsegment, n.n_name AS nation_name,
-           r.r_name AS region_name
+           c.c_custkey, c.c_name, c.c_mktsegment, n.n_name AS nation_name,
+           r.r_name AS region_name, FALSE AS is_customer_only
     FROM orders o
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           c.c_custkey, c.c_name, c.c_mktsegment, n.n_name, r.r_name, TRUE
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    doc="Left equi-join chain fact->entity->dim (J1/J4/J5, gold_video_*_summary.sql); dims broadcast.",
+    doc=(
+        "Left equi-join chain fact->entity->dim (J1/J4/J5, "
+        "gold_video_*_summary.sql); dims broadcast. Since r12 this row also "
+        "carries the folded `customers_without_orders` anti-join family "
+        "(J6, warn_new_traffic_source_ids.sql:35-39) as the "
+        "is_customer_only=TRUE null channel: customers with no orders "
+        "appear once with NULL order columns, found via Spark's left_anti "
+        "join and enriched through the same broadcast dim chain. One row, "
+        "both join idioms, slot freed for `embedding_pq_adc`."
+    ),
 )
 def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, nation, region = (
         read(spark, sf_dir, t) for t in ("orders", "customer", "nation", "region")
     )
-    return (
+
+    def enrich_dims(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(nation), df.c_nationkey == nation.n_nationkey, "left"
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+
+    order_channel = enrich_dims(
         orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .select(
-            "o_orderkey",
-            "o_totalprice",
-            "o_orderstatus",
-            "c_name",
-            "c_mktsegment",
-            F.col("n_name").alias("nation_name"),
-            F.col("r_name").alias("region_name"),
-        )
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+        F.lit(False).alias("is_customer_only"),
     )
-
-
-@register(
-    "customers_without_orders",
-    """
-    SELECT c.c_custkey, c.c_name, c.c_mktsegment
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    doc="Anti-join (left-join-null idiom, warn_new_traffic_source_ids.sql:35-39 / J6).",
-)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = read(spark, sf_dir, "customer")
-    orders = read(spark, sf_dir, "orders")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    customer_only = enrich_dims(
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    ).select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+        F.lit(True).alias("is_customer_only"),
+    )
+    return order_channel.unionByName(customer_only)
 
 
 @register(

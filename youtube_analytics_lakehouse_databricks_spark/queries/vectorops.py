@@ -780,3 +780,228 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(1, PCA_ORACLE_K + 1)
         ],
     )
+
+
+# --- Product quantization ADC: the oracled registry row (r12) ---------------
+#
+# The SEVENTH operator family under the cross-engine hash-match regime
+# (after the LM tables, the SemDeDup/IVF quantizer, the BPE merges, the
+# classifier GD epochs, and the PCA power-deflation): the oracle rebuilds
+# operators/pq.py END TO END in DuckDB — codebook TRAINING (per-subspace
+# deterministic mini-Lloyd: first-distinct-subvector init in sample order,
+# expanded-form L2 assignment with argmin-first-match = lowest-code ties,
+# member-mean re-center, empty codes keep their previous centroid),
+# corpus ENCODING (per-subspace argmin over the trained books), and the
+# ADC SEARCH (per-subspace inner products summed in subspace order — the
+# list(... ORDER BY sp) fold mirrors the operator's `ip += table[s]`
+# accumulation — cosine via the FLOAT32-stored corpus norms, 1e-6
+# rounding, neighbor-id tie-break), PLUS the same in-plan recall grading
+# as embedding_ivf_ann. Any divergence in the init order, the tie rule,
+# an iteration, the float32 norm cast, or the subspace accumulation
+# order flips the hash.
+#
+# Registered sizes are oracle-tractable (m=4 subspaces over the 64-dim
+# embeddings, 8 codes, 3 Lloyd rounds, 256-sample train); production
+# defaults (m=8, 256 codes) run the identical code path — pinned against
+# this row's semantics by tests/test_pq.py. The oracle does NOT model the
+# zero-row codebook padding train_pq applies when the sample has fewer
+# distinct subvectors than n_codes; test_pq_oracle_params_unpadded pins
+# that both driver SFs train unpadded books at these sizes.
+
+PQ_M = 4
+PQ_CODES = 8
+PQ_ITERS = 3
+PQ_SAMPLE = 256
+PQ_K = 5
+_PQ_DSUB = 64 // PQ_M
+
+
+def _pq_iter_cte(k: int) -> str:
+    """One per-subspace Lloyd round: expanded-form L2 assignment
+    (ties -> lowest code, numpy argmin first-match), member-mean
+    re-center via the dimension lateral, empty codes keep the previous
+    centroid (numpy's `if len(members)` guard)."""
+    d2 = (
+        f"{_DOT_D_DD.format(a='s.sv', b='s.sv')} - 2 * "
+        f"{_DOT_D_DD.format(a='s.sv', b='c.v')} + "
+        f"{_DOT_D_DD.format(a='c.v', b='c.v')}"
+    )
+    return f"""
+    pa{k} AS (
+      SELECT rnk, sp, sv, code, row_number() OVER (
+        PARTITION BY sp, rnk ORDER BY d2 ASC, code ASC) AS rn
+      FROM (SELECT s.rnk, s.sp, s.sv, c.code, {d2} AS d2
+            FROM sub s JOIN pc{k - 1} c ON c.sp = s.sp)
+    ),
+    pm{k} AS (
+      SELECT sp, code, i, avg(sv[i]) AS mv
+      FROM (SELECT * FROM pa{k} WHERE rn = 1), range(1, {_PQ_DSUB + 1}) r(i)
+      GROUP BY sp, code, i
+    ),
+    pmm{k} AS (
+      SELECT sp, code, list(mv ORDER BY i) AS mv FROM pm{k} GROUP BY sp, code
+    ),
+    pc{k} AS MATERIALIZED (
+      SELECT p.sp, p.code, CASE WHEN m.code IS NULL THEN p.v ELSE m.mv END AS v
+      FROM pc{k - 1} p LEFT JOIN pmm{k} m ON m.sp = p.sp AND m.code = p.code
+    )"""
+
+
+def _pq_oracle_sql() -> str:
+    sp_values = ", ".join(f"({s})" for s in range(PQ_M))
+    slice_expr = "v[s.s * {d} + 1 : s.s * {d} + {d}]".format(d=_PQ_DSUB)
+    rounds = ",".join(_pq_iter_cte(k) for k in range(1, PQ_ITERS + 1))
+    enc_d2 = (
+        f"{_DOT_D_DD.format(a='cs.sv', b='cs.sv')} - 2 * "
+        f"{_DOT_D_DD.format(a='cs.sv', b='c.v')} + "
+        f"{_DOT_D_DD.format(a='c.v', b='c.v')}"
+    )
+    exdot = _DOT_DD.format(a="a.embedding", b="b.embedding")
+    raw_norm = _NORM_DD.format(a="embedding")
+    return f"""
+    WITH samp AS MATERIALIZED (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rnk,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {max(PQ_SAMPLE, PQ_CODES)})
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, rnk, s.s AS sp, {slice_expr} AS sv
+      FROM samp, (VALUES {sp_values}) s(s)
+    ),
+    pc0 AS MATERIALIZED (
+      SELECT sp, CAST(rn - 1 AS INT) AS code, sv AS v FROM (
+        SELECT sp, sv, row_number() OVER (
+          PARTITION BY sp ORDER BY first_rnk ASC) AS rn
+        FROM (SELECT sp, sv, min(rnk) AS first_rnk FROM sub GROUP BY sp, sv))
+      WHERE rn <= {PQ_CODES}
+    ),{rounds},
+    corp AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CAST({raw_norm} AS REAL) AS normf
+      FROM embeddings
+    ),
+    csub AS MATERIALIZED (
+      SELECT vec_id, s.s AS sp, {slice_expr} AS sv
+      FROM corp, (VALUES {sp_values}) s(s)
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, sp, code FROM (
+        SELECT cs.vec_id, cs.sp, c.code, row_number() OVER (
+          PARTITION BY cs.vec_id, cs.sp ORDER BY {enc_d2} ASC, c.code ASC) AS rn
+        FROM csub cs JOIN pc{PQ_ITERS} c ON c.sp = cs.sp) WHERE rn = 1
+    ),
+    tbl AS MATERIALIZED (
+      -- the ADC table itself: queries x subspaces x codes inner products,
+      -- computed ONCE (n_q * m * n_codes dots) and then LOOKED UP per
+      -- corpus code — the same asymmetry the operator exploits
+      SELECT q.vec_id AS query_id, q.sp, cb.code,
+             {_DOT_D_DD.format(a='q.sv', b='cb.v')} AS ip_s
+      FROM csub q JOIN pc{PQ_ITERS} cb ON cb.sp = q.sp
+    ),
+    ips AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id, t.sp, t.ip_s
+      FROM tbl t
+      JOIN enc e ON e.sp = t.sp AND e.code = t.code AND e.vec_id <> t.query_id
+    ),
+    ip AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0, list(ip_s ORDER BY sp)),
+                         (acc, x) -> acc + x) AS ip
+      FROM ips GROUP BY query_id, neighbor_id
+    ),
+    qn AS (
+      SELECT vec_id, greatest({_NORM_D_DD.format(a="v")},
+                              CAST(1e-30 AS DOUBLE)) AS qnorm
+      FROM corp
+    ),
+    adc AS (
+      SELECT * FROM (
+        SELECT query_id, neighbor_id, adc_cosine, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+        FROM (
+          SELECT i.query_id, i.neighbor_id,
+                 round(i.ip / (q.qnorm *
+                       greatest(CAST(c.normf AS DOUBLE),
+                                CAST(1e-30 AS DOUBLE))), 6) AS adc_cosine
+          FROM ip i
+          JOIN qn q ON q.vec_id = i.query_id
+          JOIN corp c ON c.vec_id = i.neighbor_id))
+      WHERE rank <= {PQ_K}
+    ),
+    normed AS (
+      SELECT vec_id, embedding, {raw_norm} AS norm FROM embeddings
+    ),
+    ex AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, row_number() OVER (
+          PARTITION BY a.vec_id
+          ORDER BY round({exdot} / (a.norm * b.norm), 6) DESC, b.vec_id ASC) AS rn
+        FROM normed a JOIN normed b ON a.vec_id <> b.vec_id) WHERE rn <= {PQ_K}
+    ),
+    nex AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY query_id),
+    hit AS (
+      SELECT i.query_id, i.neighbor_id, i.adc_cosine, i.rank,
+             (e.neighbor_id IS NOT NULL) AS in_exact_topk
+      FROM adc i LEFT JOIN ex e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    )
+    SELECT h.query_id, h.neighbor_id, h.adc_cosine, CAST(h.rank AS INT) AS rank,
+           h.in_exact_topk,
+           round(sum(CASE WHEN h.in_exact_topk THEN 1.0 ELSE 0.0 END)
+                   OVER (PARTITION BY h.query_id) / nx.n_exact, 3) AS recall_at_k
+    FROM hit h JOIN nex nx ON nx.query_id = h.query_id
+    """
+
+
+@register(
+    "embedding_pq_adc",
+    _pq_oracle_sql(),
+    doc=(
+        "Product-quantization ADC search (Jegou et al. 2011): per-subspace "
+        "deterministic mini-Lloyd codebooks on a bounded lowest-id sample, "
+        "one zero-shuffle Arrow encode pass, ADC scan via broadcast "
+        "per-query inner-product tables (the corpus is never "
+        "reconstructed), in-plan recall grading vs the exact top-k. "
+        "ORACLED end to end: the DuckDB mirror unrolls training, encoding, "
+        "the subspace-ordered ADC accumulation, the float32 norm cast, and "
+        "the recall columns (slot freed by folding customers_without_orders "
+        "into orders_enriched)."
+    ),
+)
+def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import pq_encode, pq_topk, train_pq
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
+    from youtube_analytics_lakehouse_databricks_spark.queries import read_fanned
+
+    emb = read_fanned(spark, sf_dir, "embeddings")
+    model = train_pq(
+        emb, "vec_id", "embedding",
+        m=PQ_M, n_codes=PQ_CODES, iters=PQ_ITERS, sample_rows=PQ_SAMPLE,
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", model)
+    adc = pq_topk(
+        codes, emb, "vec_id", "embedding", model, k=PQ_K, exclude_self=True
+    )
+    # recall grading: identical to embedding_ivf_ann — n_exact rides on the
+    # exact side so the denominator is the exact top-k size, not the
+    # retrieved count (precision vs recall).
+    exact = cosine_topk(emb, "vec_id", "embedding", k=PQ_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    exact = exact.withColumn(
+        "n_exact", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+    )
+    w = Window.partitionBy("query_id")
+    hits = F.sum(F.col("in_exact_topk").cast("double")).over(w)
+    denom = F.max("n_exact").over(w)
+    return (
+        adc.join(exact, ["query_id", "neighbor_id"], "left")
+        .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
+        .withColumn("recall_at_k", F.coalesce(F.round(hits / denom, 3), F.lit(0.0)))
+        .select(
+            "query_id", "neighbor_id", "adc_cosine", "rank",
+            "in_exact_topk", "recall_at_k",
+        )
+    )
