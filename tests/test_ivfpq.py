@@ -1,0 +1,271 @@
+"""IVFPQ (operators/ivf_index.py): coarse cells + PQ-compressed
+residuals — the FAISS IndexIVFPQ serving shape.
+
+Contracts: the build is deterministic and partition-invariant; search
+scans ONLY the probed cells' code rows (plan-asserted partition
+pruning) over a corpus layout measured at a fraction of the flat-index
+bytes; residual encoding beats raw-vector PQ at the same code budget;
+recall against exact cosine is high on structured data and improves
+with n_probe; appends against the frozen quantizer + frozen codebooks
+equal a rebuild; guards are loud.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+    append_ivfpq_index,
+    build_ivfpq_index,
+    ivfpq_search,
+)
+from youtube_analytics_lakehouse_databricks_spark.operators.similarity import cosine_topk
+
+N, D = 400, 16
+
+
+def _planted(n=N, d=D, seed=13):
+    """Anisotropic cloud (the test_pq corpus): residual codebooks have
+    real structure to learn and exact top-k has real neighbors."""
+    r = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(r.standard_normal((d, d)))
+    scales = np.array([8.0, 5.0, 3.0, 2.0] + [0.4] * (d - 4))
+    return r.standard_normal((n, d)) @ (q * scales).T
+
+
+def _df(spark, X, start=0):
+    return spark.createDataFrame(
+        [(start + i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _res(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _recall(spark, df, hits, k):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, "vec_id", "embedding", k=k).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in hits.collect()}
+    return len(got & exact) / len(exact)
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    df = _df(spark, _planted())
+    build_ivfpq_index(
+        df, "vec_id", "embedding", path,
+        n_cells=8, kmeans_iters=3, m=8, n_codes=64, pq_iters=5,
+    )
+    return path, df
+
+
+def test_build_is_deterministic_and_partition_invariant(spark, index, tmp_path):
+    path, df = index
+    repath = str(tmp_path / "re")
+    build_ivfpq_index(
+        df.repartition(13), "vec_id", "embedding", repath,
+        n_cells=8, kmeans_iters=3, m=8, n_codes=64, pq_iters=5,
+    )
+    stored = lambda p: sorted(  # noqa: E731
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{p}/corpus_pq").collect()
+    )
+    assert stored(path) == stored(repath)
+
+
+def test_recall_and_probe_monotonicity(spark, index):
+    """ADC-over-residuals recall vs exact cosine: decent at 2 probes,
+    near-exhaustive probing recovers most of the exact top-k despite the
+    8-byte codes; recall is non-decreasing in n_probe."""
+    path, df = index
+    r2 = _recall(
+        spark, df,
+        ivfpq_search(spark, path, df, "vec_id", "embedding",
+                     n_probe=2, k=10, exclude_self=True),
+        k=10,
+    )
+    r8 = _recall(
+        spark, df,
+        ivfpq_search(spark, path, df, "vec_id", "embedding",
+                     n_probe=8, k=10, exclude_self=True),
+        k=10,
+    )
+    assert r8 >= r2, (r2, r8)
+    assert r2 >= 0.35, r2
+    assert r8 >= 0.55, r8
+
+
+def test_residual_encoding_beats_raw_pq_at_same_budget(spark, index):
+    """The reason IVFPQ encodes residuals: at the SAME code budget,
+    reconstruction in the normalized space is strictly better through
+    the centroid + residual-codes path than through raw-vector PQ codes
+    (residuals are centered near zero per cell, so the codebooks spend
+    their 64 entries on a tighter distribution)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import load_ivf_centroids
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel, pq_encode, train_pq
+
+    path, df = index
+    cents = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks)
+    stored = {
+        r["vec_id"]: (r["cell"], np.asarray(r["codes"]))
+        for r in spark.read.parquet(f"{path}/corpus_pq").collect()
+    }
+    raw_model = train_pq(df, "vec_id", "embedding", m=8, n_codes=64, iters=5)
+    raw_books = np.asarray(raw_model.codebooks)
+    raw_codes = {
+        r["vec_id"]: np.asarray(r["codes"])
+        for r in pq_encode(df, "vec_id", "embedding", raw_model).collect()
+    }
+    rows = df.collect()
+    d_sub = D // 8
+
+    def decode(books_, codes):
+        return np.concatenate([books_[s, codes[s]] for s in range(8)])
+
+    err_resid, err_raw = 0.0, 0.0
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        xn = x / np.linalg.norm(x)
+        cell, codes = stored[r["vec_id"]]
+        recon_resid = cents[cell] + decode(books, codes)
+        recon_raw = decode(raw_books, raw_codes[r["vec_id"]])
+        recon_raw /= max(np.linalg.norm(recon_raw), 1e-30)
+        err_resid += float(np.linalg.norm(xn - recon_resid) ** 2)
+        err_raw += float(np.linalg.norm(xn - recon_raw) ** 2)
+    assert err_resid < err_raw, (err_resid, err_raw)
+
+
+def test_search_scan_is_partition_pruned(spark, index):
+    """The scan is pruned to the probed cells: PartitionFilters names
+    them and the scanned partition count is bounded by queries *
+    n_probe (the flat-index contract, kept over the compressed rows)."""
+    path, df = index
+    queries = df.filter(F.col("vec_id") < 2)
+    out = ivfpq_search(spark, path, queries, "vec_id", "embedding", n_probe=2, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell#" in line and " IN (" in line, line
+    n_cells_scanned = line.split(" IN (")[1].split(")")[0].count(",") + 1
+    assert n_cells_scanned <= 4, line
+    assert len(out.collect()) > 0
+
+
+def test_compressed_layout_bytes_measured(spark, tmp_path):
+    """The second 100 TB factor: the scanned layout is the COMPRESSED
+    one. Measured, not asserted from arithmetic — at a corpus size where
+    payload dominates parquet framing (8k x 64-d), the corpus_pq
+    directory is under 0.2x the flat (id, v, cell) layout's bytes; the
+    raw-payload ratio is 16/264 ~ 0.06 and incompressible random floats
+    keep the flat side honest. (At 400 x 16-d the same measurement reads
+    ~0.7 — per-file framing dominates — which is why this test sizes the
+    corpus instead of relaxing the threshold.)"""
+    import os
+
+    r = np.random.default_rng(41)
+    X = r.standard_normal((8000, 64))
+    df = _df(spark, X).repartition(8)
+    path = str(tmp_path / "big")
+    build_ivfpq_index(
+        df, "vec_id", "embedding", path,
+        n_cells=8, kmeans_iters=2, m=8, n_codes=64, pq_iters=3,
+    )
+
+    def dir_bytes(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import load_ivf_centroids
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import assign_cells
+
+    flat = f"{path}_flatcmp"
+    assign_cells(df, "vec_id", "embedding", load_ivf_centroids(path)).select(
+        "vec_id", "v", F.col("cluster").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(flat)
+    ratio = dir_bytes(f"{path}/corpus_pq") / dir_bytes(flat)
+    assert ratio < 0.2, ratio
+
+
+def test_append_equals_rebuild_under_frozen_state(spark, index, tmp_path):
+    """append_ivfpq_index encodes the batch against the FROZEN quantizer
+    and codebooks; searching the appended index equals searching an
+    index whose corpus was encoded in ONE write against the same frozen
+    state (a from-scratch build would RETRAIN on the union — at this toy
+    scale the sample bound covers the whole corpus, so the appended rows
+    would shift both the quantizer and the codebooks; the frozen-state
+    contract is exactly what append preserves). A planted duplicate of
+    an appended vector surfaces as its own top neighbor."""
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _encode_ivfpq,
+        load_ivf_centroids,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    path, df = index
+    X2 = _planted(n=60, seed=29)
+    batch = _df(spark, X2, start=N)
+    append_ivfpq_index(batch, "vec_id", "embedding", path)
+    union = df.unionByName(batch)
+
+    refpath = str(tmp_path / "ref")
+    shutil.copytree(path, refpath)
+    shutil.rmtree(f"{refpath}/corpus_pq")
+    cents = load_ivf_centroids(path)
+    model = PQModel.load(f"{path}/pq_model")
+    _encode_ivfpq(union, "vec_id", "embedding", cents, model.codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{refpath}/corpus_pq")
+
+    got = _res(ivfpq_search(spark, path, union, "vec_id", "embedding",
+                            n_probe=2, k=5, exclude_self=True))
+    want = _res(ivfpq_search(spark, refpath, union, "vec_id", "embedding",
+                             n_probe=2, k=5, exclude_self=True))
+    assert got == want
+
+    # searchability, not exactness: under 8-byte codes an exact
+    # duplicate's ADC score ties its code-sharing cellmates (another
+    # row's reconstruction can score marginally higher), so the planted
+    # duplicate of appended vector N must appear in the top-k, not
+    # necessarily at rank 1
+    dup = _df(spark, X2[:1], start=9000)
+    hits = ivfpq_search(spark, path, dup, "vec_id", "embedding",
+                        n_probe=2, k=5).collect()
+    assert N in {h["neighbor_id"] for h in hits}, hits
+
+
+def test_guards(spark, index, tmp_path):
+    path, df = index
+    strdf = df.selectExpr("CAST(vec_id AS STRING) AS vec_id", "embedding")
+    with pytest.raises(ValueError, match="integral id"):
+        build_ivfpq_index(strdf, "vec_id", "embedding", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="integral id"):
+        ivfpq_search(spark, path, strdf, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="empty query"):
+        ivfpq_search(spark, path, df.filter("vec_id < 0"), "vec_id", "embedding")
+    wrongd = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match=f"{D}-dim"):
+        ivfpq_search(spark, path, wrongd, "vec_id", "embedding")
+    with pytest.raises(Exception, match="ragged"):
+        ragged = spark.createDataFrame(
+            [(1, [1.0] * D), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        ).coalesce(1)
+        append_ivfpq_index(ragged, "vec_id", "embedding", path)

@@ -44,6 +44,9 @@ __all__ = [
     "ivf_search",
     "ivf_search_distributed",
     "load_ivf_centroids",
+    "build_ivfpq_index",
+    "append_ivfpq_index",
+    "ivfpq_search",
 ]
 
 
@@ -398,4 +401,275 @@ def ivf_search_distributed(
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- IVFPQ: coarse cells + PQ-compressed residuals (FAISS IndexIVFPQ
+# semantics — public, Jegou et al. 2011 §IV; engine-original formulation
+# on parquet + Arrow). The serving math: a stored vector is approximated
+# as normalize(x) ~= centroid[cell] + decode(codes), where the codes PQ-
+# encode the RESIDUAL in the normalized space, so
+#     cosine(q, x) ~= qn . centroid[cell]  (one dot per probed cell)
+#                   + sum_s table[s][codes[s]]  (m lookups per row)
+# — the ADC scan runs over m code bytes per vector instead of d*4, and
+# the partition-pruned cell layout still bounds the scanned fraction at
+# n_probe/n_cells. At 100 TB the two factors COMPOUND: a 2-of-32-probe
+# search over m=8 codes reads ~1/16th the bytes of the flat IVF scan,
+# which itself reads ~1/16th of the corpus.
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    n_cells: int | None = None,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iters: int = 5,
+    pq_sample: int = 8192,
+) -> None:
+    """Train the coarse quantizer AND per-subspace residual codebooks
+    (both deterministic, both on the bounded lowest-id sample), then
+    materialize the corpus as (id, codes) partitioned by cell — the
+    16-32x-compressed serving layout.
+
+    The residual codebooks train on normalize(x) - centroid[assign(x)]
+    over the sample (the FAISS IVFPQ residual convention): residuals are
+    centered near zero per cell, so the same code budget buys far more
+    precision than PQ on the raw vectors."""
+    import numpy as np
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel, _fit_codebooks
+
+    _require_long_id(df, id_col, "build_ivfpq_index")
+    spark = df.sparkSession
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count(), max_cluster_size)
+    centroids = _train_centroids(df, id_col, vec_col, n_cells, kmeans_iters)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max(int(pq_sample), n_codes))
+        .toPandas()
+    )
+    if not len(sample):
+        raise ValueError("build_ivfpq_index: empty input")
+    try:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    except ValueError:
+        raise ValueError(
+            f"build_ivfpq_index: ragged {vec_col} dimensions in the training sample"
+        ) from None
+    if mat.shape[1] != centroids.shape[1]:
+        raise ValueError(
+            f"build_ivfpq_index: {vec_col} is {mat.shape[1]}-dim but the "
+            f"quantizer trained {centroids.shape[1]}-dim centroids"
+        )
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cells = np.argmax(mn @ centroids.T, axis=1)
+    model = PQModel(
+        codebooks=_fit_codebooks(mn - centroids[cells], m, n_codes, pq_iters)
+    )
+    model.save(spark, f"{path}/pq_model")
+    _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/corpus_pq")
+    spark.createDataFrame(
+        [(id_col, None, 0)], "id_col string, bucket_table string, n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _encode_ivfpq(
+    df: DataFrame, id_col: str, vec_col: str, centroids, codebooks
+) -> DataFrame:
+    """(id, codes, cell): ONE fused Arrow pass — normalize, nearest-cell
+    assign, residual PQ encode — zero shuffle; the write's partitionBy
+    is the only exchange the build pays."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((cents, books))
+    mm, _n, d_sub = books.shape
+
+    def encode(batches):
+        import pandas as pd
+
+        cents_, books_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(f"ivfpq encode: NULL {vec_col} vector")
+            try:
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"ivfpq encode: ragged {vec_col} dimensions in batch"
+                ) from None
+            if mat.shape[1] != mm * d_sub:
+                raise ValueError(
+                    f"ivfpq encode: {vec_col} is {mat.shape[1]}-dim but the "
+                    f"index was built on {mm * d_sub}-dim vectors"
+                )
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cell = np.argmax(mn @ cents_.T, axis=1)
+            resid = mn - cents_[cell]
+            codes = np.empty((len(mat), mm), dtype=np.int16)
+            for s in range(mm):
+                sub = resid[:, s * d_sub : (s + 1) * d_sub]
+                cb = books_[s]
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(axis=1)
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<smallint>, cell int"
+    )
+
+
+def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    """Encode a NEW batch against the frozen quantizer AND frozen
+    codebooks and append into its cell partitions — one Arrow pass over
+    the batch, stored codes never re-read (the frozen-state contract;
+    rebuild when the residual distribution has drifted enough that
+    pq-audit-style spot checks degrade)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    _require_long_id(df, id_col, "append_ivfpq_index")
+    centroids = load_ivf_centroids(path)
+    model = PQModel.load(f"{path}/pq_model")
+    _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/corpus_pq")
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_cosine, rank): approximate top-k over
+    the compressed index, scanning ONLY the probed cells' code rows.
+    Per query: one dot against each probed centroid (the bias term) and
+    an (m x n_codes) residual table; each stored row then scores as m
+    table lookups. The query batch is the serving side (driver-collected,
+    the ivf_search contract); only candidate rows shuffle for the global
+    re-rank. adc_cosine approximates cosine(q, x) with the residual
+    reconstruction error as its bias — grade it with pq_audit-style spot
+    checks or the recall tests before trusting a threshold."""
+    import numpy as np
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    _require_long_id(queries, id_col, "ivfpq_search")
+    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("ivfpq_search: empty query batch")
+    centroids = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    mm, n_codes, d_sub = books.shape
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    try:
+        q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    except ValueError:
+        raise ValueError(
+            f"ivfpq_search: ragged {vec_col} dimensions in the query batch"
+        ) from None
+    if q_mat.shape[1] != centroids.shape[1]:
+        raise ValueError(
+            f"ivfpq_search: {vec_col} is {q_mat.shape[1]}-dim but the index "
+            f"was built on {centroids.shape[1]}-dim vectors"
+        )
+    # float32-truncate like ivf_search: the stored side encoded float32
+    # inputs, so the query side sees the same truncation regime
+    q32 = q_mat.astype(np.float32).astype(np.float64)
+    qn = q32 / np.maximum(np.linalg.norm(q32, axis=1, keepdims=True), 1e-30)
+    sims = qn @ centroids.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
+    by_cell: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probes[qi]:
+            by_cell.setdefault(int(c), []).append(qi)
+    probed = sorted(by_cell)
+    # tables[q, s, c] = <qn_sub, book_entry>; bias[q, cell] = <qn, centroid>
+    tables = np.stack(
+        [qn[:, s * d_sub : (s + 1) * d_sub] @ books[s].T for s in range(mm)],
+        axis=1,
+    )
+    bias = sims  # qn . centroid, already computed for probing
+    bc = spark.sparkContext.broadcast((q_ids, by_cell, bias, tables))
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    corpus = spark.read.parquet(f"{path}/corpus_pq").filter(
+        F.col("cell").isin(probed)  # partition pruning: probed dirs only
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        ids, cells, bias_, tbl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_c = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qidx = cells.get(int(cell))
+                if not qidx:
+                    continue
+                c_ids = grp[id_col].to_numpy(dtype=np.int64)
+                codes = np.stack([np.asarray(c, dtype=np.int64) for c in grp["codes"]])
+                # adc[q, row] = bias[q, cell] + sum_s tbl[q, s, codes[row, s]]
+                adc = np.zeros((len(qidx), len(codes)))
+                for s in range(tbl.shape[1]):
+                    adc += tbl[qidx][:, s, :][:, codes[:, s]]
+                adc += bias_[qidx][:, int(cell)][:, None]
+                adc = np.round(adc, 6)
+                for row, qi in enumerate(qidx):
+                    mask = c_ids != ids[qi] if excl else np.ones(len(c_ids), bool)
+                    cand_ids, cand_adc = c_ids[mask], adc[row][mask]
+                    order = np.lexsort((cand_ids, -cand_adc))[: min(kk, len(cand_ids))]
+                    out_q.extend([ids[qi]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_c.extend(cand_adc[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_cosine": out_c}
+            )
+
+    hits = corpus.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
     )

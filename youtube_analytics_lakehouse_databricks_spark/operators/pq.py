@@ -105,24 +105,15 @@ def _sample_matrix(df: DataFrame, id_col: str, vec_col: str, n: int):
         ) from None
 
 
-def train_pq(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    *,
-    m: int = 8,
-    n_codes: int = 256,
-    iters: int = 5,
-    sample_rows: int = 8192,
-) -> PQModel:
-    """Fit per-subspace codebooks on the lowest-``sample_rows`` ids.
-    Deterministic: distinct-row init (first ``n_codes`` distinct
-    subvectors), L2 assignment, mean re-center, ``iters`` rounds, no
-    RNG — same data, same model, any partitioning."""
+def _fit_codebooks(mat, m: int, n_codes: int, iters: int):
+    """Per-subspace deterministic mini-Lloyd over a float64 sample matrix
+    (the driver-side kernel train_pq and build_ivfpq_index share):
+    distinct-row init (first ``n_codes`` distinct subvectors in sample
+    order), expanded-form L2 assignment with argmin-first-match = lowest
+    code on ties, member-mean re-center, no RNG. Subspaces with fewer
+    distinct subvectors than ``n_codes`` pad with zero rows."""
     import numpy as np
 
-    require_integral_id(df, id_col, "train_pq", hint="map string keys to a surrogate long first")
-    mat = _sample_matrix(df, id_col, vec_col, max(int(sample_rows), n_codes))
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"train_pq: dim {d} is not divisible by m={m}")
@@ -151,7 +142,26 @@ def train_pq(
         books.append(cents if len(cents) == n_codes else np.vstack(
             [cents, np.zeros((n_codes - len(cents), d_sub))]
         ))
-    return PQModel(codebooks=np.stack(books))
+    return np.stack(books)
+
+
+def train_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 5,
+    sample_rows: int = 8192,
+) -> PQModel:
+    """Fit per-subspace codebooks on the lowest-``sample_rows`` ids.
+    Deterministic: distinct-row init (first ``n_codes`` distinct
+    subvectors), L2 assignment, mean re-center, ``iters`` rounds, no
+    RNG — same data, same model, any partitioning."""
+    require_integral_id(df, id_col, "train_pq", hint="map string keys to a surrogate long first")
+    mat = _sample_matrix(df, id_col, vec_col, max(int(sample_rows), n_codes))
+    return PQModel(codebooks=_fit_codebooks(mat, m, n_codes, iters))
 
 
 def pq_encode(
