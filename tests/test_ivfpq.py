@@ -269,3 +269,175 @@ def test_guards(spark, index, tmp_path):
             [(1, [1.0] * D), (2, [1.0, 2.0])], "vec_id long, embedding array<float>"
         ).coalesce(1)
         append_ivfpq_index(ragged, "vec_id", "embedding", path)
+
+
+def _ivfpq_mirror_sql(
+    d: int, n_cells: int, q_iters: int, m: int, n_codes: int,
+    pq_iters: int, n_probe: int, k: int,
+) -> str:
+    """DuckDB mirror of build_ivfpq_index + ivfpq_search (corpus as
+    queries, exclude_self): the quantizer unroll is the REGISTERED IVF
+    oracle's `_quantizer_ctes` (same trainer, same sample bound), the
+    residual codebook rounds mirror the registered PQ oracle's Lloyd CTE
+    (expanded-form L2, lowest-code ties, empty codes keep centroids),
+    and the ADC search mirrors the operator's accumulation order
+    (subspace-ordered lookups, bias added last, 1e-6 rounding). Built
+    here instead of a registry row because the 50-slot budget is full
+    and every component recurrence is ALREADY oracled (`embedding_ivf_ann`,
+    `embedding_pq_adc`) — this pins their COMPOSITION."""
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import (
+        _DOT_D_DD,
+        _NORM_DD,
+        _quantizer_ctes,
+    )
+
+    d_sub = d // m
+    sp_values = ", ".join(f"({s})" for s in range(m))
+    slice_expr = "{v}[s.s * {ds} + 1 : s.s * {ds} + {ds}]".format(v="{v}", ds=d_sub)
+
+    def pq_round(kk: int) -> str:
+        d2 = (
+            f"{_DOT_D_DD.format(a='s.sv', b='s.sv')} - 2 * "
+            f"{_DOT_D_DD.format(a='s.sv', b='c.v')} + "
+            f"{_DOT_D_DD.format(a='c.v', b='c.v')}"
+        )
+        return f"""
+        pa{kk} AS (
+          SELECT rnk, sp, sv, code, row_number() OVER (
+            PARTITION BY sp, rnk ORDER BY d2 ASC, code ASC) AS rn
+          FROM (SELECT s.rnk, s.sp, s.sv, c.code, {d2} AS d2
+                FROM rsub s JOIN pc{kk - 1} c ON c.sp = s.sp)
+        ),
+        pm{kk} AS (
+          SELECT sp, code, i, avg(sv[i]) AS mv
+          FROM (SELECT * FROM pa{kk} WHERE rn = 1), range(1, {d_sub + 1}) r(i)
+          GROUP BY sp, code, i
+        ),
+        pmm{kk} AS (
+          SELECT sp, code, list(mv ORDER BY i) AS mv FROM pm{kk} GROUP BY sp, code
+        ),
+        pc{kk} AS MATERIALIZED (
+          SELECT p.sp, p.code, CASE WHEN mm.code IS NULL THEN p.v ELSE mm.mv END AS v
+          FROM pc{kk - 1} p LEFT JOIN pmm{kk} mm ON mm.sp = p.sp AND mm.code = p.code
+        )"""
+
+    rounds = ",".join(pq_round(kk) for kk in range(1, pq_iters + 1))
+    enc_d2 = (
+        f"{_DOT_D_DD.format(a='cs.sv', b='cs.sv')} - 2 * "
+        f"{_DOT_D_DD.format(a='cs.sv', b='c.v')} + "
+        f"{_DOT_D_DD.format(a='c.v', b='c.v')}"
+    )
+    raw_norm = _NORM_DD.format(a="embedding")
+    return f"""
+    WITH RECURSIVE {_quantizer_ctes(n_cells, q_iters)},
+    corpusn AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) / greatest(nrm, 1e-30)) AS v
+      FROM (SELECT vec_id, embedding, {raw_norm} AS nrm FROM embeddings)
+    ),
+    fa AS MATERIALIZED (
+      SELECT vec_id, v, cell, sim, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+      FROM (SELECT s.vec_id, s.v, c.cell, {_DOT_D_DD.format(a='s.v', b='c.v')} AS sim
+            FROM corpusn s CROSS JOIN c{q_iters} c)
+    ),
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, a.cell,
+             list_transform(list_zip(a.v, c.v), p -> p[1] - p[2]) AS rv
+      FROM fa a JOIN c{q_iters} c ON c.cell = a.cell WHERE a.rn = 1
+    ),
+    rsub AS MATERIALIZED (
+      SELECT r.vec_id, rr.rnk, s.s AS sp, {slice_expr.format(v='r.rv')} AS sv
+      FROM resid r
+      JOIN (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rnk
+            FROM resid) rr ON rr.vec_id = r.vec_id,
+           (VALUES {sp_values}) s(s)
+    ),
+    pc0 AS MATERIALIZED (
+      SELECT sp, CAST(rn - 1 AS INT) AS code, sv AS v FROM (
+        SELECT sp, sv, row_number() OVER (
+          PARTITION BY sp ORDER BY first_rnk ASC) AS rn
+        FROM (SELECT sp, sv, min(rnk) AS first_rnk FROM rsub GROUP BY sp, sv))
+      WHERE rn <= {n_codes}
+    ),{rounds},
+    enc AS MATERIALIZED (
+      SELECT vec_id, sp, code FROM (
+        SELECT cs.vec_id, cs.sp, c.code, row_number() OVER (
+          PARTITION BY cs.vec_id, cs.sp ORDER BY {enc_d2} ASC, c.code ASC) AS rn
+        FROM (SELECT vec_id, rnk, sp, sv FROM rsub) cs
+        JOIN pc{pq_iters} c ON c.sp = cs.sp) WHERE rn = 1
+    ),
+    cellof AS (SELECT vec_id, cell FROM fa WHERE rn = 1),
+    probes AS (SELECT vec_id, cell, sim FROM fa WHERE rn <= {n_probe}),
+    qsub AS (
+      SELECT vec_id, s.s AS sp, {slice_expr.format(v='v')} AS sv
+      FROM corpusn, (VALUES {sp_values}) s(s)
+    ),
+    tbl AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.sp, cb.code,
+             {_DOT_D_DD.format(a='q.sv', b='cb.v')} AS ip_s
+      FROM qsub q JOIN pc{pq_iters} cb ON cb.sp = q.sp
+    ),
+    ips AS (
+      SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id, p.sim, t.sp, t.ip_s
+      FROM probes p
+      JOIN cellof co ON co.cell = p.cell AND co.vec_id <> p.vec_id
+      JOIN enc e ON e.vec_id = co.vec_id
+      JOIN tbl t ON t.query_id = p.vec_id AND t.sp = e.sp AND t.code = e.code
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             round(list_reduce(list_prepend(0.0, list(ip_s ORDER BY sp)),
+                               (acc, x) -> acc + x) + any_value(sim), 6) AS adc_cosine
+      FROM ips GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+      FROM adc) WHERE rank <= {k}
+    """
+
+
+def test_search_matches_duckdb_mirror(spark, tmp_path):
+    """Cross-engine pin for the COMPOSITION: a DuckDB rebuild of the
+    whole IVFPQ path (quantizer unroll -> residuals -> residual Lloyd
+    rounds -> encoding -> subspace-ordered ADC with the centroid bias)
+    reproduces ivfpq_search row for row at oracle-tractable sizes."""
+    import duckdb
+    import pyarrow as pa
+
+    d, n_cells, q_iters, m, n_codes, pq_iters, n_probe, k = 16, 4, 3, 4, 8, 3, 2, 5
+    X = _planted(n=200, d=d, seed=31)
+    df = _df(spark, X)
+    path = str(tmp_path / "mirror")
+    build_ivfpq_index(
+        df, "vec_id", "embedding", path,
+        n_cells=n_cells, kmeans_iters=q_iters,
+        m=m, n_codes=n_codes, pq_iters=pq_iters,
+    )
+    got = _res(
+        ivfpq_search(spark, path, df, "vec_id", "embedding",
+                     n_probe=n_probe, k=k, exclude_self=True)
+    )
+
+    con = duckdb.connect()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(X)), pa.int64()),
+            "embedding": pa.array(
+                [[float(np.float32(v)) for v in row] for row in X],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    con.register("embeddings", tbl)
+    want = sorted(
+        map(tuple, con.execute(
+            _ivfpq_mirror_sql(d, n_cells, q_iters, m, n_codes,
+                              pq_iters, n_probe, k)
+        ).fetchall())
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert got == want
