@@ -441,3 +441,59 @@ def test_search_matches_duckdb_mirror(spark, tmp_path):
     )
     assert len(got) == len(want) and len(got) > 0
     assert got == want
+
+
+def test_refined_search_with_exhaustive_budget_equals_flat_ivf(spark, tmp_path):
+    """Two-stage retrieval parity: with a refine budget covering every
+    probed candidate, the ADC shortlist + exact re-rank reproduces
+    ivf_search on the flat index BIT FOR BIT (both indexes share the
+    deterministic quantizer, so they probe the same cells; the re-rank
+    uses the flat regime's float32 vectors, truncated queries, and 1e-6
+    rounding). A small budget then trades that equivalence for a cheaper
+    re-rank but must still beat ADC-only recall."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_search,
+        ivfpq_search_refined,
+    )
+
+    X = _planted(n=300, d=D, seed=47)
+    df = _df(spark, X)
+    pq_path = str(tmp_path / "pq")
+    flat_path = str(tmp_path / "flat")
+    build_ivfpq_index(
+        df, "vec_id", "embedding", pq_path,
+        n_cells=8, kmeans_iters=3, m=8, n_codes=64, pq_iters=5,
+    )
+    build_ivf_index(df, "vec_id", "embedding", flat_path, n_cells=8, kmeans_iters=3)
+
+    got = _res(
+        ivfpq_search_refined(
+            spark, pq_path, flat_path, df, "vec_id", "embedding",
+            n_probe=2, refine=300, k=5, exclude_self=True,
+        )
+    )
+    want = _res(
+        ivf_search(spark, flat_path, df, "vec_id", "embedding",
+                   n_probe=2, k=5, exclude_self=True)
+    )
+    assert got == want
+
+    # a bounded budget: exact-cosine re-rank of a 20-candidate shortlist
+    # must recall at least as much of the exact top-k as the raw ADC
+    # ranking it refines
+    refined = ivfpq_search_refined(
+        spark, pq_path, flat_path, df, "vec_id", "embedding",
+        n_probe=2, refine=20, k=5, exclude_self=True,
+    )
+    adc_only = ivfpq_search(
+        spark, pq_path, df, "vec_id", "embedding",
+        n_probe=2, k=5, exclude_self=True,
+    )
+    assert _recall(spark, df, refined, 5) >= _recall(spark, df, adc_only, 5)
+
+    with pytest.raises(ValueError, match="refine=3 must be >= k=5"):
+        ivfpq_search_refined(
+            spark, pq_path, flat_path, df, "vec_id", "embedding",
+            refine=3, k=5,
+        )

@@ -47,6 +47,7 @@ __all__ = [
     "build_ivfpq_index",
     "append_ivfpq_index",
     "ivfpq_search",
+    "ivfpq_search_refined",
 ]
 
 
@@ -672,4 +673,111 @@ def ivfpq_search(
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )
+
+
+def ivfpq_search_refined(
+    spark: SparkSession,
+    pq_path: str,
+    flat_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    refine: int = 50,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank): two-stage retrieval — the
+    ADC scan over the COMPRESSED index shortlists ``refine`` candidates
+    per query, then ONLY those rows re-rank with exact cosines read from
+    the flat index's probed cells (FAISS IndexRefineFlat semantics,
+    engine-original). The production serving middle ground: the corpus
+    scan pays compressed bytes (the ivfpq_search economics), exactness
+    is restored for the k rows that matter, and the refine read is
+    partition-pruned to the same probed cells.
+
+    The reported cosines use the flat index's regime (float32 stored
+    vectors, float32-truncated queries, 1e-6 rounding), so with an
+    exhaustive ``refine`` budget the output EQUALS ``ivf_search`` on the
+    flat index bit for bit — pinned by a parity test; a small ``refine``
+    trades that equivalence for a cheaper re-rank."""
+    import numpy as np
+
+    _require_long_id(queries, id_col, "ivfpq_search_refined")
+    if int(refine) < int(k):
+        raise ValueError(
+            f"ivfpq_search_refined: refine={refine} must be >= k={k} — the "
+            "shortlist is what the exact re-rank chooses from"
+        )
+    shortlist = ivfpq_search(
+        spark, pq_path, queries, id_col, vec_col,
+        n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id").collect()
+    pairs: dict[int, set] = {}
+    for r in shortlist:
+        pairs.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+
+    rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    centroids = load_ivf_centroids(flat_path)
+    q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if q_mat.shape[1] != centroids.shape[1]:
+        raise ValueError(
+            f"ivfpq_search_refined: {vec_col} is {q_mat.shape[1]}-dim but "
+            f"the flat index was built on {centroids.shape[1]}-dim vectors"
+        )
+    # same probe set as the shortlist pass: the flat read prunes to the
+    # cells the query already paid to probe
+    q32 = q_mat.astype(np.float32).astype(np.float64)
+    qn32 = np.maximum(np.linalg.norm(q32, axis=1), 1e-30)
+    sims = (q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)) @ centroids.T
+    probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
+    probed = sorted({int(c) for qp in probes for c in qp})
+    bc = spark.sparkContext.broadcast((q_ids, q32, qn32, pairs))
+
+    corpus = spark.read.parquet(f"{flat_path}/corpus").filter(
+        F.col("cell").isin(probed)
+    )
+
+    def rerank(batches):
+        import pandas as pd
+
+        ids, qm, qn, want = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            c_norm = np.maximum(np.sqrt((c_mat * c_mat).sum(axis=1)), 1e-30)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids)):
+                wanted = want.get(int(ids[qi]))
+                if not wanted:
+                    continue
+                mask = np.fromiter((int(c) in wanted for c in c_ids), bool, len(c_ids))
+                if not mask.any():
+                    continue
+                sel = np.where(mask)[0]
+                cos = np.round(
+                    (c_mat[sel] @ qm[qi]) / (qn[qi] * c_norm[sel]), 6
+                )
+                out_q.extend([ids[qi]] * len(sel))
+                out_n.extend(c_ids[sel])
+                out_c.extend(cos)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    hits = corpus.mapInPandas(
+        rerank, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
