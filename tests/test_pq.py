@@ -180,3 +180,38 @@ def test_pq_oracle_params_train_unpadded():
             sub = mat[:, s * d_sub : (s + 1) * d_sub]
             n_distinct = len(np.unique(sub, axis=0))
             assert n_distinct >= PQ_CODES, (sf, s, n_distinct)
+
+
+def test_composes_with_pca_projection(spark):
+    """The compression pipeline's two tiers compose: PCA-project the
+    16-d planted corpus onto its 4 informative axes, then PQ the compact
+    coordinates — ADC top-k over the projected codes recovers most of
+    the projected-space exact neighbors (and the ~10x end-to-end
+    footprint cut — 64 B raw -> 2 subspace codes + a norm — keeps the
+    geometry the planted spectrum carries)."""
+    from pyspark.sql import functions as F2
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import (
+        project_embeddings,
+        train_pca,
+    )
+
+    X = _planted(n=300, d=16, seed=37)
+    df = _df(spark, X)
+    model = train_pca(df, "embedding", 4, iters=40)
+    proj = (
+        project_embeddings(df, "vec_id", "embedding", model)
+        .select("vec_id", F2.col("pc").cast("array<float>").alias("pc"))
+        .cache()
+    )
+    pq = train_pq(proj, "vec_id", "pc", m=4, n_codes=128, iters=5)
+    codes = pq_encode(proj, "vec_id", "pc", pq)
+    hits = pq_topk(codes, proj, "vec_id", "pc", pq, k=5, exclude_self=True)
+    exact_pc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(proj, "vec_id", "pc", k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in hits.collect()}
+    recall = len(got & exact_pc) / len(exact_pc)
+    print(f"pca->pq recall@5 in projected space: {recall:.3f}")
+    assert recall >= 0.75, recall
