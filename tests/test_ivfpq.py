@@ -497,3 +497,22 @@ def test_refined_search_with_exhaustive_budget_equals_flat_ivf(spark, tmp_path):
             spark, pq_path, flat_path, df, "vec_id", "embedding",
             refine=3, k=5,
         )
+
+    # array<double> queries: the refine pass must probe with the SAME
+    # float32-truncated matrix the shortlist pass used — a float64 probe
+    # could prune away a cell the shortlist came from and silently drop
+    # its candidates from the re-rank
+    ddf = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    got64 = _res(
+        ivfpq_search_refined(
+            spark, pq_path, flat_path, ddf, "vec_id", "embedding",
+            n_probe=2, refine=300, k=5, exclude_self=True,
+        )
+    )
+    want64 = _res(
+        ivf_search(spark, flat_path, ddf, "vec_id", "embedding",
+                   n_probe=2, k=5, exclude_self=True)
+    )
+    assert got64 == want64

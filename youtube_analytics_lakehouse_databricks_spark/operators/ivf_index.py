@@ -729,10 +729,13 @@ def ivfpq_search_refined(
             f"the flat index was built on {centroids.shape[1]}-dim vectors"
         )
     # same probe set as the shortlist pass: the flat read prunes to the
-    # cells the query already paid to probe
+    # cells the query already paid to probe — probing MUST use the same
+    # float32-truncated matrix ivfpq_search probed with, or an
+    # array<double> query could prune away a cell its shortlist came
+    # from and silently drop those candidates from the re-rank
     q32 = q_mat.astype(np.float32).astype(np.float64)
     qn32 = np.maximum(np.linalg.norm(q32, axis=1), 1e-30)
-    sims = (q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)) @ centroids.T
+    sims = (q32 / qn32[:, None]) @ centroids.T
     probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
     probed = sorted({int(c) for qp in probes for c in qp})
     bc = spark.sparkContext.broadcast((q_ids, q32, qn32, pairs))
