@@ -1,0 +1,162 @@
+"""Streaming ANN index ingestion (streaming/ann_stream.py).
+
+Contracts: streamed ingestion equals a one-write encode against the same
+frozen state (both flat and compressed layouts); a replayed micro-batch
+replaces exactly its own partitions (no double-count); cell-pruned
+search works unchanged over the streamed layout (plan-asserted); a real
+readStream run lands every row exactly once.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+    ivf_search,
+    ivfpq_search,
+)
+from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import (
+    ann_index_stream,
+    bootstrap_ann_stream_index,
+    ingest_ann_batch,
+)
+
+N, D = 300, 16
+
+
+def _planted(n=N, d=D, seed=13):
+    r = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(r.standard_normal((d, d)))
+    scales = np.array([8.0, 5.0, 3.0, 2.0] + [0.4] * (d - 4))
+    return r.standard_normal((n, d)) @ (q * scales).T
+
+
+def _df(spark, X, start=0):
+    return spark.createDataFrame(
+        [(start + i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _res(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_streamed_equals_one_write_and_replay_is_exactly_once(
+    spark, tmp_path, compressed
+):
+    X = _planted()
+    df = _df(spark, X)
+    path = str(tmp_path / ("pq" if compressed else "flat"))
+    bootstrap_ann_stream_index(
+        df, "vec_id", "embedding", path,
+        compressed=compressed, n_cells=8, kmeans_iters=3,
+        m=8, n_codes=64, pq_iters=5,
+    )
+    # three micro-batches cover the corpus
+    chunks = [(0, 100), (100, 200), (200, N)]
+    for bid, (lo, hi) in enumerate(chunks):
+        ingest_ann_batch(
+            df.filter(f"vec_id >= {lo} AND vec_id < {hi}"),
+            bid, "vec_id", "embedding", path,
+        )
+
+    search = ivfpq_search if compressed else ivf_search
+    got = _res(
+        search(spark, path, df, "vec_id", "embedding",
+               n_probe=2, k=5, exclude_self=True)
+    )
+
+    # reference: the same frozen state, corpus encoded in ONE write
+    ref = str(tmp_path / "ref")
+    bootstrap_ann_stream_index(
+        df, "vec_id", "embedding", ref,
+        compressed=compressed, n_cells=8, kmeans_iters=3,
+        m=8, n_codes=64, pq_iters=5,
+    )
+    ingest_ann_batch(df, 0, "vec_id", "embedding", ref)
+    want = _res(
+        search(spark, ref, df, "vec_id", "embedding",
+               n_probe=2, k=5, exclude_self=True)
+    )
+    assert got == want and len(got) == N * 5
+
+    # crash replay: re-ingesting batch 1 replaces exactly its own
+    # partitions — row multiset unchanged, search unchanged
+    corpus_dir = f"{path}/{'corpus_pq' if compressed else 'corpus'}"
+    before = _res(spark.read.parquet(corpus_dir).select("vec_id", "cell", "batch_id"))
+    ingest_ann_batch(
+        df.filter("vec_id >= 100 AND vec_id < 200"), 1, "vec_id", "embedding", path
+    )
+    after = _res(spark.read.parquet(corpus_dir).select("vec_id", "cell", "batch_id"))
+    assert before == after
+    assert got == _res(
+        search(spark, path, df, "vec_id", "embedding",
+               n_probe=2, k=5, exclude_self=True)
+    )
+
+
+def test_streamed_layout_keeps_cell_pruning(spark, tmp_path):
+    """batch_id leads the directory layout but cell is still a partition
+    column — the search scan's PartitionFilters prune by probed cell
+    across every batch directory."""
+    X = _planted()
+    df = _df(spark, X)
+    path = str(tmp_path / "pruned")
+    bootstrap_ann_stream_index(
+        df, "vec_id", "embedding", path, n_cells=8, kmeans_iters=3
+    )
+    for bid in range(3):
+        ingest_ann_batch(
+            df.filter(f"vec_id % 3 = {bid}"), bid, "vec_id", "embedding", path
+        )
+    out = ivf_search(
+        spark, path, df.filter("vec_id < 2"), "vec_id", "embedding",
+        n_probe=2, k=3,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell#" in line and " IN (" in line, line
+    assert len(out.collect()) > 0
+
+
+def test_real_readstream_ingestion(spark, tmp_path):
+    """End to end through Structured Streaming: a file-source stream of
+    embedding batches lands every vector exactly once and the index
+    serves them."""
+    X = _planted(n=120)
+    df = _df(spark, X)
+    path = str(tmp_path / "stream")
+    bootstrap_ann_stream_index(
+        df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2
+    )
+    src = str(tmp_path / "src")
+    for bid, (lo, hi) in enumerate([(0, 60), (60, 120)]):
+        df.filter(f"vec_id >= {lo} AND vec_id < {hi}").write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = ann_index_stream(
+        stream, "vec_id", "embedding", path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(f"{path}/corpus")
+    assert stored.count() == 120
+    assert stored.select("vec_id").distinct().count() == 120
+    hits = ivf_search(
+        spark, path, df.filter("vec_id < 3"), "vec_id", "embedding",
+        n_probe=2, k=5, exclude_self=True,
+    )
+    assert len(hits.collect()) == 15

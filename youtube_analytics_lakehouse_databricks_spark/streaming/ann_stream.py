@@ -1,0 +1,156 @@
+"""Streaming ANN index ingestion: readStream -> foreachBatch
+frozen-state encode -> per-batch cell partitions, exactly-once.
+
+The production shape when the EMBEDDING CORPUS arrives as a stream (new
+documents embed as they land): the coarse quantizer — and, for the
+compressed index, the residual codebooks — train ONCE on a bootstrap
+sample and FREEZE (the curate_incremental contract ``append_ivf_index``
+already applies to batch appends), then every micro-batch encodes
+against the frozen state in one Arrow pass and lands in the index.
+
+Exactly-once under crash replay, the engine's audit-log pattern
+(streaming/pca_stream.py): each micro-batch writes its rows under
+``batch_id=K/cell=J/`` partitions with dynamic partition overwrite — a
+replayed batch recomputes the SAME rows (Structured Streaming replays
+identical source offsets), maps them to the SAME cells (the encode is a
+deterministic function of the frozen state), and replaces exactly its
+own partitions; rows other batches wrote are never touched and never
+double-counted.
+
+Searches need no streaming variant: ``batch_id`` leads the directory
+layout but ``cell`` is still a partition column, so ``ivf_search`` /
+``ivfpq_search`` / ``ivfpq_search_refined`` prune the streamed corpus by
+probed cell exactly as they prune an appended one — pinned by a
+PartitionFilters plan assertion and a streamed-equals-one-write parity
+test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = [
+    "bootstrap_ann_stream_index",
+    "ingest_ann_batch",
+    "ann_index_stream",
+]
+
+
+def bootstrap_ann_stream_index(
+    sample_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    compressed: bool = False,
+    n_cells: int | None = None,
+    kmeans_iters: int = 3,
+    max_cluster_size: int = 8192,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_iters: int = 5,
+) -> None:
+    """Train and persist ONLY the frozen state (centroids, meta, and —
+    with ``compressed=True`` — the residual codebooks) from a bootstrap
+    sample; no corpus rows are written. Every vector, including the
+    bootstrap sample's if the caller replays it, enters through the
+    stream so the corpus layout is uniformly ``batch_id=K/cell=J``."""
+    import shutil
+    import tempfile
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivf_index,
+        build_ivfpq_index,
+    )
+
+    # reuse the index builders for the state training, then drop the
+    # corpus they materialize — the stream owns the corpus layout
+    tmp = tempfile.mkdtemp(prefix="ann_bootstrap_")
+    try:
+        if compressed:
+            build_ivfpq_index(
+                sample_df, id_col, vec_col, tmp,
+                n_cells=n_cells, kmeans_iters=kmeans_iters,
+                max_cluster_size=max_cluster_size,
+                m=m, n_codes=n_codes, pq_iters=pq_iters,
+            )
+            parts = ["centroids", "pq_model", "meta"]
+        else:
+            build_ivf_index(
+                sample_df, id_col, vec_col, tmp,
+                n_cells=n_cells, kmeans_iters=kmeans_iters,
+                max_cluster_size=max_cluster_size,
+            )
+            parts = ["centroids", "meta"]
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for p in parts:
+            dst = f"{path}/{p}"
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(f"{tmp}/{p}", dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ingest_ann_batch(
+    batch: DataFrame, batch_id: int, id_col: str, vec_col: str, path: str
+) -> None:
+    """foreachBatch body: encode the micro-batch against the frozen
+    state and write its rows under their ``batch_id=K/cell=J``
+    partitions (dynamic overwrite = replay-safe). Sniffs the index kind
+    from the persisted state: a ``pq_model`` directory means the
+    compressed (IVFPQ) layout, otherwise the flat one. Empty
+    micro-batches write nothing."""
+    import os
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _encode_ivfpq,
+        load_ivf_centroids,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import assign_cells
+
+    if batch.isEmpty():
+        return
+    centroids = load_ivf_centroids(path)
+    if os.path.isdir(f"{path}/pq_model"):
+        from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+        model = PQModel.load(f"{path}/pq_model")
+        rows = _encode_ivfpq(batch, id_col, vec_col, centroids, model.codebooks)
+        corpus_dir = f"{path}/corpus_pq"
+    else:
+        rows = assign_cells(batch, id_col, vec_col, centroids).select(
+            id_col, "v", F.col("cluster").alias("cell")
+        )
+        corpus_dir = f"{path}/corpus"
+    (
+        rows.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell")
+        .parquet(corpus_dir)
+    )
+
+
+def ann_index_stream(
+    stream: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Wire a streaming DataFrame of (id, vector) rows into the index:
+    one frozen-state Arrow encode per micro-batch, exactly-once under
+    replay. The index must be bootstrapped first."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        ingest_ann_batch(batch, batch_id, id_col, vec_col, path)
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
