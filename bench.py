@@ -123,7 +123,9 @@ def _bench_only() -> dict[str, Query]:
 
         emb = read(spark, sf_dir, "embeddings")
         out = f"/tmp/sparkgraft_bench_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
-        if not os.path.exists(f"{out}/centroids"):
+        # meta is build_ivf_index's LAST write: its _SUCCESS marks the
+        # whole index committed (centroids alone can be a partial build)
+        if not os.path.exists(f"{out}/meta/_SUCCESS"):
             build_ivf_index(emb, "vec_id", "embedding", out, n_cells=32)
         queries = emb.filter("vec_id % 97 = 0")
         return ivf_search(
@@ -242,7 +244,9 @@ def _bench_only() -> dict[str, Query]:
 
         emb = read(spark, sf_dir, "embeddings")
         out = f"/tmp/sparkgraft_bench_pq/{os.path.basename(sf_dir.rstrip('/'))}"
-        if not os.path.exists(f"{out}/codes"):
+        # _SUCCESS = the write COMMITTED: a crash mid-priming leaves a
+        # partial codes dir that a bare isdir check would silently serve
+        if not os.path.exists(f"{out}/codes/_SUCCESS"):
             model = train_pq(emb, "vec_id", "embedding", m=8, n_codes=256)
             model.save(spark, f"{out}/model")
             pq_encode(emb, "vec_id", "embedding", model).write.mode(

@@ -160,3 +160,20 @@ def test_real_readstream_ingestion(spark, tmp_path):
         n_probe=2, k=5, exclude_self=True,
     )
     assert len(hits.collect()) == 15
+
+
+def test_batch_append_into_streamed_layout_raises(spark, tmp_path):
+    """Batch appends write cell=J at the top level; mixing that into a
+    streamed batch_id=K/cell=J corpus would break parquet partition
+    discovery on the next read — the append guard names the right tool
+    instead."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import append_ivf_index
+
+    X = _planted(n=60)
+    df = _df(spark, X)
+    path = str(tmp_path / "guarded")
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", path,
+                               n_cells=4, kmeans_iters=2)
+    ingest_ann_batch(df, 0, "vec_id", "embedding", path)
+    with pytest.raises(ValueError, match="STREAMED index layout"):
+        append_ivf_index(df, "vec_id", "embedding", path)

@@ -218,7 +218,11 @@ def test_append_equals_rebuild_under_frozen_state(spark, index, tmp_path):
     )
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
-    path, df = index
+    # append to a COPY: the module fixture is shared, and mutating its
+    # corpus would make sibling tests order-dependent
+    src, df = index
+    path = str(tmp_path / "appendable")
+    shutil.copytree(src, path)
     X2 = _planted(n=60, seed=29)
     batch = _df(spark, X2, start=N)
     append_ivfpq_index(batch, "vec_id", "embedding", path)
@@ -516,3 +520,44 @@ def test_refined_search_with_exhaustive_budget_equals_flat_ivf(spark, tmp_path):
                    n_probe=2, k=5, exclude_self=True)
     )
     assert got64 == want64
+
+
+def test_refined_search_guards_diverged_indexes(spark, tmp_path):
+    """The two-index precondition fails LOUDLY, not silently: a pq/flat
+    pair with different quantizers raises, and a pair whose corpora
+    diverged (an append applied to one side only) raises naming the row
+    counts — the silent-drop alternative would return stale neighbors
+    with clean ranks."""
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        append_ivfpq_index,
+        build_ivf_index,
+        ivfpq_search_refined,
+    )
+
+    X = _planted(n=120, seed=53)
+    df = _df(spark, X)
+    pq_path = str(tmp_path / "pq")
+    flat_path = str(tmp_path / "flat")
+    build_ivfpq_index(df, "vec_id", "embedding", pq_path,
+                      n_cells=4, kmeans_iters=2, m=8, n_codes=32, pq_iters=3)
+    build_ivf_index(df, "vec_id", "embedding", flat_path,
+                    n_cells=4, kmeans_iters=2)
+
+    # different quantizer: flat index trained at another cell count
+    other_flat = str(tmp_path / "flat_other")
+    build_ivf_index(df, "vec_id", "embedding", other_flat,
+                    n_cells=8, kmeans_iters=2)
+    with pytest.raises(ValueError, match="DIFFERENT quantizers"):
+        ivfpq_search_refined(spark, pq_path, other_flat, df,
+                             "vec_id", "embedding", refine=10, k=5)
+
+    # diverged corpora: append to the pq side only
+    pq2 = str(tmp_path / "pq2")
+    shutil.copytree(pq_path, pq2)
+    append_ivfpq_index(_df(spark, _planted(n=10, seed=54), start=500),
+                       "vec_id", "embedding", pq2)
+    with pytest.raises(ValueError, match="130 rows.*120"):
+        ivfpq_search_refined(spark, pq2, flat_path, df,
+                             "vec_id", "embedding", refine=10, k=5)

@@ -72,6 +72,7 @@ def build_ivf_index(
     max_cluster_size: int = 8192,
     bucket_table: str | None = None,
     n_buckets: int = 32,
+    write_corpus: bool = True,
 ) -> None:
     """Train the quantizer (deterministic mini-Lloyd on a bounded
     lowest-id sample) and materialize the cell-partitioned corpus.
@@ -89,6 +90,11 @@ def build_ivf_index(
     trade. The table name lands in the index meta so append/search
     discover it."""
     _require_long_id(df, id_col, "build_ivf_index")
+    if bucket_table is not None and not write_corpus:
+        raise ValueError(
+            "build_ivf_index: bucket_table requires write_corpus=True — "
+            "there is no corpus to bucket"
+        )
     spark = df.sparkSession
     if n_cells is None:
         n_cells = auto_n_cells(df.count(), max_cluster_size)
@@ -97,16 +103,17 @@ def build_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, v array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = assign_cells(df, id_col, vec_col, centroids)
-    corpus = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
-    if bucket_table is not None:
-        (
-            corpus.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(int(n_buckets), "cell")
-            .saveAsTable(bucket_table)
-        )
+    if write_corpus:
+        assigned = assign_cells(df, id_col, vec_col, centroids)
+        corpus = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+        corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+        if bucket_table is not None:
+            (
+                corpus.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(int(n_buckets), "cell")
+                .saveAsTable(bucket_table)
+            )
     spark.createDataFrame(
         [(id_col, bucket_table, int(n_buckets))],
         "id_col string, bucket_table string, n_buckets int",
@@ -141,6 +148,38 @@ def _load_meta(path: str) -> dict:
     }
 
 
+def _np_equal(a, b) -> bool:
+    import numpy as np
+
+    return a.shape == b.shape and bool(np.array_equal(a, b))
+
+
+def _corpus_rows(corpus_dir: str) -> int:
+    """Total stored rows from parquet footer metadata — driver-side, no
+    Spark job (pyarrow dataset over the partitioned directory)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(corpus_dir, format="parquet", partitioning="hive").count_rows()
+
+
+def _require_batch_layout_absent(corpus_dir: str, op: str) -> None:
+    """Batch appends write cell=J at the top level; a STREAMED index's
+    corpus is laid out batch_id=K/cell=J (streaming/ann_stream.py).
+    Mixing the two in one directory breaks parquet partition discovery
+    on the next read — fail loudly with the right tool instead."""
+    import os
+
+    if os.path.isdir(corpus_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(corpus_dir)
+    ):
+        raise ValueError(
+            f"{op}: {corpus_dir} is a STREAMED index layout "
+            "(batch_id=K/cell=J partitions) — batch appends would corrupt "
+            "its partition discovery; ingest through "
+            "streaming.ann_stream.ingest_ann_batch instead"
+        )
+
+
 def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
     """Assign a NEW batch against the frozen quantizer and append its
     rows into their cell partitions — one Arrow pass over the batch, the
@@ -149,6 +188,7 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     reason curate_incremental freezes its centroids; rebuild the index
     when the corpus has drifted enough to warrant it.)"""
     _require_long_id(df, id_col, "append_ivf_index")
+    _require_batch_layout_absent(f"{path}/corpus", "append_ivf_index")
     centroids = load_ivf_centroids(path)
     assigned = assign_cells(df, id_col, vec_col, centroids)
     batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
@@ -432,6 +472,7 @@ def build_ivfpq_index(
     n_codes: int = 256,
     pq_iters: int = 5,
     pq_sample: int = 8192,
+    write_corpus: bool = True,
 ) -> None:
     """Train the coarse quantizer AND per-subspace residual codebooks
     (both deterministic, both on the bounded lowest-id sample), then
@@ -478,12 +519,15 @@ def build_ivfpq_index(
     mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     cells = np.argmax(mn @ centroids.T, axis=1)
     model = PQModel(
-        codebooks=_fit_codebooks(mn - centroids[cells], m, n_codes, pq_iters)
+        codebooks=_fit_codebooks(
+            mn - centroids[cells], m, n_codes, pq_iters, op="build_ivfpq_index"
+        )
     )
     model.save(spark, f"{path}/pq_model")
-    _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/corpus_pq")
+    if write_corpus:
+        _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/corpus_pq")
     spark.createDataFrame(
         [(id_col, None, 0)], "id_col string, bucket_table string, n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -557,6 +601,7 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(df, id_col, "append_ivfpq_index")
+    _require_batch_layout_absent(f"{path}/corpus_pq", "append_ivfpq_index")
     centroids = load_ivf_centroids(path)
     model = PQModel.load(f"{path}/pq_model")
     _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
@@ -607,23 +652,29 @@ def ivfpq_search(
             f"ivfpq_search: {vec_col} is {q_mat.shape[1]}-dim but the index "
             f"was built on {centroids.shape[1]}-dim vectors"
         )
-    # float32-truncate like ivf_search: the stored side encoded float32
-    # inputs, so the query side sees the same truncation regime
-    q32 = q_mat.astype(np.float32).astype(np.float64)
-    qn = q32 / np.maximum(np.linalg.norm(q32, axis=1, keepdims=True), 1e-30)
-    sims = qn @ centroids.T
-    probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
+    # probe with the RAW float64 matrix, exactly as ivf_search does — a
+    # float32-truncated probe could flip a near-tie at the n_probe
+    # boundary and break the refined search's bit-parity with the flat
+    # index, which probes float64 and truncates only for the cosine
+    probes_n = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
+    probes = np.argsort(-(probes_n @ centroids.T), axis=1, kind="stable")[
+        :, : int(n_probe)
+    ]
     by_cell: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         for c in probes[qi]:
             by_cell.setdefault(int(c), []).append(qi)
     probed = sorted(by_cell)
+    # the ADC VALUES, by contrast, float32-truncate the query to match
+    # the regime the stored codes were encoded under (Arrow array<float>)
+    q32 = q_mat.astype(np.float32).astype(np.float64)
+    qn = q32 / np.maximum(np.linalg.norm(q32, axis=1, keepdims=True), 1e-30)
     # tables[q, s, c] = <qn_sub, book_entry>; bias[q, cell] = <qn, centroid>
     tables = np.stack(
         [qn[:, s * d_sub : (s + 1) * d_sub] @ books[s].T for s in range(mm)],
         axis=1,
     )
-    bias = sims  # qn . centroid, already computed for probing
+    bias = qn @ centroids.T
     bc = spark.sparkContext.broadcast((q_ids, by_cell, bias, tables))
     kk = int(k)
     excl = bool(exclude_self)
@@ -647,9 +698,10 @@ def ivfpq_search(
                 c_ids = grp[id_col].to_numpy(dtype=np.int64)
                 codes = np.stack([np.asarray(c, dtype=np.int64) for c in grp["codes"]])
                 # adc[q, row] = bias[q, cell] + sum_s tbl[q, s, codes[row, s]]
+                tq = tbl[qidx]  # hoisted: one copy, not one per subspace
                 adc = np.zeros((len(qidx), len(codes)))
-                for s in range(tbl.shape[1]):
-                    adc += tbl[qidx][:, s, :][:, codes[:, s]]
+                for s in range(tq.shape[1]):
+                    adc += tq[:, s, :][:, codes[:, s]]
                 adc += bias_[qidx][:, int(cell)][:, None]
                 adc = np.round(adc, 6)
                 for row, qi in enumerate(qidx):
@@ -711,6 +763,26 @@ def ivfpq_search_refined(
             f"ivfpq_search_refined: refine={refine} must be >= k={k} — the "
             "shortlist is what the exact re-rank chooses from"
         )
+    # the two indexes must be two LAYOUTS of one corpus under one
+    # quantizer — otherwise shortlisted candidates can be missing from
+    # the flat side's probed cells and would silently drop from the
+    # re-rank (e.g. an append_ivfpq_index without its matching
+    # append_ivf_index). Both checks are driver-side footer reads.
+    if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
+        raise ValueError(
+            "ivfpq_search_refined: the pq and flat indexes were built "
+            "with DIFFERENT quantizers — they probe different cells, so "
+            "the shortlist and the re-rank would disagree; rebuild one "
+            "of them"
+        )
+    n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
+    n_flat = _corpus_rows(f"{flat_path}/corpus")
+    if n_pq != n_flat:
+        raise ValueError(
+            f"ivfpq_search_refined: the pq index holds {n_pq} rows but "
+            f"the flat index holds {n_flat} — appends diverged; append "
+            "to both indexes (or rebuild) before refining"
+        )
     shortlist = ivfpq_search(
         spark, pq_path, queries, id_col, vec_col,
         n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
@@ -728,17 +800,22 @@ def ivfpq_search_refined(
             f"ivfpq_search_refined: {vec_col} is {q_mat.shape[1]}-dim but "
             f"the flat index was built on {centroids.shape[1]}-dim vectors"
         )
-    # same probe set as the shortlist pass: the flat read prunes to the
-    # cells the query already paid to probe — probing MUST use the same
-    # float32-truncated matrix ivfpq_search probed with, or an
-    # array<double> query could prune away a cell its shortlist came
-    # from and silently drop those candidates from the re-rank
-    q32 = q_mat.astype(np.float32).astype(np.float64)
-    qn32 = np.maximum(np.linalg.norm(q32, axis=1), 1e-30)
-    sims = (q32 / qn32[:, None]) @ centroids.T
+    # same probe set as the shortlist pass AND as ivf_search: all three
+    # probe with the RAW float64 matrix (truncation applies only to the
+    # scored values) — a regime mismatch here could prune away a cell
+    # whose candidates were already shortlisted and silently drop them
+    # from the re-rank
+    sims = (
+        q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)
+    ) @ centroids.T
     probes = np.argsort(-sims, axis=1, kind="stable")[:, : int(n_probe)]
     probed = sorted({int(c) for qp in probes for c in qp})
-    bc = spark.sparkContext.broadcast((q_ids, q32, qn32, pairs))
+    # the exact cosines use the flat regime: float32-truncated queries
+    # against the float32 stored vectors, 1e-6 rounding (= ivf_search)
+    q32 = q_mat.astype(np.float32).astype(np.float64)
+    qn32 = np.maximum(np.linalg.norm(q32, axis=1), 1e-30)
+    sorted_pairs = {q: np.array(sorted(v), dtype=np.int64) for q, v in pairs.items()}
+    bc = spark.sparkContext.broadcast((q_ids, q32, qn32, sorted_pairs))
 
     corpus = spark.read.parquet(f"{flat_path}/corpus").filter(
         F.col("cell").isin(probed)
@@ -757,9 +834,9 @@ def ivfpq_search_refined(
             out_q, out_n, out_c = [], [], []
             for qi in range(len(ids)):
                 wanted = want.get(int(ids[qi]))
-                if not wanted:
+                if wanted is None or not len(wanted):
                     continue
-                mask = np.fromiter((int(c) in wanted for c in c_ids), bool, len(c_ids))
+                mask = np.isin(c_ids, wanted)  # vectorized shortlist lookup
                 if not mask.any():
                     continue
                 sel = np.where(mask)[0]

@@ -105,7 +105,7 @@ def _sample_matrix(df: DataFrame, id_col: str, vec_col: str, n: int):
         ) from None
 
 
-def _fit_codebooks(mat, m: int, n_codes: int, iters: int):
+def _fit_codebooks(mat, m: int, n_codes: int, iters: int, op: str = "train_pq"):
     """Per-subspace deterministic mini-Lloyd over a float64 sample matrix
     (the driver-side kernel train_pq and build_ivfpq_index share):
     distinct-row init (first ``n_codes`` distinct subvectors in sample
@@ -116,7 +116,7 @@ def _fit_codebooks(mat, m: int, n_codes: int, iters: int):
 
     d = mat.shape[1]
     if d % m != 0:
-        raise ValueError(f"train_pq: dim {d} is not divisible by m={m}")
+        raise ValueError(f"{op}: dim {d} is not divisible by m={m}")
     d_sub = d // m
     books = []
     for s in range(m):

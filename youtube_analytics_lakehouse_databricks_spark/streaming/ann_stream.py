@@ -54,45 +54,33 @@ def bootstrap_ann_stream_index(
 ) -> None:
     """Train and persist ONLY the frozen state (centroids, meta, and —
     with ``compressed=True`` — the residual codebooks) from a bootstrap
-    sample; no corpus rows are written. Every vector, including the
-    bootstrap sample's if the caller replays it, enters through the
-    stream so the corpus layout is uniformly ``batch_id=K/cell=J``."""
-    import shutil
-    import tempfile
-
+    sample; no corpus rows are written (the builders run with
+    ``write_corpus=False``, so the bootstrap never pays an encode pass
+    or a corpus write it would throw away, and the state lands on the
+    session's real filesystem — no driver-local staging). Every vector,
+    including the bootstrap sample's if the caller replays it, enters
+    through the stream so the corpus layout is uniformly
+    ``batch_id=K/cell=J``."""
     from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
         build_ivf_index,
         build_ivfpq_index,
     )
 
-    # reuse the index builders for the state training, then drop the
-    # corpus they materialize — the stream owns the corpus layout
-    tmp = tempfile.mkdtemp(prefix="ann_bootstrap_")
-    try:
-        if compressed:
-            build_ivfpq_index(
-                sample_df, id_col, vec_col, tmp,
-                n_cells=n_cells, kmeans_iters=kmeans_iters,
-                max_cluster_size=max_cluster_size,
-                m=m, n_codes=n_codes, pq_iters=pq_iters,
-            )
-            parts = ["centroids", "pq_model", "meta"]
-        else:
-            build_ivf_index(
-                sample_df, id_col, vec_col, tmp,
-                n_cells=n_cells, kmeans_iters=kmeans_iters,
-                max_cluster_size=max_cluster_size,
-            )
-            parts = ["centroids", "meta"]
-        import os
-
-        os.makedirs(path, exist_ok=True)
-        for p in parts:
-            dst = f"{path}/{p}"
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.move(f"{tmp}/{p}", dst)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    if compressed:
+        build_ivfpq_index(
+            sample_df, id_col, vec_col, path,
+            n_cells=n_cells, kmeans_iters=kmeans_iters,
+            max_cluster_size=max_cluster_size,
+            m=m, n_codes=n_codes, pq_iters=pq_iters,
+            write_corpus=False,
+        )
+    else:
+        build_ivf_index(
+            sample_df, id_col, vec_col, path,
+            n_cells=n_cells, kmeans_iters=kmeans_iters,
+            max_cluster_size=max_cluster_size,
+            write_corpus=False,
+        )
 
 
 def ingest_ann_batch(
