@@ -745,10 +745,18 @@ def ivfpq_search_refined(
     ADC scan over the COMPRESSED index shortlists ``refine`` candidates
     per query, then ONLY those rows re-rank with exact cosines read from
     the flat index's probed cells (FAISS IndexRefineFlat semantics,
-    engine-original). The production serving middle ground: the corpus
-    scan pays compressed bytes (the ivfpq_search economics), exactness
-    is restored for the k rows that matter, and the refine read is
-    partition-pruned to the same probed cells.
+    engine-original).
+
+    Byte accounting, stated honestly: this reads the COMPRESSED probed
+    cells (the shortlist pass) AND the FLAT probed cells (the re-rank
+    pass) — more input bytes than ivf_search alone, not fewer. What the
+    refine buys is (a) EXACT reported cosines where ivfpq_search's are
+    reconstruction-biased, and (b) a re-rank whose exact-cosine compute
+    is bounded by queries * refine rows instead of queries * cell
+    occupancy — the win when cells are large and query batches wide
+    (compute-bound serving), or when the flat side is cached/colocated.
+    When input bytes dominate and the flat cells must stream from cold
+    storage anyway, plain ivf_search is the better call.
 
     The reported cosines use the flat index's regime (float32 stored
     vectors, float32-truncated queries, 1e-6 rounding), so with an
