@@ -740,6 +740,7 @@ def ivfpq_search_refined(
     refine: int = 50,
     k: int = 5,
     exclude_self: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank): two-stage retrieval — the
     ADC scan over the COMPRESSED index shortlists ``refine`` candidates
@@ -775,22 +776,26 @@ def ivfpq_search_refined(
     # quantizer — otherwise shortlisted candidates can be missing from
     # the flat side's probed cells and would silently drop from the
     # re-rank (e.g. an append_ivfpq_index without its matching
-    # append_ivf_index). Both checks are driver-side footer reads.
-    if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
-        raise ValueError(
-            "ivfpq_search_refined: the pq and flat indexes were built "
-            "with DIFFERENT quantizers — they probe different cells, so "
-            "the shortlist and the re-rank would disagree; rebuild one "
-            "of them"
-        )
-    n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
-    n_flat = _corpus_rows(f"{flat_path}/corpus")
-    if n_pq != n_flat:
-        raise ValueError(
-            f"ivfpq_search_refined: the pq index holds {n_pq} rows but "
-            f"the flat index holds {n_flat} — appends diverged; append "
-            "to both indexes (or rebuild) before refining"
-        )
+    # append_ivf_index). Both checks are driver-side footer reads; the
+    # row count walks EVERY fragment's footer, which on a huge index is
+    # a per-call listing cost — hot serving loops over a known-consistent
+    # pair can pass validate=False after the first call.
+    if validate:
+        if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
+            raise ValueError(
+                "ivfpq_search_refined: the pq and flat indexes were built "
+                "with DIFFERENT quantizers — they probe different cells, so "
+                "the shortlist and the re-rank would disagree; rebuild one "
+                "of them"
+            )
+        n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
+        n_flat = _corpus_rows(f"{flat_path}/corpus")
+        if n_pq != n_flat:
+            raise ValueError(
+                f"ivfpq_search_refined: the pq index holds {n_pq} rows but "
+                f"the flat index holds {n_flat} — appends diverged; append "
+                "to both indexes (or rebuild) before refining"
+            )
     shortlist = ivfpq_search(
         spark, pq_path, queries, id_col, vec_col,
         n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
