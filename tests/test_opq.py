@@ -178,3 +178,43 @@ def test_guards(spark, fitted):
             opq_encode(df, "vec_id", "embedding", model),
             df.filter("vec_id < 0"), "vec_id", "embedding", model,
         )
+
+
+def test_composes_with_ivfpq(spark, fitted, tmp_path):
+    """The rotation helps the COMPRESSED index too: residual codebooks
+    adapt locally per cell, but they still slice the original axes —
+    rotating first aligns the slices with the variance structure
+    (measured 0.747 vs 0.705 recall@10 at m=4/64 codes on the planted
+    corpus). Deliberately composed as a pure upstream column rewrite
+    (the PCA stance): the caller rotates the corpus before
+    build_ivfpq_index and rotates query batches the same way — rotation
+    preserves cosine, so the exact top-k, the cell assignment geometry,
+    and every downstream grading are unchanged."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    df, model = fitted
+    R = np.asarray(model.rotation)
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in df.orderBy("vec_id").collect()]
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, "vec_id", "embedding", k=10).collect()
+    }
+
+    def recall(d, path):
+        build_ivfpq_index(d, "vec_id", "embedding", path,
+                          n_cells=8, kmeans_iters=3, m=4, n_codes=64, pq_iters=5)
+        hits = ivfpq_search(spark, path, d, "vec_id", "embedding",
+                            n_probe=2, k=10, exclude_self=True)
+        got = {(r["query_id"], r["neighbor_id"]) for r in hits.collect()}
+        return len(got & exact) / len(exact)
+
+    plain = recall(df, str(tmp_path / "plain"))
+    rotated = recall(_df(spark, X @ R.T), str(tmp_path / "rot"))
+    print(f"ivfpq recall@10: plain {plain:.3f} rotated {rotated:.3f}")
+    assert rotated >= plain + 0.02, (plain, rotated)
