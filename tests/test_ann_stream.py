@@ -177,3 +177,67 @@ def test_batch_append_into_streamed_layout_raises(spark, tmp_path):
     ingest_ann_batch(df, 0, "vec_id", "embedding", path)
     with pytest.raises(ValueError, match="STREAMED index layout"):
         append_ivf_index(df, "vec_id", "embedding", path)
+
+
+def test_compaction_folds_old_batches_value_stable(spark, tmp_path):
+    """compact_ann_stream folds batches older than the replay horizon
+    into one consolidated partition: the corpus row multiset (ignoring
+    batch_id) and every search result are unchanged, directory count
+    drops, a second call is a no-op, an interrupted GC (crash after the
+    completion marker, folded dirs still present) is finished by the
+    next call, and ingest continues against the compacted layout."""
+    import json
+    import os
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
+
+    X = _planted(n=240)
+    df = _df(spark, X)
+    path = str(tmp_path / "compact")
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", path,
+                               n_cells=4, kmeans_iters=2)
+    for bid in range(6):
+        ingest_ann_batch(df.filter(f"vec_id % 6 = {bid}"), bid,
+                         "vec_id", "embedding", path)
+    corpus_dir = f"{path}/corpus"
+
+    def rows():
+        return _res(spark.read.parquet(corpus_dir).select("vec_id", "cell"))
+
+    def batch_dirs():
+        return sorted(e for e in os.listdir(corpus_dir) if e.startswith("batch_id="))
+
+    def search():
+        return _res(ivf_search(spark, path, df, "vec_id", "embedding",
+                               n_probe=2, k=5, exclude_self=True))
+
+    before_rows, before_search = rows(), search()
+    assert len(batch_dirs()) == 6
+    assert compact_ann_stream(spark, path, keep_last=2) == 4
+    assert batch_dirs() == ["batch_id=0", "batch_id=4", "batch_id=5"]
+    assert rows() == before_rows
+    assert search() == before_search
+    # idempotent at the horizon
+    assert compact_ann_stream(spark, path, keep_last=2) == 0
+
+    # interrupted GC: recreate the committed-fold crash state (marker +
+    # manifest + staged partition present, folded dirs NOT yet deleted)
+    tmp = f"{corpus_dir}/.compact_tmp"
+    staged_src = f"{corpus_dir}/batch_id=0"
+    os.makedirs(tmp)
+    shutil.copytree(staged_src, f"{tmp}/batch_id=0")
+    with open(f"{tmp}/_MANIFEST", "w") as f:
+        json.dump({"fold": [0], "target": 0}, f)
+    with open(f"{tmp}/_COMPLETE", "w") as f:
+        f.write("ok")
+    assert compact_ann_stream(spark, path, keep_last=2) == 1  # recovery pass
+    assert not os.path.isdir(tmp)
+    assert rows() == before_rows and search() == before_search
+
+    # replay-horizon guard + continued ingest
+    with pytest.raises(ValueError, match="keep_last must be >= 2"):
+        compact_ann_stream(spark, path, keep_last=1)
+    ingest_ann_batch(_df(spark, _planted(n=10, seed=91), start=900), 6,
+                     "vec_id", "embedding", path)
+    assert spark.read.parquet(corpus_dir).count() == 250

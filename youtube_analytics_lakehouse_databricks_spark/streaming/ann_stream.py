@@ -35,6 +35,7 @@ __all__ = [
     "bootstrap_ann_stream_index",
     "ingest_ann_batch",
     "ann_index_stream",
+    "compact_ann_stream",
 ]
 
 
@@ -142,3 +143,81 @@ def ann_index_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
+    """Fold batch partitions older than the newest ``keep_last`` into ONE
+    consolidated batch partition (at the smallest folded batch id) — a
+    week of 1-minute micro-batches otherwise leaves ~10k tiny
+    ``batch_id=K`` directories whose file count taxes every search's
+    planning, even though the DATA doesn't grow with batch count.
+
+    Safety contract, stated honestly: this is a MAINTENANCE operation
+    (the OPTIMIZE stance, ops/maintenance.py) — run it while no search
+    is mid-flight; concurrent INGEST is fine (new batch ids are never
+    touched, and ``keep_last >= 2`` keeps the streaming replay horizon
+    out of the fold). It is crash-RECOVERABLE, not reader-atomic: the
+    consolidated partition stages under a dot-directory Spark scans
+    ignore, a manifest + completion marker commit the fold, and a crash
+    at any point either leaves the originals intact (before the marker)
+    or is finished by the next call (after it — recovery re-deletes the
+    folded dirs from the manifest and moves the staged partition in).
+    Returns the number of batch partitions folded (0 = nothing to do).
+    """
+    import json
+    import os
+    import shutil
+
+    if int(keep_last) < 2:
+        raise ValueError(
+            "compact_ann_stream: keep_last must be >= 2 — the newest batch "
+            "can be REPLAYED by the stream after a crash, and replaying a "
+            "batch that was already folded would duplicate its rows"
+        )
+    corpus_dir = (
+        f"{path}/corpus_pq" if os.path.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    tmp = f"{corpus_dir}/.compact_tmp"
+    marker = f"{tmp}/_COMPLETE"
+
+    def finish(manifest: dict) -> int:
+        fold = manifest["fold"]
+        target = f"{corpus_dir}/batch_id={manifest['target']}"
+        for bid in fold:
+            shutil.rmtree(f"{corpus_dir}/batch_id={bid}", ignore_errors=True)
+        staged = f"{tmp}/batch_id={manifest['target']}"
+        if os.path.isdir(staged):  # crash between deletes and move: redo move
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(staged, target)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(fold)
+
+    # recovery: a prior call crashed after committing its fold — finish it
+    if os.path.exists(marker):
+        with open(f"{tmp}/_MANIFEST") as f:
+            return finish(json.load(f))
+    shutil.rmtree(tmp, ignore_errors=True)  # uncommitted leftovers: discard
+
+    batches = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(corpus_dir)
+        if e.startswith("batch_id=")
+    )
+    fold = batches[: max(0, len(batches) - int(keep_last))]
+    if len(fold) < 2:
+        return 0
+    target = fold[0]
+    rows = spark.read.parquet(corpus_dir).filter(F.col("batch_id").isin(fold))
+    (
+        rows.drop("batch_id")
+        .withColumn("batch_id", F.lit(int(target)).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cell")
+        .parquet(tmp)
+    )
+    manifest = {"fold": fold, "target": target}
+    with open(f"{tmp}/_MANIFEST", "w") as f:
+        json.dump(manifest, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return finish(manifest)
