@@ -235,9 +235,37 @@ def test_compaction_folds_old_batches_value_stable(spark, tmp_path):
     assert not os.path.isdir(tmp)
     assert rows() == before_rows and search() == before_search
 
+    # the OTHER crash window: marker + manifest present but the staged
+    # partition already RENAMED into place (crash between the rename and
+    # the tmp cleanup) — recovery must only clean up, never delete the
+    # consolidated partition it has nothing to restore from
+    os.makedirs(tmp)
+    with open(f"{tmp}/_MANIFEST", "w") as f:
+        json.dump({"fold": [0], "target": 0}, f)
+    with open(f"{tmp}/_COMPLETE", "w") as f:
+        f.write("ok")
+    assert compact_ann_stream(spark, path, keep_last=2) == 1
+    assert not os.path.isdir(tmp)
+    assert os.path.isdir(f"{corpus_dir}/batch_id=0")  # survived
+    assert rows() == before_rows and search() == before_search
+
     # replay-horizon guard + continued ingest
     with pytest.raises(ValueError, match="keep_last must be >= 2"):
         compact_ann_stream(spark, path, keep_last=1)
     ingest_ann_batch(_df(spark, _planted(n=10, seed=91), start=900), 6,
                      "vec_id", "embedding", path)
     assert spark.read.parquet(corpus_dir).count() == 250
+
+
+def test_streamed_ingest_into_batch_built_index_raises(spark, tmp_path):
+    """The inverse of the batch-append guard: streaming micro-batches
+    into a batch-built index (top-level cell=J dirs) would leave
+    conflicting directory structures — refused before any data lands."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import build_ivf_index
+
+    X = _planted(n=60)
+    df = _df(spark, X)
+    path = str(tmp_path / "batchbuilt")
+    build_ivf_index(df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2)
+    with pytest.raises(ValueError, match="BATCH-BUILT index layout"):
+        ingest_ann_batch(df, 0, "vec_id", "embedding", path)

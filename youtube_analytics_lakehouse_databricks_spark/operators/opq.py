@@ -118,7 +118,9 @@ def train_opq(
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import _fit_codebooks, _sample_matrix
 
     require_integral_id(df, id_col, "train_opq", hint="map string keys to a surrogate long first")
-    mat = _sample_matrix(df, id_col, vec_col, max(int(sample_rows), n_codes))
+    mat = _sample_matrix(
+        df, id_col, vec_col, max(int(sample_rows), n_codes), op="train_opq"
+    )
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"train_opq: dim {d} is not divisible by m={m}")
@@ -199,36 +201,31 @@ def opq_topk(
     exclude_self: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc_cosine, rank): the standard ADC scan
-    over OPQ codes — the query batch rotates driver-side (bounded,
-    the pq_topk contract), then delegates to pq_topk's machinery. The
-    approximated quantity is the ORIGINAL cosine: rotation preserves
-    inner products and norms exactly."""
+    over OPQ codes — the query batch rotates driver-side (bounded, the
+    pq_topk contract) and feeds pq's shared ``_adc_scan`` body directly
+    (no createDataFrame+collect round-trip for an already-driver-resident
+    matrix). The approximated quantity is the ORIGINAL cosine: rotation
+    preserves inner products and norms exactly; the float32 cast matches
+    the regime the stored codes were encoded under (opq_encode emits
+    rotated array<float>)."""
     import numpy as np
 
-    from pyspark.sql import functions as F
-
-    from youtube_analytics_lakehouse_databricks_spark.operators.pq import pq_topk
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import _adc_scan
 
     require_integral_id(queries, id_col, "opq_topk", hint="map string keys to a surrogate long first")
     rot = np.asarray(model.rotation, dtype=np.float64)
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     if not rows:
         raise ValueError("opq_topk: empty query batch")
+    q_ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     if q_mat.shape[1] != rot.shape[1]:
         raise ValueError(
             f"opq_topk: {vec_col} is {q_mat.shape[1]}-dim but the rotation "
             f"was trained on {rot.shape[1]}-dim vectors"
         )
-    rotated = (q_mat @ rot.T).astype(np.float32)
-    spark = queries.sparkSession
-    qdf = spark.createDataFrame(
-        [
-            (int(r[id_col]), [float(x) for x in rotated[i]])
-            for i, r in enumerate(rows)
-        ],
-        f"{id_col} long, {vec_col} array<float>",
-    ).withColumn(vec_col, F.col(vec_col).cast("array<float>"))
-    return pq_topk(
-        codes_df, qdf, id_col, vec_col, model.pq, k=k, exclude_self=exclude_self
+    rotated = (q_mat @ rot.T).astype(np.float32).astype(np.float64)
+    return _adc_scan(
+        codes_df, id_col, q_ids, rotated, model.pq,
+        k=k, exclude_self=exclude_self, op="opq_topk", vec_col=vec_col,
     )

@@ -103,6 +103,21 @@ def ingest_ann_batch(
 
     if batch.isEmpty():
         return
+    # inverse of append_ivf_index's layout guard: streaming writes into
+    # a BATCH-BUILT index (top-level cell=J dirs) would leave
+    # conflicting directory structures that break partition discovery
+    # on the next read — refuse before any data lands
+    for d in (f"{path}/corpus_pq", f"{path}/corpus"):
+        if os.path.isdir(d) and any(
+            e.startswith("cell=") for e in os.listdir(d)
+        ):
+            raise ValueError(
+                f"ingest_ann_batch: {d} is a BATCH-BUILT index layout "
+                "(top-level cell=J partitions) — streamed batch_id "
+                "partitions would corrupt its partition discovery; use "
+                "append_ivf_index/append_ivfpq_index for batch appends, "
+                "or bootstrap a fresh streamed index"
+            )
     centroids = load_ivf_centroids(path)
     if os.path.isdir(f"{path}/pq_model"):
         from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
@@ -182,13 +197,19 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
 
     def finish(manifest: dict) -> int:
         fold = manifest["fold"]
-        target = f"{corpus_dir}/batch_id={manifest['target']}"
-        for bid in fold:
-            shutil.rmtree(f"{corpus_dir}/batch_id={bid}", ignore_errors=True)
         staged = f"{tmp}/batch_id={manifest['target']}"
-        if os.path.isdir(staged):  # crash between deletes and move: redo move
-            shutil.rmtree(target, ignore_errors=True)
-            os.rename(staged, target)
+        # the staged dir's presence IS the state machine: present means
+        # the fold hasn't been applied (deletes may be partial — they
+        # strictly precede the rename, in this call and in recovery), so
+        # (re-)delete the originals and move the consolidated partition
+        # in; ABSENT means a prior call already renamed it into place
+        # and only the tmp cleanup remains — deleting anything here
+        # would destroy the consolidated partition itself (the fold list
+        # contains the target id).
+        if os.path.isdir(staged):
+            for bid in fold:
+                shutil.rmtree(f"{corpus_dir}/batch_id={bid}", ignore_errors=True)
+            os.rename(staged, f"{corpus_dir}/batch_id={manifest['target']}")
         shutil.rmtree(tmp, ignore_errors=True)
         return len(fold)
 
