@@ -291,12 +291,13 @@ def _bench_only() -> dict[str, Query]:
 # codes; the oracled embedding_pq_adc registry row runs oracle-tractable
 # m=4/8 and is deliberately NOT benched — this row carries the family's
 # timing series, the classifier_training_scores stance).
-# Known machine-window drift in r12 runs: ngram_jaccard_pairs read
-# ~1.4 s in two back-to-back runs vs 0.84 in r11 with ZERO code changes
-# under it (git diff a9b77f4..HEAD touches textops.py only in the BPE
-# oracle block) — the same untouched-query drift the r11 window showed
-# on q3/scd2/embedding_topk; events_rollup's first r12 reading (0.998)
-# was single-run noise (0.637 on the repeat).
+# Known machine-window noise in r12 runs: ngram_jaccard_pairs read
+# 1.37/1.42 s in two runs taken while test suites shared the box, then
+# 0.75 s in a quiet third run (r11: 0.84) — contention-sensitive (the
+# documented brute-force all-pairs row has the widest working set), not
+# a regression; ZERO code changes under it (git diff a9b77f4..HEAD
+# touches textops.py only in the BPE oracle block). events_rollup
+# likewise read 0.998 once and 0.637/0.746 on repeats.
 #
 # Drift notes (r11): events_rollup carries MORE work since r11 (the
 # folded value_percentiles row's exact percentiles ride every rollup
