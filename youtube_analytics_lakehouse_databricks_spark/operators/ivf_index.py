@@ -631,15 +631,10 @@ def ivfpq_search(
     checks or the recall tests before trusting a threshold."""
     import numpy as np
 
-    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
-
     _require_long_id(queries, id_col, "ivfpq_search")
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     if not rows:
         raise ValueError("ivfpq_search: empty query batch")
-    centroids = load_ivf_centroids(path)
-    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
-    mm, n_codes, d_sub = books.shape
     q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     try:
         q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
@@ -647,9 +642,39 @@ def ivfpq_search(
         raise ValueError(
             f"ivfpq_search: ragged {vec_col} dimensions in the query batch"
         ) from None
+    return _ivfpq_scan(
+        spark, path, q_ids, q_mat, id_col,
+        n_probe=n_probe, k=k, exclude_self=exclude_self, op="ivfpq_search",
+        vec_col=vec_col,
+    )
+
+
+def _ivfpq_scan(
+    spark: SparkSession,
+    path: str,
+    q_ids,
+    q_mat,
+    id_col: str,
+    *,
+    n_probe: int,
+    k: int,
+    exclude_self: bool,
+    op: str,
+    vec_col: str,
+) -> DataFrame:
+    """ivfpq_search's body over a driver-resident query matrix — shared
+    with ivfpq_search_refined so the two-stage search collects its query
+    batch once, not once per stage."""
+    import numpy as np
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    centroids = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    mm, n_codes, d_sub = books.shape
     if q_mat.shape[1] != centroids.shape[1]:
         raise ValueError(
-            f"ivfpq_search: {vec_col} is {q_mat.shape[1]}-dim but the index "
+            f"{op}: {vec_col} is {q_mat.shape[1]}-dim but the index "
             f"was built on {centroids.shape[1]}-dim vectors"
         )
     # probe with the RAW float64 matrix, exactly as ivf_search does — a
@@ -796,23 +821,32 @@ def ivfpq_search_refined(
                 f"the flat index holds {n_flat} — appends diverged; append "
                 "to both indexes (or rebuild) before refining"
             )
-    shortlist = ivfpq_search(
-        spark, pq_path, queries, id_col, vec_col,
-        n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
-    ).select("query_id", "neighbor_id").collect()
-    pairs: dict[int, set] = {}
-    for r in shortlist:
-        pairs.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
-
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("ivfpq_search_refined: empty query batch")
     centroids = load_ivf_centroids(flat_path)
     q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    try:
+        q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    except ValueError:
+        raise ValueError(
+            f"ivfpq_search_refined: ragged {vec_col} dimensions in the "
+            "query batch"
+        ) from None
     if q_mat.shape[1] != centroids.shape[1]:
         raise ValueError(
             f"ivfpq_search_refined: {vec_col} is {q_mat.shape[1]}-dim but "
             f"the flat index was built on {centroids.shape[1]}-dim vectors"
         )
+    # ONE query collect feeds both stages (the shared _ivfpq_scan body)
+    shortlist = _ivfpq_scan(
+        spark, pq_path, q_ids, q_mat, id_col,
+        n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
+        op="ivfpq_search_refined", vec_col=vec_col,
+    ).select("query_id", "neighbor_id").collect()
+    pairs: dict[int, set] = {}
+    for r in shortlist:
+        pairs.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
     # same probe set as the shortlist pass AND as ivf_search: all three
     # probe with the RAW float64 matrix (truncation applies only to the
     # scored values) — a regime mismatch here could prune away a cell
