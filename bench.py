@@ -297,7 +297,9 @@ def _bench_only() -> dict[str, Query]:
 # documented brute-force all-pairs row has the widest working set), not
 # a regression; ZERO code changes under it (git diff a9b77f4..HEAD
 # touches textops.py only in the BPE oracle block). events_rollup
-# likewise read 0.998 once and 0.637/0.746 on repeats.
+# likewise read 0.998 once and 0.637/0.746 on repeats. The final quiet
+# r12 reading: 22.8 s total over 44 queries (r11: 26.5 over 41) —
+# like-for-like FASTER despite the three added serving rows.
 #
 # Drift notes (r11): events_rollup carries MORE work since r11 (the
 # folded value_percentiles row's exact percentiles ride every rollup
