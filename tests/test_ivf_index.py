@@ -275,3 +275,16 @@ def test_bucketed_corpus_elides_its_search_exchange(spark, tmp_path):
     out_b2, plan_b2 = plan_of(bucketed)
     assert cell_exchanges(plan_b2) == 1, plan_b2
     assert _res(out_b2) == _res(out_p2)
+
+
+def test_bucket_table_requires_corpus_write(spark, tmp_path):
+    """write_corpus=False (the streaming bootstrap path) has no corpus to
+    bucket — combining it with bucket_table fails loudly."""
+    import numpy as np
+
+    df = _df(spark, np.ones((8, D)))
+    with pytest.raises(ValueError, match="bucket_table requires write_corpus"):
+        build_ivf_index(
+            df, "vec_id", "embedding", str(tmp_path / "x"),
+            n_cells=2, write_corpus=False, bucket_table="ivfidx.nope",
+        )

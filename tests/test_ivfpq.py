@@ -561,3 +561,26 @@ def test_refined_search_guards_diverged_indexes(spark, tmp_path):
     with pytest.raises(ValueError, match="130 rows.*120"):
         ivfpq_search_refined(spark, pq2, flat_path, df,
                              "vec_id", "embedding", refine=10, k=5)
+
+
+def test_refined_validate_false_same_results_on_consistent_pair(spark, tmp_path):
+    """validate=False (the hot-serving knob) skips the footer checks but
+    changes nothing else on a consistent index pair."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivfpq_search_refined,
+    )
+
+    X = _planted(n=120, seed=57)
+    df = _df(spark, X)
+    pq_path, flat_path = str(tmp_path / "pq"), str(tmp_path / "flat")
+    build_ivfpq_index(df, "vec_id", "embedding", pq_path,
+                      n_cells=4, kmeans_iters=2, m=8, n_codes=32, pq_iters=3)
+    build_ivf_index(df, "vec_id", "embedding", flat_path,
+                    n_cells=4, kmeans_iters=2)
+    kw = dict(n_probe=2, refine=20, k=5, exclude_self=True)
+    a = _res(ivfpq_search_refined(spark, pq_path, flat_path, df,
+                                  "vec_id", "embedding", **kw))
+    b = _res(ivfpq_search_refined(spark, pq_path, flat_path, df,
+                                  "vec_id", "embedding", validate=False, **kw))
+    assert a == b and len(a) > 0
