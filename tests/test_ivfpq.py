@@ -584,3 +584,47 @@ def test_refined_validate_false_same_results_on_consistent_pair(spark, tmp_path)
     b = _res(ivfpq_search_refined(spark, pq_path, flat_path, df,
                                   "vec_id", "embedding", validate=False, **kw))
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_audit_self_grades_error_budget(spark, index):
+    """pq_audit's stance applied to the compressed index: the audit
+    reconstructs centroid[cell] + decode(codes) per stored row and
+    reports the error next to the data — every corpus row gets a row,
+    cos_self is high on the planted corpus (the 8-byte residual codes
+    keep most of the geometry), recon_rel_err agrees with an
+    independent numpy reconstruction, and a wrong-d audit batch fails
+    loudly."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivfpq_audit,
+        load_ivf_centroids,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    path, df = index
+    out = {r["vec_id"]: r for r in ivfpq_audit(spark, path, df, "vec_id", "embedding").collect()}
+    assert len(out) == N
+    cs = np.array([r["cos_self"] for r in out.values()])
+    assert float(np.mean(cs)) > 0.9 and cs.max() <= 1.0 + 1e-9
+
+    # independent reconstruction for a spot row
+    cents = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks)
+    stored = {
+        r["vec_id"]: (r["cell"], np.asarray(r["codes"]))
+        for r in spark.read.parquet(f"{path}/corpus_pq").collect()
+    }
+    row = df.filter("vec_id = 7").collect()[0]
+    x = np.asarray(row["embedding"], dtype=np.float64)
+    xn = x / np.linalg.norm(x)
+    cell, codes = stored[7]
+    recon = cents[cell] + np.concatenate(
+        [books[s, codes[s]] for s in range(books.shape[0])]
+    )
+    assert abs(out[7]["recon_rel_err"] - round(float(np.linalg.norm(xn - recon)), 6)) < 1e-9
+    assert out[7]["cell"] == cell
+
+    wrongd = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match=f"{D}-dim"):
+        ivfpq_audit(spark, path, wrongd, "vec_id", "embedding").collect()

@@ -48,6 +48,7 @@ __all__ = [
     "append_ivfpq_index",
     "ivfpq_search",
     "ivfpq_search_refined",
+    "ivfpq_audit",
 ]
 
 
@@ -907,4 +908,74 @@ def ivfpq_search_refined(
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_audit(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, recon_rel_err, cos_self): the compressed index's error
+    budget measured next to its own stored codes (pq_audit's
+    self-grading stance applied to IVFPQ): join the original vectors to
+    the stored (cell, codes), reconstruct normalize(x) ~= centroid[cell]
+    + decode(codes) per row, and report the relative L2 reconstruction
+    error and the cosine between the normalized vector and its
+    reconstruction (1.0 = lossless). One broadcast join on id + one
+    Arrow pass; the codes are the join's small side only when the audit
+    SAMPLE is small — audit a bounded sample at 100 TB, the same way the
+    codebooks trained on one."""
+    import numpy as np
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    _require_long_id(vectors, id_col, "ivfpq_audit")
+    centroids = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    mm, _n, d_sub = books.shape
+    stored = spark.read.parquet(f"{path}/corpus_pq").select(id_col, "cell", "codes")
+    joined = vectors.select(id_col, vec_col).join(stored, id_col, "inner")
+    bc = spark.sparkContext.broadcast((centroids, books))
+
+    def audit(batches):
+        import pandas as pd
+
+        cents, books_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            try:
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"ivfpq_audit: ragged {vec_col} dimensions in batch"
+                ) from None
+            if mat.shape[1] != cents.shape[1]:
+                raise ValueError(
+                    f"ivfpq_audit: {vec_col} is {mat.shape[1]}-dim but the "
+                    f"index was built on {cents.shape[1]}-dim vectors"
+                )
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            recon = cents[cells].copy()
+            for s in range(mm):
+                recon[:, s * d_sub : (s + 1) * d_sub] += books_[s][codes[:, s]]
+            rnorm = np.maximum(np.linalg.norm(recon, axis=1), 1e-30)
+            rel = np.linalg.norm(mn - recon, axis=1)  # mn is unit: already relative
+            cos = (mn * recon).sum(axis=1) / rnorm
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells.astype(np.int32),
+                    "recon_rel_err": np.round(rel, 6),
+                    "cos_self": np.round(cos, 6),
+                }
+            )
+
+    return joined.mapInPandas(
+        audit, f"{id_col} long, cell int, recon_rel_err double, cos_self double"
     )
