@@ -231,3 +231,60 @@ def repetition_flags(
             & (F.col("symbol_frac") <= max_symbol_frac)
         ).alias("passes_repetition_rules"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame, id_col: str, text_col: str, *, dim: int = 64
+) -> DataFrame:
+    """(id, embedding array<float>): a deterministic MODEL-FREE text
+    embedding — feature hashing + signed random projection (the hashing
+    trick; Weinberger et al. 2009 + the SRP planes SimHash already
+    uses, kept DENSE instead of sign-compressed). Each token occurrence
+    contributes +/-1 per dimension from its sha256 digest bits; the
+    per-dim sums are L2-normalized. Cosine between two embeddings
+    approximates the cosine of the docs' hashed term-frequency vectors
+    (JL-style +/-1 projection), so lexically similar docs land close —
+    the bridge that lets a TEXT-ONLY corpus run the whole vector stack
+    (semantic_dedup, IVF/PQ ANN, decontam) with no external embedding
+    model. Fully JVM-side: one sha2 per token, ``dim`` sum aggregates,
+    one explode + one per-doc aggregation, no Python in the plan.
+
+    Zero-token docs get a NULL embedding (the honest value — a zero
+    vector would fake similarity 0 to everything; downstream semantic
+    stages reject or audit NULLs loudly by design)."""
+    if not 1 <= int(dim) <= 256:
+        raise ValueError(
+            f"hashed_embedding: dim={dim} must be in [1, 256] — one "
+            "sha256 digest supplies 256 sign bits per token"
+        )
+    toks = df.select(
+        id_col,
+        F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
+            "token"
+        ),
+    ).select(id_col, F.sha2(F.col("token"), 256).alias("tsha"))
+    sums = []
+    for b in range(int(dim)):
+        pos, shift = 1 + b // 4, 3 - b % 4
+        nib = f"(instr('0123456789abcdef', substr(tsha, {pos}, 1)) - 1)"
+        bit = f"(({nib} div {2 ** shift}) % 2)"
+        sums.append(
+            F.sum(F.expr(f"(2 * {bit} - 1)")).cast("double").alias(f"d{b}")
+        )
+    agg = toks.groupBy(id_col).agg(*sums)
+    vec = F.array(*[F.col(f"d{b}") for b in range(int(dim))])
+    normed = F.expr(
+        "transform(__vec, x -> CAST(x / greatest(__nrm, CAST(1e-30 AS DOUBLE)) AS FLOAT))"
+    )
+    embedded = (
+        agg.withColumn("__vec", vec)
+        .withColumn(
+            "__nrm",
+            F.expr(
+                "sqrt(aggregate(__vec, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"
+            ),
+        )
+        .select(id_col, normed.alias("embedding"))
+    )
+    # token-less docs never reach the aggregation: join them back as NULL
+    return df.select(id_col).join(embedded, id_col, "left")
