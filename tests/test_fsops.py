@@ -1,0 +1,255 @@
+"""Scheme-safe driver-side filesystem contract (fsops.py).
+
+Round-13 hardening: every driver-side maintenance touch either WORKS on
+the path's scheme (routed through the session's Hadoop FileSystem) or
+fails with the named ``RemotePathError`` — never a silent no-op. The
+sharp edge this pins: a layout guard probing ``os.path.isdir`` on an
+``s3a://`` index path is ALWAYS False, so the exact corruption the
+guard exists to prevent would land silently (r12 VERDICT "what's wrong"
+#1). Tests point each hardened call at an ``s3a://``-style path (no
+connector on this classpath -> must raise, named) and at a ``file:``
+URI (a real non-os-path scheme the session CAN reach -> must work,
+proving the Hadoop-FS routing rather than an os.path fallback).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from youtube_analytics_lakehouse_databricks_spark.fsops import (
+    DriverFS,
+    RemotePathError,
+    StagedFold,
+    batch_partition_ids,
+    is_local_path,
+    local_path_or_raise,
+)
+
+S3A = "s3a://bucket/prefix/index"
+
+
+def _df(spark, n=60, d=8, start=0, seed=7):
+    r = np.random.default_rng(seed)
+    x = r.standard_normal((n, d))
+    return spark.createDataFrame(
+        [(start + i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# --- the two path contracts -------------------------------------------------
+
+
+def test_local_path_or_raise_accepts_and_normalizes():
+    assert local_path_or_raise("/tmp/x", "op") == "/tmp/x"
+    assert local_path_or_raise("rel/path", "op") == "rel/path"
+    assert local_path_or_raise("file:/tmp/x", "op") == "/tmp/x"
+    assert local_path_or_raise("file:///tmp/x", "op") == "/tmp/x"
+    # a path whose FIRST segment merely contains a colon is not a scheme
+    assert local_path_or_raise("/tmp/odd:name/x", "op") == "/tmp/odd:name/x"
+
+
+@pytest.mark.parametrize(
+    "path", [S3A, "hdfs://nn:9000/x", "gs://b/x", "abfs://c@a/x", "file://host/x"]
+)
+def test_local_path_or_raise_rejects_remote_named(path):
+    with pytest.raises(RemotePathError, match="my_op"):
+        local_path_or_raise(path, "my_op")
+    assert not is_local_path(path)
+
+
+def test_is_local_path():
+    assert is_local_path("/tmp/x") and is_local_path("file:/tmp/x")
+    assert not is_local_path(S3A)
+
+
+def test_driverfs_unreachable_scheme_raises_named(spark):
+    with pytest.raises(RemotePathError, match="my_maintenance_op"):
+        DriverFS(spark, S3A, "my_maintenance_op")
+
+
+def test_driverfs_basic_ops_and_committed_write(spark, tmp_path):
+    fs = DriverFS(spark, str(tmp_path), "test")
+    d = f"{tmp_path}/d"
+    fs.mkdirs(f"{d}/batch_id=3")
+    fs.mkdirs(f"{d}/batch_id=1")
+    fs.mkdirs(f"{d}/other")
+    assert fs.isdir(d) and not fs.isdir(f"{d}/nope")
+    assert fs.listnames(f"{d}/nope") == []  # absent dir lists empty, local
+    assert sorted(fs.listnames(d)) == ["batch_id=1", "batch_id=3", "other"]
+    assert batch_partition_ids(fs, d) == [1, 3]
+    # committed write is atomic into place: no .inprogress residue, full content
+    fs.write_text_committed(f"{d}/m.json", json.dumps({"a": [1, 2]}))
+    assert not os.path.exists(f"{d}/m.json.inprogress")
+    assert json.loads(fs.read_text(f"{d}/m.json")) == {"a": [1, 2]}
+    fs.rename(f"{d}/m.json", f"{d}/m2.json")
+    assert fs.exists(f"{d}/m2.json") and not fs.exists(f"{d}/m.json")
+    fs.delete(f"{d}/other")
+    fs.delete(f"{d}/other")  # absent: GC no-op, no raise
+    assert not fs.isdir(f"{d}/other")
+
+
+def test_stagedfold_state_machine(spark, tmp_path):
+    fs = DriverFS(spark, str(tmp_path), "test")
+    parent = f"{tmp_path}/corpus"
+    fs.mkdirs(parent)
+    fold = StagedFold(fs, parent)
+    # uncommitted leftovers (no marker) are discarded by recover()
+    fs.mkdirs(f"{fold.stage_dir}/batch_id=0")
+    assert fold.recover() is None
+    assert not fs.isdir(fold.stage_dir)
+    # commit -> marker present implies readable manifest (atomic writes)
+    fs.mkdirs(fold.stage_dir)
+    fold.commit({"fold": [0, 1], "target": 0})
+    assert not os.path.exists(f"{fold.stage_dir}/_MANIFEST.inprogress")
+    assert fold.recover() == {"fold": [0, 1], "target": 0}
+    fold.cleanup()
+    assert fold.recover() is None
+
+
+# --- hardened call sites: named error on unreachable schemes ----------------
+
+
+def test_ingest_ann_batch_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import ingest_ann_batch
+
+    with pytest.raises(RemotePathError, match="ingest_ann_batch"):
+        ingest_ann_batch(_df(spark), 0, "vec_id", "embedding", S3A)
+
+
+def test_compact_ann_stream_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
+
+    with pytest.raises(RemotePathError, match="compact_ann_stream"):
+        compact_ann_stream(spark, S3A, keep_last=2)
+
+
+def test_ivf_search_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import ivf_search
+
+    with pytest.raises(RemotePathError, match="load_ivf_centroids"):
+        ivf_search(spark, S3A, _df(spark, n=4), "vec_id", "embedding")
+
+
+def test_append_ivf_index_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import append_ivf_index
+
+    with pytest.raises(RemotePathError, match="append_ivf_index"):
+        append_ivf_index(_df(spark), "vec_id", "embedding", S3A)
+
+
+def test_ivfpq_refined_footer_checks_remote_raise(spark, tmp_path):
+    """The refined search's consistency preconditions (centroid equality
+    + footer row counts) are driver-side reads — a remote pq/flat path
+    must raise the named error, not skip validation."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        ivfpq_search_refined,
+    )
+
+    with pytest.raises(RemotePathError):
+        _corpus_rows(f"{S3A}/corpus_pq")
+    with pytest.raises(RemotePathError):
+        ivfpq_search_refined(
+            spark, S3A, str(tmp_path / "flat"), _df(spark, n=4),
+            "vec_id", "embedding",
+        )
+
+
+def test_pq_and_opq_model_load_remote_raise():
+    from youtube_analytics_lakehouse_databricks_spark.operators.opq import OPQModel
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    with pytest.raises(RemotePathError, match="PQModel.load"):
+        PQModel.load(S3A)
+    with pytest.raises(RemotePathError, match="OPQModel.load"):
+        OPQModel.load(S3A)
+
+
+def test_curation_state_save_load_remote_raise(spark):
+    from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import CurationState
+
+    with pytest.raises(RemotePathError, match="CurationState.load"):
+        CurationState.load(spark, S3A)
+
+
+def test_curated_state_probe_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import _state_exists
+
+    with pytest.raises(RemotePathError, match="state probe"):
+        _state_exists(spark, S3A)
+
+
+def test_compact_audit_log_remote_raises(spark):
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import compact_audit_log
+
+    with pytest.raises(RemotePathError, match="compact_audit_log"):
+        compact_audit_log(spark, S3A)
+
+
+# --- correct behavior on a reachable non-os-path scheme (file: URI) ---------
+
+
+def test_streamed_index_lifecycle_on_file_uri(spark, tmp_path):
+    """Bootstrap -> guard -> ingest -> compact -> search, all addressed
+    by a ``file:`` URI: the guards and compaction really route through
+    the Hadoop FileSystem (an os.path fallback would see no directory
+    at the URI and silently mis-handle every step)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import (
+        bootstrap_ann_stream_index,
+        compact_ann_stream,
+        ingest_ann_batch,
+    )
+
+    df = _df(spark, n=120)
+    uri = f"file:{tmp_path}/stream_idx"
+    os_path = f"{tmp_path}/stream_idx"
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", uri, n_cells=4, kmeans_iters=2)
+    for bid in range(4):
+        ingest_ann_batch(
+            df.filter(f"vec_id % 4 = {bid}"), bid, "vec_id", "embedding", uri
+        )
+    assert compact_ann_stream(spark, uri, keep_last=2) == 2
+    names = sorted(
+        e for e in os.listdir(f"{os_path}/corpus") if e.startswith("batch_id=")
+    )
+    assert names == ["batch_id=0", "batch_id=2", "batch_id=3"]
+    hits = ivf_search(
+        spark, os_path, df.filter("vec_id < 3"), "vec_id", "embedding",
+        n_probe=2, k=5, exclude_self=True,
+    )
+    assert len(hits.collect()) == 15
+
+    # and the layout guard FIRES through the URI against a batch-built index
+    batch_uri = f"file:{tmp_path}/batch_idx"
+    build_ivf_index(df, "vec_id", "embedding", f"{tmp_path}/batch_idx", n_cells=4)
+    with pytest.raises(ValueError, match="BATCH-BUILT index layout"):
+        ingest_ann_batch(df, 0, "vec_id", "embedding", batch_uri)
+
+
+def test_bpe_model_load_on_file_uri(spark, tmp_path):
+    """BPEModel's optional-frame probes (known/vocab) go through
+    DriverFS — a model saved under a ``file:`` URI round-trips with its
+    known-words cache and vocab intact."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.tokenizer import BPEModel, train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest new newer") for i in range(8)],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, "doc_id", "text", n_merges=12)
+    model.save(spark, f"{tmp_path}/bpe")
+    loaded = BPEModel.load(spark, f"file:{tmp_path}/bpe")
+    assert loaded.merges == model.merges
+    assert (loaded.known is None) == (model.known is None)
+    assert (loaded.vocab is None) == (model.vocab is None)
+    if model.vocab is not None:
+        assert loaded.vocab == model.vocab

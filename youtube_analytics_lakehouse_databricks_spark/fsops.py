@@ -1,0 +1,253 @@
+"""Scheme-safe driver-side filesystem toolkit for index and stream
+maintenance.
+
+Every driver-side filesystem touch in the engine routes through one of
+two contracts defined here, so a maintenance call pointed at an
+object-store path either WORKS (the scheme is reachable through the
+session's Hadoop FileSystem) or fails with one named error — never a
+silent no-op (a layout guard that "sees no directory" on ``s3a://``
+would wave through exactly the corruption it exists to prevent):
+
+- ``DriverFS`` — a thin Hadoop FileSystem wrapper (``spark._jvm``) for
+  existence probes, listings, deletes, renames, and small committed
+  text writes. Works on any scheme the session can reach (``file:``,
+  ``hdfs://``, ``s3a://`` with the connector on the classpath); raises
+  ``RemotePathError`` at construction when the scheme is unreachable,
+  so the failure names the operation instead of surfacing as a py4j
+  stack three calls later.
+- ``local_path_or_raise`` — for the pyarrow FAST-PATH readers (parquet
+  footer stats, centroid/codebook loads) that genuinely read through
+  the local OS filesystem. Plain paths and ``file:`` URIs pass
+  (normalized); any other scheme raises ``RemotePathError`` naming the
+  operation. Correct-by-fallback callers (e.g. ``watermark_of``) use
+  ``is_local_path`` instead and take their scheme-safe Spark path.
+
+The module also hosts the shared compaction skeleton the streaming
+artifacts' maintenance builds on (``batch_partition_ids`` +
+``StagedFold``), so the next streamed artifact doesn't hand-roll a
+fourth crash-recovery protocol. Two commit disciplines exist by design:
+
+- **stage-and-swap** (``StagedFold``; used by
+  ``streaming.ann_stream.compact_ann_stream``): consolidated data
+  stages under a dot-directory readers ignore, a manifest + completion
+  marker commit the fold (both written temp -> hsync -> atomic rename,
+  so a PRESENT marker implies a READABLE manifest even across power
+  loss), and recovery finishes or discards. Crash-recoverable, not
+  reader-atomic — a maintenance window operation.
+- **add-first GC** (``compact_audit_log``, ``compact_streamed_moments``):
+  the consolidated rows are written — and made self-describing
+  (latest-wins dominance / a ``covers`` marker) — BEFORE anything is
+  deleted, so every prefix of the sequence is value-stable for
+  concurrent readers and the deletes are pure garbage collection. No
+  marker file needed; a crash leaves re-foldable residue at worst.
+
+Stage-and-swap is for layouts whose readers cannot tolerate duplicate
+rows (an ANN corpus partition); add-first is strictly safer when the
+read path reconciles duplicates anyway (latest-wins logs, additive
+moments) and should be preferred for new artifacts when it applies.
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = [
+    "RemotePathError",
+    "local_path_or_raise",
+    "is_local_path",
+    "DriverFS",
+    "batch_partition_ids",
+    "StagedFold",
+]
+
+
+class RemotePathError(ValueError):
+    """A driver-side maintenance call touched a filesystem scheme this
+    process cannot reach. Named (instead of a silent no-op or a raw
+    py4j/OS error) so the operator learns WHICH call needs either a
+    local path or the scheme's Hadoop connector on the classpath."""
+
+
+def _scheme(path: str) -> str | None:
+    """URI scheme of ``path``, or None for plain OS paths. ``file:`` is
+    a scheme; Windows drive letters are not a concern on this engine's
+    supported platforms."""
+    head, sep, _rest = path.partition(":")
+    if not sep or "/" in head or not head:
+        return None
+    return head
+
+
+def local_path_or_raise(path: str, op: str) -> str:
+    """Return ``path`` as a plain OS path, or raise ``RemotePathError``.
+
+    Accepts plain paths and ``file:`` / ``file://`` URIs (prefix
+    stripped); any other scheme raises, naming ``op``. Use for pyarrow
+    footer/centroid fast paths that must read through the local OS
+    filesystem — the loud alternative to an ``os.path.isdir`` that is
+    silently False on ``s3a://``."""
+    sch = _scheme(path)
+    if sch is None:
+        return path
+    if sch == "file":
+        rest = path[len("file:") :]
+        if rest.startswith("///"):
+            return rest[2:]
+        if rest.startswith("//"):
+            # file://host/...: only an empty (localhost) authority maps
+            # to an OS path
+            raise RemotePathError(
+                f"{op}: {path} has a non-local file:// authority — "
+                "this driver-side reader needs a local path"
+            )
+        return rest
+    raise RemotePathError(
+        f"{op}: {path} is on scheme '{sch}', but this driver-side "
+        "reader works through the local OS filesystem only — pass a "
+        "local (or file:) path, or route this index through a "
+        "locally-mounted staging copy"
+    )
+
+
+def is_local_path(path: str) -> bool:
+    """True when ``path`` is reachable through the local OS filesystem
+    (plain path or local ``file:`` URI). For correct-by-fallback fast
+    paths that should SKIP (not fail) on remote schemes."""
+    try:
+        local_path_or_raise(path, "is_local_path")
+        return True
+    except RemotePathError:
+        return False
+
+
+class DriverFS:
+    """Driver-side Hadoop FileSystem handle for index/stream maintenance.
+
+    One instance per (session, root) — construction resolves the root's
+    FileSystem once (Hadoop caches instances per scheme+authority) and
+    raises ``RemotePathError`` if the scheme has no reachable
+    implementation, so every caller fails loudly up front instead of
+    probing a filesystem that isn't there."""
+
+    def __init__(self, spark, root: str, op: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        try:
+            self._fs = self._path(root).getFileSystem(self._conf)
+        except Exception as exc:  # py4j surfaces Java errors broadly
+            raise RemotePathError(
+                f"{op}: no reachable FileSystem for {root} — driver-side "
+                "maintenance needs the path's scheme on this session's "
+                "classpath (or a local path); underlying error: "
+                f"{str(exc).splitlines()[0][:200]}"
+            ) from None
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._path(p)))
+
+    def isdir(self, p: str) -> bool:
+        return bool(self._fs.isDirectory(self._path(p)))
+
+    def listnames(self, p: str, prefix: str | None = None) -> list[str]:
+        """Child names of directory ``p`` ([] when absent), optionally
+        filtered by prefix. Unlike ``os.listdir`` on a remote path this
+        either LISTS or the constructor already raised — never a silent
+        empty answer for a directory that exists."""
+        if not self.isdir(p):
+            return []
+        names = [
+            st.getPath().getName() for st in self._fs.listStatus(self._path(p))
+        ]
+        if prefix is not None:
+            names = [n for n in names if n.startswith(prefix)]
+        return names
+
+    def delete(self, p: str) -> None:
+        """Recursive delete; absent paths are a no-op (GC semantics)."""
+        self._fs.delete(self._path(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._path(src), self._path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._path(p))
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_committed(self, p: str, text: str) -> None:
+        """Write a small text file ATOMICALLY: temp name -> hsync (where
+        the filesystem supports it) -> rename into place. A reader that
+        sees ``p`` therefore sees its full content — never a torn write
+        after power loss (the compaction manifests' requirement)."""
+        tmp = f"{p}.inprogress"
+        out = self._fs.create(self._path(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            try:
+                out.hsync()
+            except Exception:
+                pass  # e.g. checksummed local FS without Syncable
+        finally:
+            out.close()
+        self.rename(tmp, p)
+
+
+def batch_partition_ids(
+    fs: DriverFS, directory: str, prefix: str = "batch_id="
+) -> list[int]:
+    """Sorted numeric partition ids under ``directory`` (the streamed
+    artifacts' shared ``batch_id=K`` layout); [] when absent."""
+    return sorted(
+        int(n.split("=", 1)[1]) for n in fs.listnames(directory, prefix=prefix)
+    )
+
+
+class StagedFold:
+    """The stage -> commit -> apply/recover state machine for swap-style
+    compaction (see the module docstring for when to prefer add-first).
+
+    Protocol, in order:
+    1. caller writes consolidated data under ``stage_dir`` (a
+       dot-directory Spark readers ignore);
+    2. ``commit(manifest)`` — the manifest (what was folded, where the
+       staged data goes) lands via an atomic committed write, then the
+       completion marker does; a present marker implies a readable
+       manifest;
+    3. caller applies the fold (delete originals, rename staged in) and
+       calls ``cleanup()``.
+    ``recover()`` (call FIRST): a present marker returns the committed
+    manifest so the caller re-applies the fold; otherwise uncommitted
+    leftovers are discarded and None is returned."""
+
+    MANIFEST = "_MANIFEST"
+    MARKER = "_COMPLETE"
+
+    def __init__(self, fs: DriverFS, parent_dir: str, tmp_name: str = ".compact_tmp"):
+        self.fs = fs
+        self.stage_dir = f"{parent_dir}/{tmp_name}"
+
+    def recover(self) -> dict | None:
+        if self.fs.exists(f"{self.stage_dir}/{self.MARKER}"):
+            return json.loads(self.fs.read_text(f"{self.stage_dir}/{self.MANIFEST}"))
+        self.fs.delete(self.stage_dir)  # uncommitted leftovers: discard
+        return None
+
+    def commit(self, manifest: dict) -> None:
+        self.fs.write_text_committed(
+            f"{self.stage_dir}/{self.MANIFEST}", json.dumps(manifest)
+        )
+        self.fs.write_text_committed(f"{self.stage_dir}/{self.MARKER}", "ok")
+
+    def cleanup(self) -> None:
+        self.fs.delete(self.stage_dir)

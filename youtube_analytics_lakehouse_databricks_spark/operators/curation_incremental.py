@@ -209,11 +209,17 @@ class CurationState:
         """Write-to-temp then rename: an appended state's frames READ the
         previous state's files (stored ∪ new lineage), so overwriting in
         place would delete inputs mid-scan; the rename also means a crash
-        mid-save leaves the previous state intact. Local/NFS paths only —
-        on a lakehouse these four frames are Delta tables and the swap is
-        a transaction."""
+        mid-save leaves the previous state intact. Local/NFS paths only
+        (named fsops.RemotePathError otherwise — the os-level staged
+        renames have no object-store equivalent here); on a lakehouse
+        these four frames are Delta tables and the swap is a
+        transaction."""
         import os
         import shutil
+
+        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+
+        path = local_path_or_raise(path, "CurationState.save")
 
         frames = list(self.FRAMES) + [
             name
@@ -246,6 +252,14 @@ class CurationState:
         pyarrow read (``centroids_np``)."""
         import os
         from concurrent.futures import ThreadPoolExecutor
+
+        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+
+        # save()'s os-level staged-rename contract is local-only, so a
+        # state on a remote scheme cannot exist through this API — the
+        # os.path probes below would silently see NO optional frames
+        # there; fail with the same named error save() raises
+        path = local_path_or_raise(path, "CurationState.load")
 
         names = list(cls.FRAMES) + [
             n

@@ -24,12 +24,23 @@ lowest-cell probe tie-break, same 1e-6 cosine rounding, same
 
 Reference shape: FAISS's IndexIVFFlat (public semantics; engine-original
 formulation on parquet + Arrow).
+
+Path contract (fsops): the frozen state loads through pyarrow FAST
+PATHS (centroids, meta, footer row counts) that read the local OS
+filesystem — on any other scheme they raise a named
+``fsops.RemotePathError`` instead of an os-level miss (a remote index
+would need a locally-mounted staging copy of its small state, or a
+pyarrow-fs extension). The layout guards route through the session's
+Hadoop FileSystem and therefore work on any reachable scheme — they
+FAIL LOUD when they cannot list, never silently skip.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS, local_path_or_raise
 
 from youtube_analytics_lakehouse_databricks_spark.operators.mixing import require_integral_id
 from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
@@ -123,22 +134,26 @@ def build_ivf_index(
 
 def load_ivf_centroids(path: str):
     """The frozen quantizer as a cell-ordered float64 array — direct
-    pyarrow read, no Spark job (the CurationState.centroids_np stance)."""
+    pyarrow read, no Spark job (the CurationState.centroids_np stance).
+    Local paths only — named error otherwise (module path contract)."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    path = local_path_or_raise(path, "load_ivf_centroids")
     tbl = pq.read_table(f"{path}/centroids").to_pydict()
     order = sorted(range(len(tbl["cell"])), key=tbl["cell"].__getitem__)
     return np.asarray([tbl["v"][i] for i in order], dtype=np.float64)
 
 
 def _load_meta(path: str) -> dict:
-    """Index meta (id_col, optional bucket_table) — direct pyarrow read;
-    absent for pre-meta indexes (path-corpus only)."""
+    """Index meta (id_col, optional bucket_table) — direct pyarrow read
+    (local paths only, named error otherwise); absent for pre-meta
+    indexes (path-corpus only)."""
     import os
 
     import pyarrow.parquet as pq
 
+    path = local_path_or_raise(path, "ivf index meta read")
     if not os.path.isdir(f"{path}/meta"):
         return {}
     t = pq.read_table(f"{path}/meta").to_pydict()
@@ -157,22 +172,23 @@ def _np_equal(a, b) -> bool:
 
 def _corpus_rows(corpus_dir: str) -> int:
     """Total stored rows from parquet footer metadata — driver-side, no
-    Spark job (pyarrow dataset over the partitioned directory)."""
+    Spark job (pyarrow dataset over the partitioned directory). Local
+    paths only — named error otherwise (module path contract)."""
     import pyarrow.dataset as ds
 
+    corpus_dir = local_path_or_raise(corpus_dir, "ivf corpus footer row count")
     return ds.dataset(corpus_dir, format="parquet", partitioning="hive").count_rows()
 
 
-def _require_batch_layout_absent(corpus_dir: str, op: str) -> None:
+def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) -> None:
     """Batch appends write cell=J at the top level; a STREAMED index's
     corpus is laid out batch_id=K/cell=J (streaming/ann_stream.py).
     Mixing the two in one directory breaks parquet partition discovery
-    on the next read — fail loudly with the right tool instead."""
-    import os
-
-    if os.path.isdir(corpus_dir) and any(
-        e.startswith("batch_id=") for e in os.listdir(corpus_dir)
-    ):
+    on the next read — fail loudly with the right tool instead. Routed
+    through DriverFS: on an unreachable scheme the guard RAISES rather
+    than silently seeing no directory (the corruption it exists to
+    prevent would otherwise land unguarded)."""
+    if DriverFS(spark, corpus_dir, op).listnames(corpus_dir, prefix="batch_id="):
         raise ValueError(
             f"{op}: {corpus_dir} is a STREAMED index layout "
             "(batch_id=K/cell=J partitions) — batch appends would corrupt "
@@ -189,7 +205,7 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     reason curate_incremental freezes its centroids; rebuild the index
     when the corpus has drifted enough to warrant it.)"""
     _require_long_id(df, id_col, "append_ivf_index")
-    _require_batch_layout_absent(f"{path}/corpus", "append_ivf_index")
+    _require_batch_layout_absent(df.sparkSession, f"{path}/corpus", "append_ivf_index")
     centroids = load_ivf_centroids(path)
     assigned = assign_cells(df, id_col, vec_col, centroids)
     batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
@@ -602,7 +618,9 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(df, id_col, "append_ivfpq_index")
-    _require_batch_layout_absent(f"{path}/corpus_pq", "append_ivfpq_index")
+    _require_batch_layout_absent(
+        df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
+    )
     centroids = load_ivf_centroids(path)
     model = PQModel.load(f"{path}/pq_model")
     _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(

@@ -63,6 +63,10 @@ class OPQModel:
         import numpy as np
         import pyarrow.parquet as pq_
 
+        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+
+        # pyarrow fast path: local paths only, named error otherwise
+        path = local_path_or_raise(path, "OPQModel.load")
         t = pq_.read_table(f"{path}/rotation").to_pydict()
         order = sorted(range(len(t["i"])), key=t["i"].__getitem__)
         rot = np.asarray([t["v"][i] for i in order], dtype=np.float64)

@@ -81,7 +81,11 @@ class PQModel:
         import numpy as np
         import pyarrow.parquet as pq_
 
-        t = pq_.read_table(path).to_pydict()
+        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+
+        # pyarrow fast path: local paths only, named error otherwise
+        # (the ivf_index module path contract)
+        t = pq_.read_table(local_path_or_raise(path, "PQModel.load")).to_pydict()
         m = max(t["subspace"]) + 1
         n = max(t["code"]) + 1
         d_sub = len(t["v"][0])

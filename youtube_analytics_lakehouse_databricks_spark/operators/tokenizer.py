@@ -131,19 +131,23 @@ class BPEModel:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "BPEModel":
-        import os
+        from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS
 
+        # existence probes through the session's FileSystem (fsops), so
+        # a model saved to hdfs://s3a:// loads wherever Spark can read
+        # it — an os.path probe would silently drop known/vocab there
+        fs = DriverFS(spark, path, "BPEModel.load")
         rows = sorted(
             spark.read.parquet(f"{path}/merges").collect(), key=lambda r: r["rank"]
         )
         known = None
-        if os.path.isdir(f"{path}/known"):
+        if fs.isdir(f"{path}/known"):
             known = {
                 r["word"]: tuple(r["tokens"])
                 for r in spark.read.parquet(f"{path}/known").collect()
             }
         vocab = None
-        if os.path.isdir(f"{path}/vocab"):
+        if fs.isdir(f"{path}/vocab"):
             vrows = sorted(
                 spark.read.parquet(f"{path}/vocab").collect(),
                 key=lambda r: r["pos"],  # the trainer's count-desc/word-asc order

@@ -23,6 +23,14 @@ layout but ``cell`` is still a partition column, so ``ivf_search`` /
 probed cell exactly as they prune an appended one — pinned by a
 PartitionFilters plan assertion and a streamed-equals-one-write parity
 test.
+
+Path contract: the layout guard and the compaction run DRIVER-SIDE
+through the session's Hadoop FileSystem (``fsops.DriverFS``), so they
+work on any scheme the session can reach (``file:``, ``hdfs://``,
+``s3a://`` with the connector present) and FAIL with a named
+``fsops.RemotePathError`` — never a silent no-op — when the scheme is
+unreachable. The searches additionally read the frozen state via the
+pyarrow fast path, which is local-path-only (``ivf_index``'s contract).
 """
 
 from __future__ import annotations
@@ -30,6 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from youtube_analytics_lakehouse_databricks_spark.fsops import (
+    DriverFS,
+    StagedFold,
+    batch_partition_ids,
+)
 
 __all__ = [
     "bootstrap_ann_stream_index",
@@ -93,8 +107,6 @@ def ingest_ann_batch(
     from the persisted state: a ``pq_model`` directory means the
     compressed (IVFPQ) layout, otherwise the flat one. Empty
     micro-batches write nothing."""
-    import os
-
     from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
         _encode_ivfpq,
         load_ivf_centroids,
@@ -106,11 +118,13 @@ def ingest_ann_batch(
     # inverse of append_ivf_index's layout guard: streaming writes into
     # a BATCH-BUILT index (top-level cell=J dirs) would leave
     # conflicting directory structures that break partition discovery
-    # on the next read — refuse before any data lands
+    # on the next read — refuse before any data lands. DriverFS, not
+    # os.path: on an object-store path the os probe is ALWAYS False and
+    # would wave the corruption through silently; this either really
+    # lists the directory or raises fsops.RemotePathError up front.
+    fs = DriverFS(batch.sparkSession, path, "ingest_ann_batch")
     for d in (f"{path}/corpus_pq", f"{path}/corpus"):
-        if os.path.isdir(d) and any(
-            e.startswith("cell=") for e in os.listdir(d)
-        ):
+        if fs.listnames(d, prefix="cell="):
             raise ValueError(
                 f"ingest_ann_batch: {d} is a BATCH-BUILT index layout "
                 "(top-level cell=J partitions) — streamed batch_id "
@@ -119,7 +133,7 @@ def ingest_ann_batch(
                 "or bootstrap a fresh streamed index"
             )
     centroids = load_ivf_centroids(path)
-    if os.path.isdir(f"{path}/pq_model"):
+    if fs.isdir(f"{path}/pq_model"):
         from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
         model = PQModel.load(f"{path}/pq_model")
@@ -171,33 +185,32 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
     (the OPTIMIZE stance, ops/maintenance.py) — run it while no search
     is mid-flight; concurrent INGEST is fine (new batch ids are never
     touched, and ``keep_last >= 2`` keeps the streaming replay horizon
-    out of the fold). It is crash-RECOVERABLE, not reader-atomic: the
-    consolidated partition stages under a dot-directory Spark scans
-    ignore, a manifest + completion marker commit the fold, and a crash
-    at any point either leaves the originals intact (before the marker)
-    or is finished by the next call (after it — recovery re-deletes the
-    folded dirs from the manifest and moves the staged partition in).
+    out of the fold). It is crash-RECOVERABLE, not reader-atomic — the
+    ``fsops.StagedFold`` stage-and-swap protocol: the consolidated
+    partition stages under a dot-directory Spark scans ignore, a
+    manifest + completion marker commit the fold (both written
+    temp -> sync -> atomic rename, so a present marker always implies a
+    readable manifest), and a crash at any point either leaves the
+    originals intact (before the marker) or is finished by the next
+    call (after it — recovery re-deletes the folded dirs from the
+    manifest and moves the staged partition in).
     Returns the number of batch partitions folded (0 = nothing to do).
     """
-    import json
-    import os
-    import shutil
-
     if int(keep_last) < 2:
         raise ValueError(
             "compact_ann_stream: keep_last must be >= 2 — the newest batch "
             "can be REPLAYED by the stream after a crash, and replaying a "
             "batch that was already folded would duplicate its rows"
         )
+    fs = DriverFS(spark, path, "compact_ann_stream")
     corpus_dir = (
-        f"{path}/corpus_pq" if os.path.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
-    tmp = f"{corpus_dir}/.compact_tmp"
-    marker = f"{tmp}/_COMPLETE"
+    staging = StagedFold(fs, corpus_dir)
 
     def finish(manifest: dict) -> int:
         fold = manifest["fold"]
-        staged = f"{tmp}/batch_id={manifest['target']}"
+        staged = f"{staging.stage_dir}/batch_id={manifest['target']}"
         # the staged dir's presence IS the state machine: present means
         # the fold hasn't been applied (deletes may be partial — they
         # strictly precede the rename, in this call and in recovery), so
@@ -206,24 +219,20 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
         # and only the tmp cleanup remains — deleting anything here
         # would destroy the consolidated partition itself (the fold list
         # contains the target id).
-        if os.path.isdir(staged):
+        if fs.isdir(staged):
             for bid in fold:
-                shutil.rmtree(f"{corpus_dir}/batch_id={bid}", ignore_errors=True)
-            os.rename(staged, f"{corpus_dir}/batch_id={manifest['target']}")
-        shutil.rmtree(tmp, ignore_errors=True)
+                fs.delete(f"{corpus_dir}/batch_id={bid}")
+            fs.rename(staged, f"{corpus_dir}/batch_id={manifest['target']}")
+        staging.cleanup()
         return len(fold)
 
-    # recovery: a prior call crashed after committing its fold — finish it
-    if os.path.exists(marker):
-        with open(f"{tmp}/_MANIFEST") as f:
-            return finish(json.load(f))
-    shutil.rmtree(tmp, ignore_errors=True)  # uncommitted leftovers: discard
+    # recovery: a prior call crashed after committing its fold — finish
+    # it (uncommitted leftovers are discarded by recover())
+    committed = staging.recover()
+    if committed is not None:
+        return finish(committed)
 
-    batches = sorted(
-        int(e.split("=", 1)[1])
-        for e in os.listdir(corpus_dir)
-        if e.startswith("batch_id=")
-    )
+    batches = batch_partition_ids(fs, corpus_dir)
     fold = batches[: max(0, len(batches) - int(keep_last))]
     if len(fold) < 2:
         return 0
@@ -234,11 +243,8 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
         .withColumn("batch_id", F.lit(int(target)).cast("long"))
         .write.mode("overwrite")
         .partitionBy("batch_id", "cell")
-        .parquet(tmp)
+        .parquet(staging.stage_dir)
     )
     manifest = {"fold": fold, "target": target}
-    with open(f"{tmp}/_MANIFEST", "w") as f:
-        json.dump(manifest, f)
-    with open(marker, "w") as f:
-        f.write("ok")
+    staging.commit(manifest)
     return finish(manifest)

@@ -46,20 +46,24 @@ reconstructs the same state from the same prior state.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS, batch_partition_ids
 from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import (
     CurationState,
     curate_incremental,
 )
 
 
-def _state_exists(state_dir: str) -> bool:
-    return os.path.isdir(f"{state_dir}/audit")
+def _state_exists(spark: SparkSession, state_dir: str) -> bool:
+    # DriverFS, not os.path: on a remote state_dir the os probe is
+    # always False, which would silently re-bootstrap an EMPTY state
+    # over a populated one (every stored doc forgotten)
+    return DriverFS(spark, state_dir, "curated ingest state probe").isdir(
+        f"{state_dir}/audit"
+    )
 
 
 def ingest_curated_batch(
@@ -82,7 +86,11 @@ def ingest_curated_batch(
     spark = batch.sparkSession
     if batch.isEmpty():
         return
-    state = CurationState.load(spark, state_dir) if _state_exists(state_dir) else None
+    state = (
+        CurationState.load(spark, state_dir)
+        if _state_exists(spark, state_dir)
+        else None
+    )
     prior_audit = state.audit if state is not None else None
 
     # Crash-replay protocol (commit order: audit append, THEN state save):
@@ -249,8 +257,11 @@ def compact_audit_log(
     the NEWEST folded batch_id, so latest-wins ordering vs both live and
     folded rows is unchanged.
 
-    Crash-safe by construction — the sequence only ever ADDS dominated-
-    or-identical rows before it removes anything:
+    Crash-safe by construction — fsops' ADD-FIRST GC discipline (the
+    reader-stable alternative to ``fsops.StagedFold``'s stage-and-swap,
+    chosen because latest-wins reconciliation makes duplicate rows
+    harmless): the sequence only ever ADDS dominated-or-identical rows
+    before it removes anything:
     1. the consolidated rows land in an underscore-prefixed temp dir
        (invisible to readers), then move file-by-file (atomic renames)
        into the ``batch_id=<newest folded>`` partition — until the old
@@ -272,19 +283,8 @@ def compact_audit_log(
     """
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def hpath(p):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    root = hpath(audit_dir)
-    fs = root.getFileSystem(conf)
-    ids = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
-    )
+    fs = DriverFS(spark, audit_dir, "compact_audit_log")
+    ids = batch_partition_ids(fs, audit_dir)
     old = ids[:-keep_latest]
     if len(old) < 2:
         return 0
@@ -302,19 +302,16 @@ def compact_audit_log(
     tmp = f"{audit_dir}/_compact_tmp"
     consolidated.write.mode("overwrite").parquet(tmp)
 
-    part_dir = hpath(f"{audit_dir}/batch_id={target}")
+    part_dir = f"{audit_dir}/batch_id={target}"
     originals = [
-        st.getPath()
-        for st in fs.listStatus(part_dir)
-        if st.getPath().getName().endswith(".parquet")
+        n for n in fs.listnames(part_dir) if n.endswith(".parquet")
     ]
-    for st in fs.listStatus(hpath(tmp)):
-        name = st.getPath().getName()
+    for name in fs.listnames(tmp):
         if name.endswith(".parquet"):
-            fs.rename(st.getPath(), hpath(f"{audit_dir}/batch_id={target}/compact-{name}"))
+            fs.rename(f"{tmp}/{name}", f"{part_dir}/compact-{name}")
     for bid in old[:-1]:
-        fs.delete(hpath(f"{audit_dir}/batch_id={bid}"), True)
-    for p in originals:
-        fs.delete(p, False)
-    fs.delete(hpath(tmp), True)
+        fs.delete(f"{audit_dir}/batch_id={bid}")
+    for name in originals:
+        fs.delete(f"{part_dir}/{name}")
+    fs.delete(tmp)
     return len(old)

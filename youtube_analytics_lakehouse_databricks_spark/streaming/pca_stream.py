@@ -108,13 +108,15 @@ def compact_streamed_moments(
     structured streaming's replay contract; the default 16 is headroom
     for checkpoint rollbacks done by hand.
 
-    Crash safety: the consolidated partial lands FIRST (under the oldest
-    compacted batch_id, with a ``covers`` marker naming the highest
-    batch it folded), and only then are the folded partitions deleted —
-    pure garbage collection, because ``load_streamed_moments`` skips any
-    unmarked partition at or below the marker. A crash between the two
-    steps therefore never double-counts; re-running compaction finishes
-    the GC."""
+    Crash safety: fsops' ADD-FIRST GC discipline (the same protocol as
+    compact_audit_log, with the in-data ``covers`` marker playing the
+    dominance role latest-wins plays there) — the consolidated partial
+    lands FIRST (under the oldest compacted batch_id, with a ``covers``
+    marker naming the highest batch it folded), and only then are the
+    folded partitions deleted — pure garbage collection, because
+    ``load_streamed_moments`` skips any unmarked partition at or below
+    the marker. A crash between the two steps therefore never
+    double-counts; re-running compaction finishes the GC."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     rows = spark.read.parquet(moments_dir).collect()
@@ -157,11 +159,11 @@ def compact_streamed_moments(
         .partitionBy("batch_id")
         .parquet(moments_dir)
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS
+
+    fs = DriverFS(spark, moments_dir, "compact_streamed_moments")
     for bid in old[1:]:
-        p = jvm.org.apache.hadoop.fs.Path(f"{moments_dir}/batch_id={bid}")
-        p.getFileSystem(conf).delete(p, True)
+        fs.delete(f"{moments_dir}/batch_id={bid}")
     return len(old)
 
 
