@@ -43,6 +43,24 @@ class TestHashedEmbedding:
         for k in v:
             assert np.allclose(v[k], np.asarray(again[k], dtype=np.float64))
 
+    def test_all_cancelling_doc_embeds_null_not_zero_vector(self, spark):
+        """A doc whose per-dimension signed sums ALL cancel has zero
+        norm — it must surface as NULL like the zero-token channel, not
+        as a zero vector faking similarity 0 to everything. sha256('a')
+        opens with nibble 0xc (1100) and sha256('b') with 0x3 (0011):
+        complementary, so the two-token doc cancels every dim at dim=4."""
+        from youtube_analytics_lakehouse_databricks_spark.operators.text import hashed_embedding
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a a b")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["embedding"]
+            for r in hashed_embedding(df, "doc_id", "text", dim=4).collect()
+        }
+        assert out[1] is None  # exact cancellation -> NULL
+        assert out[2] is not None  # odd token counts can't cancel
+
     def test_plan_is_jvm_only_and_dim_guarded(self, spark):
         import io
         from contextlib import redirect_stdout

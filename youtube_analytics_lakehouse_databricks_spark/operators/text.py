@@ -246,35 +246,54 @@ def hashed_embedding(
     (JL-style +/-1 projection), so lexically similar docs land close —
     the bridge that lets a TEXT-ONLY corpus run the whole vector stack
     (semantic_dedup, IVF/PQ ANN, decontam) with no external embedding
-    model. Fully JVM-side: one sha2 per token, ``dim`` sum aggregates,
-    one explode + one per-doc aggregation, no Python in the plan.
+    model. Fully JVM-side: one sha2 + ONE nibble decode per token (the
+    ``ceil(dim/4)`` hex chars the dimensions need, decoded once into an
+    int array — not one instr/substr string pass per DIMENSION), then
+    ``dim`` sum aggregates of pure integer bit-indexing, one explode +
+    one per-doc aggregation, no Python in the plan.
 
-    Zero-token docs get a NULL embedding (the honest value — a zero
+    Degenerate docs get a NULL embedding, never a zero vector (a zero
     vector would fake similarity 0 to everything; downstream semantic
-    stages reject or audit NULLs loudly by design)."""
+    stages reject or audit NULLs loudly by design): zero-token docs,
+    and the rarer doc whose per-dimension signed sums ALL cancel to an
+    exact zero norm. Oracled cross-engine (hash-match) riding the
+    ``doc_quality_scores`` registry row at an oracle-tractable dim."""
     if not 1 <= int(dim) <= 256:
         raise ValueError(
             f"hashed_embedding: dim={dim} must be in [1, 256] — one "
             "sha256 digest supplies 256 sign bits per token"
         )
-    toks = df.select(
-        id_col,
-        F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
-            "token"
-        ),
-    ).select(id_col, F.sha2(F.col("token"), 256).alias("tsha"))
+    n_nibs = (int(dim) + 3) // 4
+    toks = (
+        df.select(
+            id_col,
+            F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
+                "token"
+            ),
+        )
+        .select(id_col, F.sha2(F.col("token"), 256).alias("tsha"))
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(1, {n_nibs}), i -> "
+                "instr('0123456789abcdef', substr(tsha, i, 1)) - 1)"
+            ).alias("nibs"),
+        )
+    )
     sums = []
     for b in range(int(dim)):
         pos, shift = 1 + b // 4, 3 - b % 4
-        nib = f"(instr('0123456789abcdef', substr(tsha, {pos}, 1)) - 1)"
-        bit = f"(({nib} div {2 ** shift}) % 2)"
+        bit = f"((element_at(nibs, {pos}) div {2 ** shift}) % 2)"
         sums.append(
             F.sum(F.expr(f"(2 * {bit} - 1)")).cast("double").alias(f"d{b}")
         )
     agg = toks.groupBy(id_col).agg(*sums)
     vec = F.array(*[F.col(f"d{b}") for b in range(int(dim))])
+    # an exactly-zero norm (all dimensions cancelled) is NULL, not a
+    # zero vector — same stance as the zero-token channel below
     normed = F.expr(
-        "transform(__vec, x -> CAST(x / greatest(__nrm, CAST(1e-30 AS DOUBLE)) AS FLOAT))"
+        "CASE WHEN __nrm = CAST(0 AS DOUBLE) THEN NULL "
+        "ELSE transform(__vec, x -> CAST(x / __nrm AS FLOAT)) END"
     )
     embedded = (
         agg.withColumn("__vec", vec)

@@ -384,22 +384,82 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hashed_embedding's oracle rides this doc-grain row (r13) at an
+# oracle-tractable width; the operator's default dim=64 runs the
+# IDENTICAL code path (only the range() bound differs) and is pinned by
+# tests/test_text_ops.py. The mirror rebuilds the whole bridge: sha256
+# hex nibbles -> per-dimension +/-1 bit signs -> per-doc sums -> L2
+# normalize THROUGH the float32 output cast (CAST AS REAL = Spark's
+# array<float> element), NULL on zero norm (token-less docs and exact
+# all-dimension cancellation), rounded to 6 for the value hash.
+HE_DIM = 8
+
+
+def _hashed_embedding_ctes() -> str:
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substr(sha256(token), {i + 1}, 1)) - 1 AS nb{i}"
+        for i in range((HE_DIM + 3) // 4)
+    )
+    sums = ", ".join(
+        f"SUM(2 * ((nb{b // 4} // {2 ** (3 - b % 4)}) % 2) - 1) AS d{b}"
+        for b in range(HE_DIM)
+    )
+    sq = " + ".join(f"d{b} * d{b}" for b in range(HE_DIM))
+    emb = ", ".join(
+        f"CASE WHEN nrm = 0 THEN NULL ELSE "
+        f"round(CAST(CAST(d{b} / nrm AS REAL) AS DOUBLE), 6) END AS he{b}"
+        for b in range(HE_DIM)
+    )
+    return f"""
+    htok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    hnib AS (SELECT doc_id, {nibs} FROM htok),
+    hsum AS (SELECT doc_id, {sums} FROM hnib GROUP BY doc_id),
+    hemb AS (
+      SELECT doc_id, {emb}
+      FROM (SELECT *, sqrt(CAST({sq} AS DOUBLE)) AS nrm FROM hsum)
+    )"""
+
+
 @register(
     "doc_quality_scores",
     f"""
-    SELECT doc_id,
-           CAST(len(tokens) AS INT) AS n_tokens,
-           CAST(len(list_distinct(tokens)) AS INT) AS n_distinct_tokens,
-           CAST(length(text) AS INT) AS n_chars_actual,
-           CAST(len(list_filter(tokens, x -> x IN {STOPWORDS})) AS DOUBLE) / len(tokens) AS stopword_ratio,
-           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio
-    FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
-          FROM documents)
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(tokens) AS INT) AS n_tokens,
+             CAST(len(list_distinct(tokens)) AS INT) AS n_distinct_tokens,
+             CAST(length(text) AS INT) AS n_chars_actual,
+             CAST(len(list_filter(tokens, x -> x IN {STOPWORDS})) AS DOUBLE) / len(tokens) AS stopword_ratio,
+             CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio
+      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+            FROM documents)
+    ),{_hashed_embedding_ctes()}
+    SELECT q.*, {", ".join(f"hemb.he{b}" for b in range(HE_DIM))}
+    FROM q LEFT JOIN hemb USING (doc_id)
     """,
-    doc="Quality scoring: token counts, distinct ratio, stopword ratio — all JVM-side array ops.",
+    doc=(
+        "Quality scoring (token counts, distinct ratio, stopword ratio — "
+        "all JVM-side array ops) + the hashed_embedding bridge's "
+        "cross-engine hash-match (r13): sha256-nibble ±1 signs summed "
+        "per dimension, L2-normalized through the float32 output cast, "
+        "NULL on zero norm."
+    ),
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_ops.quality_scores(read(spark, sf_dir, "documents"), "doc_id", "text", STOPWORDS)
+    docs = read(spark, sf_dir, "documents")
+    q = text_ops.quality_scores(docs, "doc_id", "text", STOPWORDS)
+    emb = text_ops.hashed_embedding(docs, "doc_id", "text", dim=HE_DIM).select(
+        "doc_id",
+        *[
+            F.round(F.element_at(F.col("embedding"), b + 1).cast("double"), 6).alias(
+                f"he{b}"
+            )
+            for b in range(HE_DIM)
+        ],
+    )
+    return q.join(emb, "doc_id", "left")
 
 
 _LANG_STOPS = {
