@@ -254,6 +254,99 @@ def test_append_equals_rebuild_under_frozen_state(spark, index, tmp_path):
     assert N in {h["neighbor_id"] for h in hits}, hits
 
 
+def test_distributed_search_matches_collect_path(spark, index):
+    """ivfpq_search_distributed (no driver collect; query side probes
+    via Arrow, code rows join in already cell-partitioned, ADC built in
+    the per-cell kernel) returns bit-identical results to ivfpq_search
+    on the same index — both exclude_self modes, external-namespace
+    queries included."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivfpq_search_distributed,
+    )
+
+    path, df = index
+    # external query namespace whose ids collide with corpus ids on
+    # purpose (the exclude_self distinction is visible)
+    queries = _df(spark, _planted(n=40, seed=99))
+    for excl in (False, True):
+        got = _res(
+            ivfpq_search_distributed(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, exclude_self=excl,
+            )
+        )
+        want = _res(
+            ivfpq_search(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, exclude_self=excl,
+            )
+        )
+        assert got == want, excl
+    assert len(got) == 40 * 5
+
+
+def test_distributed_search_exchange_count_and_bucket_elision(spark, tmp_path):
+    """Exchange accounting: the dir-partitioned code corpus hashes both
+    cogroup sides on cell (2 exchanges); with
+    build_ivfpq_index(bucket_table=...) the code rows scan as a bucketed
+    table and the corpus-side Exchange is ELIDED (1) — results stay
+    bit-identical, and appends keep the bucketed layout exchange-free."""
+    import re
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivfpq_search_distributed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivfpqidx")
+    df = _df(spark, _planted(seed=21))
+    plain = str(tmp_path / "plain")
+    bucketed = str(tmp_path / "bucketed")
+    kw = dict(n_cells=8, kmeans_iters=3, m=8, n_codes=64, pq_iters=5)
+    build_ivfpq_index(df, "vec_id", "embedding", plain, **kw)
+    build_ivfpq_index(
+        df, "vec_id", "embedding", bucketed,
+        bucket_table="ivfpqidx.codes_b", n_buckets=8, **kw,
+    )
+    queries = _df(spark, _planted(n=50, seed=22), start=5000)
+
+    def plan_of(path):
+        out = ivfpq_search_distributed(
+            spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        return out, buf.getvalue()
+
+    out_p, plan_p = plan_of(plain)
+    out_b, plan_b = plan_of(bucketed)
+
+    def cell_exchanges(plan):
+        return len(re.findall(r"Arguments: hashpartitioning\(cell", plan))
+
+    assert cell_exchanges(plan_p) == 2, plan_p  # both cogroup children shuffle
+    assert cell_exchanges(plan_b) == 1, plan_b  # corpus side elided
+    assert "Bucketed: true" in plan_b, plan_b
+    assert _res(out_b) == _res(out_p)
+
+    batch = _df(spark, _planted(n=30, seed=23), start=N + 1000)
+    append_ivfpq_index(batch, "vec_id", "embedding", bucketed)
+    append_ivfpq_index(batch, "vec_id", "embedding", plain)
+    out_p2, _ = plan_of(plain)
+    out_b2, plan_b2 = plan_of(bucketed)
+    assert cell_exchanges(plan_b2) == 1, plan_b2
+    assert _res(out_b2) == _res(out_p2)
+
+
+def test_ivfpq_bucket_table_requires_corpus_write(spark, tmp_path):
+    df = _df(spark, _planted(n=8))
+    with pytest.raises(ValueError, match="bucket_table requires write_corpus"):
+        build_ivfpq_index(
+            df, "vec_id", "embedding", str(tmp_path / "x"),
+            n_cells=2, write_corpus=False, bucket_table="ivfpqidx.nope",
+        )
+
+
 def test_guards(spark, index, tmp_path):
     path, df = index
     strdf = df.selectExpr("CAST(vec_id AS STRING) AS vec_id", "embedding")

@@ -58,6 +58,7 @@ __all__ = [
     "build_ivfpq_index",
     "append_ivfpq_index",
     "ivfpq_search",
+    "ivfpq_search_distributed",
     "ivfpq_search_refined",
     "ivfpq_audit",
 ]
@@ -489,6 +490,8 @@ def build_ivfpq_index(
     n_codes: int = 256,
     pq_iters: int = 5,
     pq_sample: int = 8192,
+    bucket_table: str | None = None,
+    n_buckets: int = 32,
     write_corpus: bool = True,
 ) -> None:
     """Train the coarse quantizer AND per-subspace residual codebooks
@@ -499,12 +502,24 @@ def build_ivfpq_index(
     The residual codebooks train on normalize(x) - centroid[assign(x)]
     over the sample (the FAISS IVFPQ residual convention): residuals are
     centered near zero per cell, so the same code budget buys far more
-    precision than PQ on the raw vectors."""
+    precision than PQ on the raw vectors.
+
+    ``bucket_table`` mirrors ``build_ivf_index``'s knob for the
+    distributed serving path: an ADDITIONAL copy of the code rows
+    bucketed by cell, whose hash distribution the planner trusts, so
+    ``ivfpq_search_distributed``'s per-cell cogroup plans with NO
+    corpus-side Exchange. The double-storage trade is 16-32x cheaper
+    here than on the flat index — both copies are code bytes."""
     import numpy as np
 
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel, _fit_codebooks
 
     _require_long_id(df, id_col, "build_ivfpq_index")
+    if bucket_table is not None and not write_corpus:
+        raise ValueError(
+            "build_ivfpq_index: bucket_table requires write_corpus=True — "
+            "there is no corpus to bucket"
+        )
     spark = df.sparkSession
     if n_cells is None:
         n_cells = auto_n_cells(df.count(), max_cluster_size)
@@ -542,11 +557,20 @@ def build_ivfpq_index(
     )
     model.save(spark, f"{path}/pq_model")
     if write_corpus:
-        _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/corpus_pq")
+        codes = _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks)
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/corpus_pq"
+        )
+        if bucket_table is not None:
+            (
+                codes.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(int(n_buckets), "cell")
+                .saveAsTable(bucket_table)
+            )
     spark.createDataFrame(
-        [(id_col, None, 0)], "id_col string, bucket_table string, n_buckets int"
+        [(id_col, bucket_table, int(n_buckets))],
+        "id_col string, bucket_table string, n_buckets int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -623,9 +647,15 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     )
     centroids = load_ivf_centroids(path)
     model = PQModel.load(f"{path}/pq_model")
-    _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/corpus_pq")
+    batch = _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks)
+    batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus_pq")
+    meta = _load_meta(path)
+    if meta.get("bucket_table"):
+        # same bucket spec as the build: Spark validates it against the
+        # table, so the co-located layout can't silently degrade
+        batch.write.mode("append").format("parquet").bucketBy(
+            int(meta["n_buckets"]), "cell"
+        ).saveAsTable(meta["bucket_table"])
 
 
 def ivfpq_search(
@@ -761,6 +791,152 @@ def _ivfpq_scan(
 
     hits = corpus.mapInPandas(
         scan, "query_id long, neighbor_id long, adc_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )
+
+
+def ivfpq_search_distributed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    k: int = 5,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """``ivfpq_search`` for CORPUS-SIZED external query sets: no driver
+    collect anywhere (the ``ivf_search_distributed`` skeleton over the
+    compressed layout). The query side probes its cells in one Arrow
+    pass (broadcast centroids, n_probe rows per query), the stored CODE
+    rows join in already cell-partitioned, and the per-cell cogroup
+    kernel builds each query's (m x n_codes) ADC table locally and
+    scores every stored row as m lookups — candidates only (<= |queries|
+    * n_probe * k rows) reach the global re-rank.
+
+    Completes the compressed side of the serving matrix: small batch ->
+    ``ivfpq_search`` (driver-bounded probe set, partition-pruned scan);
+    huge batch -> this. Results are bit-identical to ``ivfpq_search`` on
+    the same index in both exclude_self modes (parity test) — the probe
+    reads the carried ``array<float>`` vector, which equals the
+    collected path's raw-float64 probe whenever the input column is
+    array<float> (the corpus contract; the ADC values float32-truncate
+    identically in both paths).
+
+    Exchange accounting (the ivf_search_distributed stance): with the
+    default dir-partitioned code corpus, BOTH cogroup sides hash on
+    cell; with ``build_ivfpq_index(bucket_table=...)`` the code rows
+    scan as a bucketed table and the corpus-side Exchange is ELIDED
+    (plan-asserted) — and because the bucketed copy holds m code bytes
+    per row instead of d*4 vector bytes, even the query-side exchange
+    dominates it at production widths."""
+    import numpy as np
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
+
+    _require_long_id(queries, id_col, "ivfpq_search_distributed")
+    centroids = load_ivf_centroids(path)
+    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    mm, _n_codes, d_sub = books.shape
+    bc = spark.sparkContext.broadcast((centroids, books))
+    npb = int(n_probe)
+
+    def probe(batches):
+        import pandas as pd
+
+        cents, _ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"ivfpq_search_distributed: NULL {vec_col} query vector"
+                )
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(
+                    f"ivfpq_search_distributed: ragged {vec_col} dimensions"
+                ) from None
+            if m.shape[1] != cents.shape[1]:
+                raise ValueError(
+                    f"ivfpq_search_distributed: {vec_col} is {m.shape[1]}-dim "
+                    f"but the index was built on {cents.shape[1]}-dim vectors"
+                )
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            out_id, out_vec, out_cell = [], [], []
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(pdf[vec_col].iloc[i])
+                    out_cell.append(int(c))
+            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
+
+    q = queries.select(id_col, vec_col).mapInPandas(
+        probe, "any_id long, vec array<float>, cell int"
+    )
+    meta = _load_meta(path)
+    if meta.get("bucket_table"):
+        c = spark.table(meta["bucket_table"])
+    else:
+        c = spark.read.parquet(f"{path}/corpus_pq")
+    c = c.select(F.col(id_col).alias("c_id"), "codes", "cell")
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def per_cell(qs, corp):
+        import pandas as pd
+
+        if len(corp) == 0 or len(qs) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc_cosine": []})
+        cents, books_ = bc.value
+        cell = int(corp["cell"].iloc[0])
+        c_ids = corp["c_id"].to_numpy(dtype=np.int64)
+        codes = np.stack([np.asarray(cd, dtype=np.int64) for cd in corp["codes"]])
+        q_ids = qs["any_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
+        qn = q_mat / np.maximum(
+            np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30
+        )
+        # adc[q, row] = sum_s tbl[q, s, codes[row, s]] + <qn, centroid[cell]>
+        # — accumulated in _ivfpq_scan's exact order (subspaces in s
+        # order, bias LAST) so the float sums are bit-identical and the
+        # 1e-6 rounding can never disagree at a boundary
+        adc = np.zeros((len(q_ids), len(codes)))
+        for s in range(mm):
+            tbl = qn[:, s * d_sub : (s + 1) * d_sub] @ books_[s].T
+            adc += tbl[:, codes[:, s]]
+        adc += (qn @ cents[cell])[:, None]
+        adc = np.round(adc, 6)
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = c_ids != q_ids[i] if excl else np.ones(len(c_ids), bool)
+            cand_ids, cand_adc = c_ids[mask], adc[i][mask]
+            order = np.lexsort((cand_ids, -cand_adc))[: min(kk, len(cand_ids))]
+            out_q.extend([q_ids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_adc[order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "adc_cosine": out_c}
+        )
+
+    # cogroup, not union+groupBy: each side keeps its own distribution
+    # requirement, so a bucketed code corpus satisfies its side WITHOUT
+    # an Exchange while the query rows shuffle to match
+    hits = (
+        q.groupBy("cell")
+        .cogroup(c.groupBy("cell"))
+        .applyInPandas(per_cell, "query_id long, neighbor_id long, adc_cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
