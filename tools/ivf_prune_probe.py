@@ -15,6 +15,15 @@ up as ivfpq_read_fraction < read_fraction, widening with corpus scale as
 payload outgrows per-file framing (the layout-level ratio is measured at
 0.074x at 8k x 64-d in tests/test_ivfpq.py).
 
+And the TWO-STAGE refined search (r13): ivfpq_search_refined reads the
+COMPRESSED probed cells (shortlist pass) AND the FLAT probed cells
+(exact re-rank) — its docstring states the byte accounting honestly; the
+refined_read_fraction row MEASURES it (expected ~= read_fraction +
+ivfpq_read_fraction, i.e. more bytes than either single-stage search;
+what refine buys is exact reported cosines with the re-rank compute
+bounded by queries x refine). The refined queries enter as a driver-
+local relation so the measurement is exactly the two index scans.
+
 Usage: python tools/ivf_prune_probe.py [--mults 1,10] [--markdown]
 """
 
@@ -65,14 +74,18 @@ def run_scale(spark, mult: int, d: str) -> dict:
         build_ivfpq_index,
         ivf_search,
         ivfpq_search,
+        ivfpq_search_refined,
     )
 
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
     idx = f"/tmp/sparkgraft_ivf_probe/x{mult}"
-    if not os.path.isdir(f"{idx}/centroids"):
+    # meta is the builders' LAST write: its _SUCCESS marks the whole
+    # index committed — a crash mid-priming leaves centroids (the FIRST
+    # artifact) behind, which a bare isdir check would silently reuse
+    if not os.path.exists(f"{idx}/meta/_SUCCESS"):
         build_ivf_index(emb, "vec_id", "embedding", idx, n_cells=N_CELLS)
     pq_idx = f"/tmp/sparkgraft_ivfpq_probe/x{mult}"
-    if not os.path.isdir(f"{pq_idx}/centroids"):
+    if not os.path.exists(f"{pq_idx}/meta/_SUCCESS"):
         build_ivfpq_index(emb, "vec_id", "embedding", pq_idx, n_cells=N_CELLS)
     queries = emb.filter(f"vec_id < {N_QUERIES}")
 
@@ -93,6 +106,18 @@ def run_scale(spark, mult: int, d: str) -> dict:
     pruned = meter.delta()
     noop(out_pq)
     pruned_pq = meter.delta()
+    # refined: the shortlist job runs at CALL time (internal collect), so
+    # the meter must cover the call AND the re-rank noop; a driver-local
+    # query relation keeps the embeddings scan out of the measurement
+    local_q = spark.createDataFrame(queries.collect(), queries.schema)
+    meter.delta()
+    out_ref = ivfpq_search_refined(
+        spark, pq_idx, idx, local_q, "vec_id", "embedding",
+        n_probe=N_PROBE, refine=50, k=5,
+        validate=False,  # footer walks are driver-side pyarrow, not input bytes
+    )
+    noop(out_ref)
+    refined = meter.delta()
     noop(spark.read.parquet(f"{idx}/corpus"))
     full = meter.delta()
     return {
@@ -102,9 +127,11 @@ def run_scale(spark, mult: int, d: str) -> dict:
         "n_probe": N_PROBE,
         "pruned_search_input_mb": round(pruned / 1e6, 3),
         "pruned_ivfpq_search_input_mb": round(pruned_pq / 1e6, 3),
+        "refined_search_input_mb": round(refined / 1e6, 3),
         "full_scan_input_mb": round(full / 1e6, 3),
         "read_fraction": round(pruned / full, 4) if full else None,
         "ivfpq_read_fraction": round(pruned_pq / full, 4) if full else None,
+        "refined_read_fraction": round(refined / full, 4) if full else None,
         "probe_budget_fraction": round(min(N_QUERIES * N_PROBE, N_CELLS) / N_CELLS, 4),
     }
 
@@ -134,13 +161,17 @@ def main() -> None:
     if "--markdown" in sys.argv:
         ms = sorted(results)
         print()
-        print("| corpus | pruned search MB | full scan MB | read fraction | probe budget |")
-        print("|---|---|---|---|---|")
+        print(
+            "| corpus | pruned search MB | full scan MB | read fraction "
+            "| ivfpq fraction | refined fraction | probe budget |"
+        )
+        print("|---|---|---|---|---|---|---|")
         for m in ms:
             r = results[m]
             print(
                 f"| {m}x ({r['corpus_vectors']} vecs) | {r['pruned_search_input_mb']} "
                 f"| {r['full_scan_input_mb']} | {r['read_fraction']} "
+                f"| {r['ivfpq_read_fraction']} | {r['refined_read_fraction']} "
                 f"| {r['probe_budget_fraction']} |"
             )
 

@@ -110,12 +110,21 @@ def train_opq(
     iters: int = 5,
     sample_rows: int = 8192,
     pca_iters: int = 20,
+    orthonormalize: bool = True,
 ) -> OPQModel:
     """Fit the rotation (full-rank covariance eigenbasis via the
     deterministic power-deflation solver, one shuffle-free moments pass
     over the corpus) and the allocation, then train standard PQ
     codebooks on the ROTATED lowest-id sample. Everything is
-    deterministic end to end — same data, same model, any partitioning."""
+    deterministic end to end — same data, same model, any partitioning.
+
+    ``orthonormalize=False`` skips the QR polish below — the ONE step of
+    this pipeline with no SQL unroll (Householder QR), so the DuckDB
+    mirror test (tests/test_opq.py) pins everything else cross-engine
+    without it. Legitimate only for spectra with well-separated DISTINCT
+    eigenvalues, where the power basis is already orthonormal to the
+    iteration tolerance; the default keeps the exact-geometry guarantee
+    for real (degenerate-tailed) embedding spectra."""
     import numpy as np
 
     from youtube_analytics_lakehouse_databricks_spark.operators.pca import train_pca
@@ -130,18 +139,19 @@ def train_opq(
         raise ValueError(f"train_opq: dim {d} is not divisible by m={m}")
     model = train_pca(df, vec_col, d, iters=pca_iters)
     comps = np.asarray(model.components, dtype=np.float64)  # (d, d) rows
-    # the power-deflation basis is only approximately orthonormal on
-    # DEGENERATE trailing eigenvalues (equal-variance axes converge to
-    # an arbitrary, imperfectly orthogonal frame) — re-orthonormalize
-    # with QR so <Ra, Rb> = <a, b> holds to machine precision: the
-    # informative leading axes barely move, and ANY orthonormal
-    # completion of an isotropic tail quantizes equally well. Signs
-    # canonicalize on a positive R diagonal so the fix stays
-    # deterministic.
-    qmat, rmat = np.linalg.qr(comps.T)
-    signs = np.sign(np.diag(rmat))
-    signs[signs == 0] = 1.0
-    comps = (qmat * signs).T
+    if orthonormalize:
+        # the power-deflation basis is only approximately orthonormal on
+        # DEGENERATE trailing eigenvalues (equal-variance axes converge
+        # to an arbitrary, imperfectly orthogonal frame) —
+        # re-orthonormalize with QR so <Ra, Rb> = <a, b> holds to
+        # machine precision: the informative leading axes barely move,
+        # and ANY orthonormal completion of an isotropic tail quantizes
+        # equally well. Signs canonicalize on a positive R diagonal so
+        # the fix stays deterministic.
+        qmat, rmat = np.linalg.qr(comps.T)
+        signs = np.sign(np.diag(rmat))
+        signs[signs == 0] = 1.0
+        comps = (qmat * signs).T
     perm = allocate_eigen_dims(model.eigenvalues, m)
     rotation = comps[perm]  # permuted rows stay orthonormal
     books = _fit_codebooks(mat @ rotation.T, m, n_codes, iters, op="train_opq")
