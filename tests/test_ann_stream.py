@@ -269,3 +269,103 @@ def test_streamed_ingest_into_batch_built_index_raises(spark, tmp_path):
     build_ivf_index(df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2)
     with pytest.raises(ValueError, match="BATCH-BUILT index layout"):
         ingest_ann_batch(df, 0, "vec_id", "embedding", path)
+
+
+def test_compaction_during_live_stream_with_replay_across_fold(spark, tmp_path):
+    """The docstring's concurrency contract, pinned live: compaction runs
+    against a RUNNING ann_index_stream (new batch ids are never touched),
+    ingest continues into the compacted layout, and a FORCED replay
+    across the fold boundary (checkpoint commit marker deleted, stream
+    restarted — Structured Streaming reprocesses its frontier batch)
+    stays exactly-once because keep_last >= 2 keeps every replayable
+    batch out of the fold. Search parity against a one-write encode of
+    the same frozen state holds at every step."""
+    import os
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
+
+    X = _planted(n=320, seed=29)
+    df = _df(spark, X)
+    path = str(tmp_path / "live")
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", path,
+                               n_cells=4, kmeans_iters=2)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    corpus_dir = f"{path}/corpus"
+
+    def feed(lo, hi):
+        df.filter(f"vec_id >= {lo} AND vec_id < {hi}").write.mode(
+            "append"
+        ).parquet(src)
+
+    def batch_dirs():
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(corpus_dir)
+            if e.startswith("batch_id=")
+        )
+
+    def rows():
+        return _res(spark.read.parquet(corpus_dir).select("vec_id", "cell"))
+
+    def search():
+        return _res(ivf_search(spark, path, df.filter("vec_id < 5"),
+                               "vec_id", "embedding", n_probe=2, k=5,
+                               exclude_self=True))
+
+    feed(0, 240)  # batch 0 drains everything available at start
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = ann_index_stream(stream, "vec_id", "embedding", path, ckpt)
+    try:
+        q.processAllAvailable()
+        for lo in range(240, 280, 10):  # batches 1..4, one file each
+            feed(lo, lo + 10)
+            q.processAllAvailable()
+        assert batch_dirs() == [0, 1, 2, 3, 4]
+
+        # compact WHILE the query is live: batches 0..2 fold into 0
+        assert compact_ann_stream(spark, path, keep_last=2) == 3
+        assert batch_dirs() == [0, 3, 4]
+        mid_rows, mid_search = rows(), search()
+
+        # ingest continues against the compacted layout
+        feed(280, 320)  # batch 5
+        q.processAllAvailable()
+        assert batch_dirs() == [0, 3, 4, 5]
+    finally:
+        q.stop()
+
+    # one-write reference over the same frozen state
+    ref = str(tmp_path / "ref")
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", ref,
+                               n_cells=4, kmeans_iters=2)
+    ingest_ann_batch(df, 0, "vec_id", "embedding", ref)
+    want = _res(ivf_search(spark, ref, df.filter("vec_id < 5"),
+                           "vec_id", "embedding", n_probe=2, k=5,
+                           exclude_self=True))
+    full_rows, full_search = rows(), search()
+    assert full_search == want
+    assert len(mid_rows) == 280 and len(full_rows) == 320
+
+    # forced replay ACROSS the fold boundary: mark the frontier batch
+    # uncommitted and restart — Structured Streaming reprocesses it; the
+    # dynamic partition overwrite replaces exactly batch 5, and the
+    # folded batches (protected by keep_last >= 2) are never re-entered
+    os.remove(f"{ckpt}/commits/5")
+    if os.path.exists(f"{ckpt}/commits/.5.crc"):
+        os.remove(f"{ckpt}/commits/.5.crc")  # checksum sidecar on local FS
+    q2 = ann_index_stream(
+        spark.readStream.schema(df.schema).parquet(src),
+        "vec_id", "embedding", path, ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert batch_dirs() == [0, 3, 4, 5]
+    assert rows() == full_rows and search() == full_search
+
+    # and the horizon advances: a later compaction folds up to the new
+    # tail ([0, 3] of [0, 3, 4, 5] — the replayed frontier stays out)
+    assert compact_ann_stream(spark, path, keep_last=2) == 2
+    assert batch_dirs() == [0, 4, 5]
+    assert rows() == full_rows and search() == full_search
