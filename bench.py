@@ -25,28 +25,19 @@ def _bench_only() -> dict[str, Query]:
     """Operators benchmarked here but NOT in the driver registry (the
     CORRECTNESS budget is 50 queries; these are pinned by their own test
     suites — tests/test_sharding.py, test_mixing.py, test_tokenizer.py —
-    instead of a DuckDB oracle row). paragraph_dedup_documents graduated
-    to a registered oracle row in round 7, releasing the slot
-    token_explode_counts now occupies here. substring_dedup_documents
-    graduated the same way in round 9 (queries/textops.py — identical
-    wiring: doc_id fan-out, W=20 — so its r8 timing series continues) (its explode+count surface is
-    already oracled gram-for-gram by regex_token_counts)."""
+    instead of a DuckDB oracle row). Every row here is the ONLY timing
+    series for its operator family (or, for semantic_dedup_embeddings,
+    deliberately shadows the registered row's oracle-shaped parameters
+    with the production ones); pure shadow rows whose surface an oracled
+    row in this suite already times were RETIRED in r13 — see the r13
+    drift notes below for the list, successors, and final readings."""
     from pyspark.sql import functions as F
 
-    from youtube_analytics_lakehouse_databricks_spark.operators import text as text_ops
     from youtube_analytics_lakehouse_databricks_spark.operators.mixing import mixture_sample
     from youtube_analytics_lakehouse_databricks_spark.operators.sharding import write_shards
 
     def _docs(spark, sf_dir):
         return read_fanned(spark, sf_dir, "documents", by="doc_id")
-
-    def token_explode_counts(spark, sf_dir):
-        # plain read — the r6 registered-query wiring, restored for
-        # like-for-like cross-round comparability (see drift notes at
-        # HEADLINE; all three wirings measure within noise today)
-        from youtube_analytics_lakehouse_databricks_spark.queries import read
-
-        return text_ops.token_counts(read(spark, sf_dir, "documents"), "text")
 
     def ngram_lm_train(spark, sf_dir):
         # TRAINING only: n gram-count aggregations + n-1 context joins
@@ -82,16 +73,6 @@ def _bench_only() -> dict[str, Query]:
             train_ngram_lm(docs.filter("doc_id % 5 = 0"), "text").save(path)
             _models[key] = NgramLM.load(spark, path)
         return score_perplexity(docs, "doc_id", "text", _models[key])
-
-    def doc_fingerprints(spark, sf_dir):
-        # the former registered query's exact wiring (merged into
-        # simhash_fingerprints r8 — ONE explode+agg now carries both
-        # fingerprints there); kept here so the timing series continues
-        from youtube_analytics_lakehouse_databricks_spark.queries import read
-
-        return text_ops.positional_fingerprints(
-            read(spark, sf_dir, "documents"), "doc_id", "text"
-        )
 
     def shuffle_shard_export(spark, sf_dir):
         # times the full export: assign + one exchange + sort + write
@@ -165,23 +146,6 @@ def _bench_only() -> dict[str, Query]:
         ev = emb.filter("vec_id % 20 = 0").limit(25)
         return semantic_decontaminate(emb, ev, "vec_id", "embedding", threshold=0.9)
 
-    def signup_followup_window(spark, sf_dir):
-        # the former registered query's exact wiring (slot freed in r10
-        # for ngram_lm_scores; the interval-join surface stays oracled
-        # through asof_purchase_prior_click) — timing series continues
-        from youtube_analytics_lakehouse_databricks_spark.queries import advanced
-
-        return advanced.signup_followup_window(spark, sf_dir)
-
-    def ngram_jaccard_pairs(spark, sf_dir):
-        # the former registered query's exact wiring (slot freed in r10
-        # for semantic_dedup_embeddings; Jaccard verification stays
-        # oracled through lsh_verified_near_dups) — kept here so the
-        # timing series continues
-        from youtube_analytics_lakehouse_databricks_spark.queries import textops
-
-        return textops.ngram_jaccard_pairs(spark, sf_dir)
-
     _models: dict[str, object] = {}
 
     def quality_classifier_scores(spark, sf_dir):
@@ -204,13 +168,6 @@ def _bench_only() -> dict[str, Query]:
                 sample_per_class=2000,
             )
         return score_quality(docs, "doc_id", "text", _models[sf_dir])
-
-    def value_percentiles(spark, sf_dir):
-        # unregistered r11 (folded into events_rollup's rollup grains);
-        # timing series continues on the original event_type-grain plan
-        from youtube_analytics_lakehouse_databricks_spark.queries import advanced
-
-        return advanced.value_percentiles(spark, sf_dir)
 
     def bpe_token_counts(spark, sf_dir):
         # merges trained once per sf (priming run pays it); timed work is
@@ -303,8 +260,6 @@ def _bench_only() -> dict[str, Query]:
     return {
         f.__name__: Query(f.__name__, f, oracle=None, doc="bench-only")
         for f in (
-            token_explode_counts,
-            doc_fingerprints,
             ngram_lm_train,
             ngram_lm_perplexity,
             shuffle_shard_export,
@@ -314,16 +269,29 @@ def _bench_only() -> dict[str, Query]:
             mixture_sample_documents,
             semantic_dedup_embeddings,
             semantic_decontam_scores,
-            ngram_jaccard_pairs,
-            signup_followup_window,
-            value_percentiles,
             quality_classifier_scores,
             bpe_token_counts,
         )
     }
 
 
-# Drift notes (r13): first-epoch row ivfpq_refined_search (two-stage
+# Drift notes (r13): FIVE shadow rows RETIRED (the r12 VERDICT's
+# bench-only audit): token_explode_counts, doc_fingerprints,
+# value_percentiles, signup_followup_window, ngram_jaccard_pairs each
+# duplicated a surface an ORACLED row in this same suite already times —
+# regex_token_counts, simhash_fingerprints (carries both fingerprint
+# families since r8), events_rollup (carries the exact percentiles at
+# every grain since r11), asof_purchase_prior_click (carries the
+# interval join since r10), and lsh_verified_near_dups (the oracled
+# Jaccard verification; the retired row was the documented brute-force
+# all-pairs ANTI-pattern, kept only for series continuity). Each
+# successor names its fold at the query site (the relational.py NOTE
+# pattern); the underlying operators stay importable and tested. Final
+# r13-session readings for the retired series, quiet box, sf0.1:
+# token_explode_counts 0.180, doc_fingerprints 0.234, value_percentiles
+# 0.211, signup_followup_window 0.387, ngram_jaccard_pairs 0.615 —
+# subtract ~1.63 s when comparing suite totals across the retirement
+# boundary. Remaining first-epoch row ivfpq_refined_search (two-stage
 # ADC-shortlist + exact re-rank; the timed number covers BOTH stages —
 # shortlist at builder-call time, re-rank at the sink — and the input-
 # bytes side of the claim is measured by tools/ivf_prune_probe.py's
@@ -426,14 +394,11 @@ HEADLINE = [
     "props_json_extract",
     "orders_enriched",
     "daily_orders_with_top_customer",
-    "token_explode_counts",
     "exact_dedup_documents",
     "benchmark_decontam",
     "lsh_candidate_pairs",
-    "ngram_jaccard_pairs",
     "lsh_verified_near_dups",
     "doc_quality_scores",
-    "doc_fingerprints",
     "embedding_topk_cosine",
     "embedding_bucket_ann",
     "embedding_ivf_ann",
@@ -444,8 +409,6 @@ HEADLINE = [
     "customer_surrogate_keys",
     "asof_purchase_prior_click",
     "event_sessionization",
-    "signup_followup_window",
-    "value_percentiles",
     "json_envelope_roundtrip",
     # round-6 bench-only operators (see _bench_only)
     "paragraph_dedup_documents",
