@@ -288,3 +288,63 @@ def test_bucket_table_requires_corpus_write(spark, tmp_path):
             df, "vec_id", "embedding", str(tmp_path / "x"),
             n_cells=2, write_corpus=False, bucket_table="ivfidx.nope",
         )
+
+
+def test_salted_distributed_search_matches_unsalted(spark, index):
+    """The hot-cell guard changes the physical grouping only: n_salt=3
+    sub-splits every cell by pmod(id, 3) (bounded per-task groups), and
+    the results are bit-identical to the unsalted path and to ivf_search
+    — a global top-k neighbor is top-k within any group containing it,
+    so the final re-rank window reconstructs the same answer."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_search_distributed,
+    )
+
+    path, df = index
+    queries = _df(spark, _vecs(n=40, d=D, seed=77), start=0)
+    want = _res(
+        ivf_search(spark, path, queries, "vec_id", "embedding", n_probe=2, k=5)
+    )
+    for ns in (1, 3):
+        got = _res(
+            ivf_search_distributed(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, n_salt=ns,
+            )
+        )
+        assert got == want, ns
+    with pytest.raises(ValueError, match="n_salt must be >= 1"):
+        ivf_search_distributed(
+            spark, path, queries, "vec_id", "embedding", n_salt=0
+        )
+
+
+def test_cell_stats_detects_append_drift(spark, index, tmp_path):
+    """ivf_cell_stats is the rebuild/salt trigger: on the freshly-built
+    index occupancy is spread; after appending a pile of near-identical
+    vectors (drifted distribution -> one frozen cell) the hot cell's
+    skew stands out. Stats sum to the corpus and frac to 1."""
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        append_ivf_index,
+        ivf_cell_stats,
+    )
+
+    path, df = index
+    drifted = str(tmp_path / "drifted")
+    shutil.copytree(path, drifted)
+    before = {r["cell"]: r for r in ivf_cell_stats(spark, drifted).collect()}
+    n_corpus = spark.read.parquet(f"{drifted}/corpus").count()
+    assert sum(r["n_rows"] for r in before.values()) == n_corpus
+    assert abs(sum(r["frac"] for r in before.values()) - 1.0) < 1e-9
+    max_before = max(r["skew"] for r in before.values())
+
+    # drift: one tight cluster, corpus-sized, lands in ONE frozen cell
+    hot = np.tile(_vecs(n=1, d=D, seed=5), (n_corpus, 1)) + 1e-3 * _vecs(
+        n=n_corpus, d=D, seed=6
+    )
+    append_ivf_index(_df(spark, hot, start=10_000), "vec_id", "embedding", drifted)
+    after = ivf_cell_stats(spark, drifted).collect()
+    assert sum(r["n_rows"] for r in after) == 2 * n_corpus
+    assert max(r["skew"] for r in after) > 2 * max_before

@@ -721,3 +721,43 @@ def test_ivfpq_audit_self_grades_error_budget(spark, index):
     )
     with pytest.raises(Exception, match=f"{D}-dim"):
         ivfpq_audit(spark, path, wrongd, "vec_id", "embedding").collect()
+
+
+def test_salted_distributed_search_matches_unsalted(spark, index):
+    """The n_salt hot-cell guard on the compressed layout: n_salt=3
+    sub-splits every cell's code rows by pmod(id, 3) and replicates the
+    query probes per salt — results bit-identical to the unsalted
+    distributed path and the collected path."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivfpq_search_distributed,
+    )
+
+    path, df = index
+    queries = _df(spark, _planted(n=40, seed=77))
+    want = _res(
+        ivfpq_search(spark, path, queries, "vec_id", "embedding", n_probe=2, k=5)
+    )
+    for ns in (1, 3):
+        got = _res(
+            ivfpq_search_distributed(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, n_salt=ns,
+            )
+        )
+        assert got == want, ns
+    with pytest.raises(ValueError, match="n_salt must be >= 1"):
+        ivfpq_search_distributed(
+            spark, path, queries, "vec_id", "embedding", n_salt=0
+        )
+
+
+def test_cell_stats_on_compressed_layout(spark, index):
+    """ivf_cell_stats sniffs the corpus_pq layout and reports occupancy
+    over the code rows — same detector, 16x fewer bytes scanned."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import ivf_cell_stats
+
+    path, _df_ = index
+    rows = ivf_cell_stats(spark, path).collect()
+    assert sum(r["n_rows"] for r in rows) == N
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
+    assert all(r["skew"] > 0 for r in rows)

@@ -54,6 +54,7 @@ __all__ = [
     "append_ivf_index",
     "ivf_search",
     "ivf_search_distributed",
+    "ivf_cell_stats",
     "load_ivf_centroids",
     "build_ivfpq_index",
     "append_ivfpq_index",
@@ -346,6 +347,7 @@ def ivf_search_distributed(
     n_probe: int = 2,
     k: int = 5,
     exclude_self: bool = False,
+    n_salt: int = 1,
 ) -> DataFrame:
     """``ivf_search`` for CORPUS-SIZED external query sets: no driver
     collect anywhere. The query side probes its cells in one Arrow pass
@@ -370,10 +372,26 @@ def ivf_search_distributed(
     bucketed table whose hash distribution the planner trusts, the
     corpus-side Exchange is ELIDED (plan-asserted in tests), and only
     the query rows shuffle — the index's one-time shuffle amortized
-    across every search."""
+    across every search.
+
+    ``n_salt`` is the HOT-CELL guard: the per-cell kernel materializes
+    one cell's rows per task, and appends assign into FROZEN cells — a
+    drifted corpus piles into few of them (detect with
+    ``ivf_cell_stats``), turning those tasks into stragglers or OOMs.
+    ``n_salt > 1`` sub-splits every cell by ``pmod(id, n_salt)``
+    (corpus rows once, query probe rows replicated per salt), bounding
+    the per-task group at ~1/n_salt of the hottest cell. Results stay
+    bit-identical (a global top-k neighbor is top-k within any group
+    containing it, and the final re-rank window is unchanged — parity
+    test); the costs are query-row replication (xn_salt) and, with a
+    bucketed corpus, the loss of the exchange elision (the cogroup now
+    keys on (cell, salt), which the cell-bucketed layout no longer
+    satisfies)."""
     import numpy as np
 
     _require_long_id(queries, id_col, "ivf_search_distributed")
+    if int(n_salt) < 1:
+        raise ValueError(f"ivf_search_distributed: n_salt must be >= 1, got {n_salt}")
     centroids = load_ivf_centroids(path)
     bc = spark.sparkContext.broadcast(centroids)
     npb = int(n_probe)
@@ -420,6 +438,13 @@ def ivf_search_distributed(
     else:
         c = spark.read.parquet(f"{path}/corpus")
     c = c.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_vec"), "cell")
+    keys = ["cell"]
+    if int(n_salt) > 1:
+        q = q.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(int(n_salt))]))
+        )
+        c = c.withColumn("salt", F.pmod(F.col("c_id"), F.lit(int(n_salt))).cast("int"))
+        keys = ["cell", "salt"]
     kk = int(k)
     excl = bool(exclude_self)
 
@@ -449,8 +474,8 @@ def ivf_search_distributed(
     # requirement, so a bucketed corpus satisfies its side WITHOUT an
     # Exchange while the (much smaller) query side shuffles to match
     hits = (
-        q.groupBy("cell")
-        .cogroup(c.groupBy("cell"))
+        q.groupBy(*keys)
+        .cogroup(c.groupBy(*keys))
         .applyInPandas(per_cell, "query_id long, neighbor_id long, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -460,6 +485,44 @@ def ivf_search_distributed(
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n_rows, frac, skew): per-cell occupancy of the persisted
+    corpus — the drift detector for the frozen-quantizer contract.
+
+    ``append_ivf_index``/``append_ivfpq_index``/streamed ingestion all
+    assign into FROZEN cells, so a corpus whose distribution drifts
+    piles into few of them. Occupancy skew is exactly what degrades
+    serving at scale: a probed hot cell dominates the pruned scan's
+    bytes, and the distributed searches' per-cell kernel materializes
+    one cell per task — the straggler/OOM shape. ``skew`` is
+    n_rows / (total / n_cells), i.e. 1.0 = perfectly balanced; read
+    ``max(skew)`` periodically and either pass ``n_salt`` to the
+    distributed searches (bounded mitigation, no rebuild) or rebuild
+    the index when the quantizer no longer fits the corpus. Cells with
+    ZERO rows don't appear (they harm recall efficiency, not memory —
+    and their count is n_cells minus this frame's rows).
+
+    Works on all three layouts (flat, compressed, streamed — sniffed
+    like the compaction does); one count aggregation over the cell
+    partition column, no vector/code bytes read."""
+    fs = DriverFS(spark, path, "ivf_cell_stats")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    n_cells = int(len(load_ivf_centroids(path)))
+    counts = spark.read.parquet(corpus_dir).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_rows").over(w)
+    return counts.select(
+        "cell",
+        "n_rows",
+        (F.col("n_rows") / total).alias("frac"),
+        (F.col("n_rows") * F.lit(n_cells) / total).alias("skew"),
     )
 
 
@@ -812,10 +875,13 @@ def ivfpq_search_distributed(
     n_probe: int = 2,
     k: int = 5,
     exclude_self: bool = False,
+    n_salt: int = 1,
 ) -> DataFrame:
     """``ivfpq_search`` for CORPUS-SIZED external query sets: no driver
     collect anywhere (the ``ivf_search_distributed`` skeleton over the
-    compressed layout). The query side probes its cells in one Arrow
+    compressed layout — including its ``n_salt`` hot-cell guard: cells
+    sub-split by ``pmod(id, n_salt)`` so a drifted cell can't OOM or
+    straggle its kernel task; bit-identical results, parity-tested). The query side probes its cells in one Arrow
     pass (broadcast centroids, n_probe rows per query), the stored CODE
     rows join in already cell-partitioned, and the per-cell cogroup
     kernel builds each query's (m x n_codes) ADC table locally and
@@ -843,6 +909,10 @@ def ivfpq_search_distributed(
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(queries, id_col, "ivfpq_search_distributed")
+    if int(n_salt) < 1:
+        raise ValueError(
+            f"ivfpq_search_distributed: n_salt must be >= 1, got {n_salt}"
+        )
     centroids = load_ivf_centroids(path)
     books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
     mm, _n_codes, d_sub = books.shape
@@ -891,6 +961,13 @@ def ivfpq_search_distributed(
     else:
         c = spark.read.parquet(f"{path}/corpus_pq")
     c = c.select(F.col(id_col).alias("c_id"), "codes", "cell")
+    keys = ["cell"]
+    if int(n_salt) > 1:
+        q = q.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(int(n_salt))]))
+        )
+        c = c.withColumn("salt", F.pmod(F.col("c_id"), F.lit(int(n_salt))).cast("int"))
+        keys = ["cell", "salt"]
     kk = int(k)
     excl = bool(exclude_self)
 
@@ -934,8 +1011,8 @@ def ivfpq_search_distributed(
     # requirement, so a bucketed code corpus satisfies its side WITHOUT
     # an Exchange while the query rows shuffle to match
     hits = (
-        q.groupBy("cell")
-        .cogroup(c.groupBy("cell"))
+        q.groupBy(*keys)
+        .cogroup(c.groupBy(*keys))
         .applyInPandas(per_cell, "query_id long, neighbor_id long, adc_cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(
