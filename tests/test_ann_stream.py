@@ -369,3 +369,37 @@ def test_compaction_during_live_stream_with_replay_across_fold(spark, tmp_path):
     assert compact_ann_stream(spark, path, keep_last=2) == 2
     assert batch_dirs() == [0, 4, 5]
     assert rows() == full_rows and search() == full_search
+
+
+def test_distributed_search_and_cell_stats_over_streamed_layout(spark, tmp_path):
+    """The corpus-sized serving paths work unchanged over the streamed
+    batch_id=K/cell=J layout: ivf_search_distributed (salted and not)
+    matches ivf_search on the same streamed index, and ivf_cell_stats
+    sniffs the layout and accounts for every streamed row."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_cell_stats,
+        ivf_search_distributed,
+    )
+
+    X = _planted(n=180, seed=43)
+    df = _df(spark, X)
+    path = str(tmp_path / "sdist")
+    bootstrap_ann_stream_index(df, "vec_id", "embedding", path,
+                               n_cells=4, kmeans_iters=2)
+    for bid in range(3):
+        ingest_ann_batch(df.filter(f"vec_id % 3 = {bid}"), bid,
+                         "vec_id", "embedding", path)
+    queries = _df(spark, _planted(n=30, seed=44))
+    want = _res(ivf_search(spark, path, queries, "vec_id", "embedding",
+                           n_probe=2, k=5))
+    for ns in (1, 3):
+        got = _res(
+            ivf_search_distributed(
+                spark, path, queries, "vec_id", "embedding",
+                n_probe=2, k=5, n_salt=ns,
+            )
+        )
+        assert got == want, ns
+    stats = ivf_cell_stats(spark, path).collect()
+    assert sum(r["n_rows"] for r in stats) == 180
+    assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-9
