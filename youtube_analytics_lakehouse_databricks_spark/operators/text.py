@@ -246,57 +246,54 @@ def hashed_embedding(
     (JL-style +/-1 projection), so lexically similar docs land close —
     the bridge that lets a TEXT-ONLY corpus run the whole vector stack
     (semantic_dedup, IVF/PQ ANN, decontam) with no external embedding
-    model. Fully JVM-side: one sha2 + ONE nibble decode per token (the
-    ``ceil(dim/4)`` hex chars the dimensions need, decoded once into an
-    int array — not one instr/substr string pass per DIMENSION), then
-    ``dim`` sum aggregates of pure integer bit-indexing, one explode +
-    one per-doc aggregation, no Python in the plan.
+    model. Fully JVM-side AND a pure per-row PROJECTION — the sums fold
+    over the token array with higher-order functions, so the plan has
+    no explode, no aggregation exchange, and no join: zero shuffle at
+    any corpus size (the quality_scores stance; the r12 shape exploded
+    tokens into a corpus-sized groupBy). Per token: one sha2 + ONE
+    nibble decode (the ``ceil(dim/4)`` hex chars the dimensions need,
+    decoded once into an int array — not one instr/substr string pass
+    per DIMENSION); per dimension: an integer bit-indexing fold.
 
     Degenerate docs get a NULL embedding, never a zero vector (a zero
     vector would fake similarity 0 to everything; downstream semantic
     stages reject or audit NULLs loudly by design): zero-token docs,
-    and the rarer doc whose per-dimension signed sums ALL cancel to an
-    exact zero norm. Oracled cross-engine (hash-match) riding the
-    ``doc_quality_scores`` registry row at an oracle-tractable dim."""
+    NULL text, and the rarer doc whose per-dimension signed sums ALL
+    cancel to an exact zero norm. Oracled cross-engine (hash-match)
+    riding the ``doc_quality_scores`` registry row at an
+    oracle-tractable dim (the sums are exact ±1 integers, so the
+    fold order can't perturb them)."""
     if not 1 <= int(dim) <= 256:
         raise ValueError(
             f"hashed_embedding: dim={dim} must be in [1, 256] — one "
             "sha256 digest supplies 256 sign bits per token"
         )
     n_nibs = (int(dim) + 3) // 4
-    toks = (
-        df.select(
-            id_col,
-            F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x <> '')")).alias(
-                "token"
-            ),
-        )
-        .select(id_col, F.sha2(F.col("token"), 256).alias("tsha"))
-        .select(
-            id_col,
-            F.expr(
-                f"transform(sequence(1, {n_nibs}), i -> "
-                "instr('0123456789abcdef', substr(tsha, i, 1)) - 1)"
-            ).alias("nibs"),
-        )
+    shas = f"transform(filter(split({text_col}, ' '), x -> x <> ''), t -> sha2(t, 256))"
+    # the per-token nibble matrix materializes ONCE per row; every
+    # dimension below is a pure integer fold over it
+    base = df.select(
+        id_col,
+        F.expr(
+            f"transform({shas}, h -> transform(sequence(1, {n_nibs}), "
+            "i -> instr('0123456789abcdef', substr(h, i, 1)) - 1))"
+        ).alias("__nibs"),
     )
-    sums = []
+    dims = []
     for b in range(int(dim)):
         pos, shift = 1 + b // 4, 3 - b % 4
-        bit = f"((element_at(nibs, {pos}) div {2 ** shift}) % 2)"
-        sums.append(
-            F.sum(F.expr(f"(2 * {bit} - 1)")).cast("double").alias(f"d{b}")
+        dims.append(
+            f"aggregate(__nibs, CAST(0 AS DOUBLE), (a, r) -> "
+            f"a + (2 * ((element_at(r, {pos}) div {2 ** shift}) % 2) - 1))"
         )
-    agg = toks.groupBy(id_col).agg(*sums)
-    vec = F.array(*[F.col(f"d{b}") for b in range(int(dim))])
-    # an exactly-zero norm (all dimensions cancelled) is NULL, not a
-    # zero vector — same stance as the zero-token channel below
+    # NULL text propagates NULL folds; zero-token and all-cancelling
+    # docs land at __nrm = 0 — every degenerate channel exits NULL here
     normed = F.expr(
-        "CASE WHEN __nrm = CAST(0 AS DOUBLE) THEN NULL "
+        "CASE WHEN __nrm IS NULL OR __nrm = CAST(0 AS DOUBLE) THEN NULL "
         "ELSE transform(__vec, x -> CAST(x / __nrm AS FLOAT)) END"
     )
-    embedded = (
-        agg.withColumn("__vec", vec)
+    return (
+        base.withColumn("__vec", F.expr("array(" + ", ".join(dims) + ")"))
         .withColumn(
             "__nrm",
             F.expr(
@@ -305,5 +302,3 @@ def hashed_embedding(
         )
         .select(id_col, normed.alias("embedding"))
     )
-    # token-less docs never reach the aggregation: join them back as NULL
-    return df.select(id_col).join(embedded, id_col, "left")
