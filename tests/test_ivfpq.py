@@ -761,3 +761,42 @@ def test_cell_stats_on_compressed_layout(spark, index):
     assert sum(r["n_rows"] for r in rows) == N
     assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
     assert all(r["skew"] > 0 for r in rows)
+
+
+def test_refined_distributed_matches_collected(spark, index, tmp_path):
+    """The two-stage search's corpus-sized serving path: distributed ADC
+    shortlist + candidates-only exact re-rank reproduces
+    ivfpq_search_refined bit for bit on the same index pair — both
+    exclude_self modes, salted and unsalted — and shares its refine>=k
+    and consistency guards."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        build_ivf_index,
+        ivfpq_search_refined,
+        ivfpq_search_refined_distributed,
+    )
+
+    path, df = index
+    flat = str(tmp_path / "flat")
+    # same data, same deterministic trainer, same params -> the shared
+    # quantizer the refined pair requires
+    build_ivf_index(df, "vec_id", "embedding", flat, n_cells=8, kmeans_iters=3)
+    queries = _df(spark, _planted(n=40, seed=88))
+    for excl in (False, True):
+        want = _res(
+            ivfpq_search_refined(
+                spark, path, flat, queries, "vec_id", "embedding",
+                n_probe=2, refine=20, k=5, exclude_self=excl,
+            )
+        )
+        for ns in (1, 3):
+            got = _res(
+                ivfpq_search_refined_distributed(
+                    spark, path, flat, queries, "vec_id", "embedding",
+                    n_probe=2, refine=20, k=5, exclude_self=excl, n_salt=ns,
+                )
+            )
+            assert got == want, (excl, ns)
+    with pytest.raises(ValueError, match="refine=3 must be >= k=5"):
+        ivfpq_search_refined_distributed(
+            spark, path, flat, queries, "vec_id", "embedding", refine=3, k=5
+        )

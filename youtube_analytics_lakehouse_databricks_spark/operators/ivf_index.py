@@ -61,6 +61,7 @@ __all__ = [
     "ivfpq_search",
     "ivfpq_search_distributed",
     "ivfpq_search_refined",
+    "ivfpq_search_refined_distributed",
     "ivfpq_audit",
 ]
 
@@ -1025,6 +1026,33 @@ def ivfpq_search_distributed(
     )
 
 
+def _validate_refined_pair(pq_path: str, flat_path: str, validate: bool, *, op: str) -> None:
+    """The two indexes must be two LAYOUTS of one corpus under one
+    quantizer — otherwise shortlisted candidates can be missing from the
+    flat side and would silently drop from the re-rank (e.g. an
+    append_ivfpq_index without its matching append_ivf_index). Both
+    checks are driver-side footer reads; the row count walks EVERY
+    fragment's footer, which on a huge index is a per-call listing cost
+    — hot serving loops over a known-consistent pair can pass
+    validate=False after the first call."""
+    if not validate:
+        return
+    if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
+        raise ValueError(
+            f"{op}: the pq and flat indexes were built with DIFFERENT "
+            "quantizers — they probe different cells, so the shortlist "
+            "and the re-rank would disagree; rebuild one of them"
+        )
+    n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
+    n_flat = _corpus_rows(f"{flat_path}/corpus")
+    if n_pq != n_flat:
+        raise ValueError(
+            f"{op}: the pq index holds {n_pq} rows but the flat index "
+            f"holds {n_flat} — appends diverged; append to both indexes "
+            "(or rebuild) before refining"
+        )
+
+
 def ivfpq_search_refined(
     spark: SparkSession,
     pq_path: str,
@@ -1069,30 +1097,7 @@ def ivfpq_search_refined(
             f"ivfpq_search_refined: refine={refine} must be >= k={k} — the "
             "shortlist is what the exact re-rank chooses from"
         )
-    # the two indexes must be two LAYOUTS of one corpus under one
-    # quantizer — otherwise shortlisted candidates can be missing from
-    # the flat side's probed cells and would silently drop from the
-    # re-rank (e.g. an append_ivfpq_index without its matching
-    # append_ivf_index). Both checks are driver-side footer reads; the
-    # row count walks EVERY fragment's footer, which on a huge index is
-    # a per-call listing cost — hot serving loops over a known-consistent
-    # pair can pass validate=False after the first call.
-    if validate:
-        if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
-            raise ValueError(
-                "ivfpq_search_refined: the pq and flat indexes were built "
-                "with DIFFERENT quantizers — they probe different cells, so "
-                "the shortlist and the re-rank would disagree; rebuild one "
-                "of them"
-            )
-        n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
-        n_flat = _corpus_rows(f"{flat_path}/corpus")
-        if n_pq != n_flat:
-            raise ValueError(
-                f"ivfpq_search_refined: the pq index holds {n_pq} rows but "
-                f"the flat index holds {n_flat} — appends diverged; append "
-                "to both indexes (or rebuild) before refining"
-            )
+    _validate_refined_pair(pq_path, flat_path, validate, op="ivfpq_search_refined")
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     if not rows:
         raise ValueError("ivfpq_search_refined: empty query batch")
@@ -1178,6 +1183,100 @@ def ivfpq_search_refined(
     return (
         hits.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_search_refined_distributed(
+    spark: SparkSession,
+    pq_path: str,
+    flat_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_probe: int = 2,
+    refine: int = 50,
+    k: int = 5,
+    exclude_self: bool = False,
+    validate: bool = True,
+    n_salt: int = 1,
+) -> DataFrame:
+    """``ivfpq_search_refined`` for CORPUS-SIZED query sets: no driver
+    collect anywhere. Stage 1 is ``ivfpq_search_distributed`` at
+    ``k=refine`` (the ADC shortlist, candidates-only output); stage 2
+    joins the shortlist pairs to the flat corpus (neighbor vectors) and
+    the query vectors, then re-ranks per query with the collected path's
+    exact regime — one matvec per query over its shortlisted neighbors
+    (float32 stored vectors, float32-truncated queries, 1e-6 rounding),
+    so results are bit-identical to ``ivfpq_search_refined`` on the same
+    pair (parity test, both exclude_self modes).
+
+    Exchange accounting: everything after the corpus scans is
+    CANDIDATE-sized (<= |queries| * refine rows) — the shortlist's
+    cogroup exchanges, one join against the flat corpus on neighbor_id
+    (with corpus-sized query sets the candidate side at refine x
+    |queries| DOMINATES the corpus side, so the corpus re-hash is not
+    the bottleneck), one join against the query vectors, and the final
+    per-query re-rank reuses the join's query_id hash. What the refine
+    buys at this shape: the exact-cosine compute drops from
+    queries x cell-occupancy (``ivf_search_distributed``) to
+    queries x refine — the win when cells are large; when they aren't,
+    the flat distributed search reads fewer total bytes (the measured
+    probe series) and is the better call."""
+    import numpy as np
+
+    _require_long_id(queries, id_col, "ivfpq_search_refined_distributed")
+    if int(refine) < int(k):
+        raise ValueError(
+            f"ivfpq_search_refined_distributed: refine={refine} must be >= "
+            f"k={k} — the shortlist is what the exact re-rank chooses from"
+        )
+    _validate_refined_pair(
+        pq_path, flat_path, validate, op="ivfpq_search_refined_distributed"
+    )
+    shortlist = ivfpq_search_distributed(
+        spark, pq_path, queries, id_col, vec_col,
+        n_probe=n_probe, k=int(refine), exclude_self=exclude_self,
+        n_salt=n_salt,
+    ).select("query_id", "neighbor_id")
+    flat = spark.read.parquet(f"{flat_path}/corpus").select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("c_vec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = shortlist.join(flat, "neighbor_id").join(qv, "query_id")
+    kk = int(k)
+
+    def rerank(pdf):
+        import pandas as pd
+
+        # the collected rerank's exact shape: one matvec of this query's
+        # candidate rows against its float32-truncated vector — per-pair
+        # bits identical to ivfpq_search_refined's Arrow-batch matvec
+        q32 = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
+        qn = max(float(np.linalg.norm(q32)), 1e-30)
+        c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
+        c_norm = np.maximum(np.sqrt((c_mat * c_mat).sum(axis=1)), 1e-30)
+        cos = np.round((c_mat @ q32) / (qn * c_norm), 6)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["neighbor_id"],
+                "cosine": cos,
+            }
+        )
+
+    hits = cand.groupBy("query_id").applyInPandas(
+        rerank, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
