@@ -296,8 +296,10 @@ def _bench_only() -> dict[str, Query]:
 # shortlist at builder-call time, re-rank at the sink — and the input-
 # bytes side of the claim is measured by tools/ivf_prune_probe.py's
 # refined_read_fraction series). doc_quality_scores carries MORE work
-# since r13 (the hashed_embedding oracle rides it: +1 sha2-nibble
-# explode/agg chain + a doc-grain join) — a new epoch for that series.
+# since r13 (the hashed_embedding oracle rides it as extra columns —
+# per-token sha2 + nibble folds, a pure zero-shuffle projection joined
+# at doc grain; ~1.15 s warm at sf0.1 vs 0.167 before, all of it the
+# intrinsic per-token hash arithmetic) — a new epoch for that series.
 #
 # Drift notes (r12): orders_enriched carries MORE work since r12 — the
 # folded customers_without_orders anti-join family rides as the

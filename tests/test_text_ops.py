@@ -61,7 +61,10 @@ class TestHashedEmbedding:
         assert out[1] is None  # exact cancellation -> NULL
         assert out[2] is not None  # odd token counts can't cancel
 
-    def test_plan_is_jvm_only_and_dim_guarded(self, spark):
+    def test_plan_is_jvm_only_shuffle_free_and_dim_guarded(self, spark):
+        """r13: the operator is a pure per-row projection — no Python
+        in the plan AND no Exchange at all (no explode/groupBy/join),
+        so the bridge costs zero shuffle at any corpus size."""
         import io
         from contextlib import redirect_stdout
 
@@ -74,7 +77,9 @@ class TestHashedEmbedding:
         buf = io.StringIO()
         with redirect_stdout(buf):
             out.explain("formatted")
-        assert "EvalPython" not in buf.getvalue()
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan, plan
         with pt.raises(ValueError, match="dim=300 must be in"):
             hashed_embedding(df, "doc_id", "text", dim=300)
 

@@ -189,7 +189,11 @@ class DriverFS:
         """Write a small text file ATOMICALLY: temp name -> hsync (where
         the filesystem supports it) -> rename into place. A reader that
         sees ``p`` therefore sees its full content — never a torn write
-        after power loss (the compaction manifests' requirement)."""
+        after power loss (the compaction manifests' requirement). On
+        stores whose rename is copy+delete (S3A), the copy's object PUT
+        is still all-or-nothing, so the full-content guarantee holds; a
+        crash mid-rename can at worst leave the temp file behind, which
+        recovery discards."""
         tmp = f"{p}.inprogress"
         out = self._fs.create(self._path(tmp), True)
         try:
