@@ -253,3 +253,47 @@ def test_bpe_model_load_on_file_uri(spark, tmp_path):
     assert (loaded.vocab is None) == (model.vocab is None)
     if model.vocab is not None:
         assert loaded.vocab == model.vocab
+
+
+# --- property tests: the path-contract parser ---------------------------------
+
+
+def test_local_path_property_scheme_detection():
+    """Property (hypothesis): any string whose first '/'-free colon
+    prefix is not 'file' raises with the op name; any string with no
+    scheme passes through unchanged; file: URIs normalize to the same
+    path their os form names."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    safe = st.text(
+        alphabet=st.characters(blacklist_characters=":", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(safe)
+    def no_scheme_passes_through(p):
+        assert local_path_or_raise(p, "op") == p
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sampled_from(["s3a", "s3", "hdfs", "gs", "abfs", "wasbs", "oci"]),
+        safe,
+    )
+    def schemes_raise_named(scheme, rest):
+        with pytest.raises(RemotePathError, match="prop_op"):
+            local_path_or_raise(f"{scheme}://{rest}", "prop_op")
+        with pytest.raises(RemotePathError, match="prop_op"):
+            local_path_or_raise(f"{scheme}:{rest}", "prop_op")
+
+    @settings(max_examples=200, deadline=None)
+    @given(safe.map(lambda s: "/" + s.lstrip("/")))
+    def file_uri_normalizes(p):
+        assert local_path_or_raise(f"file:{p}", "op") == p
+        assert local_path_or_raise(f"file://{p}", "op") == p
+
+    no_scheme_passes_through()
+    schemes_raise_named()
+    file_uri_normalizes()

@@ -276,6 +276,22 @@ def test_bucketed_corpus_elides_its_search_exchange(spark, tmp_path):
     assert cell_exchanges(plan_b2) == 1, plan_b2
     assert _res(out_b2) == _res(out_p2)
 
+    # salting over the BUCKETED corpus: the cogroup now keys on
+    # (cell, salt), which the cell-bucketed layout no longer satisfies —
+    # the planner must RE-INSERT the corpus exchange (a silently-kept
+    # elision would mis-group rows) and results stay correct
+    out_bs = ivf_search_distributed(
+        spark, bucketed, queries, "vec_id", "embedding", n_probe=2, k=5,
+        n_salt=2,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out_bs.explain("formatted")
+    assert len(
+        re.findall(r"Arguments: hashpartitioning\(cell", buf.getvalue())
+    ) == 2, buf.getvalue()
+    assert _res(out_bs) == _res(out_p2)
+
 
 def test_bucket_table_requires_corpus_write(spark, tmp_path):
     """write_corpus=False (the streaming bootstrap path) has no corpus to
