@@ -364,3 +364,17 @@ def test_cell_stats_detects_append_drift(spark, index, tmp_path):
     after = ivf_cell_stats(spark, drifted).collect()
     assert sum(r["n_rows"] for r in after) == 2 * n_corpus
     assert max(r["skew"] for r in after) > 2 * max_before
+
+
+def test_cell_stats_on_empty_index_raises_named(spark, tmp_path):
+    """A bootstrap-only index (write_corpus=False, nothing ingested)
+    has no occupancy to report — named error, not a raw path failure."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import ivf_cell_stats
+
+    path = str(tmp_path / "empty")
+    build_ivf_index(
+        _df(spark, _vecs(n=20)), "vec_id", "embedding", path,
+        n_cells=2, write_corpus=False,
+    )
+    with pytest.raises(ValueError, match="no corpus under"):
+        ivf_cell_stats(spark, path)

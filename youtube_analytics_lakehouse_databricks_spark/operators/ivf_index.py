@@ -513,6 +513,12 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     corpus_dir = (
         f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
+    if not fs.isdir(corpus_dir):
+        raise ValueError(
+            f"ivf_cell_stats: no corpus under {path} — the index was "
+            "built with write_corpus=False (streaming bootstrap) and "
+            "nothing has been ingested yet"
+        )
     n_cells = int(len(load_ivf_centroids(path)))
     counts = spark.read.parquet(corpus_dir).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
