@@ -403,3 +403,41 @@ def test_distributed_search_and_cell_stats_over_streamed_layout(spark, tmp_path)
     stats = ivf_cell_stats(spark, path).collect()
     assert sum(r["n_rows"] for r in stats) == 180
     assert abs(sum(r["frac"] for r in stats) - 1.0) < 1e-9
+
+
+def test_compaction_on_compressed_streamed_layout(spark, tmp_path):
+    """compact_ann_stream sniffs the corpus_pq layout: folding a
+    compressed streamed index keeps the code-row multiset and every
+    ivfpq_search result value-stable."""
+    import os
+
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
+
+    X = _planted(n=200, seed=59)
+    df = _df(spark, X)
+    path = str(tmp_path / "pqcompact")
+    bootstrap_ann_stream_index(
+        df, "vec_id", "embedding", path,
+        compressed=True, n_cells=4, kmeans_iters=2, m=8, n_codes=32, pq_iters=3,
+    )
+    for bid in range(5):
+        ingest_ann_batch(df.filter(f"vec_id % 5 = {bid}"), bid,
+                         "vec_id", "embedding", path)
+    corpus_dir = f"{path}/corpus_pq"
+
+    def rows():
+        return _res(
+            spark.read.parquet(corpus_dir).select("vec_id", "cell", "codes")
+        )
+
+    def search():
+        return _res(ivfpq_search(spark, path, df.filter("vec_id < 5"),
+                                 "vec_id", "embedding", n_probe=2, k=5,
+                                 exclude_self=True))
+
+    before_rows, before_search = rows(), search()
+    assert compact_ann_stream(spark, path, keep_last=2) == 3
+    dirs = sorted(e for e in os.listdir(corpus_dir) if e.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=3", "batch_id=4"]
+    assert rows() == before_rows
+    assert search() == before_search
