@@ -275,6 +275,18 @@ def _bench_only() -> dict[str, Query]:
     }
 
 
+# Drift notes (r13, measurement context): four full sf0.1 sessions this
+# round read totals of 25.2 / 30.1 / 31.5 / 28.0 s (the last on a
+# loadavg-0.3 box right after the 441-test suite finished) — the spread
+# sits on rows whose plans are UNTOUCHED this round (verified via git:
+# lsh_candidate_pairs 0.69-0.96, simhash_fingerprints 0.34-0.52,
+# exact_dedup_documents 0.20-0.29 across r12->r13 readings), i.e. the
+# documented machine-window contention pattern, not code drift. The two
+# REAL movers are deliberate: doc_quality_scores is a new epoch (the
+# hashed_embedding oracle rides it, see below; ~1.3-1.5 s vs 0.167) and
+# ivfpq_refined_search is a first-epoch row (~1.2-1.4 s, both stages
+# timed).
+#
 # Drift notes (r13): FIVE shadow rows RETIRED (the r12 VERDICT's
 # bench-only audit): token_explode_counts, doc_fingerprints,
 # value_percentiles, signup_followup_window, ngram_jaccard_pairs each
