@@ -378,3 +378,62 @@ def test_cell_stats_on_empty_index_raises_named(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no corpus under"):
         ivf_cell_stats(spark, path)
+
+
+def test_check_bucket_table_detects_diverged_dual_write(spark, tmp_path):
+    """The bucketed copy is maintained by a NON-ATOMIC dual write: a
+    crash between the dir-corpus append and the bucket-table append
+    leaves the two serving copies diverged with no error at read time.
+    check_bucket_table is the named detector; in-sync pairs (including
+    right after a healthy append) pass, a simulated half-append raises."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        check_bucket_table,
+        ivf_search_distributed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivfidx")
+    df = _df(spark, _vecs(n=80, seed=31))
+    path = str(tmp_path / "dual")
+    build_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2,
+        bucket_table="ivfidx.dual_b", n_buckets=4,
+    )
+    check_bucket_table(spark, path)  # fresh build: in sync
+    batch = _df(spark, _vecs(n=20, seed=32), start=500)
+    append_ivf_index(batch, "vec_id", "embedding", path)
+    check_bucket_table(spark, path)  # healthy dual append: in sync
+
+    # simulate the crash window: rows land in the dir corpus only
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import assign_cells
+
+    half = _df(spark, _vecs(n=10, seed=33), start=900)
+    cents = load_ivf_centroids(path)
+    assign_cells(half, "vec_id", "embedding", cents).select(
+        "vec_id", "v", F.col("cluster").alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+    with pytest.raises(ValueError, match="an\\s+append crashed between its two writes"):
+        check_bucket_table(spark, path)
+    # the searches themselves still run (the detector is the contract)
+    assert len(
+        ivf_search_distributed(
+            spark, path, df.filter("vec_id < 3"), "vec_id", "embedding", k=3
+        ).collect()
+    ) == 9
+
+    # unbucketed index: no-op
+    plain = str(tmp_path / "plain")
+    build_ivf_index(df, "vec_id", "embedding", plain, n_cells=4, kmeans_iters=2)
+    check_bucket_table(spark, plain)
+
+
+def test_compaction_on_missing_corpus_raises_named(spark, tmp_path):
+    """compact_ann_stream / compact_audit_log pointed at a wrong path
+    must FAIL, not report 'nothing to fold' forever (the r13 review's
+    silent-no-op catch)."""
+    from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
+    from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import compact_audit_log
+
+    with pytest.raises(ValueError, match="no corpus under"):
+        compact_ann_stream(spark, str(tmp_path / "nope"), keep_last=2)
+    with pytest.raises(ValueError, match="no audit log at"):
+        compact_audit_log(spark, str(tmp_path / "nope_audit"))

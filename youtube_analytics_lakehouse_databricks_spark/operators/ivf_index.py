@@ -55,6 +55,7 @@ __all__ = [
     "ivf_search",
     "ivf_search_distributed",
     "ivf_cell_stats",
+    "check_bucket_table",
     "load_ivf_centroids",
     "build_ivfpq_index",
     "append_ivfpq_index",
@@ -74,6 +75,84 @@ _IVF_HINT = "map string keys to a surrogate long first"
 
 def _require_long_id(df: DataFrame, id_col: str, op: str) -> None:
     require_integral_id(df, id_col, op, hint=_IVF_HINT)
+
+
+def _probe_frame(
+    queries: DataFrame, id_col: str, vec_col: str, centroids, n_probe: int, op: str
+) -> DataFrame:
+    """(any_id, vec array<float>, cell): each query row replicated once
+    per probed cell — the distributed searches' shared query side. One
+    Arrow pass against the broadcast centroids, stable argsort (exact
+    ties probe the lowest cell, the ivf_topk rule), loud op-prefixed
+    NULL/ragged/wrong-dim guards. Shared by the flat and compressed
+    distributed searches so the probe semantics cannot drift apart."""
+    import numpy as np
+
+    bc = queries.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+    npb = int(n_probe)
+
+    def probe(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(f"{op}: NULL {vec_col} query vector")
+            try:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            except ValueError:
+                raise ValueError(f"{op}: ragged {vec_col} dimensions") from None
+            if m.shape[1] != cents.shape[1]:
+                raise ValueError(
+                    f"{op}: {vec_col} is {m.shape[1]}-dim but the index "
+                    f"was built on {cents.shape[1]}-dim vectors"
+                )
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            out_id, out_vec, out_cell = [], [], []
+            for i in range(len(pdf)):
+                for c in order[i]:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_vec.append(pdf[vec_col].iloc[i])
+                    out_cell.append(int(c))
+            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        probe, "any_id long, vec array<float>, cell int"
+    )
+
+
+def _salt_cogroup_sides(q: DataFrame, c: DataFrame, n_salt: int):
+    """The hot-cell guard's shared wiring: n_salt > 1 sub-splits every
+    cell by pmod(c_id, n_salt) on the corpus side and replicates the
+    query probe rows per salt, so the cogroup keys on (cell, salt) and
+    no task materializes more than ~1/n_salt of the hottest cell."""
+    keys = ["cell"]
+    if int(n_salt) > 1:
+        q = q.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(int(n_salt))]))
+        )
+        c = c.withColumn("salt", F.pmod(F.col("c_id"), F.lit(int(n_salt))).cast("int"))
+        keys = ["cell", "salt"]
+    return q, c, keys
+
+
+def _rank_topk(hits: DataFrame, score_col: str, k: int) -> DataFrame:
+    """The family's shared finalizer: global (score desc, neighbor asc)
+    re-rank per query, top-k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", score_col, "rank")
+    )
 
 
 def build_ivf_index(
@@ -200,13 +279,47 @@ def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) 
         )
 
 
+def check_bucket_table(spark: SparkSession, path: str) -> None:
+    """Raise (named) when the index's bucketed copy has DIVERGED from
+    its dir-partitioned corpus — the crash window the appends document:
+    the dual write is two separate commits, so a driver death between
+    them leaves ``ivf_search`` (dir corpus) and the distributed search
+    (bucket table) serving different row sets with no error. One
+    driver-side footer count + one count over the bucket table; run it
+    after a crashed append (recovery = rebuild the bucket copy from the
+    dir corpus, which remains the source of truth) or as a periodic
+    audit next to ``ivf_cell_stats``. No-op for unbucketed indexes."""
+    meta = _load_meta(path)
+    if not meta.get("bucket_table"):
+        return
+    fs = DriverFS(spark, path, "check_bucket_table")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    n_dir = _corpus_rows(corpus_dir)
+    n_bucket = spark.table(meta["bucket_table"]).count()
+    if n_dir != n_bucket:
+        raise ValueError(
+            f"check_bucket_table: {corpus_dir} holds {n_dir} rows but "
+            f"bucket table {meta['bucket_table']} holds {n_bucket} — an "
+            "append crashed between its two writes; rebuild the bucket "
+            "copy from the dir-partitioned corpus (the source of truth)"
+        )
+
+
 def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
     """Assign a NEW batch against the frozen quantizer and append its
     rows into their cell partitions — one Arrow pass over the batch, the
     stored corpus is never re-read or re-assigned. (Re-training the
     quantizer on a grown corpus would reassign stored vectors — the same
     reason curate_incremental freezes its centroids; rebuild the index
-    when the corpus has drifted enough to warrant it.)"""
+    when the corpus has drifted enough to warrant it.)
+
+    With a ``bucket_table``, the append is a NON-ATOMIC dual write (dir
+    corpus first, bucket copy second — two separate commits): a crash
+    between them leaves the two serving copies diverged. Detect with
+    ``check_bucket_table`` after any crashed append; the dir corpus is
+    the source of truth."""
     _require_long_id(df, id_col, "append_ivf_index")
     _require_batch_layout_absent(df.sparkSession, f"{path}/corpus", "append_ivf_index")
     centroids = load_ivf_centroids(path)
@@ -328,14 +441,7 @@ def ivf_search(
     )
     # cells are disjoint corpora, so a (query, neighbor) pair appears at
     # most once even across probes — global re-rank only
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(hits, "cosine", kk)
 
 
 def ivf_search_distributed(
@@ -394,44 +500,8 @@ def ivf_search_distributed(
     if int(n_salt) < 1:
         raise ValueError(f"ivf_search_distributed: n_salt must be >= 1, got {n_salt}")
     centroids = load_ivf_centroids(path)
-    bc = spark.sparkContext.broadcast(centroids)
-    npb = int(n_probe)
-
-    def probe(batches):
-        import pandas as pd
-
-        cents = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if pdf[vec_col].isna().any():
-                raise ValueError(
-                    f"ivf_search_distributed: NULL {vec_col} query vector"
-                )
-            try:
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            except ValueError:
-                raise ValueError(
-                    f"ivf_search_distributed: ragged {vec_col} dimensions"
-                ) from None
-            if m.shape[1] != cents.shape[1]:
-                raise ValueError(
-                    f"ivf_search_distributed: {vec_col} is {m.shape[1]}-dim "
-                    f"but the index was built on {cents.shape[1]}-dim vectors"
-                )
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = mn @ cents.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            out_id, out_vec, out_cell = [], [], []
-            for i in range(len(pdf)):
-                for c in order[i]:
-                    out_id.append(pdf[id_col].iloc[i])
-                    out_vec.append(pdf[vec_col].iloc[i])
-                    out_cell.append(int(c))
-            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
-
-    q = queries.select(id_col, vec_col).mapInPandas(
-        probe, "any_id long, vec array<float>, cell int"
+    q = _probe_frame(
+        queries, id_col, vec_col, centroids, n_probe, "ivf_search_distributed"
     )
     meta = _load_meta(path)
     if meta.get("bucket_table"):
@@ -439,13 +509,7 @@ def ivf_search_distributed(
     else:
         c = spark.read.parquet(f"{path}/corpus")
     c = c.select(F.col(id_col).alias("c_id"), F.col("v").alias("c_vec"), "cell")
-    keys = ["cell"]
-    if int(n_salt) > 1:
-        q = q.withColumn(
-            "salt", F.explode(F.array(*[F.lit(s) for s in range(int(n_salt))]))
-        )
-        c = c.withColumn("salt", F.pmod(F.col("c_id"), F.lit(int(n_salt))).cast("int"))
-        keys = ["cell", "salt"]
+    q, c, keys = _salt_cogroup_sides(q, c, n_salt)
     kk = int(k)
     excl = bool(exclude_self)
 
@@ -479,14 +543,7 @@ def ivf_search_distributed(
         .cogroup(c.groupBy(*keys))
         .applyInPandas(per_cell, "query_id long, neighbor_id long, cosine double")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(hits, "cosine", kk)
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -519,7 +576,10 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
             "built with write_corpus=False (streaming bootstrap) and "
             "nothing has been ingested yet"
         )
-    n_cells = int(len(load_ivf_centroids(path)))
+    # one tiny Spark count, NOT the pyarrow fast path: the drift
+    # detector must run wherever the session can read the index (the
+    # rest of this function is already scheme-safe)
+    n_cells = int(spark.read.parquet(f"{path}/centroids").count())
     counts = spark.read.parquet(corpus_dir).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -708,7 +768,11 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     codebooks and append into its cell partitions — one Arrow pass over
     the batch, stored codes never re-read (the frozen-state contract;
     rebuild when the residual distribution has drifted enough that
-    pq-audit-style spot checks degrade)."""
+    pq-audit-style spot checks degrade).
+
+    With a ``bucket_table``, the append is a NON-ATOMIC dual write —
+    same crash window and ``check_bucket_table`` recovery contract as
+    ``append_ivf_index``."""
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(df, id_col, "append_ivfpq_index")
@@ -862,14 +926,7 @@ def _ivfpq_scan(
     hits = corpus.mapInPandas(
         scan, "query_id long, neighbor_id long, adc_cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "neighbor_id", "adc_cosine", "rank")
-    )
+    return _rank_topk(hits, "adc_cosine", kk)
 
 
 def ivfpq_search_distributed(
@@ -924,43 +981,8 @@ def ivfpq_search_distributed(
     books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
     mm, _n_codes, d_sub = books.shape
     bc = spark.sparkContext.broadcast((centroids, books))
-    npb = int(n_probe)
-
-    def probe(batches):
-        import pandas as pd
-
-        cents, _ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            if pdf[vec_col].isna().any():
-                raise ValueError(
-                    f"ivfpq_search_distributed: NULL {vec_col} query vector"
-                )
-            try:
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            except ValueError:
-                raise ValueError(
-                    f"ivfpq_search_distributed: ragged {vec_col} dimensions"
-                ) from None
-            if m.shape[1] != cents.shape[1]:
-                raise ValueError(
-                    f"ivfpq_search_distributed: {vec_col} is {m.shape[1]}-dim "
-                    f"but the index was built on {cents.shape[1]}-dim vectors"
-                )
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = mn @ cents.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            out_id, out_vec, out_cell = [], [], []
-            for i in range(len(pdf)):
-                for c in order[i]:
-                    out_id.append(pdf[id_col].iloc[i])
-                    out_vec.append(pdf[vec_col].iloc[i])
-                    out_cell.append(int(c))
-            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
-
-    q = queries.select(id_col, vec_col).mapInPandas(
-        probe, "any_id long, vec array<float>, cell int"
+    q = _probe_frame(
+        queries, id_col, vec_col, centroids, n_probe, "ivfpq_search_distributed"
     )
     meta = _load_meta(path)
     if meta.get("bucket_table"):
@@ -968,13 +990,7 @@ def ivfpq_search_distributed(
     else:
         c = spark.read.parquet(f"{path}/corpus_pq")
     c = c.select(F.col(id_col).alias("c_id"), "codes", "cell")
-    keys = ["cell"]
-    if int(n_salt) > 1:
-        q = q.withColumn(
-            "salt", F.explode(F.array(*[F.lit(s) for s in range(int(n_salt))]))
-        )
-        c = c.withColumn("salt", F.pmod(F.col("c_id"), F.lit(int(n_salt))).cast("int"))
-        keys = ["cell", "salt"]
+    q, c, keys = _salt_cogroup_sides(q, c, n_salt)
     kk = int(k)
     excl = bool(exclude_self)
 
@@ -1022,14 +1038,7 @@ def ivfpq_search_distributed(
         .cogroup(c.groupBy(*keys))
         .applyInPandas(per_cell, "query_id long, neighbor_id long, adc_cosine double")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "neighbor_id", "adc_cosine", "rank")
-    )
+    return _rank_topk(hits, "adc_cosine", kk)
 
 
 def _validate_refined_pair(pq_path: str, flat_path: str, validate: bool, *, op: str) -> None:
@@ -1183,14 +1192,7 @@ def ivfpq_search_refined(
     hits = corpus.mapInPandas(
         rerank, "query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(hits, "cosine", k)
 
 
 def ivfpq_search_refined_distributed(
@@ -1259,9 +1261,11 @@ def ivfpq_search_refined_distributed(
         import pandas as pd
 
         # the collected rerank's exact shape: one matvec of this query's
-        # candidate rows against its float32-truncated vector — per-pair
-        # bits identical to ivfpq_search_refined's Arrow-batch matvec
-        q32 = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
+        # candidate rows against its float32-TRUNCATED vector — the
+        # truncation is unconditional (exactly as ivfpq_search_refined's
+        # q32 step), so the exact-cosine regime matches for array<double>
+        # query columns too, not just array<float>
+        q32 = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float32).astype(np.float64)
         qn = max(float(np.linalg.norm(q32)), 1e-30)
         c_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]])
         c_norm = np.maximum(np.sqrt((c_mat * c_mat).sum(axis=1)), 1e-30)
@@ -1277,14 +1281,7 @@ def ivfpq_search_refined_distributed(
     hits = cand.groupBy("query_id").applyInPandas(
         rerank, "query_id long, neighbor_id long, cosine double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        hits.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(hits, "cosine", kk)
 
 
 def ivfpq_audit(

@@ -206,6 +206,14 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
     corpus_dir = (
         f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
+    # a missing corpus is a WRONG PATH, not "nothing to fold" — a
+    # scheduled maintenance job pointed at a stale path must fail, not
+    # report success forever while the real index grows unboundedly
+    if not fs.isdir(corpus_dir):
+        raise ValueError(
+            f"compact_ann_stream: no corpus under {path} — wrong index "
+            "path, or a bootstrap that never ingested"
+        )
     staging = StagedFold(fs, corpus_dir)
 
     def finish(manifest: dict) -> int:

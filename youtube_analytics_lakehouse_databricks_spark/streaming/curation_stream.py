@@ -284,6 +284,13 @@ def compact_audit_log(
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
     fs = DriverFS(spark, audit_dir, "compact_audit_log")
+    # a missing log is a WRONG PATH, not "nothing to fold" (the
+    # compact_ann_stream stance): fail instead of reporting 0 forever
+    if not fs.isdir(audit_dir):
+        raise ValueError(
+            f"compact_audit_log: no audit log at {audit_dir} — wrong "
+            "path, or a stream that never ingested"
+        )
     ids = batch_partition_ids(fs, audit_dir)
     old = ids[:-keep_latest]
     if len(old) < 2:
