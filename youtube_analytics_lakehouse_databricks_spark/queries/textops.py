@@ -448,10 +448,28 @@ def _hashed_embedding_ctes() -> str:
     ),
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE projection chain over documents — hashed_embedding carries
+    # `text` through (passthrough), quality_scores carries `embedding`
+    # through, so the doc-grain row plans with ZERO Exchange at any
+    # corpus size (plan-asserted). The r13 shape joined two per-row
+    # projections of the same table back together on doc_id: AQE saved
+    # it with a broadcast at sf0.1, but at 100 TB neither side
+    # broadcasts and the row became two corpus-wide exchanges plus a
+    # sort-merge join for output this select produces shuffle-free.
     docs = read(spark, sf_dir, "documents")
-    q = text_ops.quality_scores(docs, "doc_id", "text", STOPWORDS)
-    emb = text_ops.hashed_embedding(docs, "doc_id", "text", dim=HE_DIM).select(
+    emb = text_ops.hashed_embedding(
+        docs, "doc_id", "text", dim=HE_DIM, passthrough=("text",)
+    )
+    fused = text_ops.quality_scores(
+        emb, "doc_id", "text", STOPWORDS, passthrough=("embedding",)
+    )
+    return fused.select(
         "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars_actual",
+        "stopword_ratio",
+        "distinct_ratio",
         *[
             F.round(F.element_at(F.col("embedding"), b + 1).cast("double"), 6).alias(
                 f"he{b}"
@@ -459,7 +477,6 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(HE_DIM)
         ],
     )
-    return q.join(emb, "doc_id", "left")
 
 
 _LANG_STOPS = {
