@@ -30,6 +30,13 @@ from youtube_analytics_lakehouse_databricks_spark.fsops import (
 )
 
 S3A = "s3a://bucket/prefix/index"
+# For tests of the DriverFS route (reachability is resolved through the
+# session's Hadoop FileSystem), a GUARANTEED-unregistered scheme: an
+# environment bundling hadoop-aws would make s3a reachable and turn the
+# "unreachable scheme raises" assertions into network calls (r13 ADVICE).
+# s3a stays below only where local_path_or_raise's string-level rejection
+# is itself what's asserted.
+NOSUCH = "nosuchfs://bucket/prefix/index"
 
 
 def _df(spark, n=60, d=8, start=0, seed=7):
@@ -51,6 +58,17 @@ def test_local_path_or_raise_accepts_and_normalizes():
     assert local_path_or_raise("file:///tmp/x", "op") == "/tmp/x"
     # a path whose FIRST segment merely contains a colon is not a scheme
     assert local_path_or_raise("/tmp/odd:name/x", "op") == "/tmp/odd:name/x"
+    # a colon head that fails the URI scheme grammar is a LOCAL name,
+    # not a scheme (r13 ADVICE: 'data:v2'-style relative paths): digits,
+    # single characters, leading symbols all pass through
+    assert local_path_or_raise("1:weird/x", "op") == "1:weird/x"
+    assert local_path_or_raise("c:tmp", "op") == "c:tmp"
+    assert local_path_or_raise("-x:y/z", "op") == "-x:y/z"
+    # a grammar-valid head still parses as a scheme (the Hadoop/urllib
+    # reading); ./ is the documented disambiguation for relative paths
+    assert local_path_or_raise("./data:v2/x", "op") == "./data:v2/x"
+    with pytest.raises(RemotePathError, match="my_op"):
+        local_path_or_raise("data:v2/x", "my_op")
 
 
 @pytest.mark.parametrize(
@@ -69,7 +87,7 @@ def test_is_local_path():
 
 def test_driverfs_unreachable_scheme_raises_named(spark):
     with pytest.raises(RemotePathError, match="my_maintenance_op"):
-        DriverFS(spark, S3A, "my_maintenance_op")
+        DriverFS(spark, NOSUCH, "my_maintenance_op")
 
 
 def test_driverfs_basic_ops_and_committed_write(spark, tmp_path):
@@ -91,6 +109,25 @@ def test_driverfs_basic_ops_and_committed_write(spark, tmp_path):
     fs.delete(f"{d}/other")
     fs.delete(f"{d}/other")  # absent: GC no-op, no raise
     assert not fs.isdir(f"{d}/other")
+
+
+def test_rename_refuses_occupied_destination(spark, tmp_path):
+    """Hadoop's rename(src, existingDir) moves src INTO the directory —
+    the silent-nesting hazard (r13 ADVICE, medium): a compaction whose
+    delete left the old partition alive would nest the staged fold
+    inside it, duplicating every row. DriverFS.rename refuses instead,
+    like the os.rename it replaced."""
+    fs = DriverFS(spark, str(tmp_path), "test")
+    fs.mkdirs(f"{tmp_path}/old/sub")
+    fs.mkdirs(f"{tmp_path}/staged")
+    with pytest.raises(IOError, match="already exists"):
+        fs.rename(f"{tmp_path}/staged", f"{tmp_path}/old")
+    # nothing moved, nothing nested
+    assert fs.isdir(f"{tmp_path}/staged") and not fs.exists(f"{tmp_path}/old/staged")
+    # a committed write REPLACES an existing destination (delete-first)
+    fs.write_text_committed(f"{tmp_path}/m.json", "v1")
+    fs.write_text_committed(f"{tmp_path}/m.json", "v2")
+    assert fs.read_text(f"{tmp_path}/m.json") == "v2"
 
 
 def test_stagedfold_state_machine(spark, tmp_path):
@@ -118,56 +155,56 @@ def test_ingest_ann_batch_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import ingest_ann_batch
 
     with pytest.raises(RemotePathError, match="ingest_ann_batch"):
-        ingest_ann_batch(_df(spark), 0, "vec_id", "embedding", S3A)
+        ingest_ann_batch(_df(spark), 0, "vec_id", "embedding", NOSUCH)
 
 
 def test_compact_ann_stream_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.streaming.ann_stream import compact_ann_stream
 
     with pytest.raises(RemotePathError, match="compact_ann_stream"):
-        compact_ann_stream(spark, S3A, keep_last=2)
+        compact_ann_stream(spark, NOSUCH, keep_last=2)
 
 
 def test_ivf_search_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import ivf_search
 
     with pytest.raises(RemotePathError, match="load_ivf_centroids"):
-        ivf_search(spark, S3A, _df(spark, n=4), "vec_id", "embedding")
+        ivf_search(spark, NOSUCH, _df(spark, n=4), "vec_id", "embedding")
 
 
 def test_append_ivf_index_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import append_ivf_index
 
     with pytest.raises(RemotePathError, match="append_ivf_index"):
-        append_ivf_index(_df(spark), "vec_id", "embedding", S3A)
+        append_ivf_index(_df(spark), "vec_id", "embedding", NOSUCH)
 
 
-def test_ivfpq_refined_footer_checks_remote_raise(spark, tmp_path):
+def test_ivfpq_refined_footer_checks_unreachable_raise(spark, tmp_path):
     """The refined search's consistency preconditions (centroid equality
-    + footer row counts) are driver-side reads — a remote pq/flat path
-    must raise the named error, not skip validation."""
+    + row counts) serve remote SCHEMES since r14 — but an UNREACHABLE
+    scheme must still raise the named error, not skip validation."""
     from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
         _corpus_rows,
         ivfpq_search_refined,
     )
 
-    with pytest.raises(RemotePathError):
-        _corpus_rows(f"{S3A}/corpus_pq")
+    with pytest.raises(RemotePathError, match="ivf corpus row count"):
+        _corpus_rows(f"{NOSUCH}/corpus_pq", spark)
     with pytest.raises(RemotePathError):
         ivfpq_search_refined(
-            spark, S3A, str(tmp_path / "flat"), _df(spark, n=4),
+            spark, NOSUCH, str(tmp_path / "flat"), _df(spark, n=4),
             "vec_id", "embedding",
         )
 
 
-def test_pq_and_opq_model_load_remote_raise():
+def test_pq_and_opq_model_load_unreachable_raise(spark):
     from youtube_analytics_lakehouse_databricks_spark.operators.opq import OPQModel
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     with pytest.raises(RemotePathError, match="PQModel.load"):
-        PQModel.load(S3A)
+        PQModel.load(NOSUCH, spark)
     with pytest.raises(RemotePathError, match="OPQModel.load"):
-        OPQModel.load(S3A)
+        OPQModel.load(NOSUCH, spark)
 
 
 def test_curation_state_save_load_remote_raise(spark):
@@ -181,14 +218,14 @@ def test_curated_state_probe_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import _state_exists
 
     with pytest.raises(RemotePathError, match="state probe"):
-        _state_exists(spark, S3A)
+        _state_exists(spark, NOSUCH)
 
 
 def test_compact_audit_log_remote_raises(spark):
     from youtube_analytics_lakehouse_databricks_spark.streaming.curation_stream import compact_audit_log
 
     with pytest.raises(RemotePathError, match="compact_audit_log"):
-        compact_audit_log(spark, S3A)
+        compact_audit_log(spark, NOSUCH)
 
 
 # --- correct behavior on a reachable non-os-path scheme (file: URI) ---------
@@ -297,3 +334,84 @@ def test_local_path_property_scheme_detection():
     no_scheme_passes_through()
     schemes_raise_named()
     file_uri_normalizes()
+
+
+def test_batch_index_lifecycle_on_file_uri_flat(spark, tmp_path):
+    """build -> append -> search (collected + distributed) -> cell stats,
+    all addressed by a ``file:`` URI: the centroid/meta artifact reads
+    really route through the Hadoop FileSystem (r14 object-store-native
+    serving) — results identical to the same index addressed by its os
+    path."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_cell_stats,
+        ivf_search,
+        ivf_search_distributed,
+    )
+
+    df = _df(spark, n=90)
+    extra = _df(spark, n=30, start=90, seed=11)
+    uri = f"file:{tmp_path}/flat_idx"
+    build_ivf_index(df, "vec_id", "embedding", uri, n_cells=4, kmeans_iters=2)
+    append_ivf_index(extra, "vec_id", "embedding", uri)
+    queries = df.filter("vec_id < 5")
+    via_uri = ivf_search(
+        spark, uri, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    via_os = ivf_search(
+        spark, f"{tmp_path}/flat_idx", queries, "vec_id", "embedding",
+        n_probe=2, k=5,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(via_uri, key=key) == sorted(via_os, key=key)
+    dist = ivf_search_distributed(
+        spark, uri, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    assert sorted(dist, key=key) == sorted(via_os, key=key)
+    stats = ivf_cell_stats(spark, uri).collect()
+    assert sum(r["n_rows"] for r in stats) == 120
+
+
+def test_batch_index_lifecycle_on_file_uri_compressed(spark, tmp_path):
+    """The compressed layout's lifecycle through a ``file:`` URI:
+    build -> append -> adc search -> refined search (pq+flat pair both
+    URI-rooted) -> cell stats. Pins the PQModel/centroid/meta loads AND
+    the refined pair validation on the Hadoop-FS route."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        append_ivf_index,
+        append_ivfpq_index,
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_cell_stats,
+        ivfpq_search,
+        ivfpq_search_refined,
+    )
+
+    df = _df(spark, n=90)
+    extra = _df(spark, n=30, start=90, seed=11)
+    pq_uri = f"file:{tmp_path}/pq_idx"
+    flat_uri = f"file:{tmp_path}/flat_idx"
+    build_ivfpq_index(
+        df, "vec_id", "embedding", pq_uri, n_cells=4, kmeans_iters=2, m=4
+    )
+    build_ivf_index(df, "vec_id", "embedding", flat_uri, n_cells=4, kmeans_iters=2)
+    append_ivfpq_index(extra, "vec_id", "embedding", pq_uri)
+    append_ivf_index(extra, "vec_id", "embedding", flat_uri)
+    queries = df.filter("vec_id < 5")
+    adc_uri = ivfpq_search(
+        spark, pq_uri, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    adc_os = ivfpq_search(
+        spark, f"{tmp_path}/pq_idx", queries, "vec_id", "embedding",
+        n_probe=2, k=5,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(adc_uri, key=key) == sorted(adc_os, key=key)
+    refined = ivfpq_search_refined(
+        spark, pq_uri, flat_uri, queries, "vec_id", "embedding",
+        n_probe=2, refine=20, k=5,
+    ).collect()
+    assert len(refined) == 25
+    stats = ivf_cell_stats(spark, pq_uri).collect()
+    assert sum(r["n_rows"] for r in stats) == 120

@@ -420,10 +420,78 @@ def test_check_bucket_table_detects_diverged_dual_write(spark, tmp_path):
         ).collect()
     ) == 9
 
-    # unbucketed index: no-op
+    # recovery is ONE call: rebuild_bucket_copy regenerates the bucketed
+    # copy from the dir corpus (source of truth); the detector passes
+    # again and the distributed search (bucket table) agrees with the
+    # collected search (dir corpus) on the recovered rows
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        ivf_search,
+        rebuild_bucket_copy,
+    )
+
+    rebuild_bucket_copy(spark, path)
+    check_bucket_table(spark, path)
+    queries = df.filter("vec_id < 3")
+    key = lambda r: (r["query_id"], r["rank"])
+    got = ivf_search_distributed(
+        spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    want = ivf_search(
+        spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # the recovered bucket copy really holds the half-appended rows
+    assert spark.table("ivfidx.dual_b").count() == 110
+
+    # unbucketed index: detector no-op, rebuild raises (nothing to rebuild)
     plain = str(tmp_path / "plain")
     build_ivf_index(df, "vec_id", "embedding", plain, n_cells=4, kmeans_iters=2)
     check_bucket_table(spark, plain)
+    with pytest.raises(ValueError, match="no bucket_table"):
+        rebuild_bucket_copy(spark, plain)
+
+
+def test_suggest_n_salt_bounds_the_hot_cell(spark, index, tmp_path):
+    """detector -> suggestion -> search: on a planted drift pile the
+    suggestion is exactly ceil(hottest / target); feeding it back into
+    the distributed search keeps results bit-identical (the n_salt
+    parity contract) while bounding every cogroup task at ~target
+    rows."""
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        append_ivf_index,
+        ivf_cell_stats,
+        ivf_search_distributed,
+        suggest_n_salt,
+    )
+
+    path, df = index
+    drifted = str(tmp_path / "drifted_salt")
+    shutil.copytree(path, drifted)
+    n_corpus = spark.read.parquet(f"{drifted}/corpus").count()
+    hot = np.tile(_vecs(n=1, d=D, seed=5), (n_corpus, 1)) + 1e-3 * _vecs(
+        n=n_corpus, d=D, seed=6
+    )
+    append_ivf_index(_df(spark, hot, start=10_000), "vec_id", "embedding", drifted)
+    stats = ivf_cell_stats(spark, drifted)
+    hottest = max(r["n_rows"] for r in stats.collect())
+    target = 25
+    ns = suggest_n_salt(stats, target)
+    assert ns == -(-hottest // target) > 1
+    # ceil semantics: a budget >= the hottest cell needs no salt
+    assert suggest_n_salt(stats, hottest) == 1
+    with pytest.raises(ValueError, match="target_max_rows_per_task"):
+        suggest_n_salt(stats, 0)
+    queries = df.filter("vec_id < 3")
+    key = lambda r: (r["query_id"], r["rank"])
+    salted = ivf_search_distributed(
+        spark, drifted, queries, "vec_id", "embedding", n_probe=2, k=5, n_salt=ns
+    ).collect()
+    plain_rows = ivf_search_distributed(
+        spark, drifted, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    assert sorted(salted, key=key) == sorted(plain_rows, key=key)
 
 
 def test_compaction_on_missing_corpus_raises_named(spark, tmp_path):

@@ -50,12 +50,14 @@ moments) and should be preferred for new artifacts when it applies.
 from __future__ import annotations
 
 import json
+import re
 
 __all__ = [
     "RemotePathError",
     "local_path_or_raise",
     "is_local_path",
     "DriverFS",
+    "driver_read_parquet",
     "batch_partition_ids",
     "StagedFold",
 ]
@@ -68,12 +70,24 @@ class RemotePathError(ValueError):
     local path or the scheme's Hadoop connector on the classpath."""
 
 
+# RFC 3986 scheme grammar, minus single-char heads: a lone letter before
+# a colon is far more plausibly a local name fragment (or a drive
+# letter) than a scheme, and no filesystem scheme this engine could meet
+# is one character
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+$")
+
+
 def _scheme(path: str) -> str | None:
     """URI scheme of ``path``, or None for plain OS paths. ``file:`` is
-    a scheme; Windows drive letters are not a concern on this engine's
-    supported platforms."""
+    a scheme. The head must match the URI scheme grammar
+    (``[A-Za-z][A-Za-z0-9+.-]+``): a first segment that merely CONTAINS
+    a colon after a non-grammar head (``1:weird/x``, ``c:tmp``) is a
+    local name, not a scheme — rejecting it with RemotePathError would
+    refuse a perfectly local path. A relative path whose first segment
+    IS grammar-valid (``data:v2/x``) still parses as a scheme, exactly
+    as Hadoop's Path and urllib read it — disambiguate with ``./``."""
     head, sep, _rest = path.partition(":")
-    if not sep or "/" in head or not head:
+    if not sep or "/" in head or not _SCHEME_RE.match(head):
         return None
     return head
 
@@ -166,10 +180,32 @@ class DriverFS:
         return names
 
     def delete(self, p: str) -> None:
-        """Recursive delete; absent paths are a no-op (GC semantics)."""
-        self._fs.delete(self._path(p), True)
+        """Recursive delete; absent paths are a no-op (GC semantics).
+        A ``false`` return with the path STILL PRESENT raises — Hadoop
+        signals refusal through the boolean, and a maintenance protocol
+        that proceeds past a surviving directory (e.g. a compaction
+        about to rename its staged fold into place) would silently nest
+        or duplicate data."""
+        ok = bool(self._fs.delete(self._path(p), True))
+        if not ok and self.exists(p):
+            raise IOError(
+                f"delete failed: {p} still exists — the filesystem "
+                "refused the recursive delete"
+            )
 
     def rename(self, src: str, dst: str) -> None:
+        """Rename with a loud occupied-destination check: Hadoop's
+        ``rename(src, existingDir)`` moves src INTO the directory
+        instead of failing (POSIX-rename semantics differ), which would
+        silently nest a staged partition inside the surviving old one.
+        The os.rename this wrapper replaced failed loudly on an
+        existing destination; so does this."""
+        if self.exists(dst):
+            raise IOError(
+                f"rename failed: destination {dst} already exists — "
+                "refusing (Hadoop would move the source INSIDE an "
+                "existing directory instead of replacing it)"
+            )
         if not self._fs.rename(self._path(src), self._path(dst)):
             raise IOError(f"rename failed: {src} -> {dst}")
 
@@ -185,6 +221,18 @@ class DriverFS:
         finally:
             stream.close()
 
+    def read_bytes(self, p: str) -> bytes:
+        """Whole small file as bytes through the Hadoop stream — the
+        object-store route for KB–MB index artifacts (centroids, meta,
+        codebooks); corpora stay Spark-side."""
+        stream = self._fs.open(self._path(p))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
     def write_text_committed(self, p: str, text: str) -> None:
         """Write a small text file ATOMICALLY: temp name -> hsync (where
         the filesystem supports it) -> rename into place. A reader that
@@ -193,7 +241,11 @@ class DriverFS:
         stores whose rename is copy+delete (S3A), the copy's object PUT
         is still all-or-nothing, so the full-content guarantee holds; a
         crash mid-rename can at worst leave the temp file behind, which
-        recovery discards."""
+        recovery discards. An EXISTING ``p`` is deleted first (rename
+        refuses occupied destinations by contract): a crash in that
+        window leaves ``p`` absent with the temp present — for the
+        protocols built on this (manifest-then-marker), an absent file
+        reads as uncommitted, never as torn."""
         tmp = f"{p}.inprogress"
         out = self._fs.create(self._path(tmp), True)
         try:
@@ -204,7 +256,53 @@ class DriverFS:
                 pass  # e.g. checksummed local FS without Syncable
         finally:
             out.close()
+        self.delete(p)
         self.rename(tmp, p)
+
+
+def driver_read_parquet(spark, directory: str, op: str):
+    """A SMALL parquet directory as one pyarrow Table, read driver-side
+    through the session's Hadoop FileSystem — the object-store route for
+    index ARTIFACTS (centroids, meta, PQ/OPQ codebooks: KB–MB each), so
+    an index whose root lives on ``s3a://``/``hdfs://`` serves without a
+    locally-mounted staging copy. Lists the part files, streams each
+    through ``read_bytes``, parses from buffers; raises the named
+    ``RemotePathError`` when the scheme is unreachable and a plain
+    ValueError when the directory holds no parquet files (an absent or
+    partial artifact must fail loudly, not serve empty state). NOT for
+    corpora — those are Spark-side reads by contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = DriverFS(spark, directory, op)
+    names = sorted(n for n in fs.listnames(directory) if n.endswith(".parquet"))
+    if not names:
+        raise ValueError(
+            f"{op}: no parquet files under {directory} — absent or "
+            "partially-written artifact"
+        )
+    return pa.concat_tables(
+        pq.read_table(pa.BufferReader(fs.read_bytes(f"{directory}/{n}")))
+        for n in names
+    )
+
+
+def require_session(spark, path: str, op: str):
+    """The active SparkSession for a driver-side remote read, or the
+    named error. Loaders that historically took only a path fall back to
+    the active session when serving a remote-scheme index."""
+    if spark is not None:
+        return spark
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RemotePathError(
+            f"{op}: {path} is on a remote scheme and no SparkSession is "
+            "active — remote index artifacts read through the session's "
+            "Hadoop FileSystem; pass spark= or start a session first"
+        )
+    return spark
 
 
 def batch_partition_ids(

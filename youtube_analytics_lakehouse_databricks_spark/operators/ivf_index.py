@@ -25,14 +25,17 @@ lowest-cell probe tie-break, same 1e-6 cosine rounding, same
 Reference shape: FAISS's IndexIVFFlat (public semantics; engine-original
 formulation on parquet + Arrow).
 
-Path contract (fsops): the frozen state loads through pyarrow FAST
-PATHS (centroids, meta, footer row counts) that read the local OS
-filesystem — on any other scheme they raise a named
-``fsops.RemotePathError`` instead of an os-level miss (a remote index
-would need a locally-mounted staging copy of its small state, or a
-pyarrow-fs extension). The layout guards route through the session's
-Hadoop FileSystem and therefore work on any reachable scheme — they
-FAIL LOUD when they cannot list, never silently skip.
+Path contract (fsops, object-store-native since r14): the frozen
+state (centroids, meta, codebooks — KB–MB artifacts) loads through the
+pyarrow FAST PATH on local paths and through the session's Hadoop
+FileSystem (``fsops.driver_read_parquet``: stream the part files,
+parse from buffers) on any other REACHABLE scheme, so an index rooted
+on ``s3a://``/``hdfs://`` serves end to end — the indexes live where
+the data lives. Footer row counts fall back to one Spark count on
+remote schemes. An UNREACHABLE scheme raises the named
+``fsops.RemotePathError`` up front — never a silent miss. The layout
+guards route through the Hadoop FileSystem the same way: they FAIL
+LOUD when they cannot list, never silently skip.
 """
 
 from __future__ import annotations
@@ -40,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS, local_path_or_raise
+from youtube_analytics_lakehouse_databricks_spark.fsops import (
+    DriverFS,
+    driver_read_parquet,
+    is_local_path,
+    local_path_or_raise,
+    require_session,
+)
 
 from youtube_analytics_lakehouse_databricks_spark.operators.mixing import require_integral_id
 from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
@@ -55,7 +64,9 @@ __all__ = [
     "ivf_search",
     "ivf_search_distributed",
     "ivf_cell_stats",
+    "suggest_n_salt",
     "check_bucket_table",
+    "rebuild_bucket_copy",
     "load_ivf_centroids",
     "build_ivfpq_index",
     "append_ivfpq_index",
@@ -85,12 +96,21 @@ def _probe_frame(
     Arrow pass against the broadcast centroids, stable argsort (exact
     ties probe the lowest cell, the ivf_topk rule), loud op-prefixed
     NULL/ragged/wrong-dim guards. Shared by the flat and compressed
-    distributed searches so the probe semantics cannot drift apart."""
-    import numpy as np
+    distributed searches so the probe semantics cannot drift apart.
 
-    bc = queries.sparkSession.sparkContext.broadcast(
-        np.asarray(centroids, dtype=np.float64)
-    )
+    ``centroids`` may be a pre-made ``Broadcast`` of the float64 matrix:
+    a caller whose kernel ALSO needs the centroids (the compressed
+    search's per-cell bias term) ships them to the executors once, not
+    once per consumer."""
+    import numpy as np
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(centroids, Broadcast):
+        bc = centroids
+    else:
+        bc = queries.sparkSession.sparkContext.broadcast(
+            np.asarray(centroids, dtype=np.float64)
+        )
     npb = int(n_probe)
 
     def probe(batches):
@@ -214,31 +234,45 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def load_ivf_centroids(path: str):
-    """The frozen quantizer as a cell-ordered float64 array — direct
-    pyarrow read, no Spark job (the CurationState.centroids_np stance).
-    Local paths only — named error otherwise (module path contract)."""
-    import numpy as np
+def _artifact_table(path: str, sub: str, op: str, spark):
+    """One small index artifact (``<path>/<sub>``) as a pyarrow Table:
+    pyarrow fast path on local paths; on any other scheme, streamed
+    through the session's Hadoop FileSystem and parsed from buffers
+    (object-store-native serving, r14). Unreachable schemes raise the
+    named ``RemotePathError`` up front."""
     import pyarrow.parquet as pq
 
-    path = local_path_or_raise(path, "load_ivf_centroids")
-    tbl = pq.read_table(f"{path}/centroids").to_pydict()
+    if is_local_path(path):
+        return pq.read_table(f"{local_path_or_raise(path, op)}/{sub}")
+    return driver_read_parquet(require_session(spark, path, op), f"{path}/{sub}", op)
+
+
+def load_ivf_centroids(path: str, spark=None):
+    """The frozen quantizer as a cell-ordered float64 array — no Spark
+    JOB either way (the CurationState.centroids_np stance): a direct
+    pyarrow read locally, a driver-side Hadoop-FS stream on remote
+    schemes (``spark`` defaults to the active session there)."""
+    import numpy as np
+
+    tbl = _artifact_table(path, "centroids", "load_ivf_centroids", spark).to_pydict()
     order = sorted(range(len(tbl["cell"])), key=tbl["cell"].__getitem__)
     return np.asarray([tbl["v"][i] for i in order], dtype=np.float64)
 
 
-def _load_meta(path: str) -> dict:
-    """Index meta (id_col, optional bucket_table) — direct pyarrow read
-    (local paths only, named error otherwise); absent for pre-meta
-    indexes (path-corpus only)."""
+def _load_meta(path: str, spark=None) -> dict:
+    """Index meta (id_col, optional bucket_table) — artifact read (local
+    fast path or Hadoop-FS stream); absent for pre-meta indexes
+    (path-corpus only)."""
     import os
 
-    import pyarrow.parquet as pq
-
-    path = local_path_or_raise(path, "ivf index meta read")
-    if not os.path.isdir(f"{path}/meta"):
-        return {}
-    t = pq.read_table(f"{path}/meta").to_pydict()
+    if is_local_path(path):
+        if not os.path.isdir(f"{local_path_or_raise(path, 'ivf index meta read')}/meta"):
+            return {}
+    else:
+        spark = require_session(spark, path, "ivf index meta read")
+        if not DriverFS(spark, path, "ivf index meta read").isdir(f"{path}/meta"):
+            return {}
+    t = _artifact_table(path, "meta", "ivf index meta read", spark).to_pydict()
     return {
         "id_col": t["id_col"][0],
         "bucket_table": t["bucket_table"][0],
@@ -252,14 +286,22 @@ def _np_equal(a, b) -> bool:
     return a.shape == b.shape and bool(np.array_equal(a, b))
 
 
-def _corpus_rows(corpus_dir: str) -> int:
-    """Total stored rows from parquet footer metadata — driver-side, no
-    Spark job (pyarrow dataset over the partitioned directory). Local
-    paths only — named error otherwise (module path contract)."""
-    import pyarrow.dataset as ds
+def _corpus_rows(corpus_dir: str, spark=None) -> int:
+    """Total stored rows: parquet footer metadata via pyarrow on local
+    paths (driver-side, no Spark job); ONE Spark count on any other
+    reachable scheme (mirroring ivf_cell_stats' scheme-safe stance —
+    the divergence audit must run wherever bucket tables live, which is
+    exactly remote). Unreachable schemes raise the named error."""
+    if is_local_path(corpus_dir):
+        import pyarrow.dataset as ds
 
-    corpus_dir = local_path_or_raise(corpus_dir, "ivf corpus footer row count")
-    return ds.dataset(corpus_dir, format="parquet", partitioning="hive").count_rows()
+        local = local_path_or_raise(corpus_dir, "ivf corpus row count")
+        return ds.dataset(local, format="parquet", partitioning="hive").count_rows()
+    spark = require_session(spark, corpus_dir, "ivf corpus row count")
+    # constructing the handle surfaces an unreachable scheme as the
+    # named error instead of a py4j stack out of the count below
+    DriverFS(spark, corpus_dir, "ivf corpus row count")
+    return spark.read.parquet(corpus_dir).count()
 
 
 def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) -> None:
@@ -286,25 +328,56 @@ def check_bucket_table(spark: SparkSession, path: str) -> None:
     them leaves ``ivf_search`` (dir corpus) and the distributed search
     (bucket table) serving different row sets with no error. One
     driver-side footer count + one count over the bucket table; run it
-    after a crashed append (recovery = rebuild the bucket copy from the
-    dir corpus, which remains the source of truth) or as a periodic
+    after a crashed append (recovery = one ``rebuild_bucket_copy`` call
+    — the dir corpus remains the source of truth) or as a periodic
     audit next to ``ivf_cell_stats``. No-op for unbucketed indexes."""
-    meta = _load_meta(path)
+    meta = _load_meta(path, spark)
     if not meta.get("bucket_table"):
         return
     fs = DriverFS(spark, path, "check_bucket_table")
     corpus_dir = (
         f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
-    n_dir = _corpus_rows(corpus_dir)
+    n_dir = _corpus_rows(corpus_dir, spark)
     n_bucket = spark.table(meta["bucket_table"]).count()
     if n_dir != n_bucket:
         raise ValueError(
             f"check_bucket_table: {corpus_dir} holds {n_dir} rows but "
             f"bucket table {meta['bucket_table']} holds {n_bucket} — an "
-            "append crashed between its two writes; rebuild the bucket "
+            "append crashed between its two writes; run "
+            "rebuild_bucket_copy(spark, path) to regenerate the bucket "
             "copy from the dir-partitioned corpus (the source of truth)"
         )
+
+
+def rebuild_bucket_copy(spark: SparkSession, path: str) -> None:
+    """Regenerate the bucketed serving copy from the dir-partitioned
+    corpus — the one-call recovery for the dual write's documented crash
+    window (``check_bucket_table`` detects it; the dir corpus is the
+    source of truth, so the rebuild is a full overwrite with the
+    build's exact bucket spec, restoring the distributed searches'
+    exchange elision). Sniffs the layout (flat ``corpus/`` vs
+    compressed ``corpus_pq/``) like the other maintenance does; raises
+    on unbucketed indexes (nothing to rebuild — a wrong path must not
+    report success)."""
+    meta = _load_meta(path, spark)
+    if not meta.get("bucket_table"):
+        raise ValueError(
+            f"rebuild_bucket_copy: {path} has no bucket_table in its "
+            "meta — the index was built without the bucketed serving "
+            "copy (nothing to rebuild)"
+        )
+    fs = DriverFS(spark, path, "rebuild_bucket_copy")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    (
+        spark.read.parquet(corpus_dir)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(int(meta["n_buckets"]), "cell")
+        .saveAsTable(meta["bucket_table"])
+    )
 
 
 def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
@@ -322,11 +395,11 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     the source of truth."""
     _require_long_id(df, id_col, "append_ivf_index")
     _require_batch_layout_absent(df.sparkSession, f"{path}/corpus", "append_ivf_index")
-    centroids = load_ivf_centroids(path)
+    centroids = load_ivf_centroids(path, df.sparkSession)
     assigned = assign_cells(df, id_col, vec_col, centroids)
     batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
     batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
-    meta = _load_meta(path)
+    meta = _load_meta(path, df.sparkSession)
     if meta.get("bucket_table"):
         # append with the SAME bucket spec: Spark validates it against
         # the table, so the co-located layout can't silently degrade
@@ -368,7 +441,7 @@ def ivf_search(
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     if not rows:
         raise ValueError("ivf_search: empty query batch")
-    centroids = load_ivf_centroids(path)
+    centroids = load_ivf_centroids(path, spark)
     q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     try:
         q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
@@ -499,11 +572,11 @@ def ivf_search_distributed(
     _require_long_id(queries, id_col, "ivf_search_distributed")
     if int(n_salt) < 1:
         raise ValueError(f"ivf_search_distributed: n_salt must be >= 1, got {n_salt}")
-    centroids = load_ivf_centroids(path)
+    centroids = load_ivf_centroids(path, spark)
     q = _probe_frame(
         queries, id_col, vec_col, centroids, n_probe, "ivf_search_distributed"
     )
-    meta = _load_meta(path)
+    meta = _load_meta(path, spark)
     if meta.get("bucket_table"):
         c = spark.table(meta["bucket_table"])
     else:
@@ -558,10 +631,12 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     one cell per task — the straggler/OOM shape. ``skew`` is
     n_rows / (total / n_cells), i.e. 1.0 = perfectly balanced; read
     ``max(skew)`` periodically and either pass ``n_salt`` to the
-    distributed searches (bounded mitigation, no rebuild) or rebuild
-    the index when the quantizer no longer fits the corpus. Cells with
-    ZERO rows don't appear (they harm recall efficiency, not memory —
-    and their count is n_cells minus this frame's rows).
+    distributed searches (``suggest_n_salt`` turns this frame into the
+    bounded mitigation, no rebuild) or rebuild the index when the
+    quantizer no longer fits the corpus. Cells with ZERO rows don't
+    appear (they waste probe budget — a search that probes an empty
+    cell scans nothing and finds nothing — rather than memory or
+    recall; their count is n_cells minus this frame's rows).
 
     Works on all three layouts (flat, compressed, streamed — sniffed
     like the compaction does); one count aggregation over the cell
@@ -591,6 +666,27 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         (F.col("n_rows") / total).alias("frac"),
         (F.col("n_rows") * F.lit(n_cells) / total).alias("skew"),
     )
+
+
+def suggest_n_salt(cell_stats: DataFrame, target_max_rows_per_task: int) -> int:
+    """The drift detector's frame → the bounded mitigation: the smallest
+    ``n_salt`` whose sub-split of the HOTTEST cell fits the per-task
+    budget — ceil(max(n_rows) / target). 1 = no salting needed. Closes
+    the serving loop for a drifted corpus: ``ivf_cell_stats`` detects,
+    this suggests, the distributed searches take ``n_salt=`` — no
+    rebuild. One tiny agg over at most n_cells rows (the stats frame is
+    already corpus-free); size ``target_max_rows_per_task`` so one
+    cell-salt group's vectors fit an executor task's memory with
+    headroom (rows x d x 8 bytes for the kernel's float64 matrix)."""
+    if int(target_max_rows_per_task) < 1:
+        raise ValueError(
+            "suggest_n_salt: target_max_rows_per_task must be >= 1, got "
+            f"{target_max_rows_per_task}"
+        )
+    hottest = cell_stats.agg(F.max("n_rows").alias("m")).collect()[0]["m"]
+    if hottest is None:  # empty stats frame: nothing ingested yet
+        return 1
+    return max(1, -(-int(hottest) // int(target_max_rows_per_task)))
 
 
 # --- IVFPQ: coarse cells + PQ-compressed residuals (FAISS IndexIVFPQ
@@ -779,11 +875,11 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     _require_batch_layout_absent(
         df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
     )
-    centroids = load_ivf_centroids(path)
-    model = PQModel.load(f"{path}/pq_model")
+    centroids = load_ivf_centroids(path, df.sparkSession)
+    model = PQModel.load(f"{path}/pq_model", df.sparkSession)
     batch = _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks)
     batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus_pq")
-    meta = _load_meta(path)
+    meta = _load_meta(path, df.sparkSession)
     if meta.get("bucket_table"):
         # same bucket spec as the build: Spark validates it against the
         # table, so the co-located layout can't silently degrade
@@ -852,8 +948,10 @@ def _ivfpq_scan(
 
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
-    centroids = load_ivf_centroids(path)
-    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    centroids = load_ivf_centroids(path, spark)
+    books = np.asarray(
+        PQModel.load(f"{path}/pq_model", spark).codebooks, dtype=np.float64
+    )
     mm, n_codes, d_sub = books.shape
     if q_mat.shape[1] != centroids.shape[1]:
         raise ValueError(
@@ -977,14 +1075,20 @@ def ivfpq_search_distributed(
         raise ValueError(
             f"ivfpq_search_distributed: n_salt must be >= 1, got {n_salt}"
         )
-    centroids = load_ivf_centroids(path)
-    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
-    mm, _n_codes, d_sub = books.shape
-    bc = spark.sparkContext.broadcast((centroids, books))
-    q = _probe_frame(
-        queries, id_col, vec_col, centroids, n_probe, "ivfpq_search_distributed"
+    centroids = load_ivf_centroids(path, spark)
+    books = np.asarray(
+        PQModel.load(f"{path}/pq_model", spark).codebooks, dtype=np.float64
     )
-    meta = _load_meta(path)
+    mm, _n_codes, d_sub = books.shape
+    # one broadcast per artifact: the probe pass and the per-cell kernel
+    # SHARE the centroid broadcast (bias term lookup), the codebooks ship
+    # separately — no artifact reaches the executors twice
+    cents_bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    books_bc = spark.sparkContext.broadcast(books)
+    q = _probe_frame(
+        queries, id_col, vec_col, cents_bc, n_probe, "ivfpq_search_distributed"
+    )
+    meta = _load_meta(path, spark)
     if meta.get("bucket_table"):
         c = spark.table(meta["bucket_table"])
     else:
@@ -999,7 +1103,7 @@ def ivfpq_search_distributed(
 
         if len(corp) == 0 or len(qs) == 0:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "adc_cosine": []})
-        cents, books_ = bc.value
+        cents, books_ = cents_bc.value, books_bc.value
         cell = int(corp["cell"].iloc[0])
         c_ids = corp["c_id"].to_numpy(dtype=np.int64)
         codes = np.stack([np.asarray(cd, dtype=np.int64) for cd in corp["codes"]])
@@ -1041,7 +1145,9 @@ def ivfpq_search_distributed(
     return _rank_topk(hits, "adc_cosine", kk)
 
 
-def _validate_refined_pair(pq_path: str, flat_path: str, validate: bool, *, op: str) -> None:
+def _validate_refined_pair(
+    pq_path: str, flat_path: str, validate: bool, *, op: str, spark=None
+) -> None:
     """The two indexes must be two LAYOUTS of one corpus under one
     quantizer — otherwise shortlisted candidates can be missing from the
     flat side and would silently drop from the re-rank (e.g. an
@@ -1052,14 +1158,16 @@ def _validate_refined_pair(pq_path: str, flat_path: str, validate: bool, *, op: 
     validate=False after the first call."""
     if not validate:
         return
-    if not _np_equal(load_ivf_centroids(pq_path), load_ivf_centroids(flat_path)):
+    if not _np_equal(
+        load_ivf_centroids(pq_path, spark), load_ivf_centroids(flat_path, spark)
+    ):
         raise ValueError(
             f"{op}: the pq and flat indexes were built with DIFFERENT "
             "quantizers — they probe different cells, so the shortlist "
             "and the re-rank would disagree; rebuild one of them"
         )
-    n_pq = _corpus_rows(f"{pq_path}/corpus_pq")
-    n_flat = _corpus_rows(f"{flat_path}/corpus")
+    n_pq = _corpus_rows(f"{pq_path}/corpus_pq", spark)
+    n_flat = _corpus_rows(f"{flat_path}/corpus", spark)
     if n_pq != n_flat:
         raise ValueError(
             f"{op}: the pq index holds {n_pq} rows but the flat index "
@@ -1112,11 +1220,13 @@ def ivfpq_search_refined(
             f"ivfpq_search_refined: refine={refine} must be >= k={k} — the "
             "shortlist is what the exact re-rank chooses from"
         )
-    _validate_refined_pair(pq_path, flat_path, validate, op="ivfpq_search_refined")
+    _validate_refined_pair(
+        pq_path, flat_path, validate, op="ivfpq_search_refined", spark=spark
+    )
     rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
     if not rows:
         raise ValueError("ivfpq_search_refined: empty query batch")
-    centroids = load_ivf_centroids(flat_path)
+    centroids = load_ivf_centroids(flat_path, spark)
     q_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     try:
         q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
@@ -1241,7 +1351,8 @@ def ivfpq_search_refined_distributed(
             f"k={k} — the shortlist is what the exact re-rank chooses from"
         )
     _validate_refined_pair(
-        pq_path, flat_path, validate, op="ivfpq_search_refined_distributed"
+        pq_path, flat_path, validate, op="ivfpq_search_refined_distributed",
+        spark=spark,
     )
     shortlist = ivfpq_search_distributed(
         spark, pq_path, queries, id_col, vec_col,
@@ -1306,8 +1417,10 @@ def ivfpq_audit(
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(vectors, id_col, "ivfpq_audit")
-    centroids = load_ivf_centroids(path)
-    books = np.asarray(PQModel.load(f"{path}/pq_model").codebooks, dtype=np.float64)
+    centroids = load_ivf_centroids(path, spark)
+    books = np.asarray(
+        PQModel.load(f"{path}/pq_model", spark).codebooks, dtype=np.float64
+    )
     mm, _n, d_sub = books.shape
     stored = spark.read.parquet(f"{path}/corpus_pq").select(id_col, "cell", "codes")
     joined = vectors.select(id_col, vec_col).join(stored, id_col, "inner")

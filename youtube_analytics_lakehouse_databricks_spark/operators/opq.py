@@ -59,18 +59,31 @@ class OPQModel:
         self.pq.save(spark, f"{path}/pq_model")
 
     @classmethod
-    def load(cls, path: str) -> "OPQModel":
+    def load(cls, path: str, spark=None) -> "OPQModel":
         import numpy as np
         import pyarrow.parquet as pq_
 
-        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+        from youtube_analytics_lakehouse_databricks_spark.fsops import (
+            driver_read_parquet,
+            is_local_path,
+            local_path_or_raise,
+            require_session,
+        )
 
-        # pyarrow fast path: local paths only, named error otherwise
-        path = local_path_or_raise(path, "OPQModel.load")
-        t = pq_.read_table(f"{path}/rotation").to_pydict()
+        # pyarrow fast path locally; Hadoop-FS-streamed on any other
+        # reachable scheme (the PQModel.load stance)
+        if is_local_path(path):
+            local = local_path_or_raise(path, "OPQModel.load")
+            t = pq_.read_table(f"{local}/rotation").to_pydict()
+        else:
+            t = driver_read_parquet(
+                require_session(spark, path, "OPQModel.load"),
+                f"{path}/rotation",
+                "OPQModel.load",
+            ).to_pydict()
         order = sorted(range(len(t["i"])), key=t["i"].__getitem__)
         rot = np.asarray([t["v"][i] for i in order], dtype=np.float64)
-        return cls(rotation=rot, pq=PQModel.load(f"{path}/pq_model"))
+        return cls(rotation=rot, pq=PQModel.load(f"{path}/pq_model", spark))
 
 
 def allocate_eigen_dims(eigenvalues, m: int):

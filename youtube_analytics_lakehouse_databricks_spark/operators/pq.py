@@ -77,15 +77,27 @@ class PQModel:
         ).write.mode("overwrite").parquet(path)
 
     @classmethod
-    def load(cls, path: str) -> "PQModel":
+    def load(cls, path: str, spark=None) -> "PQModel":
         import numpy as np
         import pyarrow.parquet as pq_
 
-        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+        from youtube_analytics_lakehouse_databricks_spark.fsops import (
+            driver_read_parquet,
+            is_local_path,
+            local_path_or_raise,
+            require_session,
+        )
 
-        # pyarrow fast path: local paths only, named error otherwise
-        # (the ivf_index module path contract)
-        t = pq_.read_table(local_path_or_raise(path, "PQModel.load")).to_pydict()
+        # pyarrow fast path locally; a KB-sized artifact streamed
+        # through the session's Hadoop FileSystem on any other reachable
+        # scheme (object-store-native serving — the ivf_index contract);
+        # named error when the scheme is unreachable
+        if is_local_path(path):
+            t = pq_.read_table(local_path_or_raise(path, "PQModel.load")).to_pydict()
+        else:
+            t = driver_read_parquet(
+                require_session(spark, path, "PQModel.load"), path, "PQModel.load"
+            ).to_pydict()
         m = max(t["subspace"]) + 1
         n = max(t["code"]) + 1
         d_sub = len(t["v"][0])

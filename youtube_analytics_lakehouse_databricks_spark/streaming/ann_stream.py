@@ -29,8 +29,11 @@ through the session's Hadoop FileSystem (``fsops.DriverFS``), so they
 work on any scheme the session can reach (``file:``, ``hdfs://``,
 ``s3a://`` with the connector present) and FAIL with a named
 ``fsops.RemotePathError`` — never a silent no-op — when the scheme is
-unreachable. The searches additionally read the frozen state via the
-pyarrow fast path, which is local-path-only (``ivf_index``'s contract).
+unreachable. The frozen-state reads (centroids, codebooks) take the
+pyarrow fast path locally and stream through the same Hadoop
+FileSystem on any other reachable scheme (``ivf_index``'s
+object-store-native contract, r14) — a streamed index rooted on an
+object store both ingests AND serves.
 """
 
 from __future__ import annotations
@@ -132,11 +135,11 @@ def ingest_ann_batch(
                 "append_ivf_index/append_ivfpq_index for batch appends, "
                 "or bootstrap a fresh streamed index"
             )
-    centroids = load_ivf_centroids(path)
+    centroids = load_ivf_centroids(path, batch.sparkSession)
     if fs.isdir(f"{path}/pq_model"):
         from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
-        model = PQModel.load(f"{path}/pq_model")
+        model = PQModel.load(f"{path}/pq_model", batch.sparkSession)
         rows = _encode_ivfpq(batch, id_col, vec_col, centroids, model.codebooks)
         corpus_dir = f"{path}/corpus_pq"
     else:
