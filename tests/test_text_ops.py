@@ -113,3 +113,94 @@ class TestHashedEmbedding:
             a, b = res[2 * i], res[2 * i + 1]
             assert a["keep"] and not b["keep"], (i, a, b)
             assert b["duplicate_of"] == 2 * i
+
+
+def test_hashed_embedding_semantic_dedup_composed_mirror(spark):
+    """The full text -> vector -> dedup chain under ONE cross-engine
+    mirror (r13 VERDICT stretch): hashed_embedding at dim=8 feeds
+    semantic_dedup with the registered oracle parameters, and DuckDB
+    rebuilds BOTH stages — sha256-nibble signs -> ±1 sums -> float32
+    normalize (bit-identical to Spark's array<float>), then the
+    unmodified SemDeDup oracle SQL over that view. Keeper sets, duplicate
+    pointers, clusters, and 1e-6-rounded centroid sims must agree row
+    for row, and the fixture plants real duplicates so keep=False rows
+    exist (non-vacuous)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import semantic_dedup
+    from youtube_analytics_lakehouse_databricks_spark.operators.text import hashed_embedding
+    from youtube_analytics_lakehouse_databricks_spark.queries.vectorops import (
+        SEMDEDUP_CAP,
+        SEMDEDUP_ITERS,
+        SEMDEDUP_N_CELLS,
+        SEMDEDUP_THRESHOLD,
+        _semdedup_oracle_sql,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine they always say",
+        "to be or not to be that is the question",
+        "all that glitters is not gold in the end",
+        "pack my box with five dozen liquor jugs",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 5]
+        if i >= 20:  # lexical near-variant of its base
+            t = f"{t} extra token {i % 3}"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    DIM = 8
+    emb = hashed_embedding(docs, "doc_id", "text", dim=DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    got = {
+        r["vec_id"]: (
+            r["cluster"], r["centroid_sim"], r["keep"], r["duplicate_of"],
+            r["semdedup_audit_incomplete"],
+        )
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding",
+            threshold=SEMDEDUP_THRESHOLD, n_cells=SEMDEDUP_N_CELLS,
+            kmeans_iters=SEMDEDUP_ITERS, max_cluster_size=SEMDEDUP_CAP,
+        ).collect()
+    }
+    assert len(got) == 40
+    assert sum(1 for v in got.values() if not v[2]) >= 5  # real drops
+
+    # DuckDB mirror: rebuild the hashed embedding (UNrounded float32 —
+    # bit-identical to Spark's array<float>) as a view named
+    # `embeddings`, then run the registered SemDeDup oracle verbatim
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substr(sha256(token), {i + 1}, 1)) - 1 AS nb{i}"
+        for i in range((DIM + 3) // 4)
+    )
+    sums = ", ".join(
+        f"SUM(2 * ((nb{b // 4} // {2 ** (3 - b % 4)}) % 2) - 1) AS d{b}"
+        for b in range(DIM)
+    )
+    sq = " + ".join(f"d{b} * d{b}" for b in range(DIM))
+    vec = ", ".join(f"CAST(d{b} / nrm AS REAL)" for b in range(DIM))
+    con.execute(f"""
+        CREATE VIEW embeddings AS
+        WITH htok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          FROM documents
+        ),
+        hnib AS (SELECT doc_id, {nibs} FROM htok),
+        hsum AS (SELECT doc_id, {sums} FROM hnib GROUP BY doc_id)
+        SELECT doc_id AS vec_id, [{vec}] AS embedding
+        FROM (SELECT *, sqrt(CAST({sq} AS DOUBLE)) AS nrm FROM hsum)
+        WHERE nrm <> 0
+    """)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5])
+        for r in con.execute(_semdedup_oracle_sql()).fetchall()
+    }
+    assert got == want
