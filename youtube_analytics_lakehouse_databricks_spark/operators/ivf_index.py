@@ -1341,7 +1341,15 @@ def ivfpq_search_refined_distributed(
     queries x cell-occupancy (``ivf_search_distributed``) to
     queries x refine — the win when cells are large; when they aren't,
     the flat distributed search reads fewer total bytes (the measured
-    probe series) and is the better call."""
+    probe series) and is the better call.
+
+    Cell-pruning the stage-2 flat scan by the shortlist's probed cells
+    was probed and REJECTED (r14): even a mid-sized batch probes nearly
+    every cell (300 random queries x n_probe=2 touched 229 of 256 cells
+    on a 200k-row corpus; pruned vs unpruned stage-2 measured 7.49 vs
+    7.48 s), because independent queries spread across the quantizer.
+    A batch clustered enough to probe few cells is small enough for the
+    collected ``ivfpq_search_refined``, whose scan IS partition-pruned."""
     import numpy as np
 
     _require_long_id(queries, id_col, "ivfpq_search_refined_distributed")
