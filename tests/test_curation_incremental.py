@@ -129,6 +129,39 @@ def test_incremental_state_roundtrip(spark, tmp_path):
     assert _sorted(inc) == _sorted(full)
 
 
+def test_incremental_state_roundtrip_on_file_uri(spark, tmp_path):
+    """The state save/load swap is scheme-native since r14: a state
+    addressed by a ``file:`` URI (a real non-os-path scheme) saves
+    through the Hadoop FS (staged write -> delete -> rename per frame,
+    params.json via the committed write), loads with Hadoop-FS
+    optional-frame probes, and appends identically to the os-path
+    state — an os.path fallback would silently see no optional frames
+    at the URI."""
+    import os
+
+    corpus = [(1, A_TXT), (2, OTHER), (3, B_TXT)]
+    batch = [(11, C_TXT), (12, OTHER)]
+    _, st = curate_incremental(_df(spark, corpus), "doc_id", "text", **PARAMS)
+    uri = f"file:{tmp_path}/state_uri"
+    st.save(uri)
+    # the swap really landed: final frames present, no staged residue
+    names = os.listdir(f"{tmp_path}/state_uri")
+    assert "audit" in names and "params.json" in names
+    assert not [n for n in names if n.endswith(".staged")]
+    loaded = CurationState.load(spark, uri)
+    inc, _ = curate_incremental(
+        _df(spark, batch), "doc_id", "text", state=loaded, **PARAMS
+    )
+    full = curate(_df(spark, corpus + batch), "doc_id", "text", **PARAMS)
+    assert _sorted(inc) == _sorted(full)
+    # a second save over the SAME uri replaces frames (delete-first swap)
+    loaded2 = CurationState.load(spark, uri)
+    loaded2.save(uri.replace("state_uri", "state_uri2"))
+    assert sorted(os.listdir(f"{tmp_path}/state_uri2")) == sorted(
+        n for n in names if not n.startswith("._")
+    )
+
+
 def test_incremental_durable_mode_identical(spark, tmp_path):
     """durable=True swaps every lineage cut in the append path (incl. the
     anchor-edge components) for reliable checkpoint() — identical output."""

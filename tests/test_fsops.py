@@ -207,11 +207,14 @@ def test_pq_and_opq_model_load_unreachable_raise(spark):
         OPQModel.load(NOSUCH, spark)
 
 
-def test_curation_state_save_load_remote_raise(spark):
+def test_curation_state_save_load_unreachable_raise(spark):
     from youtube_analytics_lakehouse_databricks_spark.operators.curation_incremental import CurationState
 
     with pytest.raises(RemotePathError, match="CurationState.load"):
-        CurationState.load(spark, S3A)
+        CurationState.load(spark, NOSUCH)
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(RemotePathError, match="CurationState.save"):
+        CurationState(df, df, df, df).save(NOSUCH)
 
 
 def test_curated_state_probe_remote_raises(spark):

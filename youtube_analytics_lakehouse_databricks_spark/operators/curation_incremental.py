@@ -208,28 +208,54 @@ class CurationState:
     def save(self, path: str) -> None:
         """Write-to-temp then rename: an appended state's frames READ the
         previous state's files (stored ∪ new lineage), so overwriting in
-        place would delete inputs mid-scan; the rename also means a crash
-        mid-save leaves the previous state intact. Local/NFS paths only
-        (named fsops.RemotePathError otherwise — the os-level staged
-        renames have no object-store equivalent here); on a lakehouse
-        these four frames are Delta tables and the swap is a
-        transaction."""
+        place would delete inputs mid-scan; the staged swap also means a
+        crash during the WRITES leaves the previous state intact.
+        Scheme-native since r14: local paths swap with os.rename (atomic
+        per frame); any other reachable scheme swaps through the
+        session's Hadoop FileSystem (delete + rename per frame — atomic
+        on HDFS; on rename-by-copy stores like S3A the per-frame window
+        is wider, and a lakehouse deployment should make these frames
+        Delta tables so the swap is a transaction). Either way a crash
+        INSIDE the swap sequence can leave mixed frame generations —
+        re-run the save; unreachable schemes raise the named
+        ``fsops.RemotePathError``."""
         import os
         import shutil
 
-        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
-
-        path = local_path_or_raise(path, "CurationState.save")
+        from youtube_analytics_lakehouse_databricks_spark.fsops import (
+            DriverFS,
+            is_local_path,
+            local_path_or_raise,
+        )
 
         frames = list(self.FRAMES) + [
             name
             for name in ("paras", "windows", "centroids", "semvecs", "nearmap")
             if getattr(self, name) is not None
         ]
+        if not is_local_path(path):
+            # fail BEFORE the staged writes if the scheme is unreachable
+            fs = DriverFS(self.audit.sparkSession, path, "CurationState.save")
+            for name in frames:
+                getattr(self, name).write.mode("overwrite").parquet(
+                    f"{path}/.{name}.staged"
+                )
+            for name in frames:
+                fs.delete(f"{path}/{name}")
+                fs.rename(f"{path}/.{name}.staged", f"{path}/{name}")
+            if self.params is not None:
+                import json
+
+                fs.write_text_committed(
+                    f"{path}/params.json", json.dumps(self.params, sort_keys=True)
+                )
+            return
+
         for name in frames:
             getattr(self, name).write.mode("overwrite").parquet(
                 f"{path}/.{name}.staged"
             )
+        path = local_path_or_raise(path, "CurationState.save")
         for name in frames:
             shutil.rmtree(f"{path}/{name}", ignore_errors=True)
             os.rename(f"{path}/.{name}.staged", f"{path}/{name}")
@@ -253,18 +279,29 @@ class CurationState:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        from youtube_analytics_lakehouse_databricks_spark.fsops import local_path_or_raise
+        from youtube_analytics_lakehouse_databricks_spark.fsops import (
+            DriverFS,
+            is_local_path,
+            local_path_or_raise,
+        )
 
-        # save()'s os-level staged-rename contract is local-only, so a
-        # state on a remote scheme cannot exist through this API — the
-        # os.path probes below would silently see NO optional frames
-        # there; fail with the same named error save() raises
-        path = local_path_or_raise(path, "CurationState.load")
+        # the optional-frame probes must really LIST (an os.path probe
+        # on a remote scheme is always False and would silently drop
+        # stored frames): os.path locally, the session's Hadoop FS on
+        # any other reachable scheme (scheme-native since r14),
+        # the named error when unreachable
+        local = is_local_path(path)
+        if local:
+            path = local_path_or_raise(path, "CurationState.load")
+            isdir = lambda n: os.path.isdir(f"{path}/{n}")
+        else:
+            fs = DriverFS(spark, path, "CurationState.load")
+            isdir = lambda n: fs.isdir(f"{path}/{n}")
 
         names = list(cls.FRAMES) + [
             n
             for n in ("paras", "windows", "centroids", "semvecs", "nearmap")
-            if os.path.isdir(f"{path}/{n}")
+            if isdir(n)
         ]
         with ThreadPoolExecutor(max_workers=len(names)) as pool:
             frames = dict(
@@ -276,11 +313,16 @@ class CurationState:
                 )
             )
         params = None
-        if os.path.exists(f"{path}/params.json"):
+        if local:
+            if os.path.exists(f"{path}/params.json"):
+                import json
+
+                with open(f"{path}/params.json") as f:
+                    params = json.load(f)
+        elif fs.exists(f"{path}/params.json"):
             import json
 
-            with open(f"{path}/params.json") as f:
-                params = json.load(f)
+            params = json.loads(fs.read_text(f"{path}/params.json"))
         st = cls(
             *[frames[n] for n in cls.FRAMES],
             **{
@@ -290,6 +332,7 @@ class CurationState:
             params=params,
         )
         st._path = path
+        st._path_local = local
         return st
 
     def watermark_of(self, id_col: str):
@@ -309,7 +352,10 @@ class CurationState:
             self.audit.schema[id_col].dataType,
             (ByteType, ShortType, IntegerType, LongType),
         )
-        if path is not None and integral:
+        # the glob fast path is local-only by nature; a remote-rooted
+        # state takes the Spark aggregation (correct-by-fallback, no
+        # misleading footer-health warning)
+        if path is not None and integral and getattr(self, "_path_local", True):
             try:
                 import glob as globmod
 
@@ -366,9 +412,20 @@ class CurationState:
         rows = None
         if path is not None:
             try:
-                import pyarrow.parquet as pq
+                if getattr(self, "_path_local", True):
+                    import pyarrow.parquet as pq
 
-                tbl = pq.read_table(f"{path}/centroids").to_pydict()
+                    tbl = pq.read_table(f"{path}/centroids").to_pydict()
+                else:
+                    # remote-rooted state: still no Spark JOB — the
+                    # artifact streams through the Hadoop FS (r14)
+                    from youtube_analytics_lakehouse_databricks_spark.fsops import driver_read_parquet
+
+                    tbl = driver_read_parquet(
+                        self.centroids.sparkSession,
+                        f"{path}/centroids",
+                        "CurationState.centroids_np",
+                    ).to_pydict()
                 order = sorted(range(len(tbl["cell"])), key=tbl["cell"].__getitem__)
                 rows = [tbl["v"][i] for i in order]
             except Exception:
