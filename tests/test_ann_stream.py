@@ -312,25 +312,36 @@ def test_compaction_during_live_stream_with_replay_across_fold(spark, tmp_path):
                                "vec_id", "embedding", n_probe=2, k=5,
                                exclude_self=True))
 
-    feed(0, 240)  # batch 0 drains everything available at start
+    feed(0, 240)  # first epoch drains everything available at start
     stream = spark.readStream.schema(df.schema).parquet(src)
     q = ann_index_stream(stream, "vec_id", "embedding", path, ckpt)
     try:
         q.processAllAvailable()
-        for lo in range(240, 280, 10):  # batches 1..4, one file each
+        for lo in range(240, 280, 10):  # four more single-file feeds
             feed(lo, lo + 10)
             q.processAllAvailable()
-        assert batch_dirs() == [0, 1, 2, 3, 4]
+        # five non-empty feeds = five batch dirs. Epoch NUMBERS are the
+        # stream's business, not this test's: Structured Streaming may
+        # interleave an empty epoch (it commits but writes no dir), so
+        # dirs can be non-contiguous — assert structure, not ids.
+        dirs5 = batch_dirs()
+        assert len(dirs5) == 5, dirs5
 
-        # compact WHILE the query is live: batches 0..2 fold into 0
+        # compact WHILE the query is live: all but the last 2 fold into
+        # the oldest folded id
         assert compact_ann_stream(spark, path, keep_last=2) == 3
-        assert batch_dirs() == [0, 3, 4]
+        after_fold = [dirs5[0]] + dirs5[3:]
+        assert batch_dirs() == after_fold
         mid_rows, mid_search = rows(), search()
 
-        # ingest continues against the compacted layout
-        feed(280, 320)  # batch 5
+        # ingest continues against the compacted layout: exactly one
+        # NEW batch dir, strictly beyond the old tail
+        feed(280, 320)
         q.processAllAvailable()
-        assert batch_dirs() == [0, 3, 4, 5]
+        new_ids = sorted(set(batch_dirs()) - set(after_fold))
+        assert len(new_ids) == 1 and new_ids[0] > after_fold[-1], batch_dirs()
+        tail = new_ids[0]
+        assert batch_dirs() == after_fold + [tail]
     finally:
         q.stop()
 
@@ -346,13 +357,15 @@ def test_compaction_during_live_stream_with_replay_across_fold(spark, tmp_path):
     assert full_search == want
     assert len(mid_rows) == 280 and len(full_rows) == 320
 
-    # forced replay ACROSS the fold boundary: mark the frontier batch
+    # forced replay ACROSS the fold boundary: mark the frontier epoch
     # uncommitted and restart — Structured Streaming reprocesses it; the
-    # dynamic partition overwrite replaces exactly batch 5, and the
-    # folded batches (protected by keep_last >= 2) are never re-entered
-    os.remove(f"{ckpt}/commits/5")
-    if os.path.exists(f"{ckpt}/commits/.5.crc"):
-        os.remove(f"{ckpt}/commits/.5.crc")  # checksum sidecar on local FS
+    # dynamic partition overwrite replaces exactly the frontier batch,
+    # and the folded batches (protected by keep_last >= 2) are never
+    # re-entered
+    frontier = max(int(f) for f in os.listdir(f"{ckpt}/commits") if f.isdigit())
+    os.remove(f"{ckpt}/commits/{frontier}")
+    if os.path.exists(f"{ckpt}/commits/.{frontier}.crc"):
+        os.remove(f"{ckpt}/commits/.{frontier}.crc")  # checksum sidecar
     q2 = ann_index_stream(
         spark.readStream.schema(df.schema).parquet(src),
         "vec_id", "embedding", path, ckpt,
@@ -361,13 +374,13 @@ def test_compaction_during_live_stream_with_replay_across_fold(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    assert batch_dirs() == [0, 3, 4, 5]
+    assert batch_dirs() == after_fold + [tail]
     assert rows() == full_rows and search() == full_search
 
     # and the horizon advances: a later compaction folds up to the new
-    # tail ([0, 3] of [0, 3, 4, 5] — the replayed frontier stays out)
+    # tail (the replayed frontier stays out of the fold)
     assert compact_ann_stream(spark, path, keep_last=2) == 2
-    assert batch_dirs() == [0, 4, 5]
+    assert batch_dirs() == [after_fold[0]] + [after_fold[-1], tail]
     assert rows() == full_rows and search() == full_search
 
 

@@ -154,12 +154,65 @@ def test_incremental_state_roundtrip_on_file_uri(spark, tmp_path):
     )
     full = curate(_df(spark, corpus + batch), "doc_id", "text", **PARAMS)
     assert _sorted(inc) == _sorted(full)
-    # a second save over the SAME uri replaces frames (delete-first swap)
-    loaded2 = CurationState.load(spark, uri)
-    loaded2.save(uri.replace("state_uri", "state_uri2"))
-    assert sorted(os.listdir(f"{tmp_path}/state_uri2")) == sorted(
-        n for n in names if not n.startswith("._")
-    )
+    # a second save over the SAME uri really replaces frames in place
+    # (staged write -> delete -> rename per frame) and leaves no residue
+    before_ids = _sorted(loaded.audit.select("doc_id"))
+    CurationState.load(spark, uri).save(uri)
+    after = os.listdir(f"{tmp_path}/state_uri")
+    assert sorted(after) == sorted(names)
+    assert not [n for n in after if n.endswith(".staged")]
+    assert _sorted(CurationState.load(spark, uri).audit.select("doc_id")) == before_ids
+
+
+def test_state_remote_route_roundtrip_and_manifest_guard(spark, tmp_path, monkeypatch):
+    """The save/load REMOTE branches' success paths, forced onto the
+    reachable default file:/// filesystem (the file:-URI test above
+    takes the local fast path by design): Hadoop-FS staged swap,
+    committed params.json, frame manifest, Hadoop-FS optional-frame
+    probes — append over the reloaded state matches the local-route
+    result. Then the manifest guard: deleting an optional frame the
+    manifest lists makes load raise (a crashed swap must not silently
+    build a state without the frame)."""
+    import os
+    import shutil
+
+    import pytest
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+
+    corpus = [(1, A_TXT), (2, OTHER), (3, B_TXT)]
+    batch = [(11, C_TXT), (12, OTHER)]
+    # paragraph_dedup=True gives the state OPTIONAL frames (paras), so
+    # the manifest guard below is non-vacuous
+    params = dict(PARAMS, paragraph_dedup=True, paragraph_min_chars=10)
+    _, st = curate_incremental(_df(spark, corpus), "doc_id", "text", **params)
+    path = f"{tmp_path}/state_remote"
+    with monkeypatch.context() as m:
+        m.setattr(fsops, "is_local_path", lambda p: False)
+        st.save(path)
+        loaded = CurationState.load(spark, path)
+        inc, _ = curate_incremental(
+            _df(spark, batch), "doc_id", "text", state=loaded, **params
+        )
+        inc_rows = _sorted(inc)
+    assert os.path.exists(f"{path}/_frames.json")
+    assert os.path.exists(f"{path}/params.json")
+    assert not [n for n in os.listdir(path) if n.endswith(".staged")]
+    full = curate(_df(spark, corpus + batch), "doc_id", "text", **params)
+    assert inc_rows == _sorted(full)
+
+    # manifest guard: an optional frame the manifest lists goes missing
+    import json as json_mod
+
+    manifest = json_mod.loads(open(f"{path}/_frames.json").read())
+    optional_saved = [
+        n for n in manifest
+        if n in ("paras", "windows", "centroids", "semvecs", "nearmap")
+    ]
+    if optional_saved:
+        shutil.rmtree(f"{path}/{optional_saved[0]}")
+        with pytest.raises(ValueError, match="manifest says were saved"):
+            CurationState.load(spark, path)
 
 
 def test_incremental_durable_mode_identical(spark, tmp_path):

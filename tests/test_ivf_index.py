@@ -475,9 +475,13 @@ def test_suggest_n_salt_bounds_the_hot_cell(spark, index, tmp_path):
     )
     append_ivf_index(_df(spark, hot, start=10_000), "vec_id", "embedding", drifted)
     stats = ivf_cell_stats(spark, drifted)
-    hottest = max(r["n_rows"] for r in stats.collect())
+    rows = stats.collect()
+    hottest = max(r["n_rows"] for r in rows)
     target = 25
-    ns = suggest_n_salt(stats, target)
+    # collected rows are the documented cheap input (the frame's lineage
+    # is the corpus groupBy); both input forms agree
+    ns = suggest_n_salt(rows, target)
+    assert suggest_n_salt(stats, target) == ns
     assert ns == -(-hottest // target) > 1
     # ceil semantics: a budget >= the hottest cell needs no salt
     assert suggest_n_salt(stats, hottest) == 1

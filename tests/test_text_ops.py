@@ -204,3 +204,28 @@ def test_hashed_embedding_semantic_dedup_composed_mirror(spark):
         for r in con.execute(_semdedup_oracle_sql()).fetchall()
     }
     assert got == want
+
+
+def test_passthrough_collision_raises_named(spark):
+    """A passthrough column that collides with the projection's own
+    columns fails loudly AT THE CALL, naming passthrough — not as an
+    ambiguous-reference error at action time three operators later."""
+    import pytest
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.text import (
+        hashed_embedding,
+        quality_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="passthrough"):
+        quality_scores(df, "doc_id", "text", passthrough=("text",))
+    with pytest.raises(ValueError, match="passthrough"):
+        quality_scores(df, "doc_id", "text", passthrough=("n_tokens",))
+    with pytest.raises(ValueError, match="passthrough"):
+        hashed_embedding(df, "doc_id", "text", passthrough=("embedding",))
+    # text_col is deliberately allowed on hashed_embedding (the fused
+    # doc_quality_scores composition)
+    assert hashed_embedding(
+        df, "doc_id", "text", dim=4, passthrough=("text",)
+    ).columns == ["doc_id", "text", "embedding"]

@@ -145,6 +145,7 @@ class DriverFS:
 
     def __init__(self, spark, root: str, op: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         try:
             self._fs = self._path(root).getFileSystem(self._conf)
@@ -241,11 +242,13 @@ class DriverFS:
         stores whose rename is copy+delete (S3A), the copy's object PUT
         is still all-or-nothing, so the full-content guarantee holds; a
         crash mid-rename can at worst leave the temp file behind, which
-        recovery discards. An EXISTING ``p`` is deleted first (rename
-        refuses occupied destinations by contract): a crash in that
-        window leaves ``p`` absent with the temp present — for the
-        protocols built on this (manifest-then-marker), an absent file
-        reads as uncommitted, never as torn."""
+        recovery discards. An EXISTING ``p`` is replaced with an ATOMIC
+        overwrite rename (FileContext's POSIX Rename.OVERWRITE), so a
+        concurrent reader always sees either the old or the new full
+        content — never an absent file that would read as
+        never-written. On stores with no FileContext binding the
+        fallback is delete-then-rename, whose absent-file window is
+        documented rather than silent."""
         tmp = f"{p}.inprogress"
         out = self._fs.create(self._path(tmp), True)
         try:
@@ -256,8 +259,24 @@ class DriverFS:
                 pass  # e.g. checksummed local FS without Syncable
         finally:
             out.close()
-        self.delete(p)
-        self.rename(tmp, p)
+        if not self.exists(p):
+            self.rename(tmp, p)
+            return
+        try:
+            dst = self._path(p)
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+            opts = self._gateway.new_array(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(self._path(tmp), dst, opts)
+        except Exception:
+            # no AbstractFileSystem binding for this scheme: fall back
+            # to delete+rename (narrow absent-file window, stated above)
+            self.delete(p)
+            self.rename(tmp, p)
 
 
 def driver_read_parquet(spark, directory: str, op: str):

@@ -233,6 +233,16 @@ class CurationState:
             for name in ("paras", "windows", "centroids", "semvecs", "nearmap")
             if getattr(self, name) is not None
         ]
+        import json
+
+        # the frame MANIFEST makes a crashed swap DETECTABLE: it lists
+        # the frames this save owns and is written LAST, so a crash
+        # between a frame's delete and its staged rename leaves the
+        # previous manifest still naming it — load cross-checks and
+        # raises instead of silently building a state without an
+        # optional frame (mandatory frames already fail loud at read).
+        manifest = json.dumps(sorted(frames))
+
         if not is_local_path(path):
             # fail BEFORE the staged writes if the scheme is unreachable
             fs = DriverFS(self.audit.sparkSession, path, "CurationState.save")
@@ -244,11 +254,10 @@ class CurationState:
                 fs.delete(f"{path}/{name}")
                 fs.rename(f"{path}/.{name}.staged", f"{path}/{name}")
             if self.params is not None:
-                import json
-
                 fs.write_text_committed(
                     f"{path}/params.json", json.dumps(self.params, sort_keys=True)
                 )
+            fs.write_text_committed(f"{path}/_frames.json", manifest)
             return
 
         for name in frames:
@@ -260,11 +269,12 @@ class CurationState:
             shutil.rmtree(f"{path}/{name}", ignore_errors=True)
             os.rename(f"{path}/.{name}.staged", f"{path}/{name}")
         if self.params is not None:
-            import json
-
             with open(f"{path}/.params.json.staged", "w") as f:
                 json.dump(self.params, f, sort_keys=True)
             os.replace(f"{path}/.params.json.staged", f"{path}/params.json")
+        with open(f"{path}/._frames.json.staged", "w") as f:
+            f.write(manifest)
+        os.replace(f"{path}/._frames.json.staged", f"{path}/_frames.json")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CurationState":
@@ -298,11 +308,39 @@ class CurationState:
             fs = DriverFS(spark, path, "CurationState.load")
             isdir = lambda n: fs.isdir(f"{path}/{n}")
 
-        names = list(cls.FRAMES) + [
-            n
-            for n in ("paras", "windows", "centroids", "semvecs", "nearmap")
-            if isdir(n)
-        ]
+        # a saved manifest is authoritative: an optional frame it lists
+        # but the directory lacks means a save crashed mid-swap — raise
+        # (probing alone would silently build a state WITHOUT the frame
+        # and produce wrong incremental output with no error). States
+        # saved before the manifest existed fall back to the probes.
+        import json
+
+        if local:
+            manifest_text = None
+            if os.path.exists(f"{path}/_frames.json"):
+                with open(f"{path}/_frames.json") as f:
+                    manifest_text = f.read()
+        else:
+            manifest_text = (
+                fs.read_text(f"{path}/_frames.json")
+                if fs.exists(f"{path}/_frames.json")
+                else None
+            )
+        optional = ("paras", "windows", "centroids", "semvecs", "nearmap")
+        if manifest_text is not None:
+            saved = set(json.loads(manifest_text))
+            missing = [n for n in sorted(saved) if n in optional and not isdir(n)]
+            if missing:
+                raise ValueError(
+                    f"CurationState.load: {path} is missing frames "
+                    f"{missing} that its manifest says were saved — a "
+                    "save crashed between a frame's delete and its "
+                    "staged rename; re-run the save (or restore the "
+                    "state) before appending"
+                )
+            names = list(cls.FRAMES) + [n for n in optional if n in saved]
+        else:
+            names = list(cls.FRAMES) + [n for n in optional if isdir(n)]
         with ThreadPoolExecutor(max_workers=len(names)) as pool:
             frames = dict(
                 zip(

@@ -668,23 +668,31 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def suggest_n_salt(cell_stats: DataFrame, target_max_rows_per_task: int) -> int:
-    """The drift detector's frame → the bounded mitigation: the smallest
-    ``n_salt`` whose sub-split of the HOTTEST cell fits the per-task
-    budget — ceil(max(n_rows) / target). 1 = no salting needed. Closes
-    the serving loop for a drifted corpus: ``ivf_cell_stats`` detects,
-    this suggests, the distributed searches take ``n_salt=`` — no
-    rebuild. One tiny agg over at most n_cells rows (the stats frame is
-    already corpus-free); size ``target_max_rows_per_task`` so one
-    cell-salt group's vectors fit an executor task's memory with
-    headroom (rows x d x 8 bytes for the kernel's float64 matrix)."""
+def suggest_n_salt(cell_stats, target_max_rows_per_task: int) -> int:
+    """The drift detector's output → the bounded mitigation: the
+    smallest ``n_salt`` whose sub-split of the HOTTEST cell fits the
+    per-task budget — ceil(max(n_rows) / target). 1 = no salting
+    needed. Closes the serving loop for a drifted corpus:
+    ``ivf_cell_stats`` detects, this suggests, the distributed searches
+    take ``n_salt=`` — no rebuild.
+
+    ``cell_stats`` is the ``ivf_cell_stats`` DataFrame or its COLLECTED
+    rows. Prefer the rows you already collected for the drift report:
+    the stats frame's LINEAGE is the corpus-wide groupBy, so passing
+    the DataFrame re-executes that scan for a max() over at most
+    n_cells values. Size ``target_max_rows_per_task`` so one cell-salt
+    group's vectors fit an executor task's memory with headroom
+    (rows x d x 8 bytes for the kernel's float64 matrix)."""
     if int(target_max_rows_per_task) < 1:
         raise ValueError(
             "suggest_n_salt: target_max_rows_per_task must be >= 1, got "
             f"{target_max_rows_per_task}"
         )
-    hottest = cell_stats.agg(F.max("n_rows").alias("m")).collect()[0]["m"]
-    if hottest is None:  # empty stats frame: nothing ingested yet
+    if isinstance(cell_stats, DataFrame):
+        hottest = cell_stats.agg(F.max("n_rows").alias("m")).collect()[0]["m"]
+    else:
+        hottest = max((r["n_rows"] for r in cell_stats), default=None)
+    if hottest is None:  # empty stats: nothing ingested yet
         return 1
     return max(1, -(-int(hottest) // int(target_max_rows_per_task)))
 

@@ -65,6 +65,17 @@ def quality_scores(
     corpus — at 100 TB that join is two corpus-wide exchanges plus a
     sort-merge for output a single select produces with zero shuffle
     (the doc_quality_scores lesson, r13 VERDICT)."""
+    clash = set(passthrough) & (
+        {id_col, text_col, "tokens", "n_tokens", "n_distinct_tokens",
+         "n_chars_actual", "stopword_ratio", "distinct_ratio"}
+    )
+    if clash:
+        raise ValueError(
+            f"quality_scores: passthrough columns {sorted(clash)} collide "
+            "with the projection's own columns — rename them first (an "
+            "ambiguous-reference failure at action time would not name "
+            "this call)"
+        )
     stop_list = ", ".join(f"'{s}'" for s in stopwords)
     toks = df.select(id_col, text_col, *passthrough, _tokens(text_col).alias("tokens"))
     n = F.size("tokens")
@@ -293,10 +304,25 @@ def hashed_embedding(
             f"hashed_embedding: dim={dim} must be in [1, 256] — one "
             "sha256 digest supplies 256 sign bits per token"
         )
+    # text_col is deliberately ALLOWED in passthrough (the fused
+    # doc_quality_scores composition carries it forward); the id, the
+    # output, and the internals are not
+    clash = set(passthrough) & {id_col, "embedding", "__nibs", "__vec", "__nrm"}
+    if clash:
+        raise ValueError(
+            f"hashed_embedding: passthrough columns {sorted(clash)} "
+            "collide with the projection's own columns — rename them "
+            "first"
+        )
     n_nibs = (int(dim) + 3) // 4
     shas = f"transform(filter(split({text_col}, ' '), x -> x <> ''), t -> sha2(t, 256))"
     # the per-token nibble matrix materializes ONCE per row; every
-    # dimension below is a pure integer fold over it
+    # dimension below is a pure integer fold over it. A single-pass
+    # variant (one aggregate with an array accumulator, zip_with adding
+    # a per-token contribution array) was measured SLOWER at both dims
+    # (r14: 1.17 -> 1.68 s at dim=8, 6.7 -> 11.2 s at dim=64 on sf0.1)
+    # — the per-token array allocation costs more than dim cheap
+    # integer folds over the cached nibble rows; don't retry it
     base = df.select(
         id_col,
         *passthrough,
