@@ -9,18 +9,22 @@ silent no-op (a layout guard that "sees no directory" on ``s3a://``
 would wave through exactly the corruption it exists to prevent):
 
 - ``DriverFS`` — a thin Hadoop FileSystem wrapper (``spark._jvm``) for
-  existence probes, listings, deletes, renames, and small committed
-  text writes. Works on any scheme the session can reach (``file:``,
-  ``hdfs://``, ``s3a://`` with the connector on the classpath); raises
-  ``RemotePathError`` at construction when the scheme is unreachable,
-  so the failure names the operation instead of surfacing as a py4j
-  stack three calls later.
+  existence probes, listings, deletes, renames, small committed text
+  writes, and byte streams. Works on any scheme the session can reach
+  (``file:``, ``hdfs://``, ``s3a://`` with the connector on the
+  classpath); raises ``RemotePathError`` at construction when the
+  scheme is unreachable, so the failure names the operation instead of
+  surfacing as a py4j stack three calls later.
 - ``local_path_or_raise`` — for the pyarrow FAST-PATH readers (parquet
   footer stats, centroid/codebook loads) that genuinely read through
   the local OS filesystem. Plain paths and ``file:`` URIs pass
   (normalized); any other scheme raises ``RemotePathError`` naming the
-  operation. Correct-by-fallback callers (e.g. ``watermark_of``) use
-  ``is_local_path`` instead and take their scheme-safe Spark path.
+  operation. Since r14 the artifact loaders are two-branched: local
+  fast path, else ``driver_read_parquet`` (list the part files, stream
+  each through ``DriverFS.read_bytes``, parse from buffers) — so
+  KB–MB index state serves from wherever the corpus lives.
+  Correct-by-fallback callers (e.g. ``watermark_of``) use
+  ``is_local_path`` and take their scheme-safe Spark path.
 
 The module also hosts the shared compaction skeleton the streaming
 artifacts' maintenance builds on (``batch_partition_ids`` +
