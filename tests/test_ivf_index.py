@@ -509,3 +509,117 @@ def test_compaction_on_missing_corpus_raises_named(spark, tmp_path):
         compact_ann_stream(spark, str(tmp_path / "nope"), keep_last=2)
     with pytest.raises(ValueError, match="no audit log at"):
         compact_audit_log(spark, str(tmp_path / "nope_audit"))
+
+
+def test_compact_ivf_index_folds_append_files(spark, index, tmp_path, monkeypatch):
+    """The batch-append layout's small-file maintenance: four appends
+    leave multiple files per cell; compaction folds every over-budget
+    cell to ONE file with the row set and search results bit-identical,
+    is idempotent (second call folds nothing), recovers from a
+    simulated crash mid-apply, and refuses the streamed layout (that
+    one folds with compact_ann_stream)."""
+    import os
+    import shutil
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        append_ivf_index,
+        compact_ivf_index,
+        ivf_search,
+    )
+
+    path, df = index
+    target = str(tmp_path / "compactable")
+    shutil.copytree(path, target)
+    for i in range(4):
+        append_ivf_index(
+            _df(spark, _vecs(n=24, seed=40 + i), start=20_000 + 100 * i),
+            "vec_id", "embedding", target,
+        )
+    corpus = f"{target}/corpus"
+
+    def files_per_cell():
+        return {
+            d: sum(1 for f in os.listdir(f"{corpus}/{d}") if f.endswith(".parquet"))
+            for d in os.listdir(corpus)
+            if d.startswith("cell=")
+        }
+
+    before_files = files_per_cell()
+    assert max(before_files.values()) > 1  # the appends really fragmented
+    n_rows_before = _corpus_rows(corpus)
+    queries = df.filter("vec_id < 3")
+    want = _res(ivf_search(spark, target, queries, "vec_id", "embedding",
+                           n_probe=2, k=5))
+
+    # simulated crash mid-apply: the first cell-partition rename dies
+    # AFTER the manifest+marker committed; the next call must finish
+    orig_rename = fsops.DriverFS.rename
+    state = {"crashed": False}
+
+    def flaky_rename(self, src, dst):
+        if "/cell=" in src and not state["crashed"]:
+            state["crashed"] = True
+            raise IOError("simulated crash mid-apply")
+        return orig_rename(self, src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.DriverFS, "rename", flaky_rename)
+        with pytest.raises(IOError, match="simulated crash"):
+            compact_ivf_index(spark, target)
+    folded = compact_ivf_index(spark, target)  # recovery finishes the fold
+    assert folded == sum(1 for v in before_files.values() if v > 1)
+
+    after_files = files_per_cell()
+    assert set(after_files) == set(before_files)  # no cell lost
+    assert max(after_files.values()) == 1
+    assert _corpus_rows(corpus) == n_rows_before
+    got = _res(ivf_search(spark, target, queries, "vec_id", "embedding",
+                          n_probe=2, k=5))
+    assert got == want
+    assert compact_ivf_index(spark, target) == 0  # idempotent
+
+    # streamed layout: named refusal pointing at the right tool
+    streamed = str(tmp_path / "streamed")
+    shutil.copytree(path, streamed)
+    os.makedirs(f"{streamed}/corpus/batch_id=0", exist_ok=True)
+    with pytest.raises(ValueError, match="compact_ann_stream"):
+        compact_ivf_index(spark, streamed)
+
+
+def test_compact_ivf_index_leaves_bucket_copy_consistent(spark, tmp_path):
+    """Compaction rewrites FILE layout only — after a healthy dual
+    append and a fold, check_bucket_table stays green and the
+    distributed (bucket-table) search still matches the collected
+    (dir-corpus) search."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        check_bucket_table,
+        compact_ivf_index,
+        ivf_search,
+        ivf_search_distributed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivfidx")
+    df = _df(spark, _vecs(n=80, seed=51))
+    path = str(tmp_path / "dual_compact")
+    build_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2,
+        bucket_table="ivfidx.dual_compact_b", n_buckets=4,
+    )
+    for i in range(3):
+        append_ivf_index(
+            _df(spark, _vecs(n=20, seed=60 + i), start=700 + 100 * i),
+            "vec_id", "embedding", path,
+        )
+    assert compact_ivf_index(spark, path) > 0
+    check_bucket_table(spark, path)  # row sets still agree
+    queries = df.filter("vec_id < 3")
+    key = lambda r: (r["query_id"], r["rank"])
+    got = ivf_search_distributed(
+        spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    want = ivf_search(
+        spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
+    ).collect()
+    assert sorted(got, key=key) == sorted(want, key=key)

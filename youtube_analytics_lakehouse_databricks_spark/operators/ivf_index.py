@@ -65,6 +65,7 @@ __all__ = [
     "ivf_search_distributed",
     "ivf_cell_stats",
     "suggest_n_salt",
+    "compact_ivf_index",
     "check_bucket_table",
     "rebuild_bucket_copy",
     "load_ivf_centroids",
@@ -666,6 +667,94 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         (F.col("n_rows") / total).alias("frac"),
         (F.col("n_rows") * F.lit(n_cells) / total).alias("skew"),
     )
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, *, max_files_per_cell: int = 1
+) -> int:
+    """Fold each cell partition's accumulated append files into one
+    file per cell — the small-file maintenance for the BATCH-append
+    layout. Every ``append_ivf_index``/``append_ivfpq_index`` lands one
+    parquet file per touched cell, so a year of daily appends leaves
+    ~365 files per cell whose open/footer cost taxes every pruned scan
+    (and every ``_corpus_rows`` footer walk). Only cells holding more
+    than ``max_files_per_cell`` files rewrite; returns the number of
+    cells folded (0 = nothing to do). Works on both persisted layouts
+    (flat ``corpus/`` and compressed ``corpus_pq/``, sniffed); streamed
+    indexes fold with ``compact_ann_stream`` instead — named error
+    here.
+
+    Safety contract (the ``compact_ann_stream`` stance): maintenance
+    window, crash-RECOVERABLE, not reader-atomic — the
+    ``fsops.StagedFold`` stage-and-swap protocol. Consolidated cell
+    partitions stage under a dot-directory readers ignore, a committed
+    manifest + marker gate the apply (delete original cell dir, rename
+    staged one in, per cell, idempotently), and a crash at any point
+    either leaves the originals intact (before the marker) or is
+    finished by the next call. The bucketed serving copy (if any) is
+    untouched: compaction changes FILE layout only, never the row set,
+    so ``check_bucket_table`` stays green."""
+    fs = DriverFS(spark, path, "compact_ivf_index")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    if not fs.isdir(corpus_dir):
+        raise ValueError(
+            f"compact_ivf_index: no corpus under {path} — wrong index "
+            "path, or a bootstrap that never ingested"
+        )
+    from youtube_analytics_lakehouse_databricks_spark.fsops import StagedFold, batch_partition_ids
+
+    if batch_partition_ids(fs, corpus_dir):
+        raise ValueError(
+            f"compact_ivf_index: {corpus_dir} is a STREAMED index layout "
+            "(batch_id=K/cell=J partitions) — fold it with "
+            "streaming.ann_stream.compact_ann_stream, which respects the "
+            "stream's replay horizon"
+        )
+    staging = StagedFold(fs, corpus_dir)
+
+    def finish(manifest: dict) -> int:
+        # idempotent per cell: a staged dir still present means this
+        # cell's swap hasn't happened (or a crash interrupted it) —
+        # (re-)delete the original and move the consolidated partition
+        # in; absent means a prior call already applied it.
+        for cell in manifest["cells"]:
+            staged = f"{staging.stage_dir}/cell={cell}"
+            if fs.isdir(staged):
+                fs.delete(f"{corpus_dir}/cell={cell}")
+                fs.rename(staged, f"{corpus_dir}/cell={cell}")
+        staging.cleanup()
+        return len(manifest["cells"])
+
+    committed = staging.recover()
+    if committed is not None:
+        return finish(committed)
+
+    cells = []
+    for name in fs.listnames(corpus_dir, prefix="cell="):
+        n_files = sum(
+            1
+            for f in fs.listnames(f"{corpus_dir}/{name}")
+            if f.endswith(".parquet")
+        )
+        if n_files > int(max_files_per_cell):
+            cells.append(int(name.split("=", 1)[1]))
+    if not cells:
+        return 0
+    cells.sort()
+    rows = spark.read.parquet(corpus_dir).filter(F.col("cell").isin(cells))
+    # repartition BY cell: each cell's rows land in one task, so the
+    # staged partition is exactly one file per cell
+    (
+        rows.repartition(len(cells), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging.stage_dir)
+    )
+    manifest = {"cells": cells}
+    staging.commit(manifest)
+    return finish(manifest)
 
 
 def suggest_n_salt(cell_stats, target_max_rows_per_task: int) -> int:
