@@ -623,3 +623,45 @@ def test_compact_ivf_index_leaves_bucket_copy_consistent(spark, tmp_path):
         spark, path, queries, "vec_id", "embedding", n_probe=2, k=5
     ).collect()
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_compact_ivf_index_compressed_layout(spark, tmp_path):
+    """The sniffed corpus_pq branch: appends fragment the CODE rows the
+    same way; compaction folds them with ADC search results
+    bit-identical and the code row count preserved."""
+    import os
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivf_index,
+        ivfpq_search,
+    )
+
+    df = _df(spark, _vecs(n=120, seed=71))
+    path = str(tmp_path / "pq_compact")
+    build_ivfpq_index(
+        df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2, m=4
+    )
+    for i in range(4):
+        append_ivfpq_index(
+            _df(spark, _vecs(n=20, seed=80 + i), start=5_000 + 100 * i),
+            "vec_id", "embedding", path,
+        )
+    corpus = f"{path}/corpus_pq"
+    queries = df.filter("vec_id < 3")
+    want = _res(ivfpq_search(spark, path, queries, "vec_id", "embedding",
+                             n_probe=2, k=5))
+    n_before = _corpus_rows(corpus)
+    assert compact_ivf_index(spark, path) > 0
+    per_cell = {
+        d: sum(1 for f in os.listdir(f"{corpus}/{d}") if f.endswith(".parquet"))
+        for d in os.listdir(corpus)
+        if d.startswith("cell=")
+    }
+    assert max(per_cell.values()) == 1
+    assert _corpus_rows(corpus) == n_before == 200
+    got = _res(ivfpq_search(spark, path, queries, "vec_id", "embedding",
+                            n_probe=2, k=5))
+    assert got == want
