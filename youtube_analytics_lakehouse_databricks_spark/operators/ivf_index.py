@@ -688,9 +688,14 @@ def compact_ivf_index(
     indexes fold with ``compact_ann_stream`` instead — named error
     here.
 
-    Safety contract (the ``compact_ann_stream`` stance): maintenance
-    window, crash-RECOVERABLE, not reader-atomic — the
-    ``fsops.StagedFold`` stage-and-swap protocol. Consolidated cell
+    Safety contract: maintenance window, crash-RECOVERABLE, not
+    reader-atomic — the ``fsops.StagedFold`` stage-and-swap protocol.
+    STRICTER than ``compact_ann_stream`` on one point: concurrent
+    APPENDS are NOT safe here (streamed ingest lands in new
+    ``batch_id`` dirs the fold never touches; batch appends land in
+    the very ``cell=K`` dirs the fold deletes and replaces, so rows
+    appended between the consolidation read and the swap would be
+    lost) — quiesce writers for the window. Consolidated cell
     partitions stage under a dot-directory readers ignore, a committed
     manifest + marker gate the apply (delete original cell dir, rename
     staged one in, per cell, idempotently), and a crash at any point
