@@ -640,27 +640,46 @@ def main() -> None:
         contention[name] = chosen[1]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # measurement context (r14): background load before any
-                # Spark work, the box's CPU count, and — per query — the
-                # CHOSEN run's foreign-CPU fraction of machine capacity
-                # (compute on this box that was not this process tree;
-                # runs above 0.10 are discarded like steal-contaminated
-                # ones, so a surviving high value means every run was
-                # contended and the number should be read with that)
-                "loadavg_start": loadavg_start,
-                "machine_cpus": machine_cpus,
-                "contention": contention,
-            }
-        )
+    # One-bit suite cleanliness: every chosen run's foreign-CPU share
+    # below 1% of machine capacity AND the box was idle when the suite
+    # started. Downstream (driver drift notes, judge) can cite this bit
+    # instead of re-deriving it from 40 per-query fields.
+    contention_max = round(max(contention.values(), default=0.0), 4)
+    clean = contention_max < 0.01 and loadavg_start is not None and loadavg_start < 1
+    # The driver captures only the tail of stdout (~2000 chars); the r14
+    # line overflowed it once the full 40-entry contention dict joined
+    # the queries dict, so BENCH_r14.json recorded `parsed: null`. Emit
+    # compactly: no spaces, contention filtered to the entries that say
+    # anything (>1% foreign CPU — `contention_max` covers the clean
+    # case), and a hard length assertion so a future field can't
+    # silently outgrow the capture window again.
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # measurement context (r14): background load before any
+            # Spark work, the box's CPU count, and — per query — the
+            # CHOSEN run's foreign-CPU fraction of machine capacity
+            # (compute on this box that was not this process tree;
+            # runs above 0.10 are discarded like steal-contaminated
+            # ones, so a surviving entry here means every run of that
+            # query was contended and its number reads with that)
+            "loadavg_start": loadavg_start,
+            "machine_cpus": machine_cpus,
+            "clean": clean,
+            "contention_max": contention_max,
+            "contention": {k: v for k, v in contention.items() if v > 0.01},
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1800, (
+        f"bench JSON line is {len(line)} chars — exceeds the driver's "
+        "stdout-tail capture window (~2000); trim a field"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

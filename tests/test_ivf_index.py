@@ -588,6 +588,128 @@ def test_compact_ivf_index_folds_append_files(spark, index, tmp_path, monkeypatc
         compact_ivf_index(spark, streamed)
 
 
+def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeypatch):
+    """The r15 quiescence enforcement, flat layout, both directions:
+    (a) append-side — append_ivf_index refuses (named) while a fold's
+        stage directory exists under the corpus;
+    (b) fold-side — a file landing in a folded cell between the
+        consolidation read and the swap aborts the apply (named error,
+        stage discarded) with EVERY original file — including the
+        racing writer's — intact; a rerun then folds cleanly."""
+    import os
+    import shutil
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        compact_ivf_index,
+    )
+
+    path, _df_built = index
+    target = str(tmp_path / "excl_flat")
+    shutil.copytree(path, target)
+    for i in range(2):
+        append_ivf_index(
+            _df(spark, _vecs(n=24, seed=90 + i), start=30_000 + 100 * i),
+            "vec_id", "embedding", target,
+        )
+    corpus = f"{target}/corpus"
+
+    # (a) append refuses while the stage dir exists — in-flight fold,
+    # committed-but-unapplied fold, and crash litter all look like this
+    os.makedirs(f"{corpus}/.compact_tmp", exist_ok=True)
+    with pytest.raises(ValueError, match="compaction fold is pending"):
+        append_ivf_index(
+            _df(spark, _vecs(n=4, seed=99), start=40_000),
+            "vec_id", "embedding", target,
+        )
+    shutil.rmtree(f"{corpus}/.compact_tmp")
+
+    # (b) racing writer lands one more parquet file in a folded cell
+    # after the consolidation read (simulated at commit time — the last
+    # instant before the swap): the apply must abort, not lose the file
+    n_rows_before = _corpus_rows(corpus)
+    orig_commit = fsops.StagedFold.commit
+    injected = {}
+
+    def inject_then_commit(self, manifest):
+        cell = manifest["cells"][0]
+        cell_dir = f"{corpus}/cell={cell}"
+        src = next(
+            f for f in sorted(os.listdir(cell_dir)) if f.endswith(".parquet")
+        )
+        dst = f"{cell_dir}/part-racing-writer.snappy.parquet"
+        shutil.copy(f"{cell_dir}/{src}", dst)
+        injected["path"] = dst
+        return orig_commit(self, manifest)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.StagedFold, "commit", inject_then_commit)
+        with pytest.raises(RuntimeError, match="changed between the consolidation"):
+            compact_ivf_index(spark, target)
+    assert os.path.exists(injected["path"])  # racing file survived
+    assert not os.path.exists(f"{corpus}/.compact_tmp")  # stage discarded
+    n_rows_after_abort = _corpus_rows(corpus)
+    assert n_rows_after_abort > n_rows_before  # originals + racing rows
+    # quiesced rerun folds everything, racing rows included
+    assert compact_ivf_index(spark, target) > 0
+    assert _corpus_rows(corpus) == n_rows_after_abort
+
+
+def test_compaction_append_mutual_exclusion_compressed(spark, tmp_path, monkeypatch):
+    """Same two-direction enforcement on the sniffed corpus_pq layout:
+    append_ivfpq_index refuses past a pending fold, and the fold aborts
+    (rows intact) when a code file lands mid-window."""
+    import os
+    import shutil
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivf_index,
+    )
+
+    df = _df(spark, _vecs(n=120, seed=75))
+    path = str(tmp_path / "excl_pq")
+    build_ivfpq_index(df, "vec_id", "embedding", path, n_cells=4, kmeans_iters=2, m=4)
+    for i in range(2):
+        append_ivfpq_index(
+            _df(spark, _vecs(n=20, seed=85 + i), start=6_000 + 100 * i),
+            "vec_id", "embedding", path,
+        )
+    corpus = f"{path}/corpus_pq"
+
+    os.makedirs(f"{corpus}/.compact_tmp", exist_ok=True)
+    with pytest.raises(ValueError, match="compaction fold is pending"):
+        append_ivfpq_index(
+            _df(spark, _vecs(n=4, seed=95), start=7_000),
+            "vec_id", "embedding", path,
+        )
+    shutil.rmtree(f"{corpus}/.compact_tmp")
+
+    n_rows_before = _corpus_rows(corpus)
+    orig_commit = fsops.StagedFold.commit
+
+    def inject_then_commit(self, manifest):
+        cell = manifest["cells"][0]
+        cell_dir = f"{corpus}/cell={cell}"
+        src = next(
+            f for f in sorted(os.listdir(cell_dir)) if f.endswith(".parquet")
+        )
+        shutil.copy(f"{cell_dir}/{src}", f"{cell_dir}/part-racing.snappy.parquet")
+        return orig_commit(self, manifest)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.StagedFold, "commit", inject_then_commit)
+        with pytest.raises(RuntimeError, match="changed between the consolidation"):
+            compact_ivf_index(spark, path)
+    assert not os.path.exists(f"{corpus}/.compact_tmp")
+    assert _corpus_rows(corpus) > n_rows_before  # nothing lost
+    assert compact_ivf_index(spark, path) > 0  # quiesced rerun succeeds
+
+
 def test_compact_ivf_index_leaves_bucket_copy_consistent(spark, tmp_path):
     """Compaction rewrites FILE layout only — after a healthy dual
     append and a fold, check_bucket_table stays green and the

@@ -62,6 +62,7 @@ __all__ = [
     "is_local_path",
     "DriverFS",
     "driver_read_parquet",
+    "require_session",
     "batch_partition_ids",
     "StagedFold",
 ]
@@ -266,21 +267,31 @@ class DriverFS:
         if not self.exists(p):
             self.rename(tmp, p)
             return
+        dst = self._path(p)
+        # Only FileContext ACQUISITION may fall back (it has no side
+        # effects and fails exactly when the scheme has no
+        # AbstractFileSystem binding — UnsupportedFileSystemException);
+        # the rename itself must PROPAGATE errors: swallowing a
+        # transient rename failure into the delete+rename branch would
+        # silently downgrade the atomic replace, and if that fallback
+        # rename then also failed, the committed file would already be
+        # deleted with only the temp holding the content.
         try:
-            dst = self._path(p)
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 dst.toUri(), self._conf
             )
+        except Exception:
+            fc = None  # no AbstractFileSystem binding for this scheme
+        if fc is not None:
             opts = self._gateway.new_array(
                 self._jvm.org.apache.hadoop.fs.Options.Rename, 1
             )
             opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(self._path(tmp), dst, opts)
-        except Exception:
-            # no AbstractFileSystem binding for this scheme: fall back
-            # to delete+rename (narrow absent-file window, stated above)
-            self.delete(p)
-            self.rename(tmp, p)
+            return
+        # fallback: delete+rename (narrow absent-file window, stated above)
+        self.delete(p)
+        self.rename(tmp, p)
 
 
 def driver_read_parquet(spark, directory: str, op: str):

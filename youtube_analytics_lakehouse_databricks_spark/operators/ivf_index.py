@@ -322,6 +322,29 @@ def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) 
         )
 
 
+def _require_no_pending_fold(spark: SparkSession, corpus_dir: str, op: str) -> None:
+    """Appends and ``compact_ivf_index`` are mutually exclusive: the fold
+    deletes and replaces the very ``cell=K`` dirs a batch append writes
+    into, so rows appended inside the fold's window are silently lost
+    when the staged partitions swap in. This is the append-side half of
+    the enforcement (the fold's ``finish`` carries the other half — a
+    growth abort): one driver-side probe for the fold's stage directory,
+    whose presence means a fold is in flight, committed-but-unapplied,
+    or crash litter — in every case the resolution is the same."""
+    from youtube_analytics_lakehouse_databricks_spark.fsops import StagedFold
+
+    fs = DriverFS(spark, corpus_dir, op)
+    stage = StagedFold(fs, corpus_dir).stage_dir
+    if fs.isdir(stage):
+        raise ValueError(
+            f"{op}: a compaction fold is pending under {corpus_dir} "
+            f"({stage} exists) — rows appended during the fold's window "
+            "would be silently lost when its staged cell partitions swap "
+            "in; run compact_ivf_index(spark, path) to finish (or "
+            "discard) the fold, then retry the append"
+        )
+
+
 def check_bucket_table(spark: SparkSession, path: str) -> None:
     """Raise (named) when the index's bucketed copy has DIVERGED from
     its dir-partitioned corpus — the crash window the appends document:
@@ -393,9 +416,14 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     corpus first, bucket copy second — two separate commits): a crash
     between them leaves the two serving copies diverged. Detect with
     ``check_bucket_table`` after any crashed append; the dir corpus is
-    the source of truth."""
+    the source of truth.
+
+    Refuses (named) while a ``compact_ivf_index`` fold is pending under
+    the corpus — appending into cell dirs the fold is about to replace
+    would silently lose the batch (see ``_require_no_pending_fold``)."""
     _require_long_id(df, id_col, "append_ivf_index")
     _require_batch_layout_absent(df.sparkSession, f"{path}/corpus", "append_ivf_index")
+    _require_no_pending_fold(df.sparkSession, f"{path}/corpus", "append_ivf_index")
     centroids = load_ivf_centroids(path, df.sparkSession)
     assigned = assign_cells(df, id_col, vec_col, centroids)
     batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
@@ -695,7 +723,19 @@ def compact_ivf_index(
     ``batch_id`` dirs the fold never touches; batch appends land in
     the very ``cell=K`` dirs the fold deletes and replaces, so rows
     appended between the consolidation read and the swap would be
-    lost) — quiesce writers for the window. Consolidated cell
+    lost) — quiesce writers for the window. Since r15 the window is
+    ENFORCED in both directions, not just documented: the appends
+    refuse (named error) while this fold's stage directory exists
+    (``_require_no_pending_fold``), and before swapping anything the
+    fold re-lists every still-pending cell's parquet files against the
+    consolidation-time snapshot carried in its manifest — any growth
+    aborts the whole apply (stage discarded, ALL originals including
+    the appended rows intact, named error says to quiesce and rerun).
+    The residual race is one in-flight append that started before the
+    stage directory appeared and lands after the growth re-list — a
+    sub-second driver-side window, down from the full fold duration;
+    an external writer lock closes it entirely where one exists.
+    Consolidated cell
     partitions stage under a dot-directory readers ignore, a committed
     manifest + marker gate the apply (delete original cell dir, rename
     staged one in, per cell, idempotently), and a crash at any point
@@ -724,6 +764,45 @@ def compact_ivf_index(
     staging = StagedFold(fs, corpus_dir)
 
     def finish(manifest: dict) -> int:
+        # Growth abort BEFORE any swap this call: an append that landed
+        # after the consolidation read would be silently lost by the
+        # delete+rename below. For every cell still pending (staged dir
+        # present), re-list its current parquet files against the
+        # consolidation-time snapshot; any difference discards the whole
+        # stage — originals, INCLUDING the appended rows, intact — and
+        # raises. Cells a prior (crashed) call already swapped are not
+        # pending and not checked: post-swap appends landed in the NEW
+        # dir, which this apply no longer touches. Manifests committed
+        # before the snapshot field existed apply unchecked (recovery
+        # compatibility for a fold that crashed across the upgrade).
+        snapshot = manifest.get("files")
+        if snapshot is not None:
+            for cell in manifest["cells"]:
+                if not fs.isdir(f"{staging.stage_dir}/cell={cell}"):
+                    continue
+                if not fs.isdir(f"{corpus_dir}/cell={cell}"):
+                    # a prior apply crashed between its delete and its
+                    # rename: the staged partition is the ONLY copy of
+                    # this cell — nothing to compare (and discarding the
+                    # stage here would lose the cell); the swap below
+                    # finishes it. Appends cannot have landed in that
+                    # window: the stage dir existed throughout, so the
+                    # append-side guard refused them.
+                    continue
+                now = sorted(
+                    f
+                    for f in fs.listnames(f"{corpus_dir}/cell={cell}")
+                    if f.endswith(".parquet")
+                )
+                if now != snapshot[str(cell)]:
+                    staging.cleanup()
+                    raise RuntimeError(
+                        f"compact_ivf_index: cell={cell} under "
+                        f"{corpus_dir} changed between the consolidation "
+                        "read and the swap (a writer appended inside the "
+                        "maintenance window) — staged fold discarded, "
+                        "originals intact; quiesce writers and rerun"
+                    )
         # idempotent per cell: a staged dir still present means this
         # cell's swap hasn't happened (or a crash interrupted it) —
         # (re-)delete the original and move the consolidated partition
@@ -741,14 +820,22 @@ def compact_ivf_index(
         return finish(committed)
 
     cells = []
+    # per-cell file snapshot, taken with the fold-candidate listing: the
+    # manifest carries it so finish() can abort (instead of losing rows)
+    # if any cell grew between this read and the swap. Listed BEFORE the
+    # Spark consolidation read, so a file landing in between is seen by
+    # the read but not the snapshot — finish() then aborts conservatively
+    # (safe: originals intact) rather than guessing whether the staged
+    # fold captured it.
+    snapshot: dict[str, list[str]] = {}
     for name in fs.listnames(corpus_dir, prefix="cell="):
-        n_files = sum(
-            1
-            for f in fs.listnames(f"{corpus_dir}/{name}")
-            if f.endswith(".parquet")
+        files = sorted(
+            f for f in fs.listnames(f"{corpus_dir}/{name}") if f.endswith(".parquet")
         )
-        if n_files > int(max_files_per_cell):
-            cells.append(int(name.split("=", 1)[1]))
+        if len(files) > int(max_files_per_cell):
+            cell_id = name.split("=", 1)[1]
+            cells.append(int(cell_id))
+            snapshot[cell_id] = files
     if not cells:
         return 0
     cells.sort()
@@ -761,7 +848,7 @@ def compact_ivf_index(
         .partitionBy("cell")
         .parquet(staging.stage_dir)
     )
-    manifest = {"cells": cells}
+    manifest = {"cells": cells, "files": snapshot}
     staging.commit(manifest)
     return finish(manifest)
 
@@ -974,11 +1061,15 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
 
     With a ``bucket_table``, the append is a NON-ATOMIC dual write —
     same crash window and ``check_bucket_table`` recovery contract as
-    ``append_ivf_index``."""
+    ``append_ivf_index``; same named refusal while a
+    ``compact_ivf_index`` fold is pending under the corpus."""
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(df, id_col, "append_ivfpq_index")
     _require_batch_layout_absent(
+        df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
+    )
+    _require_no_pending_fold(
         df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
     )
     centroids = load_ivf_centroids(path, df.sparkSession)
