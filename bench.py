@@ -279,6 +279,23 @@ def _bench_only() -> dict[str, Query]:
     }
 
 
+# Drift notes (r15): no plan changes this round — the diff is the
+# emission contract (compact separators, contention filtered to >1%
+# entries + a contention_max scalar + a one-bit `clean`, graceful
+# top-8 degradation instead of an assert when all 40 entries would
+# overflow, the whole thing pinned at full width by
+# tests/test_bench_contract.py with NO Spark session) after BENCH_r14's
+# final line outgrew the driver's ~2000-char stdout-tail capture
+# (parsed: null). Three quiet sf0.1 readings this round: 25.061 /
+# 25.356 / 27.414 s over 40 queries (the last with clean=true:
+# loadavg_start 0.16, contention_max 0.008; the first two failed the
+# clean bit only on its STRICT inputs — one query at 1.03% foreign
+# CPU, and loadavg 1.42 that was the PREVIOUS bench run's own decay,
+# which is exactly what the bit is designed to flag conservatively).
+# Every row within the documented ~15% session spread of its r14
+# reading; doc_quality_scores holds its r14 fusion floor (1.15 in the
+# cleanest run vs 2.664 committed r13).
+#
 # Drift notes (r14): doc_quality_scores 1.32 -> 1.20 s (quiet box) — the
 # registry row is now ONE projection chain (the r13 join of two per-row
 # projections is gone; plan-asserted zero Exchange in
@@ -639,47 +656,68 @@ def main() -> None:
         timings[name] = round(chosen[0], 3)
         contention[name] = chosen[1]
 
+    print(emit_line(timings, contention, sf, loadavg_start, machine_cpus))
+
+
+def emit_line(
+    timings: dict[str, float],
+    contention: dict[str, float],
+    sf: str,
+    loadavg_start: float | None,
+    machine_cpus: int,
+) -> str:
+    """The ONE JSON line the driver records. The driver captures only
+    the tail of stdout (~2000 chars); the r14 line overflowed it once
+    the full 40-entry contention dict joined the queries dict, so
+    BENCH_r14.json recorded `parsed: null`. Emit compactly: no spaces,
+    contention filtered to the entries that say anything (>1% foreign
+    CPU — `contention_max` covers the clean case), and a hard length
+    assertion so a future field can't silently outgrow the capture
+    window again (tests/test_bench_contract.py pins it at full width).
+
+    `clean` is the one-bit suite cleanliness downstream cites instead
+    of re-deriving it from 40 per-query fields: every chosen run's
+    foreign-CPU share below 1% of machine capacity AND the box idle
+    when the suite started."""
     total = round(sum(timings.values()), 3)
-    # One-bit suite cleanliness: every chosen run's foreign-CPU share
-    # below 1% of machine capacity AND the box was idle when the suite
-    # started. Downstream (driver drift notes, judge) can cite this bit
-    # instead of re-deriving it from 40 per-query fields.
     contention_max = round(max(contention.values(), default=0.0), 4)
     clean = contention_max < 0.01 and loadavg_start is not None and loadavg_start < 1
-    # The driver captures only the tail of stdout (~2000 chars); the r14
-    # line overflowed it once the full 40-entry contention dict joined
-    # the queries dict, so BENCH_r14.json recorded `parsed: null`. Emit
-    # compactly: no spaces, contention filtered to the entries that say
-    # anything (>1% foreign CPU — `contention_max` covers the clean
-    # case), and a hard length assertion so a future field can't
-    # silently outgrow the capture window again.
-    line = json.dumps(
-        {
-            "metric": "headline_suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            # measurement context (r14): background load before any
-            # Spark work, the box's CPU count, and — per query — the
-            # CHOSEN run's foreign-CPU fraction of machine capacity
-            # (compute on this box that was not this process tree;
-            # runs above 0.10 are discarded like steal-contaminated
-            # ones, so a surviving entry here means every run of that
-            # query was contended and its number reads with that)
-            "loadavg_start": loadavg_start,
-            "machine_cpus": machine_cpus,
-            "clean": clean,
-            "contention_max": contention_max,
-            "contention": {k: v for k, v in contention.items() if v > 0.01},
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement context (r14): background load before any
+        # Spark work, the box's CPU count, and — per query — the
+        # CHOSEN run's foreign-CPU fraction of machine capacity
+        # (compute on this box that was not this process tree;
+        # runs above 0.10 are discarded like steal-contaminated
+        # ones, so a surviving entry here means every run of that
+        # query was contended and its number reads with that)
+        "loadavg_start": loadavg_start,
+        "machine_cpus": machine_cpus,
+        "clean": clean,
+        "contention_max": contention_max,
+        "contention": {k: v for k, v in contention.items() if v > 0.01},
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1800:
+        # an ALL-contended suite's 40-entry dict can exceed the window
+        # on its own; a bench that asserts instead of emitting would
+        # lose the round's artifact entirely — keep the worst offenders
+        # and say how many were dropped
+        top = dict(
+            sorted(payload["contention"].items(), key=lambda kv: -kv[1])[:8]
+        )
+        payload["contention_dropped"] = len(payload["contention"]) - len(top)
+        payload["contention"] = top
+        line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1800, (
         f"bench JSON line is {len(line)} chars — exceeds the driver's "
         "stdout-tail capture window (~2000); trim a field"
     )
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

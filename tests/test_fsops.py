@@ -517,3 +517,48 @@ def test_write_text_committed_overwrite_is_atomic_replace(spark, tmp_path):
     fs.write_text_committed(p, "v2")
     assert fs.read_text(p) == "v2"
     assert not os.path.exists(f"{p}.inprogress")
+
+
+def test_corpus_row_count_remote_route_is_footer_walk_zero_jobs(
+    spark, tmp_path, monkeypatch
+):
+    """check_bucket_table's remote row-count audit must cost FOOTER
+    reads, not a corpus scan: the forced non-local _corpus_rows route
+    walks parquet footers driver-side through the Hadoop FS — total
+    matches the local pyarrow fast path, hidden segments (a staged
+    compaction fold) are excluded exactly like Spark's readers would,
+    and ZERO Spark jobs are submitted."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import youtube_analytics_lakehouse_databricks_spark.operators.ivf_index as ivf
+    from youtube_analytics_lakehouse_databricks_spark.fsops import driver_parquet_row_count
+
+    corpus = str(tmp_path / "corpus")
+    _df(spark, n=120).withColumn(
+        "cell", (F.col("vec_id") % 4).cast("int")
+    ).write.partitionBy("cell").parquet(corpus)
+    local_total = ivf._corpus_rows(corpus)
+    assert local_total == 120
+
+    # a staged fold under the corpus must NOT count toward the audit
+    os.makedirs(f"{corpus}/.compact_tmp/cell=0", exist_ok=True)
+    src_dir = f"{corpus}/cell=0"
+    src = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    shutil.copy(f"{src_dir}/{src}", f"{corpus}/.compact_tmp/cell=0/{src}")
+
+    tracker = spark.sparkContext.statusTracker()
+    with monkeypatch.context() as m:
+        m.setattr(ivf, "is_local_path", lambda p: False)
+        jobs_before = len(tracker.getJobIdsForGroup(None))
+        remote_total = ivf._corpus_rows(corpus, spark)
+        jobs_after = len(tracker.getJobIdsForGroup(None))
+    assert remote_total == local_total == 120
+    assert jobs_after == jobs_before  # footer walk, no Spark job
+
+    # the exported helper agrees and an empty tree counts zero
+    assert driver_parquet_row_count(spark, corpus, "t") == 120
+    empty = str(tmp_path / "empty_tree")
+    os.makedirs(empty)
+    assert driver_parquet_row_count(spark, empty, "t") == 0

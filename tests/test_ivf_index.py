@@ -588,6 +588,103 @@ def test_compact_ivf_index_folds_append_files(spark, index, tmp_path, monkeypatc
         compact_ivf_index(spark, streamed)
 
 
+def test_index_health_matrix(spark, index, tmp_path):
+    """index_health is the one-call composition of every detector: on a
+    fixture that is simultaneously FRAGMENTED (appends), DRIFTED (a hot
+    pile into one frozen cell), DIVERGED (half-append into the dir
+    corpus only), and mid-FOLD (stage dir present), every row flags
+    with its remediation named; after the remediations run, every row
+    is green. Streamed/missing corpora raise named errors."""
+    import os
+    import shutil
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        compact_ivf_index,
+        index_health,
+        rebuild_bucket_copy,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.operators.similarity import assign_cells
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ivfidx")
+    df = _df(spark, _vecs(n=80, seed=41))
+    path = str(tmp_path / "health")
+    build_ivf_index(
+        df, "vec_id", "embedding", path, n_cells=8, kmeans_iters=2,
+        bucket_table="ivfidx.health_b", n_buckets=4,
+    )
+    # a fresh multi-task build itself writes several files per cell —
+    # fragmentation.ok is defined as "compact_ivf_index would be a
+    # no-op", so normalize once before the green baseline
+    compact_ivf_index(spark, path)
+    healthy = {r["check"]: r for r in index_health(spark, path).collect()}
+    assert set(healthy) == {
+        "pending_fold", "fragmentation", "skew", "empty_cells",
+        "bucket_divergence",
+    }
+    assert all(r["ok"] for r in healthy.values()), healthy
+    assert all(r["remediation"] == "" for r in healthy.values())
+
+    # fragment + drift: a tight corpus-sized pile lands in ONE frozen
+    # cell across several appends
+    hot = np.tile(_vecs(n=1, d=D, seed=42), (200, 1)) + 1e-3 * _vecs(
+        n=200, d=D, seed=43
+    )
+    for i in range(3):
+        append_ivf_index(
+            _df(spark, hot, start=50_000 + 1_000 * i), "vec_id", "embedding", path
+        )
+    # diverge: rows land in the dir corpus only (simulated crash window)
+    cents = load_ivf_centroids(path)
+    assign_cells(
+        _df(spark, _vecs(n=10, seed=44), start=90_000), "vec_id", "embedding", cents
+    ).select("vec_id", "v", F.col("cluster").alias("cell")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/corpus")
+    # mid-fold: the stage dir is present
+    os.makedirs(f"{path}/corpus/.compact_tmp", exist_ok=True)
+
+    sick = {
+        r["check"]: r
+        for r in index_health(
+            spark, path, target_max_rows_per_task=100
+        ).collect()
+    }
+    assert not sick["pending_fold"]["ok"]
+    assert "compact_ivf_index" in sick["pending_fold"]["remediation"]
+    assert not sick["fragmentation"]["ok"]
+    assert "compact_ivf_index" in sick["fragmentation"]["remediation"]
+    assert not sick["skew"]["ok"]
+    # target_max_rows_per_task wires suggest_n_salt's exact answer in
+    assert "n_salt=" in sick["skew"]["remediation"]
+    import re
+
+    n_salt = int(re.search(r"n_salt=(\d+)", sick["skew"]["remediation"]).group(1))
+    assert n_salt >= 6  # hottest cell holds >= 600 planted rows, target 100
+    assert not sick["bucket_divergence"]["ok"]
+    assert "rebuild_bucket_copy" in sick["bucket_divergence"]["remediation"]
+
+    # run the named remediations; the matrix goes green
+    shutil.rmtree(f"{path}/corpus/.compact_tmp")
+    assert compact_ivf_index(spark, path) > 0
+    rebuild_bucket_copy(spark, path)
+    after = {
+        r["check"]: r
+        for r in index_health(spark, path, skew_threshold=100.0).collect()
+    }
+    for check in ("pending_fold", "fragmentation", "bucket_divergence"):
+        assert after[check]["ok"], after[check]
+
+    # named refusals: missing corpus and streamed layout
+    with pytest.raises(ValueError, match="no corpus under"):
+        index_health(spark, str(tmp_path / "nope"))
+    streamed = str(tmp_path / "health_streamed")
+    base, _ = index
+    shutil.copytree(base, streamed)
+    os.makedirs(f"{streamed}/corpus/batch_id=0", exist_ok=True)
+    with pytest.raises(ValueError, match="streaming.ann_stream"):
+        index_health(spark, streamed)
+
+
 def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeypatch):
     """The r15 quiescence enforcement, flat layout, both directions:
     (a) append-side — append_ivf_index refuses (named) while a fold's

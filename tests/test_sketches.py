@@ -6,7 +6,9 @@ from youtube_analytics_lakehouse_databricks_spark.queries import registry
 
 
 def test_hll_and_quantile_sketches_bounded(spark):
-    rows = registry()["sketch_user_counts"].builder(spark, "/root/testdata/sf0.01").collect()
+    from youtube_analytics_lakehouse_databricks_spark.queries.extended import sketch_user_counts_diagnostic
+
+    rows = sketch_user_counts_diagnostic(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) == 5
     for r in rows:
         # HLL default rsd is 5%; allow 3x slack for small groups
@@ -16,6 +18,19 @@ def test_hll_and_quantile_sketches_bounded(spark):
         # the query's own self-validation columns agree
         assert r["hll_ok"] and r["p50_ok"] and r["p99_ok"], r
         assert r["hll_rel_err"] <= 0.15
+    # the registered (oracled) row is exactly the deterministic
+    # projection of the diagnostic frame — keys, exact aggregates, flags
+    reg = registry()["sketch_user_counts"].builder(spark, "/root/testdata/sf0.01")
+    assert reg.columns == [
+        "event_type", "exact_users", "n_events", "hll_ok", "p50_ok", "p99_ok",
+    ]
+    got = {r["event_type"]: r for r in reg.collect()}
+    assert len(got) == 5
+    for r in rows:
+        g = got[r["event_type"]]
+        assert g["exact_users"] == r["exact_users"]
+        assert g["n_events"] == r["n_events"]
+        assert g["hll_ok"] and g["p50_ok"] and g["p99_ok"]
 
 
 def test_rollup_percentiles_have_a_bounded_approx_path(spark):

@@ -62,6 +62,7 @@ __all__ = [
     "is_local_path",
     "DriverFS",
     "driver_read_parquet",
+    "driver_parquet_row_count",
     "require_session",
     "batch_partition_ids",
     "StagedFold",
@@ -218,6 +219,25 @@ class DriverFS:
     def mkdirs(self, p: str) -> None:
         self._fs.mkdirs(self._path(p))
 
+    def list_parquet_files(self, p: str) -> list[str]:
+        """All ``.parquet`` file paths under ``p`` (recursive), pruning
+        hidden (dot/underscore) segments BEFORE descending — the same
+        names Spark's readers ignore, so a staged compaction fold or a
+        ``_MANIFEST`` never counts toward an audit. [] when absent."""
+        if not self.isdir(p):
+            return []
+        out: list[str] = []
+        for st in self._fs.listStatus(self._path(p)):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue
+            full = st.getPath().toString()
+            if st.isDirectory():
+                out.extend(self.list_parquet_files(full))
+            elif name.endswith(".parquet"):
+                out.append(full)
+        return out
+
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._path(p))
         try:
@@ -319,6 +339,91 @@ def driver_read_parquet(spark, directory: str, op: str):
         pq.read_table(pa.BufferReader(fs.read_bytes(f"{directory}/{n}")))
         for n in names
     )
+
+
+class _HadoopSeekableFile:
+    """Minimal seekable read-only file object over a Hadoop
+    FSDataInputStream — exactly the surface pyarrow's PythonFile needs
+    (read/seek/tell/close) so ``ParquetFile`` can read FOOTER metadata
+    positionally. Each ``read`` is one py4j round-trip; fine for the
+    handful of bounded footer reads per file, NOT a data-scan path."""
+
+    def __init__(self, fs: DriverFS, path: str):
+        self._jvm = fs._jvm
+        self._stream = fs._fs.open(fs._path(path))
+        self._len = int(fs._fs.getFileStatus(fs._path(path)).getLen())
+        self.closed = False
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._len - self.tell()
+        n = int(min(n, self._len - self.tell()))
+        if n <= 0:
+            return b""
+        return bytes(
+            self._jvm.org.apache.commons.io.IOUtils.toByteArray(self._stream, n)
+        )
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            offset += self.tell()
+        elif whence == 2:
+            offset += self._len
+        self._stream.seek(int(offset))
+        return int(offset)
+
+    def tell(self) -> int:
+        return int(self._stream.getPos())
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def flush(self) -> None:
+        pass
+
+
+def driver_parquet_row_count(spark, directory: str, op: str) -> int:
+    """Total stored rows under a parquet directory tree, driver-side
+    through the session's Hadoop FileSystem, FOOTER METADATA ONLY —
+    zero Spark jobs and KB of positional reads per file: the
+    object-store sibling of the local pyarrow ``count_rows`` fast path.
+    For AUDITS over corpora (row-count divergence checks), where a
+    corpus-wide Spark ``count()`` per audit would scan TB to answer a
+    question the footers already hold. Hidden (dot/underscore) segments
+    are pruned like Spark's readers do, so staged compaction folds and
+    manifests never count. Raises the named ``RemotePathError`` when
+    the scheme is unreachable; 0 for an absent directory is NOT
+    possible — callers guard existence — but an empty one counts 0.
+
+    Honest cost: a few driver-side round-trips PER FILE (open, footer
+    seeks, close), so the walk's wall time scales with file count, not
+    data size — linear and tiny on a compacted corpus, noticeable on a
+    pathologically fragmented one (the 16k-file r14 fixture). That is
+    the same fragmentation the runbook's ``compact_ivf_index`` row
+    removes for the scan path, so the remediation is shared; the walk
+    never becomes a data scan either way."""
+    import pyarrow.parquet as pq
+
+    fs = DriverFS(spark, directory, op)
+    total = 0
+    for fpath in fs.list_parquet_files(directory):
+        f = _HadoopSeekableFile(fs, fpath)
+        try:
+            total += pq.ParquetFile(f).metadata.num_rows
+        finally:
+            f.close()
+    return total
 
 
 def require_session(spark, path: str, op: str):

@@ -288,21 +288,24 @@ def _np_equal(a, b) -> bool:
 
 
 def _corpus_rows(corpus_dir: str, spark=None) -> int:
-    """Total stored rows: parquet footer metadata via pyarrow on local
-    paths (driver-side, no Spark job); ONE Spark count on any other
-    reachable scheme (mirroring ivf_cell_stats' scheme-safe stance —
-    the divergence audit must run wherever bucket tables live, which is
-    exactly remote). Unreachable schemes raise the named error."""
+    """Total stored rows, footer metadata only, ZERO Spark jobs on any
+    reachable scheme: pyarrow ``count_rows`` on local paths; on any
+    other scheme a driver-side footer walk through the session's
+    Hadoop FileSystem (``fsops.driver_parquet_row_count`` — KB of
+    positional reads per file). r14 ran a full Spark ``count()`` here
+    remotely, which made every ``check_bucket_table`` audit on an
+    object store scan the corpus row-group data to answer a question
+    the footers already hold. Unreachable schemes raise the named
+    error."""
     if is_local_path(corpus_dir):
         import pyarrow.dataset as ds
 
         local = local_path_or_raise(corpus_dir, "ivf corpus row count")
         return ds.dataset(local, format="parquet", partitioning="hive").count_rows()
+    from youtube_analytics_lakehouse_databricks_spark.fsops import driver_parquet_row_count
+
     spark = require_session(spark, corpus_dir, "ivf corpus row count")
-    # constructing the handle surfaces an unreachable scheme as the
-    # named error instead of a py4j stack out of the count below
-    DriverFS(spark, corpus_dir, "ivf corpus row count")
-    return spark.read.parquet(corpus_dir).count()
+    return driver_parquet_row_count(spark, corpus_dir, "ivf corpus row count")
 
 
 def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) -> None:
@@ -851,6 +854,159 @@ def compact_ivf_index(
     manifest = {"cells": cells, "files": snapshot}
     staging.commit(manifest)
     return finish(manifest)
+
+
+def index_health(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_cell: int = 1,
+    skew_threshold: float = 4.0,
+    target_max_rows_per_task: int | None = None,
+) -> DataFrame:
+    """One-call serving-health matrix for a persisted batch index —
+    the composition of every detector this module grew one at a time,
+    each row naming its remediation so the operations runbook is a
+    query, not four docstrings. Columns:
+    ``(check, ok, observed, remediation)``; rows:
+
+    - ``pending_fold`` — a ``compact_ivf_index`` stage dir under the
+      corpus (in-flight fold, committed-but-unapplied, or crash
+      litter; appends are refused while it exists). Remediation: run
+      ``compact_ivf_index`` to finish or discard it.
+    - ``fragmentation`` — per-cell parquet FILE counts vs
+      ``max_files_per_cell`` (the batch-append small-file tax: 60
+      appends measured 4.5x slower pruned scans, r14). Remediation:
+      ``compact_ivf_index``.
+    - ``skew`` — per-cell OCCUPANCY vs ``skew_threshold`` (drift into
+      frozen cells: straggler/OOM shape for the per-cell kernels).
+      Remediation: ``n_salt=`` on the distributed searches — computed
+      exactly via ``suggest_n_salt`` when
+      ``target_max_rows_per_task`` is given — or rebuild.
+    - ``empty_cells`` — unoccupied cells (wasted probe budget).
+      Remediation: rebuild with fewer ``n_cells``.
+    - ``bucket_divergence`` — dir-corpus vs bucket-table row counts
+      (the dual write's crash window; ``check_bucket_table``'s test).
+      Remediation: ``rebuild_bucket_copy``.
+
+    Costs ONE Spark aggregation over the cell partition column (shared
+    by skew/empty/divergence-dir-side) plus one bucket-table count when
+    bucketed; file counts are driver-side listings. Works on flat and
+    compressed layouts (sniffed); STREAMED indexes raise the named
+    error (their maintenance and audit live in
+    ``streaming.ann_stream``, whose replay horizon these checks don't
+    model)."""
+    from youtube_analytics_lakehouse_databricks_spark.fsops import StagedFold, batch_partition_ids
+
+    fs = DriverFS(spark, path, "index_health")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    if not fs.isdir(corpus_dir):
+        raise ValueError(
+            f"index_health: no corpus under {path} — wrong index path, "
+            "or a bootstrap that never ingested"
+        )
+    if batch_partition_ids(fs, corpus_dir):
+        raise ValueError(
+            f"index_health: {corpus_dir} is a STREAMED index layout "
+            "(batch_id=K/cell=J partitions) — its maintenance and audit "
+            "live in streaming.ann_stream (compact_ann_stream respects "
+            "the replay horizon these checks don't model)"
+        )
+
+    rows: list[tuple[str, bool, str, str]] = []
+
+    stage = StagedFold(fs, corpus_dir).stage_dir
+    pending = fs.isdir(stage)
+    rows.append((
+        "pending_fold",
+        not pending,
+        f"fold stage dir {'PRESENT' if pending else 'absent'}: {stage}",
+        "compact_ivf_index(spark, path) finishes or discards it; "
+        "appends are refused until then" if pending else "",
+    ))
+
+    per_cell_files = {
+        name: sum(
+            1
+            for f in fs.listnames(f"{corpus_dir}/{name}")
+            if f.endswith(".parquet")
+        )
+        for name in fs.listnames(corpus_dir, prefix="cell=")
+    }
+    over = sum(1 for n in per_cell_files.values() if n > int(max_files_per_cell))
+    rows.append((
+        "fragmentation",
+        over == 0,
+        f"{sum(per_cell_files.values())} parquet files across "
+        f"{len(per_cell_files)} occupied cells; {over} cells over the "
+        f"{max_files_per_cell}-file budget "
+        f"(max {max(per_cell_files.values(), default=0)}/cell)",
+        "compact_ivf_index(spark, path) — the append-layout small-file "
+        "tax measured 4.5x on pruned scans" if over else "",
+    ))
+
+    stats = ivf_cell_stats(spark, path).collect()
+    n_cells = int(spark.read.parquet(f"{path}/centroids").count())
+    hot = max(stats, key=lambda r: r["n_rows"], default=None)
+    max_skew = float(hot["skew"]) if hot is not None else 0.0
+    skew_ok = max_skew <= float(skew_threshold)
+    if target_max_rows_per_task:
+        salt_txt = (
+            f"pass n_salt={suggest_n_salt(stats, target_max_rows_per_task)} "
+            "to the distributed searches"
+        )
+    else:
+        salt_txt = (
+            "suggest_n_salt(stats, target_max_rows_per_task) -> pass "
+            "n_salt= to the distributed searches"
+        )
+    rows.append((
+        "skew",
+        skew_ok,
+        "empty corpus" if hot is None else (
+            f"max skew {max_skew:.2f} (cell {hot['cell']}, "
+            f"{hot['n_rows']} rows) vs threshold {skew_threshold}"
+        ),
+        "" if skew_ok else f"{salt_txt}; rebuild the index if drift persists",
+    ))
+
+    occupied = len(stats)
+    empties_ok = occupied * 2 >= n_cells
+    rows.append((
+        "empty_cells",
+        empties_ok,
+        f"{n_cells - occupied}/{n_cells} cells empty",
+        "" if empties_ok else (
+            "rebuild with fewer n_cells — empty cells spend probe "
+            "budget scanning nothing"
+        ),
+    ))
+
+    meta = _load_meta(path, spark)
+    if meta.get("bucket_table"):
+        n_dir = sum(r["n_rows"] for r in stats)
+        n_bucket = spark.table(meta["bucket_table"]).count()
+        in_sync = n_dir == n_bucket
+        rows.append((
+            "bucket_divergence",
+            in_sync,
+            f"dir corpus {n_dir} rows vs bucket table "
+            f"{meta['bucket_table']} {n_bucket} rows",
+            "" if in_sync else (
+                "rebuild_bucket_copy(spark, path) — the dir corpus is "
+                "the source of truth"
+            ),
+        ))
+    else:
+        rows.append((
+            "bucket_divergence", True, "unbucketed index (no dual write)", "",
+        ))
+
+    return spark.createDataFrame(
+        rows, "check string, ok boolean, observed string, remediation string"
+    )
 
 
 def suggest_n_salt(cell_stats, target_max_rows_per_task: int) -> int:

@@ -356,22 +356,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_user_counts",
-    None,  # HLL/KLL sketches are approximate by design -> rows-only check;
-    # the query is SELF-VALIDATING: each row carries its error vs the
-    # exact aggregates plus bound-violation flags (violations == rows
-    # where any *_ok is false — expected 0; test_sketches asserts so).
-    doc=(
-        "Sketch aggregates for 100 TB profiling: HyperLogLog distinct "
-        "users and KLL-style approximate quantiles per event_type, one "
-        "pass, fixed memory — computed NEXT TO their exact counterparts "
-        "with per-row error columns and bound flags (hll_ok: rel err <= "
-        "3x the 5% default rsd; p50_ok/p99_ok: approx value lands within "
-        "±0.005 exact rank tolerance, vs the 1/1000 accuracy guarantee)."
-    ),
-)
-def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_user_counts_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sketch-vs-exact diagnostic frame: HyperLogLog distinct users
+    and approximate quantiles per event_type next to their exact
+    counterparts, per-row error columns, and bound flags. The registered
+    ``sketch_user_counts`` row projects this frame's DETERMINISTIC
+    subset so the driver's DuckDB gate can hash it; this full frame
+    (approx values + error magnitudes included) is the profiling
+    surface and stays under test via ``test_sketches``."""
     ev = read(spark, sf_dir, "events")
     out = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -398,6 +390,48 @@ def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("approx_q", 2).between(
             F.element_at("env", 3), F.element_at("env", 4)
         ).alias("p99_ok"),
+    )
+
+
+@register(
+    "sketch_user_counts",
+    # Partial oracle (r15): the sketch ESTIMATES themselves are not
+    # reproducible cross-engine (DuckDB's HLL/quantile internals differ),
+    # but everything this projection emits IS deterministic — the group
+    # keys, the exact countDistinct/count, and the self-grading bound
+    # flags, which the accuracy guarantees make provably TRUE (rsd 5%
+    # with 3x slack; approx_percentile(accuracy=1000) rank error 1/1000
+    # vs a ±0.005 envelope). DuckDB mirrors the exact columns and
+    # asserts TRUE literals for the flags, so a sketch-bound violation
+    # on the Spark side hash-mismatches the gate instead of hiding
+    # behind a rows-only check.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS hll_ok,
+           TRUE AS p50_ok,
+           TRUE AS p99_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Sketch aggregates for 100 TB profiling: HyperLogLog distinct "
+        "users and KLL-style approximate quantiles per event_type, one "
+        "pass, fixed memory — computed NEXT TO their exact counterparts "
+        "with bound flags (hll_ok: rel err <= 3x the 5% default rsd; "
+        "p50_ok/p99_ok: approx value lands within ±0.005 exact rank "
+        "tolerance, vs the 1/1000 accuracy guarantee). This registered "
+        "row is the DETERMINISTIC projection of "
+        "sketch_user_counts_diagnostic (keys, exact aggregates, flags), "
+        "so the driver's hash gate verifies the exact columns and that "
+        "every flag is TRUE; the approx values/error magnitudes ride "
+        "the diagnostic frame, asserted bounded by test_sketches."
+    ),
+)
+def sketch_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch_user_counts_diagnostic(spark, sf_dir).select(
+        "event_type", "exact_users", "n_events", "hll_ok", "p50_ok", "p99_ok"
     )
 
 
