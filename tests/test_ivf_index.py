@@ -618,8 +618,8 @@ def test_index_health_matrix(spark, index, tmp_path):
     compact_ivf_index(spark, path)
     healthy = {r["check"]: r for r in index_health(spark, path).collect()}
     assert set(healthy) == {
-        "pending_fold", "fragmentation", "skew", "empty_cells",
-        "bucket_divergence",
+        "pending_fold", "append_sentinels", "fragmentation", "skew",
+        "empty_cells", "bucket_divergence",
     }
     assert all(r["ok"] for r in healthy.values()), healthy
     assert all(r["remediation"] == "" for r in healthy.values())
@@ -673,6 +673,24 @@ def test_index_health_matrix(spark, index, tmp_path):
     }
     for check in ("pending_fold", "fragmentation", "bucket_divergence"):
         assert after[check]["ok"], after[check]
+
+    # append sentinels: a FRESH one is healthy concurrency (folds are
+    # refused but nothing is wrong); a STALE one is a crashed append
+    # blocking maintenance — flagged with the file named
+    token = f"{path}/corpus/.append_inprogress_stale"
+    with open(token, "w") as fh:
+        fh.write("append_ivf_index")
+    row = {
+        r["check"]: r for r in index_health(spark, path).collect()
+    }["append_sentinels"]
+    assert row["ok"] and "1 sentinel(s)" in row["observed"]
+    os.utime(token, (1, 1))  # backdate far past the staleness budget
+    row = {
+        r["check"]: r for r in index_health(spark, path).collect()
+    }["append_sentinels"]
+    assert not row["ok"]
+    assert ".append_inprogress_stale" in row["remediation"]
+    os.remove(token)
 
     # named refusals: missing corpus and streamed layout
     with pytest.raises(ValueError, match="no corpus under"):
@@ -751,6 +769,136 @@ def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeyp
     # quiesced rerun folds everything, racing rows included
     assert compact_ivf_index(spark, target) > 0
     assert _corpus_rows(corpus) == n_rows_after_abort
+
+    # (c) sentinel protocol, fold side: a healthy append leaves no
+    # sentinel behind; a present sentinel refuses the fold at START
+    # (named, stage never created) and aborts it at FINISH (stage
+    # discarded) even when no rows have landed yet
+    def sentinels():
+        return [f for f in os.listdir(corpus) if f.startswith(".append_inprogress_")]
+
+    append_ivf_index(
+        _df(spark, _vecs(n=8, seed=101), start=60_000), "vec_id", "embedding", target
+    )
+    assert sentinels() == []  # healthy append cleaned up its window
+    token = f"{corpus}/.append_inprogress_testcrash"
+    with open(token, "w") as fh:
+        fh.write("append_ivf_index")
+    with pytest.raises(ValueError, match="append\\(s\\) in flight"):
+        compact_ivf_index(spark, target)
+    assert not os.path.exists(f"{corpus}/.compact_tmp")  # never staged
+    os.remove(token)
+
+    # fragment again so the next fold has work, then open an append
+    # window DURING consolidation (the last instant before commit): the
+    # fold must abort at finish even though no rows landed yet — the
+    # append could still write into a pending cell after the re-list
+    append_ivf_index(
+        _df(spark, _vecs(n=8, seed=103), start=80_000), "vec_id", "embedding", target
+    )
+
+    def sentinel_then_commit(self, manifest):
+        with open(token, "w") as fh2:
+            fh2.write("append_ivf_index")
+        return orig_commit(self, manifest)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.StagedFold, "commit", sentinel_then_commit)
+        with pytest.raises(RuntimeError, match="append\\(s\\) in flight"):
+            compact_ivf_index(spark, target)
+    assert not os.path.exists(f"{corpus}/.compact_tmp")  # stage discarded
+    os.remove(token)
+    assert compact_ivf_index(spark, target) > 0  # unblocked
+
+    # (d) sentinel protocol, append side: a fold that stages between
+    # the append's stage-dir probe and its sentinel write is caught by
+    # the post-sentinel RE-probe — the append withdraws (named error)
+    # and removes its own sentinel
+    orig_wtc = fsops.DriverFS.write_text_committed
+
+    def stage_sneaks_in(self, p, text):
+        orig_wtc(self, p, text)
+        if ".append_inprogress_" in p:
+            os.makedirs(f"{corpus}/.compact_tmp", exist_ok=True)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.DriverFS, "write_text_committed", stage_sneaks_in)
+        with pytest.raises(ValueError, match="compaction fold is pending"):
+            append_ivf_index(
+                _df(spark, _vecs(n=4, seed=102), start=70_000),
+                "vec_id", "embedding", target,
+            )
+    assert sentinels() == []  # the withdrawn append left no sentinel
+    shutil.rmtree(f"{corpus}/.compact_tmp")
+
+
+def test_fold_recovery_completes_only_copy_before_sentinel_abort(
+    spark, index, tmp_path, monkeypatch
+):
+    """The finish() apply order under the worst compound state: a fold
+    crashed mid-apply (one cell's original already deleted — the staged
+    partition is the ONLY copy) and a sentinel appeared before the
+    rerun. Recovery must land the only-copy cell FIRST (losing it to
+    the sentinel abort would destroy data), then abort the rest with
+    their originals intact; clearing the sentinel lets a fresh fold
+    finish the job. Row totals preserved at every step."""
+    import os
+    import shutil
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        compact_ivf_index,
+        ivf_search,
+    )
+
+    path, df = index
+    target = str(tmp_path / "compound")
+    shutil.copytree(path, target)
+    for i in range(3):
+        append_ivf_index(
+            _df(spark, _vecs(n=24, seed=110 + i), start=100_000 + 100 * i),
+            "vec_id", "embedding", target,
+        )
+    corpus = f"{target}/corpus"
+    n_total = _corpus_rows(corpus)
+    queries = df.filter("vec_id < 3")
+    want = _res(ivf_search(spark, target, queries, "vec_id", "embedding",
+                           n_probe=2, k=5))
+
+    # crash mid-apply: first cell's original deleted, rename dies
+    orig_rename = fsops.DriverFS.rename
+    state = {"crashed": False, "cell": None}
+
+    def flaky_rename(self, src, dst):
+        if "/cell=" in src and not state["crashed"]:
+            state["crashed"] = True
+            state["cell"] = dst
+            raise IOError("simulated crash mid-apply")
+        return orig_rename(self, src, dst)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.DriverFS, "rename", flaky_rename)
+        with pytest.raises(IOError, match="simulated crash"):
+            compact_ivf_index(spark, target)
+    assert not os.path.isdir(state["cell"])  # the only-copy state is real
+
+    # an append window opens before the recovery rerun
+    token = f"{corpus}/.append_inprogress_compound"
+    with open(token, "w") as fh:
+        fh.write("append_ivf_index")
+    with pytest.raises(RuntimeError, match="append\\(s\\) in flight"):
+        compact_ivf_index(spark, target)
+    assert os.path.isdir(state["cell"])  # only-copy cell LANDED anyway
+    assert not os.path.exists(f"{corpus}/.compact_tmp")  # rest discarded
+    assert _corpus_rows(corpus) == n_total  # nothing lost anywhere
+
+    os.remove(token)
+    assert compact_ivf_index(spark, target) > 0  # fresh fold finishes
+    assert _corpus_rows(corpus) == n_total
+    got = _res(ivf_search(spark, target, queries, "vec_id", "embedding",
+                          n_probe=2, k=5))
+    assert got == want
 
 
 def test_compaction_append_mutual_exclusion_compressed(spark, tmp_path, monkeypatch):

@@ -40,6 +40,9 @@ LOUD when they cannot list, never silently skip.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from uuid import uuid4
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -325,27 +328,65 @@ def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) 
         )
 
 
-def _require_no_pending_fold(spark: SparkSession, corpus_dir: str, op: str) -> None:
-    """Appends and ``compact_ivf_index`` are mutually exclusive: the fold
-    deletes and replaces the very ``cell=K`` dirs a batch append writes
-    into, so rows appended inside the fold's window are silently lost
-    when the staged partitions swap in. This is the append-side half of
-    the enforcement (the fold's ``finish`` carries the other half — a
-    growth abort): one driver-side probe for the fold's stage directory,
-    whose presence means a fold is in flight, committed-but-unapplied,
-    or crash litter — in every case the resolution is the same."""
+_APPEND_SENTINEL_PREFIX = ".append_inprogress_"
+
+
+def _append_sentinels(fs, corpus_dir: str) -> list[str]:
+    """Names of the driver-side append sentinels currently under the
+    corpus — one per in-flight (or crashed) batch append."""
+    return fs.listnames(corpus_dir, prefix=_APPEND_SENTINEL_PREFIX)
+
+
+def _raise_pending_fold(corpus_dir: str, stage: str, op: str):
+    raise ValueError(
+        f"{op}: a compaction fold is pending under {corpus_dir} "
+        f"({stage} exists) — rows appended during the fold's window "
+        "would be silently lost when its staged cell partitions swap "
+        "in; run compact_ivf_index(spark, path) to finish (or "
+        "discard) the fold, then retry the append"
+    )
+
+
+@contextmanager
+def _append_window(spark: SparkSession, corpus_dir: str, op: str):
+    """Appends and ``compact_ivf_index`` are mutually exclusive: the
+    fold deletes and replaces the very ``cell=K`` dirs a batch append
+    writes into, so rows appended inside the fold's window are silently
+    lost when the staged partitions swap in. This context manager is
+    the append-side half of the enforcement; with the fold-side half
+    (sentinel re-check + growth abort in ``compact_ivf_index``) the
+    window is CLOSED on any list-after-write-consistent filesystem, in
+    every interleaving:
+
+    1. probe the fold's stage directory — present means a fold is in
+       flight, committed-but-unapplied, or crash litter; refuse (named)
+       in all three, the resolution is one ``compact_ivf_index`` call;
+    2. drop a dot-file SENTINEL under the corpus (invisible to Spark
+       readers and to the footer walks), marking the append window;
+    3. RE-probe the stage dir: a fold that began between (1) and (2)
+       may not have seen the sentinel, so the append withdraws (sentinel
+       removed, named error) instead of racing it. After this point any
+       fold either sees the sentinel and refuses/aborts, or already
+       staged — in which case this re-probe sees ITS stage dir;
+    4. run the writes; the sentinel is removed on success AND on error.
+
+    A sentinel left by a CRASHED append blocks folds (never data) until
+    removed; the fold's error names the file — delete it once no append
+    is running."""
     from youtube_analytics_lakehouse_databricks_spark.fsops import StagedFold
 
     fs = DriverFS(spark, corpus_dir, op)
     stage = StagedFold(fs, corpus_dir).stage_dir
     if fs.isdir(stage):
-        raise ValueError(
-            f"{op}: a compaction fold is pending under {corpus_dir} "
-            f"({stage} exists) — rows appended during the fold's window "
-            "would be silently lost when its staged cell partitions swap "
-            "in; run compact_ivf_index(spark, path) to finish (or "
-            "discard) the fold, then retry the append"
-        )
+        _raise_pending_fold(corpus_dir, stage, op)
+    token = f"{corpus_dir}/{_APPEND_SENTINEL_PREFIX}{uuid4().hex[:12]}"
+    fs.write_text_committed(token, op)
+    try:
+        if fs.isdir(stage):
+            _raise_pending_fold(corpus_dir, stage, op)
+        yield
+    finally:
+        fs.delete(token)
 
 
 def check_bucket_table(spark: SparkSession, path: str) -> None:
@@ -422,22 +463,23 @@ def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> Non
     the source of truth.
 
     Refuses (named) while a ``compact_ivf_index`` fold is pending under
-    the corpus — appending into cell dirs the fold is about to replace
-    would silently lose the batch (see ``_require_no_pending_fold``)."""
+    the corpus, and marks its own window with a driver-side sentinel the
+    fold refuses past — appending into cell dirs the fold is about to
+    replace would silently lose the batch (see ``_append_window``)."""
     _require_long_id(df, id_col, "append_ivf_index")
     _require_batch_layout_absent(df.sparkSession, f"{path}/corpus", "append_ivf_index")
-    _require_no_pending_fold(df.sparkSession, f"{path}/corpus", "append_ivf_index")
-    centroids = load_ivf_centroids(path, df.sparkSession)
-    assigned = assign_cells(df, id_col, vec_col, centroids)
-    batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
-    batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
-    meta = _load_meta(path, df.sparkSession)
-    if meta.get("bucket_table"):
-        # append with the SAME bucket spec: Spark validates it against
-        # the table, so the co-located layout can't silently degrade
-        batch.write.mode("append").format("parquet").bucketBy(
-            int(meta["n_buckets"]), "cell"
-        ).saveAsTable(meta["bucket_table"])
+    with _append_window(df.sparkSession, f"{path}/corpus", "append_ivf_index"):
+        centroids = load_ivf_centroids(path, df.sparkSession)
+        assigned = assign_cells(df, id_col, vec_col, centroids)
+        batch = assigned.select(id_col, "v", F.col("cluster").alias("cell"))
+        batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+        meta = _load_meta(path, df.sparkSession)
+        if meta.get("bucket_table"):
+            # append with the SAME bucket spec: Spark validates it against
+            # the table, so the co-located layout can't silently degrade
+            batch.write.mode("append").format("parquet").bucketBy(
+                int(meta["n_buckets"]), "cell"
+            ).saveAsTable(meta["bucket_table"])
 
 
 def ivf_search(
@@ -727,18 +769,20 @@ def compact_ivf_index(
     the very ``cell=K`` dirs the fold deletes and replaces, so rows
     appended between the consolidation read and the swap would be
     lost) — quiesce writers for the window. Since r15 the window is
-    ENFORCED in both directions, not just documented: the appends
-    refuse (named error) while this fold's stage directory exists
-    (``_require_no_pending_fold``), and before swapping anything the
-    fold re-lists every still-pending cell's parquet files against the
-    consolidation-time snapshot carried in its manifest — any growth
-    aborts the whole apply (stage discarded, ALL originals including
-    the appended rows intact, named error says to quiesce and rerun).
-    The residual race is one in-flight append that started before the
-    stage directory appeared and lands after the growth re-list — a
-    sub-second driver-side window, down from the full fold duration;
-    an external writer lock closes it entirely where one exists.
-    Consolidated cell
+    ENFORCED in both directions, not just documented, and CLOSED on
+    any list-after-write-consistent filesystem (local, HDFS, modern
+    S3): the appends refuse (named error) while this fold's stage
+    directory exists AND mark their own window with a dot-file
+    sentinel, double-checking the stage dir after the sentinel lands
+    (``_append_window``); the fold refuses to start past a sentinel,
+    re-checks sentinels before swapping (an append whose window opened
+    before staging is caught here even if its rows haven't landed
+    yet), and re-lists every still-pending cell's parquet files
+    against the consolidation-time snapshot carried in its manifest —
+    a sentinel or any growth aborts the whole apply (stage discarded,
+    ALL originals including the appended rows intact, named error). A
+    sentinel left by a CRASHED append blocks folds, never data, until
+    deleted; the error names the file. Consolidated cell
     partitions stage under a dot-directory readers ignore, a committed
     manifest + marker gate the apply (delete original cell dir, rename
     staged one in, per cell, idempotently), and a crash at any point
@@ -767,31 +811,56 @@ def compact_ivf_index(
     staging = StagedFold(fs, corpus_dir)
 
     def finish(manifest: dict) -> int:
-        # Growth abort BEFORE any swap this call: an append that landed
-        # after the consolidation read would be silently lost by the
-        # delete+rename below. For every cell still pending (staged dir
-        # present), re-list its current parquet files against the
-        # consolidation-time snapshot; any difference discards the whole
-        # stage — originals, INCLUDING the appended rows, intact — and
-        # raises. Cells a prior (crashed) call already swapped are not
-        # pending and not checked: post-swap appends landed in the NEW
-        # dir, which this apply no longer touches. Manifests committed
-        # before the snapshot field existed apply unchecked (recovery
-        # compatibility for a fold that crashed across the upgrade).
+        # Apply order, chosen so NO interleaving loses rows:
+        # 1. COMPLETE crash-interrupted swaps first (original cell dir
+        #    absent: a prior apply crashed between its delete and its
+        #    rename, so the staged partition is the ONLY copy — it must
+        #    land regardless of sentinels/growth, and appends cannot
+        #    have written into that window: the stage dir existed
+        #    throughout, so the append-side guard refused them).
+        # 2. SENTINEL abort before touching any intact original: a
+        #    sentinel under the corpus is an append whose window opened
+        #    before this fold staged (or crash litter from one) — its
+        #    rows may land in a pending cell dir at ANY later instant,
+        #    including between the growth re-list and the swap, so the
+        #    re-list alone cannot clear it. Discard the stage
+        #    (originals intact) and name the files.
+        # 3. GROWTH abort: for every still-pending cell, re-list its
+        #    parquet files against the consolidation-time snapshot; any
+        #    difference means a writer bypassed the sentinel protocol —
+        #    discard the stage, originals INCLUDING the new rows
+        #    intact. (Manifests committed before the snapshot field
+        #    existed apply unchecked — recovery compatibility.)
+        # 4. Swap, idempotently per cell.
+        # Post-swap appends are safe by construction: they land in the
+        # NEW cell dir, which nothing here touches again.
+        pending = [
+            cell
+            for cell in manifest["cells"]
+            if fs.isdir(f"{staging.stage_dir}/cell={cell}")
+        ]
+        for cell in list(pending):
+            if not fs.isdir(f"{corpus_dir}/cell={cell}"):
+                fs.rename(
+                    f"{staging.stage_dir}/cell={cell}", f"{corpus_dir}/cell={cell}"
+                )
+                pending.remove(cell)
+        if pending:
+            tokens = _append_sentinels(fs, corpus_dir)
+            if tokens:
+                staging.cleanup()
+                raise RuntimeError(
+                    f"compact_ivf_index: append(s) in flight under "
+                    f"{corpus_dir} ({', '.join(tokens)}) — their rows "
+                    "could land in a cell this fold is about to replace; "
+                    "staged fold discarded, originals intact. Wait for "
+                    "the appends to finish and rerun; a sentinel left by "
+                    "a CRASHED append must be deleted manually once no "
+                    "append is running."
+                )
         snapshot = manifest.get("files")
         if snapshot is not None:
-            for cell in manifest["cells"]:
-                if not fs.isdir(f"{staging.stage_dir}/cell={cell}"):
-                    continue
-                if not fs.isdir(f"{corpus_dir}/cell={cell}"):
-                    # a prior apply crashed between its delete and its
-                    # rename: the staged partition is the ONLY copy of
-                    # this cell — nothing to compare (and discarding the
-                    # stage here would lose the cell); the swap below
-                    # finishes it. Appends cannot have landed in that
-                    # window: the stage dir existed throughout, so the
-                    # append-side guard refused them.
-                    continue
+            for cell in pending:
                 now = sorted(
                     f
                     for f in fs.listnames(f"{corpus_dir}/cell={cell}")
@@ -806,21 +875,26 @@ def compact_ivf_index(
                         "maintenance window) — staged fold discarded, "
                         "originals intact; quiesce writers and rerun"
                     )
-        # idempotent per cell: a staged dir still present means this
-        # cell's swap hasn't happened (or a crash interrupted it) —
-        # (re-)delete the original and move the consolidated partition
-        # in; absent means a prior call already applied it.
-        for cell in manifest["cells"]:
-            staged = f"{staging.stage_dir}/cell={cell}"
-            if fs.isdir(staged):
-                fs.delete(f"{corpus_dir}/cell={cell}")
-                fs.rename(staged, f"{corpus_dir}/cell={cell}")
+        for cell in pending:
+            fs.delete(f"{corpus_dir}/cell={cell}")
+            fs.rename(f"{staging.stage_dir}/cell={cell}", f"{corpus_dir}/cell={cell}")
         staging.cleanup()
         return len(manifest["cells"])
 
     committed = staging.recover()
     if committed is not None:
         return finish(committed)
+
+    tokens = _append_sentinels(fs, corpus_dir)
+    if tokens:
+        raise ValueError(
+            f"compact_ivf_index: append(s) in flight under {corpus_dir} "
+            f"({', '.join(tokens)}) — the fold would race them; wait for "
+            "the appends to finish, then rerun. A sentinel left by a "
+            "CRASHED append blocks folds (never data) until deleted — "
+            "each is a driver-side marker file, safe to remove once no "
+            "append is running."
+        )
 
     cells = []
     # per-cell file snapshot, taken with the fold-candidate listing: the
@@ -863,6 +937,7 @@ def index_health(
     max_files_per_cell: int = 1,
     skew_threshold: float = 4.0,
     target_max_rows_per_task: int | None = None,
+    sentinel_stale_after: float = 3600.0,
 ) -> DataFrame:
     """One-call serving-health matrix for a persisted batch index —
     the composition of every detector this module grew one at a time,
@@ -874,6 +949,12 @@ def index_health(
       corpus (in-flight fold, committed-but-unapplied, or crash
       litter; appends are refused while it exists). Remediation: run
       ``compact_ivf_index`` to finish or discard it.
+    - ``append_sentinels`` — the appends' in-flight markers (folds are
+      refused while any exists). Fresh sentinels are healthy
+      concurrency (``ok`` stays true); one older than
+      ``sentinel_stale_after`` seconds is a crashed append blocking
+      maintenance. Remediation: verify no append is running, delete
+      the named file(s).
     - ``fragmentation`` — per-cell parquet FILE counts vs
       ``max_files_per_cell`` (the batch-append small-file tax: 60
       appends measured 4.5x slower pruned scans, r14). Remediation:
@@ -925,6 +1006,28 @@ def index_health(
         f"fold stage dir {'PRESENT' if pending else 'absent'}: {stage}",
         "compact_ivf_index(spark, path) finishes or discards it; "
         "appends are refused until then" if pending else "",
+    ))
+
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    ages = {
+        t: max(0.0, now_ms - fs._fs.getFileStatus(
+            fs._path(f"{corpus_dir}/{t}")
+        ).getModificationTime()) / 1000.0
+        for t in _append_sentinels(fs, corpus_dir)
+    }
+    stale = sorted(t for t, age in ages.items() if age > float(sentinel_stale_after))
+    rows.append((
+        "append_sentinels",
+        not stale,
+        f"{len(ages)} sentinel(s); oldest {max(ages.values(), default=0.0):.0f}s "
+        f"(stale after {sentinel_stale_after:.0f}s); stale: {stale or 'none'}",
+        "" if not stale else (
+            "a crashed append left its sentinel and is blocking folds — "
+            "verify no append is running, then delete "
+            + ", ".join(f"{corpus_dir}/{t}" for t in stale)
+        ),
     ))
 
     per_cell_files = {
@@ -1218,27 +1321,26 @@ def append_ivfpq_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> N
     With a ``bucket_table``, the append is a NON-ATOMIC dual write —
     same crash window and ``check_bucket_table`` recovery contract as
     ``append_ivf_index``; same named refusal while a
-    ``compact_ivf_index`` fold is pending under the corpus."""
+    ``compact_ivf_index`` fold is pending under the corpus, same
+    sentinel marking its own window (``_append_window``)."""
     from youtube_analytics_lakehouse_databricks_spark.operators.pq import PQModel
 
     _require_long_id(df, id_col, "append_ivfpq_index")
     _require_batch_layout_absent(
         df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
     )
-    _require_no_pending_fold(
-        df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"
-    )
-    centroids = load_ivf_centroids(path, df.sparkSession)
-    model = PQModel.load(f"{path}/pq_model", df.sparkSession)
-    batch = _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks)
-    batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus_pq")
-    meta = _load_meta(path, df.sparkSession)
-    if meta.get("bucket_table"):
-        # same bucket spec as the build: Spark validates it against the
-        # table, so the co-located layout can't silently degrade
-        batch.write.mode("append").format("parquet").bucketBy(
-            int(meta["n_buckets"]), "cell"
-        ).saveAsTable(meta["bucket_table"])
+    with _append_window(df.sparkSession, f"{path}/corpus_pq", "append_ivfpq_index"):
+        centroids = load_ivf_centroids(path, df.sparkSession)
+        model = PQModel.load(f"{path}/pq_model", df.sparkSession)
+        batch = _encode_ivfpq(df, id_col, vec_col, centroids, model.codebooks)
+        batch.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus_pq")
+        meta = _load_meta(path, df.sparkSession)
+        if meta.get("bucket_table"):
+            # same bucket spec as the build: Spark validates it against
+            # the table, so the co-located layout can't silently degrade
+            batch.write.mode("append").format("parquet").bucketBy(
+                int(meta["n_buckets"]), "cell"
+            ).saveAsTable(meta["bucket_table"])
 
 
 def ivfpq_search(
