@@ -618,8 +618,8 @@ def test_index_health_matrix(spark, index, tmp_path):
     compact_ivf_index(spark, path)
     healthy = {r["check"]: r for r in index_health(spark, path).collect()}
     assert set(healthy) == {
-        "pending_fold", "append_sentinels", "fragmentation", "skew",
-        "empty_cells", "bucket_divergence",
+        "pending_fold", "append_sentinels", "fold_lock", "fragmentation",
+        "skew", "empty_cells", "bucket_divergence",
     }
     assert all(r["ok"] for r in healthy.values()), healthy
     assert all(r["remediation"] == "" for r in healthy.values())
@@ -691,6 +691,18 @@ def test_index_health_matrix(spark, index, tmp_path):
     assert not row["ok"]
     assert ".append_inprogress_stale" in row["remediation"]
     os.remove(token)
+
+    # fold lock: fresh = a fold is legitimately running; stale = its
+    # process died holding it
+    lock = f"{path}/corpus/.compact_lock"
+    with open(lock, "w") as fh:
+        fh.write("compact_ivf_index")
+    row = {r["check"]: r for r in index_health(spark, path).collect()}["fold_lock"]
+    assert row["ok"] and "held" in row["observed"]
+    os.utime(lock, (1, 1))
+    row = {r["check"]: r for r in index_health(spark, path).collect()}["fold_lock"]
+    assert not row["ok"] and ".compact_lock" in row["remediation"]
+    os.remove(lock)
 
     # named refusals: missing corpus and streamed layout
     with pytest.raises(ValueError, match="no corpus under"):
@@ -814,15 +826,15 @@ def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeyp
     # the append's stage-dir probe and its sentinel write is caught by
     # the post-sentinel RE-probe — the append withdraws (named error)
     # and removes its own sentinel
-    orig_wtc = fsops.DriverFS.write_text_committed
+    orig_ce = fsops.DriverFS.create_exclusive
 
     def stage_sneaks_in(self, p, text):
-        orig_wtc(self, p, text)
+        orig_ce(self, p, text)
         if ".append_inprogress_" in p:
             os.makedirs(f"{corpus}/.compact_tmp", exist_ok=True)
 
     with monkeypatch.context() as m:
-        m.setattr(fsops.DriverFS, "write_text_committed", stage_sneaks_in)
+        m.setattr(fsops.DriverFS, "create_exclusive", stage_sneaks_in)
         with pytest.raises(ValueError, match="compaction fold is pending"):
             append_ivf_index(
                 _df(spark, _vecs(n=4, seed=102), start=70_000),
@@ -830,6 +842,18 @@ def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeyp
             )
     assert sentinels() == []  # the withdrawn append left no sentinel
     shutil.rmtree(f"{corpus}/.compact_tmp")
+
+    # (e) fold-vs-fold: a held lock refuses a second fold (named); the
+    # lock is released on every exit, including the exception paths the
+    # earlier scenarios took (no .compact_lock residue at this point)
+    assert not os.path.exists(f"{corpus}/.compact_lock")
+    with open(f"{corpus}/.compact_lock", "w") as fh:
+        fh.write("compact_ivf_index")
+    with pytest.raises(ValueError, match="another fold holds the lock"):
+        compact_ivf_index(spark, target)
+    os.remove(f"{corpus}/.compact_lock")
+    compact_ivf_index(spark, target)  # unblocked (0 or more cells)
+    assert not os.path.exists(f"{corpus}/.compact_lock")  # released
 
 
 def test_fold_recovery_completes_only_copy_before_sentinel_abort(

@@ -33,6 +33,47 @@ def test_hll_and_quantile_sketches_bounded(spark):
         assert g["hll_ok"] and g["p50_ok"] and g["p99_ok"]
 
 
+def test_sketch_flags_true_on_degenerate_groups(spark):
+    """The registered oracle asserts TRUE literals for the bound flags,
+    so they must be provably TRUE on EVERY input — including groups the
+    sketch has nothing to grade on. All-NULL user_id (exact_users=0:
+    the naive rel_err is 0/0=NaN, and NaN sorts above every number in
+    Spark, so `NaN <= 0.15` is false) and all-NULL value (NULL
+    percentile envelope -> NULL between) must both read vacuously ok,
+    never NULL or false."""
+    from youtube_analytics_lakehouse_databricks_spark.queries.extended import _sketch_frame
+
+    ev = spark.createDataFrame(
+        [
+            ("no_users", None, 1.5),
+            ("no_users", None, 2.5),
+            # a 2-value group: the interpolated p50 envelope is
+            # [1.495, 1.505] but approx can only return 1.0 or 2.0 —
+            # the <200-value vacuity guard is what keeps this TRUE
+            ("tiny", 1, 1.0),
+            ("tiny", 2, 2.0),
+            ("no_values", 7, None),
+            ("no_values", 8, None),
+            ("nothing", None, None),
+        ]
+        + [("big", i, float(i)) for i in range(500)],  # active grading
+        "event_type string, user_id int, value double",
+    )
+    rows = {r["event_type"]: r for r in _sketch_frame(ev).collect()}
+    assert len(rows) == 5
+    for name, r in rows.items():
+        assert r["hll_ok"] is True, (name, r)
+        assert r["p50_ok"] is True, (name, r)
+        assert r["p99_ok"] is True, (name, r)
+    assert rows["no_users"]["exact_users"] == 0
+    assert rows["no_users"]["hll_rel_err"] == 0.0
+    assert rows["no_values"]["approx_p50"] is None
+    assert rows["tiny"]["exact_users"] == 2
+    # the big group really exercised the envelope (not the vacuity guard)
+    assert rows["big"]["n_events"] == 500
+    assert 245.0 <= rows["big"]["approx_p50"] <= 255.0
+
+
 def test_rollup_percentiles_have_a_bounded_approx_path(spark):
     """events_rollup's EXACT percentiles are the oracle-correctness
     surface; the documented 100 TB path is approx_percentile (constant

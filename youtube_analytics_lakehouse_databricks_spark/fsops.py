@@ -238,6 +238,31 @@ class DriverFS:
                 out.append(full)
         return out
 
+    def create_exclusive(self, p: str, text: str) -> None:
+        """Atomic create-if-absent (Hadoop ``create(path, overwrite=
+        false)``) — the mutual-exclusion primitive for maintenance
+        locks and window sentinels. Raises ``FileExistsError`` when the
+        path already exists (checked first for a clean message, and the
+        non-overwriting create keeps the check race-free: two
+        concurrent callers cannot both succeed). Content is incidental
+        — PRESENCE is the signal — so no temp/rename dance and no
+        ``.inprogress`` sibling that a prefix listing would see."""
+        if self.exists(p):
+            raise FileExistsError(p)
+        try:
+            out = self._fs.create(self._path(p), False)
+        except Exception as exc:
+            if self.exists(p):  # lost the creation race
+                raise FileExistsError(p) from None
+            raise IOError(
+                f"create_exclusive failed for {p}: "
+                f"{str(exc).splitlines()[0][:200]}"
+            ) from None
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._path(p))
         try:
@@ -300,8 +325,14 @@ class DriverFS:
             fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
                 dst.toUri(), self._conf
             )
-        except Exception:
-            fc = None  # no AbstractFileSystem binding for this scheme
+        except Exception as exc:
+            # downgrade ONLY for the no-AbstractFileSystem-binding case
+            # the fallback exists for; a transient acquisition failure
+            # on a scheme that HAS a binding must propagate, or the
+            # delete+rename below silently loses the atomic replace
+            if "UnsupportedFileSystemException" not in str(exc):
+                raise
+            fc = None
         if fc is not None:
             opts = self._gateway.new_array(
                 self._jvm.org.apache.hadoop.fs.Options.Rename, 1

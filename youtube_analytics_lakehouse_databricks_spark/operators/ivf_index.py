@@ -329,6 +329,7 @@ def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) 
 
 
 _APPEND_SENTINEL_PREFIX = ".append_inprogress_"
+_FOLD_LOCK_NAME = ".compact_lock"
 
 
 def _append_sentinels(fs, corpus_dir: str) -> list[str]:
@@ -380,7 +381,11 @@ def _append_window(spark: SparkSession, corpus_dir: str, op: str):
     if fs.isdir(stage):
         _raise_pending_fold(corpus_dir, stage, op)
     token = f"{corpus_dir}/{_APPEND_SENTINEL_PREFIX}{uuid4().hex[:12]}"
-    fs.write_text_committed(token, op)
+    # exclusive create, not the committed-write protocol: presence is
+    # the whole signal (content incidental), and the committed write's
+    # transient `.inprogress` sibling would itself match the sentinel
+    # prefix in listings
+    fs.create_exclusive(token, op)
     try:
         if fs.isdir(stage):
             _raise_pending_fold(corpus_dir, stage, op)
@@ -725,10 +730,11 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
             "built with write_corpus=False (streaming bootstrap) and "
             "nothing has been ingested yet"
         )
-    # one tiny Spark count, NOT the pyarrow fast path: the drift
-    # detector must run wherever the session can read the index (the
-    # rest of this function is already scheme-safe)
-    n_cells = int(spark.read.parquet(f"{path}/centroids").count())
+    # centroid count from the KB-sized artifact driver-side — still
+    # scheme-safe (load_ivf_centroids is two-branched since r14: pyarrow
+    # locally, Hadoop-streamed remotely), without the Spark job the r13
+    # version paid per drift poll
+    n_cells = int(len(load_ivf_centroids(path, spark)))
     counts = spark.read.parquet(corpus_dir).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -782,7 +788,12 @@ def compact_ivf_index(
     a sentinel or any growth aborts the whole apply (stage discarded,
     ALL originals including the appended rows intact, named error). A
     sentinel left by a CRASHED append blocks folds, never data, until
-    deleted; the error names the file. Consolidated cell
+    deleted; the error names the file. Folds also exclude EACH OTHER
+    via an exclusive-create lock held for the whole call (a concurrent
+    fold's recover() re-applying the committed manifest mid-swap would
+    destroy a cell); the lock releases on every exception, so only a
+    process death strands it — named error, delete and rerun.
+    Consolidated cell
     partitions stage under a dot-directory readers ignore, a committed
     manifest + marker gate the apply (delete original cell dir, rename
     staged one in, per cell, idempotently), and a crash at any point
@@ -881,53 +892,82 @@ def compact_ivf_index(
         staging.cleanup()
         return len(manifest["cells"])
 
-    committed = staging.recover()
-    if committed is not None:
-        return finish(committed)
-
-    tokens = _append_sentinels(fs, corpus_dir)
-    if tokens:
+    # Fold-vs-fold mutual exclusion: the sentinels guard against
+    # APPENDS, but a second concurrent fold is just as destructive —
+    # runner B's recover() can re-apply the committed manifest while
+    # runner A is mid-swap (B deletes original cell=K, renames the
+    # staged copy in; A then deletes that freshly swapped-in dir, which
+    # by now is the ONLY copy), or B's recover() can discard A's
+    # uncommitted stage mid-consolidation. And the append-refusal error
+    # text actively tells operators to run compact_ivf_index, so the
+    # concurrent-fold case is an invited one. One exclusive-create lock
+    # for the whole call; released on every exit, so an exception-path
+    # "crash" (incl. the simulated ones) never strands it — only a real
+    # process death does, and then the error names the file.
+    lock = f"{corpus_dir}/{_FOLD_LOCK_NAME}"
+    try:
+        fs.create_exclusive(lock, "compact_ivf_index")
+    except FileExistsError:
         raise ValueError(
-            f"compact_ivf_index: append(s) in flight under {corpus_dir} "
-            f"({', '.join(tokens)}) — the fold would race them; wait for "
-            "the appends to finish, then rerun. A sentinel left by a "
-            "CRASHED append blocks folds (never data) until deleted — "
-            "each is a driver-side marker file, safe to remove once no "
-            "append is running."
-        )
+            f"compact_ivf_index: another fold holds the lock under "
+            f"{corpus_dir} ({lock}) — two concurrent folds on one index "
+            "can destroy a cell (one's swap deletes what the other just "
+            "renamed in); wait for it to finish. If the previous fold's "
+            "PROCESS died (no fold is running), delete the lock file and "
+            "rerun — recovery then finishes or discards its stage."
+        ) from None
+    try:
+        committed = staging.recover()
+        if committed is not None:
+            return finish(committed)
 
-    cells = []
-    # per-cell file snapshot, taken with the fold-candidate listing: the
-    # manifest carries it so finish() can abort (instead of losing rows)
-    # if any cell grew between this read and the swap. Listed BEFORE the
-    # Spark consolidation read, so a file landing in between is seen by
-    # the read but not the snapshot — finish() then aborts conservatively
-    # (safe: originals intact) rather than guessing whether the staged
-    # fold captured it.
-    snapshot: dict[str, list[str]] = {}
-    for name in fs.listnames(corpus_dir, prefix="cell="):
-        files = sorted(
-            f for f in fs.listnames(f"{corpus_dir}/{name}") if f.endswith(".parquet")
+        tokens = _append_sentinels(fs, corpus_dir)
+        if tokens:
+            raise ValueError(
+                f"compact_ivf_index: append(s) in flight under {corpus_dir} "
+                f"({', '.join(tokens)}) — the fold would race them; wait for "
+                "the appends to finish, then rerun. A sentinel left by a "
+                "CRASHED append blocks folds (never data) until deleted — "
+                "each is a driver-side marker file, safe to remove once no "
+                "append is running."
+            )
+
+        cells = []
+        # per-cell file snapshot, taken with the fold-candidate listing:
+        # the manifest carries it so finish() can abort (instead of
+        # losing rows) if any cell grew between this read and the swap.
+        # Listed BEFORE the Spark consolidation read, so a file landing
+        # in between is seen by the read but not the snapshot — finish()
+        # then aborts conservatively (safe: originals intact) rather
+        # than guessing whether the staged fold captured it.
+        snapshot: dict[str, list[str]] = {}
+        for name in fs.listnames(corpus_dir, prefix="cell="):
+            files = sorted(
+                f
+                for f in fs.listnames(f"{corpus_dir}/{name}")
+                if f.endswith(".parquet")
+            )
+            if len(files) > int(max_files_per_cell):
+                cell_id = name.split("=", 1)[1]
+                cells.append(int(cell_id))
+                snapshot[cell_id] = files
+        if not cells:
+            return 0
+        cells.sort()
+        rows = spark.read.parquet(corpus_dir).filter(F.col("cell").isin(cells))
+        # repartition BY cell: each cell's rows land in one task, so the
+        # staged partition is exactly one file per cell
+        (
+            rows.repartition(len(cells), "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging.stage_dir)
         )
-        if len(files) > int(max_files_per_cell):
-            cell_id = name.split("=", 1)[1]
-            cells.append(int(cell_id))
-            snapshot[cell_id] = files
-    if not cells:
-        return 0
-    cells.sort()
-    rows = spark.read.parquet(corpus_dir).filter(F.col("cell").isin(cells))
-    # repartition BY cell: each cell's rows land in one task, so the
-    # staged partition is exactly one file per cell
-    (
-        rows.repartition(len(cells), "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(staging.stage_dir)
-    )
-    manifest = {"cells": cells, "files": snapshot}
-    staging.commit(manifest)
-    return finish(manifest)
+        manifest = {"cells": cells, "files": snapshot}
+        staging.commit(manifest)
+        return finish(manifest)
+    finally:
+        fs.delete(lock)
 
 
 def index_health(
@@ -955,6 +995,10 @@ def index_health(
       ``sentinel_stale_after`` seconds is a crashed append blocking
       maintenance. Remediation: verify no append is running, delete
       the named file(s).
+    - ``fold_lock`` — the fold-vs-fold exclusive lock. Fresh = a fold
+      is legitimately running (``ok`` stays true); stale = its process
+      died holding it. Remediation: verify no fold is running, delete
+      the lock, rerun ``compact_ivf_index``.
     - ``fragmentation`` — per-cell parquet FILE counts vs
       ``max_files_per_cell`` (the batch-append small-file tax: 60
       appends measured 4.5x slower pruned scans, r14). Remediation:
@@ -1010,13 +1054,22 @@ def index_health(
 
     import time as _time
 
-    now_ms = _time.time() * 1000.0
-    ages = {
-        t: max(0.0, now_ms - fs._fs.getFileStatus(
-            fs._path(f"{corpus_dir}/{t}")
-        ).getModificationTime()) / 1000.0
-        for t in _append_sentinels(fs, corpus_dir)
-    }
+    def _marker_ages(names: list[str]) -> dict[str, float]:
+        # tolerate the healthy race: a marker listed a moment ago may be
+        # deleted (append finished, fold released) before its status
+        # read — skip it rather than surfacing a raw FileNotFound out of
+        # a health check whose whole point is observing live concurrency
+        now_ms = _time.time() * 1000.0
+        ages: dict[str, float] = {}
+        for t in names:
+            try:
+                st = fs._fs.getFileStatus(fs._path(f"{corpus_dir}/{t}"))
+            except Exception:
+                continue
+            ages[t] = max(0.0, now_ms - st.getModificationTime()) / 1000.0
+        return ages
+
+    ages = _marker_ages(_append_sentinels(fs, corpus_dir))
     stale = sorted(t for t, age in ages.items() if age > float(sentinel_stale_after))
     rows.append((
         "append_sentinels",
@@ -1027,6 +1080,24 @@ def index_health(
             "a crashed append left its sentinel and is blocking folds — "
             "verify no append is running, then delete "
             + ", ".join(f"{corpus_dir}/{t}" for t in stale)
+        ),
+    ))
+
+    lock_ages = _marker_ages(
+        [_FOLD_LOCK_NAME] if fs.exists(f"{corpus_dir}/{_FOLD_LOCK_NAME}") else []
+    )
+    lock_stale = any(a > float(sentinel_stale_after) for a in lock_ages.values())
+    rows.append((
+        "fold_lock",
+        not lock_stale,
+        "no fold lock" if not lock_ages else (
+            f"fold lock held {max(lock_ages.values()):.0f}s "
+            f"(stale after {sentinel_stale_after:.0f}s)"
+        ),
+        "" if not lock_stale else (
+            "a fold's PROCESS died holding its lock and is blocking "
+            "folds — verify none is running, then delete "
+            f"{corpus_dir}/{_FOLD_LOCK_NAME} and rerun compact_ivf_index"
         ),
     ))
 
@@ -1051,7 +1122,10 @@ def index_health(
     ))
 
     stats = ivf_cell_stats(spark, path).collect()
-    n_cells = int(spark.read.parquet(f"{path}/centroids").count())
+    # centroid COUNT from the KB-sized artifact, driver-side (pyarrow
+    # locally, Hadoop-streamed remotely) — not a second Spark job for a
+    # number the artifact read already holds
+    n_cells = int(len(load_ivf_centroids(path, spark)))
     hot = max(stats, key=lambda r: r["n_rows"], default=None)
     max_skew = float(hot["skew"]) if hot is not None else 0.0
     skew_ok = max_skew <= float(skew_threshold)

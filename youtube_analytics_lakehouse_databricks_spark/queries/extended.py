@@ -356,15 +356,27 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sketch_user_counts_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full sketch-vs-exact diagnostic frame: HyperLogLog distinct users
-    and approximate quantiles per event_type next to their exact
-    counterparts, per-row error columns, and bound flags. The registered
-    ``sketch_user_counts`` row projects this frame's DETERMINISTIC
-    subset so the driver's DuckDB gate can hash it; this full frame
-    (approx values + error magnitudes included) is the profiling
-    surface and stays under test via ``test_sketches``."""
-    ev = read(spark, sf_dir, "events")
+def _sketch_frame(ev: DataFrame) -> DataFrame:
+    """The sketch-vs-exact aggregation over an events-shaped frame,
+    factored so degenerate-group semantics are unit-testable without a
+    scale-factor directory. The bound flags must be provably TRUE on
+    EVERY input — the registered oracle asserts TRUE literals — so
+    groups with nothing to grade are defined vacuously ok rather than
+    left to NULL/NaN arithmetic: a group whose user_id values are all
+    NULL has exact_users=0 and grades the HLL on exact equality
+    (approx must be 0 too — rel_err would be 0/0=NaN, and NaN sorts
+    ABOVE every number in Spark, so the naive `rel_err <= 0.15` reads
+    false); and the percentile flags grade only groups with >= 200
+    non-null values — below that the ±0.005 RANK tolerance spans less
+    than one element, so the interpolated exact envelope
+    (`percentile(0.495..0.505)`) can sit strictly BETWEEN two adjacent
+    elements and exclude every value approx_percentile (which returns
+    real elements) could possibly return: a 2-value group's p50
+    envelope is [1.495, 1.505] while the only returnable elements are
+    1.0 and 2.0. Above 200 the envelope necessarily contains at least
+    one element and the 1/1000-accuracy guarantee makes the flag
+    provably TRUE; all-NULL value groups fall under the same guard
+    (zero non-null values)."""
     out = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
@@ -373,24 +385,45 @@ def sketch_user_counts_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame
         # rank error <= 1/1000; we check against a looser ±0.005 envelope
         F.expr("percentile(value, array(0.495D, 0.505D, 0.985D, 0.995D))").alias("env"),
         F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_vals"),
     )
-    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    rel_err = F.when(
+        F.col("exact_users") > 0,
+        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"),
+    ).otherwise(F.when(F.col("approx_users") == 0, F.lit(0.0)).otherwise(F.lit(1.0)))
+    p50, p99 = F.element_at("approx_q", 1), F.element_at("approx_q", 2)
+
+    def _q_ok(q, lo, hi):
+        # n_vals >= 200 <=> the ±0.005 rank envelope spans >= 1 element
+        # (see the docstring); below that the check is vacuous, and the
+        # all-NULL case (n_vals = 0, NULL envelope) rides the same guard
+        return F.when(F.col("n_vals") < 200, F.lit(True)).otherwise(
+            q.between(lo, hi)
+        )
+
     return out.select(
         "event_type",
         "approx_users",
         "exact_users",
-        F.element_at("approx_q", 1).alias("approx_p50"),
-        F.element_at("approx_q", 2).alias("approx_p99"),
+        p50.alias("approx_p50"),
+        p99.alias("approx_p99"),
         "n_events",
         F.round(rel_err, 6).alias("hll_rel_err"),
         (rel_err <= F.lit(0.15)).alias("hll_ok"),
-        F.element_at("approx_q", 1).between(
-            F.element_at("env", 1), F.element_at("env", 2)
-        ).alias("p50_ok"),
-        F.element_at("approx_q", 2).between(
-            F.element_at("env", 3), F.element_at("env", 4)
-        ).alias("p99_ok"),
+        _q_ok(p50, F.element_at("env", 1), F.element_at("env", 2)).alias("p50_ok"),
+        _q_ok(p99, F.element_at("env", 3), F.element_at("env", 4)).alias("p99_ok"),
     )
+
+
+def sketch_user_counts_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sketch-vs-exact diagnostic frame: HyperLogLog distinct users
+    and approximate quantiles per event_type next to their exact
+    counterparts, per-row error columns, and bound flags. The registered
+    ``sketch_user_counts`` row projects this frame's DETERMINISTIC
+    subset so the driver's DuckDB gate can hash it; this full frame
+    (approx values + error magnitudes included) is the profiling
+    surface and stays under test via ``test_sketches``."""
+    return _sketch_frame(read(spark, sf_dir, "events"))
 
 
 @register(
