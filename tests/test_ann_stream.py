@@ -220,6 +220,16 @@ def test_compaction_folds_old_batches_value_stable(spark, tmp_path):
     assert search() == before_search
     # idempotent at the horizon
     assert compact_ann_stream(spark, path, keep_last=2) == 0
+    assert not os.path.exists(f"{corpus_dir}/.compact_lock")  # released
+
+    # fold-vs-fold lock: a held lock refuses (named) — a concurrent
+    # fold's recovery re-applying the committed manifest mid-swap would
+    # delete the consolidated partition (the fold list contains target)
+    with open(f"{corpus_dir}/.compact_lock", "w") as f:
+        f.write("compact_ann_stream")
+    with pytest.raises(ValueError, match="another fold holds the lock"):
+        compact_ann_stream(spark, path, keep_last=2)
+    os.remove(f"{corpus_dir}/.compact_lock")
 
     # interrupted GC: recreate the committed-fold crash state (marker +
     # manifest + staged partition present, folded dirs NOT yet deleted)

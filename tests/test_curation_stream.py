@@ -272,6 +272,19 @@ def test_compact_audit_log_value_stable(spark, tmp_path):
         os.path.basename(p) for p in glob.glob(f"{dirs['audit']}/batch_id=*")
     )
     assert len(part_dirs()) == 4
+
+    # fold-vs-fold lock: concurrent folds share the fixed _compact_tmp
+    # dir — a held lock refuses (named) before anything is staged
+    import os as _os
+
+    import pytest as _pytest
+
+    with open(f"{dirs['audit']}/.compact_lock", "w") as f:
+        f.write("compact_audit_log")
+    with _pytest.raises(ValueError, match="another fold holds the lock"):
+        compact_audit_log(spark, dirs["audit"], keep_latest=1)
+    _os.remove(f"{dirs['audit']}/.compact_lock")
+
     # fold batches 0..2 (keep_latest=1 keeps only the frontier live)
     assert compact_audit_log(spark, dirs["audit"], keep_latest=1) == 3
     assert part_dirs() == ["batch_id=2", "batch_id=3"]
@@ -281,6 +294,8 @@ def test_compact_audit_log_value_stable(spark, tmp_path):
     assert folded.count() == folded.select("doc_id").distinct().count()
     # nothing left to fold at this horizon
     assert compact_audit_log(spark, dirs["audit"], keep_latest=1) == 0
+    # and the finished folds released the lock
+    assert not _os.path.exists(f"{dirs['audit']}/.compact_lock")
 
     # ingest continues against the untouched state after compaction
     _write_landing(landing, "batch4.json", [(41, A_TXT)])  # exact dup of 1

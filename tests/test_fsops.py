@@ -562,3 +562,32 @@ def test_corpus_row_count_remote_route_is_footer_walk_zero_jobs(
     empty = str(tmp_path / "empty_tree")
     os.makedirs(empty)
     assert driver_parquet_row_count(spark, empty, "t") == 0
+
+
+def test_create_exclusive_and_maintenance_lock(spark, tmp_path):
+    """The fold-vs-fold primitives: create_exclusive refuses an existing
+    path (FileExistsError, race-free via the non-overwriting create);
+    maintenance_lock holds .compact_lock for the body, refuses a second
+    taker with the named error, and releases on success AND on the
+    exception path (so only a process death strands it)."""
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
+
+    fs = DriverFS(spark, str(tmp_path), "test")
+    p = f"{tmp_path}/token"
+    fs.create_exclusive(p, "one")
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, "two")
+
+    lock_path = f"{tmp_path}/.compact_lock"
+    with maintenance_lock(fs, str(tmp_path), "op_a"):
+        assert os.path.exists(lock_path)
+        with pytest.raises(ValueError, match="another fold holds the lock"):
+            with maintenance_lock(fs, str(tmp_path), "op_b"):
+                raise AssertionError("unreachable")
+    assert not os.path.exists(lock_path)  # released on success
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with maintenance_lock(fs, str(tmp_path), "op_c"):
+            assert os.path.exists(lock_path)
+            raise RuntimeError("boom")
+    assert not os.path.exists(lock_path)  # released on the error path

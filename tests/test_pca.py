@@ -418,6 +418,18 @@ def test_compact_streamed_moments(spark, tmp_path):
     ingest_moments_batch(batch_df(chunks[3]), 3, "embedding", mdir)
     mid = load_streamed_moments(spark, mdir)
     assert mid.n == 200
+    # fold-vs-fold lock: the moments are ADDITIVE, so concurrent folds
+    # could double-count — a held lock refuses (named)
+    import os as _os
+
+    import pytest as _pytest
+
+    with open(f"{mdir}/.compact_lock", "w") as f:
+        f.write("compact_streamed_moments")
+    with _pytest.raises(ValueError, match="another fold holds the lock"):
+        compact_streamed_moments(spark, mdir, keep_latest=3)
+    _os.remove(f"{mdir}/.compact_lock")
+
     # re-running compaction garbage-collects it without shrinking the
     # horizon (covers stays at the prior consolidation's max)
     assert compact_streamed_moments(spark, mdir, keep_latest=3) == 2

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import re
+from contextlib import contextmanager as _contextmanager
 
 __all__ = [
     "RemotePathError",
@@ -63,6 +64,7 @@ __all__ = [
     "DriverFS",
     "driver_read_parquet",
     "driver_parquet_row_count",
+    "maintenance_lock",
     "require_session",
     "batch_partition_ids",
     "StagedFold",
@@ -455,6 +457,38 @@ def driver_parquet_row_count(spark, directory: str, op: str) -> int:
         finally:
             f.close()
     return total
+
+
+@_contextmanager
+def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
+    """Fold-vs-fold mutual exclusion for the compactions: one
+    exclusive-create ``.compact_lock`` under the artifact, held for the
+    whole maintenance call and released on EVERY exit path (so an
+    exception-path failure never strands it — only a process death
+    does, and the refusal names the file). Why every compaction takes
+    it, not just stage-and-swap: a concurrent stage-and-swap fold's
+    recover() can re-apply a committed manifest mid-swap and delete the
+    freshly swapped-in only copy (data loss); concurrent ADD-FIRST
+    folds share a fixed temp location and, for the additive moments
+    artifact, could land two ``covers`` rows that a loader would both
+    count. The lock converts every such interleaving into one named,
+    wait-and-rerun error."""
+    lock = f"{parent_dir}/.compact_lock"
+    try:
+        fs.create_exclusive(lock, op)
+    except FileExistsError:
+        raise ValueError(
+            f"{op}: another fold holds the lock under {parent_dir} "
+            f"({lock}) — concurrent folds on one artifact can destroy "
+            "or double-count data; wait for it to finish. If the "
+            "previous fold's PROCESS died (no fold is running), delete "
+            "the lock file and rerun — recovery then finishes or "
+            "discards its work."
+        ) from None
+    try:
+        yield
+    finally:
+        fs.delete(lock)
 
 
 def require_session(spark, path: str, op: str):

@@ -892,31 +892,18 @@ def compact_ivf_index(
         staging.cleanup()
         return len(manifest["cells"])
 
-    # Fold-vs-fold mutual exclusion: the sentinels guard against
-    # APPENDS, but a second concurrent fold is just as destructive —
-    # runner B's recover() can re-apply the committed manifest while
-    # runner A is mid-swap (B deletes original cell=K, renames the
-    # staged copy in; A then deletes that freshly swapped-in dir, which
-    # by now is the ONLY copy), or B's recover() can discard A's
-    # uncommitted stage mid-consolidation. And the append-refusal error
-    # text actively tells operators to run compact_ivf_index, so the
-    # concurrent-fold case is an invited one. One exclusive-create lock
-    # for the whole call; released on every exit, so an exception-path
-    # "crash" (incl. the simulated ones) never strands it — only a real
-    # process death does, and then the error names the file.
-    lock = f"{corpus_dir}/{_FOLD_LOCK_NAME}"
-    try:
-        fs.create_exclusive(lock, "compact_ivf_index")
-    except FileExistsError:
-        raise ValueError(
-            f"compact_ivf_index: another fold holds the lock under "
-            f"{corpus_dir} ({lock}) — two concurrent folds on one index "
-            "can destroy a cell (one's swap deletes what the other just "
-            "renamed in); wait for it to finish. If the previous fold's "
-            "PROCESS died (no fold is running), delete the lock file and "
-            "rerun — recovery then finishes or discards its stage."
-        ) from None
-    try:
+    # Fold-vs-fold mutual exclusion (fsops.maintenance_lock): the
+    # sentinels guard against APPENDS, but a second concurrent fold is
+    # just as destructive — runner B's recover() can re-apply the
+    # committed manifest while runner A is mid-swap (B deletes original
+    # cell=K, renames the staged copy in; A then deletes that freshly
+    # swapped-in dir, which by now is the ONLY copy), or B's recover()
+    # can discard A's uncommitted stage mid-consolidation. And the
+    # append-refusal error text actively tells operators to run
+    # compact_ivf_index, so the concurrent-fold case is an invited one.
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
+
+    with maintenance_lock(fs, corpus_dir, "compact_ivf_index"):
         committed = staging.recover()
         if committed is not None:
             return finish(committed)
@@ -966,8 +953,6 @@ def compact_ivf_index(
         manifest = {"cells": cells, "files": snapshot}
         staging.commit(manifest)
         return finish(manifest)
-    finally:
-        fs.delete(lock)
 
 
 def index_health(

@@ -196,7 +196,12 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
     readable manifest), and a crash at any point either leaves the
     originals intact (before the marker) or is finished by the next
     call (after it — recovery re-deletes the folded dirs from the
-    manifest and moves the staged partition in).
+    manifest and moves the staged partition in). Folds exclude EACH
+    OTHER via ``fsops.maintenance_lock`` (r15): a concurrent fold's
+    recover() re-applying the committed manifest mid-swap would delete
+    the freshly renamed-in consolidated partition (the fold list
+    contains the target id); the lock releases on every exception, so
+    only a process death strands it — named error, delete and rerun.
     Returns the number of batch partitions folded (0 = nothing to do).
     """
     if int(keep_last) < 2:
@@ -237,25 +242,33 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
         staging.cleanup()
         return len(fold)
 
-    # recovery: a prior call crashed after committing its fold — finish
-    # it (uncommitted leftovers are discarded by recover())
-    committed = staging.recover()
-    if committed is not None:
-        return finish(committed)
+    # fold-vs-fold exclusion (fsops.maintenance_lock): a concurrent
+    # fold's recover() re-applying the committed manifest mid-swap would
+    # delete the freshly renamed-in consolidated partition — the fold
+    # list CONTAINS the target id, so the deletes in finish() hit the
+    # only copy. Concurrent INGEST stays fine (new batch ids, no lock).
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    batches = batch_partition_ids(fs, corpus_dir)
-    fold = batches[: max(0, len(batches) - int(keep_last))]
-    if len(fold) < 2:
-        return 0
-    target = fold[0]
-    rows = spark.read.parquet(corpus_dir).filter(F.col("batch_id").isin(fold))
-    (
-        rows.drop("batch_id")
-        .withColumn("batch_id", F.lit(int(target)).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("batch_id", "cell")
-        .parquet(staging.stage_dir)
-    )
-    manifest = {"fold": fold, "target": target}
-    staging.commit(manifest)
-    return finish(manifest)
+    with maintenance_lock(fs, corpus_dir, "compact_ann_stream"):
+        # recovery: a prior call crashed after committing its fold —
+        # finish it (uncommitted leftovers are discarded by recover())
+        committed = staging.recover()
+        if committed is not None:
+            return finish(committed)
+
+        batches = batch_partition_ids(fs, corpus_dir)
+        fold = batches[: max(0, len(batches) - int(keep_last))]
+        if len(fold) < 2:
+            return 0
+        target = fold[0]
+        rows = spark.read.parquet(corpus_dir).filter(F.col("batch_id").isin(fold))
+        (
+            rows.drop("batch_id")
+            .withColumn("batch_id", F.lit(int(target)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "cell")
+            .parquet(staging.stage_dir)
+        )
+        manifest = {"fold": fold, "target": target}
+        staging.commit(manifest)
+        return finish(manifest)

@@ -280,6 +280,12 @@ def compact_audit_log(
     under Structured Streaming's checkpoint contract, so >= 1 suffices;
     16 is headroom): a replayed batch dynamic-overwrites its OWN
     partition, which must never be the consolidated one.
+
+    Folds exclude EACH OTHER via ``fsops.maintenance_lock`` (r15):
+    duplicate consolidated ROWS would reconcile latest-wins, but two
+    concurrent folds share the fixed ``_compact_tmp`` staging dir.
+    Concurrent INGEST needs no lock (verified: a held lock doesn't
+    perturb the stream).
     """
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
@@ -297,28 +303,36 @@ def compact_audit_log(
         return 0
     target = old[-1]
 
-    log = spark.read.parquet(audit_dir).filter(F.col("batch_id").isin(old))
-    from pyspark.sql import Window
+    # fold-vs-fold exclusion (fsops.maintenance_lock): duplicate
+    # consolidated ROWS would reconcile latest-wins, but two concurrent
+    # folds share the fixed _compact_tmp dir (one's overwrite clobbers
+    # the other's staged files mid-move) — take the lock and make the
+    # interleaving a named wait-and-rerun error instead
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
-    consolidated = (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "batch_id")  # partition value comes from the dir name
-    )
-    tmp = f"{audit_dir}/_compact_tmp"
-    consolidated.write.mode("overwrite").parquet(tmp)
+    with maintenance_lock(fs, audit_dir, "compact_audit_log"):
+        log = spark.read.parquet(audit_dir).filter(F.col("batch_id").isin(old))
+        from pyspark.sql import Window
 
-    part_dir = f"{audit_dir}/batch_id={target}"
-    originals = [
-        n for n in fs.listnames(part_dir) if n.endswith(".parquet")
-    ]
-    for name in fs.listnames(tmp):
-        if name.endswith(".parquet"):
-            fs.rename(f"{tmp}/{name}", f"{part_dir}/compact-{name}")
-    for bid in old[:-1]:
-        fs.delete(f"{audit_dir}/batch_id={bid}")
-    for name in originals:
-        fs.delete(f"{part_dir}/{name}")
-    fs.delete(tmp)
-    return len(old)
+        w = Window.partitionBy(id_col).orderBy(F.col("batch_id").desc())
+        consolidated = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "batch_id")  # partition value comes from the dir name
+        )
+        tmp = f"{audit_dir}/_compact_tmp"
+        consolidated.write.mode("overwrite").parquet(tmp)
+
+        part_dir = f"{audit_dir}/batch_id={target}"
+        originals = [
+            n for n in fs.listnames(part_dir) if n.endswith(".parquet")
+        ]
+        for name in fs.listnames(tmp):
+            if name.endswith(".parquet"):
+                fs.rename(f"{tmp}/{name}", f"{part_dir}/compact-{name}")
+        for bid in old[:-1]:
+            fs.delete(f"{audit_dir}/batch_id={bid}")
+        for name in originals:
+            fs.delete(f"{part_dir}/{name}")
+        fs.delete(tmp)
+        return len(old)

@@ -116,9 +116,31 @@ def compact_streamed_moments(
     folded partitions deleted — pure garbage collection, because
     ``load_streamed_moments`` skips any unmarked partition at or below
     the marker. A crash between the two steps therefore never
-    double-counts; re-running compaction finishes the GC."""
+    double-counts; re-running compaction finishes the GC. Folds exclude
+    EACH OTHER via ``fsops.maintenance_lock`` (r15): the moments are
+    ADDITIVE, so this is the artifact where concurrent folds corrupt
+    VALUES, not just layout — interleaved with each other's deletes,
+    a surviving ``covers`` row can cover batches whose rows the other
+    fold already folded in, double-counting them on the next load."""
     if keep_latest < 1:
         raise ValueError(f"keep_latest must be >= 1, got {keep_latest}")
+    from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS, maintenance_lock
+
+    # fold-vs-fold exclusion (fsops.maintenance_lock): the moments are
+    # ADDITIVE, so this artifact is the one where concurrent folds can
+    # corrupt VALUES, not just layout — both compute a merged partial
+    # over the same old set and dynamic-overwrite the oldest partition
+    # with their `covers` row; interleaved with the other's deletes,
+    # the surviving marker can cover batches whose rows the other fold
+    # already folded in, double-counting them on the next load
+    fs = DriverFS(spark, moments_dir, "compact_streamed_moments")
+    with maintenance_lock(fs, moments_dir, "compact_streamed_moments"):
+        return _compact_streamed_moments_locked(spark, fs, moments_dir, keep_latest)
+
+
+def _compact_streamed_moments_locked(
+    spark: SparkSession, fs, moments_dir: str, keep_latest: int
+) -> int:
     rows = spark.read.parquet(moments_dir).collect()
     ids = sorted({int(r["batch_id"]) for r in rows})
     old = ids[:-keep_latest]
@@ -159,9 +181,6 @@ def compact_streamed_moments(
         .partitionBy("batch_id")
         .parquet(moments_dir)
     )
-    from youtube_analytics_lakehouse_databricks_spark.fsops import DriverFS
-
-    fs = DriverFS(spark, moments_dir, "compact_streamed_moments")
     for bid in old[1:]:
         fs.delete(f"{moments_dir}/batch_id={bid}")
     return len(old)
