@@ -591,3 +591,28 @@ def test_create_exclusive_and_maintenance_lock(spark, tmp_path):
             assert os.path.exists(lock_path)
             raise RuntimeError("boom")
     assert not os.path.exists(lock_path)  # released on the error path
+
+
+def test_maintenance_lock_readback_confirms_ownership(spark, tmp_path, monkeypatch):
+    """create_exclusive is atomic on HDFS but exists-check+create on the
+    local FS / S3A, so maintenance_lock CONFIRMS acquisition by reading
+    its unique token back: a caller whose create 'succeeded' but whose
+    content did not survive (the other racer's create truncated it)
+    backs off with the named error and must NOT delete the lock the
+    winner now owns."""
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
+
+    fs = DriverFS(spark, str(tmp_path), "test")
+    lock_path = f"{tmp_path}/.compact_lock"
+
+    with monkeypatch.context() as m:
+        m.setattr(
+            fsops.DriverFS, "read_text", lambda self, p: "winner:deadbeef"
+        )
+        with pytest.raises(ValueError, match="another fold holds the lock"):
+            with maintenance_lock(fs, str(tmp_path), "op_loser"):
+                raise AssertionError("unreachable")
+    # the loser left the winner's lock in place
+    assert os.path.exists(lock_path)
+    os.remove(lock_path)

@@ -65,6 +65,7 @@ __all__ = [
     "driver_read_parquet",
     "driver_parquet_row_count",
     "maintenance_lock",
+    "COMPACT_LOCK_NAME",
     "require_session",
     "batch_partition_ids",
     "StagedFold",
@@ -241,14 +242,18 @@ class DriverFS:
         return out
 
     def create_exclusive(self, p: str, text: str) -> None:
-        """Atomic create-if-absent (Hadoop ``create(path, overwrite=
-        false)``) — the mutual-exclusion primitive for maintenance
-        locks and window sentinels. Raises ``FileExistsError`` when the
-        path already exists (checked first for a clean message, and the
-        non-overwriting create keeps the check race-free: two
-        concurrent callers cannot both succeed). Content is incidental
-        — PRESENCE is the signal — so no temp/rename dance and no
-        ``.inprogress`` sibling that a prefix listing would see."""
+        """Create-if-absent (Hadoop ``create(path, overwrite=false)``)
+        — the mutual-exclusion primitive for maintenance locks and
+        window sentinels. Raises ``FileExistsError`` when the path
+        already exists. Exclusivity honesty: the non-overwriting create
+        is ATOMIC on HDFS (namenode-arbitrated) but an exists-check +
+        plain create on the local filesystem and deferred-to-close on
+        S3A — callers needing a hard guarantee must confirm ownership
+        by reading the content back (``maintenance_lock`` does; the
+        append sentinels don't need to — their names are unique).
+        A write/close failure after the create removes the file before
+        re-raising, so a half-written marker can't strand the protocol
+        it guards (the released-on-every-exit invariant)."""
         if self.exists(p):
             raise FileExistsError(p)
         try:
@@ -262,8 +267,14 @@ class DriverFS:
             ) from None
         try:
             out.write(bytearray(text.encode("utf-8")))
-        finally:
             out.close()
+        except Exception:
+            try:
+                out.close()
+            except Exception:
+                pass
+            self.delete(p)  # never strand a half-written marker
+            raise
 
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._path(p))
@@ -459,6 +470,9 @@ def driver_parquet_row_count(spark, directory: str, op: str) -> int:
     return total
 
 
+COMPACT_LOCK_NAME = ".compact_lock"
+
+
 @_contextmanager
 def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
     """Fold-vs-fold mutual exclusion for the compactions: one
@@ -472,23 +486,48 @@ def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
     folds share a fixed temp location and, for the additive moments
     artifact, could land two ``covers`` rows that a loader would both
     count. The lock converts every such interleaving into one named,
-    wait-and-rerun error."""
-    lock = f"{parent_dir}/.compact_lock"
+    wait-and-rerun error.
+
+    Exclusivity: ``create_exclusive`` is atomic on HDFS but not on the
+    local FS or S3A, so acquisition is CONFIRMED by reading back a
+    unique token — two racers that both pass the create see one
+    surviving content, and every caller whose token didn't survive
+    backs off with the named error (read-after-write consistency is
+    enough, which local, HDFS, and modern S3 all provide). The
+    operational race the lock exists for — an operator or scheduler
+    starting a second fold seconds-to-minutes into the first — is
+    closed outright; the residual is two folds entering the create
+    within the same few milliseconds AND the filesystem interleaving
+    their single-packet writes such that one full token survives, in
+    which case one caller still backs off."""
+    lock = f"{parent_dir}/{COMPACT_LOCK_NAME}"
+    from uuid import uuid4 as _uuid4
+
+    token = f"{op}:{_uuid4().hex}"
+    refusal = ValueError(
+        f"{op}: another fold holds the lock under {parent_dir} "
+        f"({lock}) — concurrent folds on one artifact can destroy "
+        "or double-count data; wait for it to finish. If the "
+        "previous fold's PROCESS died (no fold is running), delete "
+        "the lock file and rerun — recovery then finishes or "
+        "discards its work."
+    )
     try:
-        fs.create_exclusive(lock, op)
+        fs.create_exclusive(lock, token)
     except FileExistsError:
-        raise ValueError(
-            f"{op}: another fold holds the lock under {parent_dir} "
-            f"({lock}) — concurrent folds on one artifact can destroy "
-            "or double-count data; wait for it to finish. If the "
-            "previous fold's PROCESS died (no fold is running), delete "
-            "the lock file and rerun — recovery then finishes or "
-            "discards its work."
-        ) from None
+        raise refusal from None
+    owned = False
     try:
+        try:
+            owned = fs.read_text(lock) == token
+        except Exception:
+            owned = False  # unreadable lock: assume another writer won
+        if not owned:
+            raise refusal
         yield
     finally:
-        fs.delete(lock)
+        if owned:
+            fs.delete(lock)
 
 
 def require_session(spark, path: str, op: str):

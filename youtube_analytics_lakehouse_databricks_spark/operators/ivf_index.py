@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from youtube_analytics_lakehouse_databricks_spark.fsops import (
+    COMPACT_LOCK_NAME as _FOLD_LOCK_NAME,
     DriverFS,
     driver_read_parquet,
     is_local_path,
@@ -329,7 +330,9 @@ def _require_batch_layout_absent(spark: SparkSession, corpus_dir: str, op: str) 
 
 
 _APPEND_SENTINEL_PREFIX = ".append_inprogress_"
-_FOLD_LOCK_NAME = ".compact_lock"
+# _FOLD_LOCK_NAME is fsops.COMPACT_LOCK_NAME (imported above): the
+# index_health fold_lock row must never probe a different name than
+# maintenance_lock actually takes
 
 
 def _append_sentinels(fs, corpus_dir: str) -> list[str]:
@@ -698,7 +701,9 @@ def ivf_search_distributed(
     return _rank_topk(hits, "cosine", kk)
 
 
-def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+def ivf_cell_stats(
+    spark: SparkSession, path: str, *, n_cells: int | None = None
+) -> DataFrame:
     """(cell, n_rows, frac, skew): per-cell occupancy of the persisted
     corpus — the drift detector for the frozen-quantizer contract.
 
@@ -733,8 +738,10 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     # centroid count from the KB-sized artifact driver-side — still
     # scheme-safe (load_ivf_centroids is two-branched since r14: pyarrow
     # locally, Hadoop-streamed remotely), without the Spark job the r13
-    # version paid per drift poll
-    n_cells = int(len(load_ivf_centroids(path, spark)))
+    # version paid per drift poll; callers that already hold the count
+    # (index_health) pass n_cells= and skip the artifact read entirely
+    if n_cells is None:
+        n_cells = int(len(load_ivf_centroids(path, spark)))
     counts = spark.read.parquet(corpus_dir).groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
@@ -1106,11 +1113,12 @@ def index_health(
         "tax measured 4.5x on pruned scans" if over else "",
     ))
 
-    stats = ivf_cell_stats(spark, path).collect()
     # centroid COUNT from the KB-sized artifact, driver-side (pyarrow
-    # locally, Hadoop-streamed remotely) — not a second Spark job for a
-    # number the artifact read already holds
+    # locally, Hadoop-streamed remotely), read ONCE and passed through
+    # to ivf_cell_stats — neither a Spark job nor a doubled artifact
+    # read for a number one load already holds
     n_cells = int(len(load_ivf_centroids(path, spark)))
+    stats = ivf_cell_stats(spark, path, n_cells=n_cells).collect()
     hot = max(stats, key=lambda r: r["n_rows"], default=None)
     max_skew = float(hot["skew"]) if hot is not None else 0.0
     skew_ok = max_skew <= float(skew_threshold)

@@ -297,20 +297,23 @@ def compact_audit_log(
             f"compact_audit_log: no audit log at {audit_dir} — wrong "
             "path, or a stream that never ingested"
         )
-    ids = batch_partition_ids(fs, audit_dir)
-    old = ids[:-keep_latest]
-    if len(old) < 2:
-        return 0
-    target = old[-1]
-
     # fold-vs-fold exclusion (fsops.maintenance_lock): duplicate
     # consolidated ROWS would reconcile latest-wins, but two concurrent
     # folds share the fixed _compact_tmp dir (one's overwrite clobbers
     # the other's staged files mid-move) — take the lock and make the
-    # interleaving a named wait-and-rerun error instead
+    # interleaving a named wait-and-rerun error instead. The partition
+    # LISTING happens inside the lock: a fold serialized behind another
+    # would otherwise act on ids the first fold already consolidated
+    # and deleted (stale target -> rename into a vanished parent).
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
     with maintenance_lock(fs, audit_dir, "compact_audit_log"):
+        ids = batch_partition_ids(fs, audit_dir)
+        old = ids[:-keep_latest]
+        if len(old) < 2:
+            return 0
+        target = old[-1]
+
         log = spark.read.parquet(audit_dir).filter(F.col("batch_id").isin(old))
         from pyspark.sql import Window
 
