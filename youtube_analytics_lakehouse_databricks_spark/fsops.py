@@ -452,11 +452,12 @@ def driver_parquet_row_count(spark, directory: str, op: str) -> int:
 
     Honest cost: a few driver-side round-trips PER FILE (open, footer
     seeks, close), so the walk's wall time scales with file count, not
-    data size — linear and tiny on a compacted corpus, noticeable on a
-    pathologically fragmented one (the 16k-file r14 fixture). That is
-    the same fragmentation the runbook's ``compact_ivf_index`` row
-    removes for the scan path, so the remediation is shared; the walk
-    never becomes a data scan either way."""
+    data size — measured ~6 ms/file through py4j on the local FS
+    (786-file fragmented fixture: 4.9 s; same corpus compacted to 8
+    files: 0.08 s). That is the same fragmentation the runbook's
+    ``compact_ivf_index`` row removes for the scan path, so the
+    remediation is shared; the walk never becomes a data scan either
+    way."""
     import pyarrow.parquet as pq
 
     fs = DriverFS(spark, directory, op)
