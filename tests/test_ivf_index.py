@@ -411,6 +411,26 @@ def test_check_bucket_table_detects_diverged_dual_write(spark, tmp_path):
     assign_cells(half, "vec_id", "embedding", cents).select(
         "vec_id", "v", F.col("cluster").alias("cell")
     ).write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+
+    # while an append's window sentinel is up, the SAME divergence is
+    # likely the dual write's normal transient window — the detector
+    # says so instead of prescribing a rebuild, and rebuild itself
+    # refuses (racing an append would re-diverge the pair)
+    import os as _os
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        rebuild_bucket_copy as _rebuild,
+    )
+
+    token = f"{path}/corpus/.append_inprogress_live"
+    with open(token, "w") as fh:
+        fh.write("append_ivf_index")
+    with pytest.raises(ValueError, match="append is IN FLIGHT"):
+        check_bucket_table(spark, path)
+    with pytest.raises(ValueError, match="append\\(s\\) in flight"):
+        _rebuild(spark, path)
+    _os.remove(token)
+
     with pytest.raises(ValueError, match="an\\s+append crashed between its two writes"):
         check_bucket_table(spark, path)
     # the searches themselves still run (the detector is the contract)

@@ -417,6 +417,21 @@ def check_bucket_table(spark: SparkSession, path: str) -> None:
     n_dir = _corpus_rows(corpus_dir, spark)
     n_bucket = spark.table(meta["bucket_table"]).count()
     if n_dir != n_bucket:
+        # an append between its two commits diverges TRANSIENTLY by
+        # design — if its window sentinel is up, say so instead of
+        # sending the operator straight to a rebuild it doesn't need
+        live = _append_sentinels(fs, corpus_dir)
+        if live:
+            raise ValueError(
+                f"check_bucket_table: {corpus_dir} holds {n_dir} rows "
+                f"but bucket table {meta['bucket_table']} holds "
+                f"{n_bucket} — an append is IN FLIGHT "
+                f"({', '.join(live)}), and its dual write commits the "
+                "dir corpus first, so this divergence is likely its "
+                "normal window; re-run the check after the append "
+                "completes before concluding a crash (recovery, if it "
+                "did crash: rebuild_bucket_copy)"
+            )
         raise ValueError(
             f"check_bucket_table: {corpus_dir} holds {n_dir} rows but "
             f"bucket table {meta['bucket_table']} holds {n_bucket} — an "
@@ -435,7 +450,11 @@ def rebuild_bucket_copy(spark: SparkSession, path: str) -> None:
     exchange elision). Sniffs the layout (flat ``corpus/`` vs
     compressed ``corpus_pq/``) like the other maintenance does; raises
     on unbucketed indexes (nothing to rebuild — a wrong path must not
-    report success)."""
+    report success) and while an append's window sentinel is up (a
+    rebuild that reads the dir corpus mid-append, then overwrites the
+    bucket table AFTER the append's own bucket commit, silently drops
+    the appended rows from the bucket copy — re-diverging the pair the
+    rebuild exists to reconcile)."""
     meta = _load_meta(path, spark)
     if not meta.get("bucket_table"):
         raise ValueError(
@@ -447,6 +466,16 @@ def rebuild_bucket_copy(spark: SparkSession, path: str) -> None:
     corpus_dir = (
         f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
+    live = _append_sentinels(fs, corpus_dir)
+    if live:
+        raise ValueError(
+            f"rebuild_bucket_copy: append(s) in flight under "
+            f"{corpus_dir} ({', '.join(live)}) — a rebuild racing an "
+            "append can overwrite the bucket table without the "
+            "appended rows; wait for the append to finish (a sentinel "
+            "left by a CRASHED append is safe to delete once no append "
+            "is running), then rerun"
+        )
     (
         spark.read.parquet(corpus_dir)
         .write.mode("overwrite")
