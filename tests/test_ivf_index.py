@@ -876,6 +876,62 @@ def test_compaction_append_mutual_exclusion_flat(spark, index, tmp_path, monkeyp
     assert not os.path.exists(f"{corpus}/.compact_lock")  # released
 
 
+def test_fold_aborts_without_cleanup_when_lock_ownership_lost(
+    spark, index, tmp_path, monkeypatch
+):
+    """The maintenance lock's last-moment re-check: when a fold finds
+    the lock content is no longer its token (a racer slipped past the
+    non-atomic create and read-back), it must abort BEFORE any swap and
+    WITHOUT cleaning up — the stage and the lock now belong to the
+    winner. Clearing the (simulated) foreign lock lets recovery finish
+    the committed fold with rows intact."""
+    import os
+    import shutil
+
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from youtube_analytics_lakehouse_databricks_spark.operators.ivf_index import (
+        _corpus_rows,
+        compact_ivf_index,
+    )
+
+    path, _df_built = index
+    target = str(tmp_path / "lock_lost")
+    shutil.copytree(path, target)
+    for i in range(2):
+        append_ivf_index(
+            _df(spark, _vecs(n=16, seed=120 + i), start=200_000 + 100 * i),
+            "vec_id", "embedding", target,
+        )
+    corpus = f"{target}/corpus"
+    n_total = _corpus_rows(corpus)
+
+    orig_read = fsops.DriverFS.read_text
+    calls = {"n": 0}
+
+    def foreign_after_first(self, p):
+        if p.endswith(".compact_lock"):
+            calls["n"] += 1
+            if calls["n"] > 1:  # acquisition confirm passes; re-checks lose
+                return "foreign:deadbeef"
+        return orig_read(self, p)
+
+    with monkeypatch.context() as m:
+        m.setattr(fsops.DriverFS, "read_text", foreign_after_first)
+        with pytest.raises(ValueError, match="another fold holds the lock"):
+            compact_ivf_index(spark, target)
+    # no cleanup: the committed stage and the lock are the winner's now
+    assert os.path.isdir(f"{corpus}/.compact_tmp")
+    assert os.path.exists(f"{corpus}/.compact_lock")
+    assert _corpus_rows(corpus) == n_total  # nothing destroyed
+
+    # operator clears the (here: simulated) foreign lock; recovery then
+    # finishes the committed fold
+    os.remove(f"{corpus}/.compact_lock")
+    assert compact_ivf_index(spark, target) > 0
+    assert not os.path.isdir(f"{corpus}/.compact_tmp")
+    assert _corpus_rows(corpus) == n_total
+
+
 def test_fold_recovery_completes_only_copy_before_sentinel_abort(
     spark, index, tmp_path, monkeypatch
 ):

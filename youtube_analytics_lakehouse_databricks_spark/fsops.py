@@ -273,7 +273,20 @@ class DriverFS:
                 out.close()
             except Exception:
                 pass
-            self.delete(p)  # never strand a half-written marker
+            # never strand a half-written marker — but on the shared
+            # lock NAME a racer may have read-back-confirmed the file
+            # we'd be deleting (non-atomic-create filesystems), so only
+            # remove it when the content is OURS (or unreadable/empty,
+            # i.e. genuinely half-written); sentinel names are unique,
+            # so for them this guard always passes
+            try:
+                if self.read_text(p) in ("", text):
+                    self.delete(p)
+            except Exception:
+                try:
+                    self.delete(p)
+                except Exception:
+                    pass
             raise
 
     def read_text(self, p: str) -> str:
@@ -489,43 +502,70 @@ def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
     count. The lock converts every such interleaving into one named,
     wait-and-rerun error.
 
-    Exclusivity: ``create_exclusive`` is atomic on HDFS but not on the
-    local FS or S3A, so acquisition is CONFIRMED by reading back a
-    unique token — two racers that both pass the create see one
-    surviving content, and every caller whose token didn't survive
-    backs off with the named error (read-after-write consistency is
-    enough, which local, HDFS, and modern S3 all provide). The
-    operational race the lock exists for — an operator or scheduler
-    starting a second fold seconds-to-minutes into the first — is
-    closed outright; the residual is two folds entering the create
-    within the same few milliseconds AND the filesystem interleaving
-    their single-packet writes such that one full token survives, in
-    which case one caller still backs off."""
+    Exclusivity, stated precisely: ``create_exclusive`` is atomic on
+    HDFS (namenode-arbitrated — the guarantee is hard there) but an
+    exists-check + create on the local FS and S3A, so acquisition is
+    CONFIRMED by reading back a unique token. The operational race the
+    lock exists for — an operator or scheduler starting a second fold
+    seconds-to-minutes into the first — is closed outright on every
+    filesystem. The residual on non-atomic-create filesystems is two
+    folds entering the create within the same few milliseconds; the
+    read-back disqualifies a caller whose token didn't survive, but an
+    interleaving where A confirms BEFORE B's write lands can admit
+    both. That is why the yield value is a zero-arg ``confirm``
+    callable: destructive phases (a stage-and-swap's apply) call it to
+    RE-verify ownership at the last moment, turning the residual into
+    an abort-before-damage (a caller that lost the lock raises the
+    named error WITHOUT cleaning up — the stage now belongs to the
+    winner). Perfect mutual exclusion without an atomic primitive or
+    fencing tokens is not possible; this is the honest approximation,
+    and on HDFS the create alone already provides the hard version.
+
+    A transient read failure during confirmation retries three times
+    before backing off; if the caller had in fact created the lock,
+    backing off strands it (named stale-lock remediation applies) —
+    preferring a stranded lock over two live folds."""
     lock = f"{parent_dir}/{COMPACT_LOCK_NAME}"
+    import time as _time
     from uuid import uuid4 as _uuid4
 
     token = f"{op}:{_uuid4().hex}"
-    refusal = ValueError(
-        f"{op}: another fold holds the lock under {parent_dir} "
-        f"({lock}) — concurrent folds on one artifact can destroy "
-        "or double-count data; wait for it to finish. If the "
-        "previous fold's PROCESS died (no fold is running), delete "
-        "the lock file and rerun — recovery then finishes or "
-        "discards its work."
-    )
+
+    def _refusal() -> ValueError:
+        return ValueError(
+            f"{op}: another fold holds the lock under {parent_dir} "
+            f"({lock}) — concurrent folds on one artifact can destroy "
+            "or double-count data; wait for it to finish. If the "
+            "previous fold's PROCESS died (no fold is running), delete "
+            "the lock file and rerun — recovery then finishes or "
+            "discards its work."
+        )
+
+    def _owns() -> bool:
+        for attempt in range(3):
+            try:
+                return fs.read_text(lock) == token
+            except Exception:
+                _time.sleep(0.05 * (attempt + 1))
+        return False  # persistently unreadable: do not claim ownership
+
     try:
         fs.create_exclusive(lock, token)
     except FileExistsError:
-        raise refusal from None
+        raise _refusal() from None
     owned = False
     try:
-        try:
-            owned = fs.read_text(lock) == token
-        except Exception:
-            owned = False  # unreadable lock: assume another writer won
+        owned = _owns()
         if not owned:
-            raise refusal
-        yield
+            raise _refusal()
+
+        def confirm() -> None:
+            nonlocal owned
+            if not _owns():
+                owned = False  # the winner's lock is not ours to delete
+                raise _refusal()
+
+        yield confirm
     finally:
         if owned:
             fs.delete(lock)

@@ -483,6 +483,24 @@ def rebuild_bucket_copy(spark: SparkSession, path: str) -> None:
         .bucketBy(int(meta["n_buckets"]), "cell")
         .saveAsTable(meta["bucket_table"])
     )
+    # POST-verify: the sentinel probe above is check-then-act, so an
+    # append STARTING mid-rebuild could still land corpus rows the
+    # overwrite (planned from the pre-append listing) doesn't carry —
+    # re-count both sides now (footer walk: cheap) and fail LOUDLY
+    # instead of returning success with the pair silently re-diverged.
+    # An append whose corpus commit lands after this check is safe: its
+    # bucket append then lands on the rebuilt table, keeping the pair
+    # in sync.
+    n_dir = _corpus_rows(corpus_dir, spark)
+    n_bucket = spark.table(meta["bucket_table"]).count()
+    if n_dir != n_bucket:
+        raise ValueError(
+            f"rebuild_bucket_copy: an append raced the rebuild — the "
+            f"dir corpus now holds {n_dir} rows but the just-rebuilt "
+            f"bucket table {meta['bucket_table']} holds {n_bucket}; "
+            "wait for appends to quiesce and rerun (the dir corpus is "
+            "unharmed — only the bucket copy is stale)"
+        )
 
 
 def append_ivf_index(df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
@@ -881,6 +899,11 @@ def compact_ivf_index(
         # 4. Swap, idempotently per cell.
         # Post-swap appends are safe by construction: they land in the
         # NEW cell dir, which nothing here touches again.
+        # last-moment ownership re-check (see maintenance_lock): on a
+        # non-atomic-create filesystem a racer may have slipped past
+        # the read-back; losing here raises WITHOUT cleanup — the
+        # stage now belongs to the winner
+        lock_confirm()
         pending = [
             cell
             for cell in manifest["cells"]
@@ -922,6 +945,7 @@ def compact_ivf_index(
                         "maintenance window) — staged fold discarded, "
                         "originals intact; quiesce writers and rerun"
                     )
+        lock_confirm()  # and once more, just before the first delete
         for cell in pending:
             fs.delete(f"{corpus_dir}/cell={cell}")
             fs.rename(f"{staging.stage_dir}/cell={cell}", f"{corpus_dir}/cell={cell}")
@@ -939,7 +963,7 @@ def compact_ivf_index(
     # compact_ivf_index, so the concurrent-fold case is an invited one.
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, corpus_dir, "compact_ivf_index"):
+    with maintenance_lock(fs, corpus_dir, "compact_ivf_index") as lock_confirm:
         committed = staging.recover()
         if committed is not None:
             return finish(committed)
@@ -1188,14 +1212,29 @@ def index_health(
         n_dir = sum(r["n_rows"] for r in stats)
         n_bucket = spark.table(meta["bucket_table"]).count()
         in_sync = n_dir == n_bucket
+        # a dual-write append diverges the pair TRANSIENTLY by design;
+        # with a FRESH sentinel up, the row stays ok and the remediation
+        # is "re-check later" — not the rebuild this same matrix's
+        # remediation would immediately refuse while the append runs
+        fresh_appends = [t for t in ages if t not in stale]
+        transient = not in_sync and bool(fresh_appends)
         rows.append((
             "bucket_divergence",
-            in_sync,
+            in_sync or transient,
             f"dir corpus {n_dir} rows vs bucket table "
-            f"{meta['bucket_table']} {n_bucket} rows",
-            "" if in_sync else (
-                "rebuild_bucket_copy(spark, path) — the dir corpus is "
-                "the source of truth"
+            f"{meta['bucket_table']} {n_bucket} rows"
+            + (
+                f" (append in flight: {', '.join(fresh_appends)} — "
+                "likely its normal two-commit window)" if transient else ""
+            ),
+            (
+                "" if in_sync else (
+                    "re-run index_health after the in-flight append "
+                    "completes before concluding a crash" if transient else (
+                        "rebuild_bucket_copy(spark, path) — the dir "
+                        "corpus is the source of truth"
+                    )
+                )
             ),
         ))
     else:

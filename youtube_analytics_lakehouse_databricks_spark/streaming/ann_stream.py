@@ -249,11 +249,12 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
     # only copy. Concurrent INGEST stays fine (new batch ids, no lock).
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, corpus_dir, "compact_ann_stream"):
+    with maintenance_lock(fs, corpus_dir, "compact_ann_stream") as lock_confirm:
         # recovery: a prior call crashed after committing its fold —
         # finish it (uncommitted leftovers are discarded by recover())
         committed = staging.recover()
         if committed is not None:
+            lock_confirm()  # re-verify before the apply's deletes
             return finish(committed)
 
         batches = batch_partition_ids(fs, corpus_dir)
@@ -271,4 +272,5 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
         )
         manifest = {"fold": fold, "target": target}
         staging.commit(manifest)
+        lock_confirm()  # re-verify before the apply's deletes
         return finish(manifest)

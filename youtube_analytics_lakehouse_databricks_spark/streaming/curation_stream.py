@@ -307,7 +307,7 @@ def compact_audit_log(
     # and deleted (stale target -> rename into a vanished parent).
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, audit_dir, "compact_audit_log"):
+    with maintenance_lock(fs, audit_dir, "compact_audit_log") as lock_confirm:
         ids = batch_partition_ids(fs, audit_dir)
         old = ids[:-keep_latest]
         if len(old) < 2:
@@ -333,6 +333,9 @@ def compact_audit_log(
         for name in fs.listnames(tmp):
             if name.endswith(".parquet"):
                 fs.rename(f"{tmp}/{name}", f"{part_dir}/compact-{name}")
+        # the moves above only ADD dominated rows (value-stable under a
+        # race); re-verify ownership before the destructive GC deletes
+        lock_confirm()
         for bid in old[:-1]:
             fs.delete(f"{audit_dir}/batch_id={bid}")
         for name in originals:

@@ -134,12 +134,14 @@ def compact_streamed_moments(
     # the surviving marker can cover batches whose rows the other fold
     # already folded in, double-counting them on the next load
     fs = DriverFS(spark, moments_dir, "compact_streamed_moments")
-    with maintenance_lock(fs, moments_dir, "compact_streamed_moments"):
-        return _compact_streamed_moments_locked(spark, fs, moments_dir, keep_latest)
+    with maintenance_lock(fs, moments_dir, "compact_streamed_moments") as confirm:
+        return _compact_streamed_moments_locked(
+            spark, fs, moments_dir, keep_latest, confirm
+        )
 
 
 def _compact_streamed_moments_locked(
-    spark: SparkSession, fs, moments_dir: str, keep_latest: int
+    spark: SparkSession, fs, moments_dir: str, keep_latest: int, lock_confirm
 ) -> int:
     rows = spark.read.parquet(moments_dir).collect()
     ids = sorted({int(r["batch_id"]) for r in rows})
@@ -173,6 +175,10 @@ def _compact_streamed_moments_locked(
             "covers": [float(max(old[-1], already_covered))],
         }
     )
+    # re-verify lock ownership before each destructive step: the covers
+    # overwrite (a racer's interleaved covers row is the double-count
+    # hazard) and the GC deletes
+    lock_confirm()
     (
         spark.createDataFrame(out, "kind string, idx int, vals array<double>")
         .withColumn("batch_id", F.lit(int(old[0])).cast("long"))
@@ -181,6 +187,7 @@ def _compact_streamed_moments_locked(
         .partitionBy("batch_id")
         .parquet(moments_dir)
     )
+    lock_confirm()
     for bid in old[1:]:
         fs.delete(f"{moments_dir}/batch_id={bid}")
     return len(old)
