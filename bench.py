@@ -714,10 +714,23 @@ def emit_line(
         payload["contention_dropped"] = len(payload["contention"]) - len(top)
         payload["contention"] = top
         line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) < 1800, (
-        f"bench JSON line is {len(line)} chars — exceeds the driver's "
-        "stdout-tail capture window (~2000); trim a field"
-    )
+    if len(line) >= 1800:
+        # still over (e.g. a future suite with longer query names):
+        # drop the contention detail entirely — contention_max + clean
+        # survive, and a smaller parseable artifact beats a truncated
+        # one. NOT an assert: `python -O` strips asserts, which would
+        # reproduce the exact r14 parsed-null loss this guard prevents.
+        payload["contention_dropped"] = (
+            payload.pop("contention_dropped", 0) + len(payload["contention"])
+        )
+        payload["contention"] = {}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1800:
+        raise RuntimeError(
+            f"bench JSON line is {len(line)} chars even with contention "
+            "dropped — exceeds the driver's stdout-tail capture window "
+            "(~2000); trim a field"
+        )
     return line
 
 

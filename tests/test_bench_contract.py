@@ -66,3 +66,34 @@ def test_emit_line_handles_missing_loadavg():
     )
     assert doc["loadavg_start"] is None
     assert doc["clean"] is False
+
+
+def test_emit_line_drops_contention_entirely_before_overflowing():
+    """If the top-8 degradation still overflows (longer query names in
+    a future suite), the emitter drops the contention detail entirely —
+    contention_max + clean survive and the line parses — instead of
+    dying on a guard that `python -O` would strip anyway."""
+    names = [f"future_query_with_a_much_longer_name_{i:02d}_" + "x" * 90
+             for i in range(8)]
+    timings = {n: 123.456 for n in names}
+    contention = {n: 0.1234 for n in names}
+    line = bench.emit_line(timings, contention, "0.1", 0.5, 32)
+    assert len(line) < 1800
+    doc = json.loads(line)
+    assert doc["contention"] == {}
+    assert doc["contention_dropped"] == len(names)
+    assert doc["contention_max"] == 0.1234
+    assert len(doc["queries"]) == len(names)  # timings never truncated
+
+
+def test_emit_line_raises_loudly_when_even_degraded_line_overflows():
+    """A line that cannot fit even with contention gone raises an
+    explicit RuntimeError (assert would vanish under python -O and
+    reproduce the r14 parsed-null loss silently)."""
+    import pytest
+
+    names = [f"q{i:03d}_" + "y" * 100 for i in range(40)]
+    timings = {n: 123.456 for n in names}
+    contention = {n: 0.0001 for n in names}
+    with pytest.raises(RuntimeError, match="capture window"):
+        bench.emit_line(timings, contention, "0.1", 0.5, 32)

@@ -616,3 +616,35 @@ def test_maintenance_lock_readback_confirms_ownership(spark, tmp_path, monkeypat
     # the loser left the winner's lock in place
     assert os.path.exists(lock_path)
     os.remove(lock_path)
+
+
+def test_row_count_absent_dir_raises_and_both_footer_routes_agree(
+    spark, tmp_path
+):
+    """r16: (1) an ABSENT directory raises a ValueError naming the op —
+    a silent 0 would make check_bucket_table report a bogus
+    "divergence" when the real problem is a wrong/deleted corpus path
+    (ADVICE r15). (2) The size-split walk: small files take the ONE
+    whole-file read_bytes round trip, large files the positional
+    seekable route — both count identically (pinned by forcing the
+    threshold to 0 so every file re-walks positionally)."""
+    import youtube_analytics_lakehouse_databricks_spark.fsops as fsops
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="absent_op.*refusing"):
+        fsops.driver_parquet_row_count(
+            spark, f"{tmp_path}/never_written", "absent_op"
+        )
+
+    corpus = str(tmp_path / "corpus")
+    _df(spark, n=90).withColumn(
+        "cell", (F.col("vec_id") % 3).cast("int")
+    ).write.partitionBy("cell").parquet(corpus)
+    whole_file = fsops.driver_parquet_row_count(spark, corpus, "t")
+    assert whole_file == 90
+    orig = fsops.FOOTER_WHOLE_FILE_MAX_BYTES
+    try:
+        fsops.FOOTER_WHOLE_FILE_MAX_BYTES = 0  # force positional route
+        assert fsops.driver_parquet_row_count(spark, corpus, "t") == 90
+    finally:
+        fsops.FOOTER_WHOLE_FILE_MAX_BYTES = orig

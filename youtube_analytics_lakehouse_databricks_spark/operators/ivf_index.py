@@ -414,6 +414,14 @@ def check_bucket_table(spark: SparkSession, path: str) -> None:
     corpus_dir = (
         f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
     )
+    if not fs.isdir(corpus_dir):
+        # neither layout present: a 0-row count here would report a
+        # misleading "divergence" instead of the real problem
+        raise ValueError(
+            f"check_bucket_table: {path} has neither corpus_pq/ nor "
+            "corpus/ — not an IVF index root (or the corpus was "
+            "deleted); nothing to audit against the bucket table"
+        )
     n_dir = _corpus_rows(corpus_dir, spark)
     n_bucket = spark.table(meta["bucket_table"]).count()
     if n_dir != n_bucket:
