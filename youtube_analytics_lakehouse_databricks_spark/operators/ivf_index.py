@@ -80,6 +80,8 @@ __all__ = [
     "ivfpq_search_refined",
     "ivfpq_search_refined_distributed",
     "ivfpq_audit",
+    "index_health",
+    "clear_stale_markers",
 ]
 
 
@@ -811,7 +813,11 @@ def ivf_cell_stats(
 
 
 def compact_ivf_index(
-    spark: SparkSession, path: str, *, max_files_per_cell: int = 1
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_cell: int = 1,
+    lock_takeover_after: float | None = None,
 ) -> int:
     """Fold each cell partition's accumulated append files into one
     file per cell — the small-file maintenance for the BATCH-append
@@ -971,7 +977,10 @@ def compact_ivf_index(
     # compact_ivf_index, so the concurrent-fold case is an invited one.
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, corpus_dir, "compact_ivf_index") as lock_confirm:
+    with maintenance_lock(
+        fs, corpus_dir, "compact_ivf_index",
+        takeover_stale_after=lock_takeover_after,
+    ) as lock_confirm:
         committed = staging.recover()
         if committed is not None:
             return finish(committed)
@@ -1131,7 +1140,9 @@ def index_health(
         f"(stale after {sentinel_stale_after:.0f}s); stale: {stale or 'none'}",
         "" if not stale else (
             "a crashed append left its sentinel and is blocking folds — "
-            "verify no append is running, then delete "
+            "clear_stale_markers(spark, path, older_than=) removes it "
+            "after re-checking the age (refusing if an append went "
+            "live); stale: "
             + ", ".join(f"{corpus_dir}/{t}" for t in stale)
         ),
     ))
@@ -1149,8 +1160,9 @@ def index_health(
         ),
         "" if not lock_stale else (
             "a fold's PROCESS died holding its lock and is blocking "
-            "folds — verify none is running, then delete "
-            f"{corpus_dir}/{_FOLD_LOCK_NAME} and rerun compact_ivf_index"
+            "folds — clear_stale_markers(spark, path, older_than=) "
+            f"removes {corpus_dir}/{_FOLD_LOCK_NAME} after re-checking "
+            "the age; then rerun compact_ivf_index"
         ),
     ))
 
@@ -1252,6 +1264,80 @@ def index_health(
 
     return spark.createDataFrame(
         rows, "check string, ok boolean, observed string, remediation string"
+    )
+
+
+def clear_stale_markers(
+    spark: SparkSession, path: str, *, older_than: float = 3600.0
+) -> DataFrame:
+    """One-call remediation for the runbook's two manual marker steps
+    (r16): delete the maintenance protocol's STALE dot-file markers —
+    ``.append_inprogress_*`` sentinels a crashed append left blocking
+    folds, and the ``.compact_lock`` a dead fold process stranded —
+    and report exactly what was removed. Refuses (named error, nothing
+    deleted) when ANY marker under ``path`` is younger than
+    ``older_than`` seconds: a fresh marker is evidence of LIVE
+    concurrency, and this call replaces the runbook's "verify no
+    append/fold is running, then rm" with a checked version of the
+    same precondition. Pass the same ``older_than`` you give
+    ``index_health(sentinel_stale_after=)`` so the detector's "stale"
+    and this remediation's agree.
+
+    Scans the markers where the protocol puts them: under the sniffed
+    corpus layout (``corpus_pq``/``corpus`` — batch and streamed alike)
+    and under ``path`` itself (a ``pca_stream`` moments dir hosts its
+    fold lock directly). Returns ``(marker, kind, age_sec)`` rows for
+    the deleted markers; empty = nothing to clear (healthy).
+
+    Honest limit (same as the manual steps this replaces): the
+    fresh-marker check and the deletes are not one atomic step, so run
+    it like the maintenance it is — while no append/fold is being
+    LAUNCHED. It is strictly safer than the bare ``rm`` it replaces:
+    the age gate refuses the live-marker case outright and a marker
+    released between listing and delete is a no-op."""
+    fs = DriverFS(spark, path, "clear_stale_markers")
+    if not fs.isdir(path):
+        raise ValueError(
+            f"clear_stale_markers: {path} does not exist — wrong index "
+            "or artifact path"
+        )
+    marker_dirs = [
+        d
+        for d in (f"{path}/corpus_pq", f"{path}/corpus", path)
+        if fs.isdir(d)
+    ]
+    import time as _time
+
+    now_ms = _time.time() * 1000.0
+    found: list[tuple[str, str, float]] = []
+    for d in marker_dirs:
+        names = [
+            (n, "append_sentinel")
+            for n in _append_sentinels(fs, d)
+        ]
+        if fs.exists(f"{d}/{_FOLD_LOCK_NAME}"):
+            names.append((_FOLD_LOCK_NAME, "fold_lock"))
+        for n, kind in names:
+            try:
+                st = fs._fs.getFileStatus(fs._path(f"{d}/{n}"))
+            except Exception:
+                continue  # released between list and stat: healthy race
+            age = max(0.0, now_ms - st.getModificationTime()) / 1000.0
+            found.append((f"{d}/{n}", kind, age))
+    fresh = sorted(p for p, _k, a in found if a <= float(older_than))
+    if fresh:
+        raise ValueError(
+            f"clear_stale_markers: marker(s) under {path} younger than "
+            f"{older_than:.0f}s — an append or fold is likely LIVE and "
+            "deleting its marker would re-open the lost-rows window the "
+            "protocol closes; wait (or raise older_than only if you "
+            f"have verified nothing is running): {', '.join(fresh)}"
+        )
+    for p, _kind, _age in found:
+        fs.delete(p)
+    return spark.createDataFrame(
+        [(p, k, round(a, 1)) for p, k, a in found],
+        "marker string, kind string, age_sec double",
     )
 
 

@@ -53,6 +53,7 @@ __all__ = [
     "ingest_ann_batch",
     "ann_index_stream",
     "compact_ann_stream",
+    "stream_index_health",
 ]
 
 
@@ -177,7 +178,13 @@ def ann_index_stream(
     )
 
 
-def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
+def compact_ann_stream(
+    spark,
+    path: str,
+    *,
+    keep_last: int = 2,
+    lock_takeover_after: float | None = None,
+) -> int:
     """Fold batch partitions older than the newest ``keep_last`` into ONE
     consolidated batch partition (at the smallest folded batch id) — a
     week of 1-minute micro-batches otherwise leaves ~10k tiny
@@ -249,7 +256,10 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
     # only copy. Concurrent INGEST stays fine (new batch ids, no lock).
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, corpus_dir, "compact_ann_stream") as lock_confirm:
+    with maintenance_lock(
+        fs, corpus_dir, "compact_ann_stream",
+        takeover_stale_after=lock_takeover_after,
+    ) as lock_confirm:
         # recovery: a prior call crashed after committing its fold —
         # finish it (uncommitted leftovers are discarded by recover())
         committed = staging.recover()
@@ -274,3 +284,248 @@ def compact_ann_stream(spark, path: str, *, keep_last: int = 2) -> int:
         staging.commit(manifest)
         lock_confirm()  # re-verify before the apply's deletes
         return finish(manifest)
+
+
+def stream_index_health(
+    spark,
+    path: str,
+    *,
+    keep_last: int = 2,
+    max_foldable_batches: int = 8,
+    lock_stale_after: float = 3600.0,
+    moments_dir: str | None = None,
+) -> DataFrame:
+    """One-call serving-health matrix for a STREAMED index — the
+    streamed sibling of ``operators.ivf_index.index_health`` (r16; that
+    call refuses streamed layouts by name because its checks don't
+    model the replay horizon — these do). Same row shape
+    ``(check, ok, observed, remediation)``; rows:
+
+    - ``pending_fold`` — a ``compact_ann_stream`` stage dir under the
+      corpus (in-flight, committed-but-unapplied, or crash litter).
+      Remediation: rerun ``compact_ann_stream`` — its recovery
+      finishes or discards the fold.
+    - ``fold_lock`` — the fold-vs-fold ``.compact_lock``, age-aware:
+      fresh = a fold is legitimately running (``ok`` stays true);
+      older than ``lock_stale_after`` = its process died holding it.
+      Remediation: ``clear_stale_markers(spark, path, older_than=)``
+      (operators.ivf_index), then rerun the fold.
+    - ``batch_fragmentation`` — batch-partition count vs the replay
+      horizon: partitions beyond the newest ``keep_last`` are FOLDABLE,
+      and more than ``max_foldable_batches`` of them is the streamed
+      small-file tax (a week of 1-minute micro-batches is ~10k
+      ``batch_id=K`` dirs whose file count taxes every search's
+      planning). Remediation: ``compact_ann_stream(keep_last=)``.
+    - ``replay_horizon`` — where the fold boundary sits: the newest
+      ``keep_last`` batch ids stay individually replaceable because
+      Structured Streaming may REPLAY the checkpoint frontier after a
+      crash (folding a replayable batch would double its rows on
+      replay). Informational unless the corpus holds no batches at
+      all — then the stream never ingested and every search serves
+      empty.
+    - ``moments_artifact`` (``moments_dir`` given) — the companion
+      ``pca_stream`` artifact: loadable partials, a consistent
+      ``covers`` consolidation marker (at most one, at the oldest id,
+      never above the newest batch), pending-GC partition count, and
+      its OWN fold lock's age. Remediation:
+      ``compact_streamed_moments`` finishes the GC;
+      ``clear_stale_markers`` clears a stale lock.
+
+    Costs driver-side listings only — no Spark job touches corpus
+    DATA; the moments check collects the KB-sized partials exactly as
+    ``load_streamed_moments`` does. BATCH-layout indexes (top-level
+    ``cell=K`` dirs) raise the named error pointing at
+    ``index_health``."""
+    from youtube_analytics_lakehouse_databricks_spark.fsops import COMPACT_LOCK_NAME
+
+    fs = DriverFS(spark, path, "stream_index_health")
+    corpus_dir = (
+        f"{path}/corpus_pq" if fs.isdir(f"{path}/corpus_pq") else f"{path}/corpus"
+    )
+    if not fs.isdir(corpus_dir):
+        raise ValueError(
+            f"stream_index_health: no corpus under {path} — wrong index "
+            "path, or a bootstrap that never ingested"
+        )
+    if fs.listnames(corpus_dir, prefix="cell="):
+        raise ValueError(
+            f"stream_index_health: {corpus_dir} is a BATCH-BUILT index "
+            "layout (top-level cell=K partitions) — audit it with "
+            "operators.ivf_index.index_health, which models appends "
+            "instead of the replay horizon"
+        )
+
+    import time as _time
+
+    def _age_of(p: str) -> float | None:
+        # tolerate the healthy race: a lock listed a moment ago may be
+        # released before its status read
+        try:
+            st = fs._fs.getFileStatus(fs._path(p))
+        except Exception:
+            return None
+        return max(0.0, _time.time() * 1000.0 - st.getModificationTime()) / 1000.0
+
+    def _lock_rows(check: str, d: str, what: str) -> tuple:
+        age = (
+            _age_of(f"{d}/{COMPACT_LOCK_NAME}")
+            if fs.exists(f"{d}/{COMPACT_LOCK_NAME}")
+            else None
+        )
+        stale = age is not None and age > float(lock_stale_after)
+        return (
+            check,
+            not stale,
+            f"no {what} fold lock" if age is None else (
+                f"{what} fold lock held {age:.0f}s "
+                f"(stale after {lock_stale_after:.0f}s)"
+            ),
+            "" if not stale else (
+                f"a {what} fold's PROCESS died holding its lock — "
+                "clear_stale_markers(spark, path, older_than=) removes "
+                f"{d}/{COMPACT_LOCK_NAME} after re-checking the age; "
+                "then rerun the fold"
+            ),
+        )
+
+    rows: list[tuple[str, bool, str, str]] = []
+
+    stage = StagedFold(fs, corpus_dir).stage_dir
+    pending = fs.isdir(stage)
+    rows.append((
+        "pending_fold",
+        not pending,
+        f"fold stage dir {'PRESENT' if pending else 'absent'}: {stage}",
+        "compact_ann_stream(spark, path) finishes or discards it"
+        if pending else "",
+    ))
+
+    rows.append(_lock_rows("fold_lock", corpus_dir, "corpus"))
+
+    batches = batch_partition_ids(fs, corpus_dir)
+    foldable = max(0, len(batches) - int(keep_last))
+    n_files = len(fs.list_parquet_files(corpus_dir))
+    frag_ok = foldable <= int(max_foldable_batches)
+    rows.append((
+        "batch_fragmentation",
+        frag_ok,
+        f"{len(batches)} batch partition(s), {n_files} parquet files; "
+        f"{foldable} foldable beyond the keep_last={keep_last} horizon "
+        f"(budget {max_foldable_batches})",
+        "" if frag_ok else (
+            f"compact_ann_stream(spark, path, keep_last={keep_last}) — "
+            "folds the old partitions into one, planning cost scales "
+            "with batch count while the data doesn't"
+        ),
+    ))
+
+    rows.append((
+        "replay_horizon",
+        bool(batches),
+        "corpus holds NO batch partitions — the stream never ingested"
+        if not batches else (
+            f"newest batch_id {batches[-1]}; ids {batches[-int(keep_last):]} "
+            "stay individually replaceable (checkpoint-frontier replay "
+            "rewrites its own partition only)"
+        ),
+        "" if batches else (
+            "start (or fix) the ann_index_stream writer — searches "
+            "serve empty until a batch lands"
+        ),
+    ))
+
+    if moments_dir is None:
+        rows.append((
+            "moments_artifact",
+            True,
+            "no moments_dir supplied — pca_stream artifact not audited",
+            "",
+        ))
+    else:
+        rows.append(_moments_row(spark, fs, moments_dir))
+        rows.append(_lock_rows("moments_fold_lock", moments_dir, "moments"))
+
+    return spark.createDataFrame(
+        rows, "check string, ok boolean, observed string, remediation string"
+    )
+
+
+def _moments_row(spark, fs: DriverFS, moments_dir: str) -> tuple:
+    """The ``moments_artifact`` matrix row: covers-marker consistency +
+    loadability + pending-GC count for a ``pca_stream`` artifact."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.pca import _arrays_from_kinded
+
+    if not fs.isdir(moments_dir):
+        return (
+            "moments_artifact",
+            False,
+            f"{moments_dir} does not exist",
+            "wrong moments_dir, or the pca_moments_stream writer never "
+            "ran",
+        )
+    mids = batch_partition_ids(fs, moments_dir)
+    if not mids:
+        return (
+            "moments_artifact",
+            False,
+            f"{moments_dir} holds no batch partitions",
+            "start (or fix) the pca_moments_stream writer",
+        )
+    try:
+        raw = spark.read.parquet(moments_dir).collect()
+        by_batch: dict[int, list] = {}
+        for r in raw:
+            by_batch.setdefault(int(r["batch_id"]), []).append(r)
+        arrays = {bid: _arrays_from_kinded(by_batch[bid]) for bid in by_batch}
+    except Exception as exc:
+        return (
+            "moments_artifact",
+            False,
+            f"moment partials unreadable: {str(exc).splitlines()[0][:160]}",
+            "the artifact is corrupt — re-ingest, or restore from the "
+            "landing data",
+        )
+    covers_at = sorted(bid for bid, by in arrays.items() if "covers" in by)
+    problems = []
+    if len(covers_at) > 1:
+        problems.append(
+            f"{len(covers_at)} covers markers at {covers_at} (at most "
+            "one expected — concurrent folds corrupted the artifact)"
+        )
+    covered = int(arrays[covers_at[0]]["covers"][0]) if covers_at else -1
+    if covers_at and covers_at[0] != mids[0]:
+        problems.append(
+            f"covers marker at batch_id {covers_at[0]}, not the oldest "
+            f"{mids[0]} (the consolidated partial must lead the "
+            "batch_id-ordered reload)"
+        )
+    if covered > mids[-1]:
+        problems.append(
+            f"covers horizon {covered} is beyond the newest batch "
+            f"{mids[-1]} — the marker covers rows that do not exist"
+        )
+    gc_pending = sum(
+        1
+        for bid, by in arrays.items()
+        if "covers" not in by and bid <= covered
+    )
+    if problems:
+        return (
+            "moments_artifact",
+            False,
+            "; ".join(problems),
+            "restore the artifact from a replay (the load would "
+            "double-count or drop partials) — do NOT fold it further",
+        )
+    return (
+        "moments_artifact",
+        True,
+        f"{len(mids)} batch partition(s); covers horizon "
+        f"{covered if covers_at else 'none'}; {gc_pending} folded "
+        "partition(s) awaiting GC",
+        "" if gc_pending == 0 else (
+            "compact_streamed_moments(spark, moments_dir) finishes the "
+            "pending garbage collection (loads already skip the folded "
+            "partials — informational)"
+        ),
+    )
