@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -648,3 +649,66 @@ def test_row_count_absent_dir_raises_and_both_footer_routes_agree(
         assert fsops.driver_parquet_row_count(spark, corpus, "t") == 90
     finally:
         fsops.FOOTER_WHOLE_FILE_MAX_BYTES = orig
+
+
+def test_maintenance_lock_takeover_stale_and_fencing(spark, tmp_path):
+    """r16 stranded-lock takeover: a lock older than
+    takeover_stale_after is atomically replaced and the taker proceeds;
+    a FRESH lock still refuses even with takeover enabled; and the
+    fencing contract holds — a displaced-but-alive holder's confirm()
+    raises the named refusal WITHOUT deleting the new owner's lock
+    (abort-before-damage, the same discipline as the create race)."""
+    from contextlib import ExitStack
+
+    from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
+
+    fs = DriverFS(spark, str(tmp_path), "test")
+    lock_path = str(tmp_path / ".compact_lock")
+
+    # a stranded lock from a "dead" process
+    with open(lock_path, "w") as fh:
+        fh.write("op_dead:feedface")
+    old = time.time() - 7200
+    os.utime(lock_path, (old, old))
+
+    # default (no takeover): refuse as before
+    with pytest.raises(ValueError, match="another fold holds the lock"):
+        with maintenance_lock(fs, str(tmp_path), "op_b"):
+            raise AssertionError("unreachable")
+    assert os.path.exists(lock_path)
+
+    # takeover: acquire, run, release
+    with maintenance_lock(
+        fs, str(tmp_path), "op_b", takeover_stale_after=3600
+    ) as confirm:
+        assert open(lock_path).read().startswith("op_b:")
+        confirm()
+    assert not os.path.exists(lock_path)
+
+    # a FRESH foreign lock refuses even with takeover enabled
+    with open(lock_path, "w") as fh:
+        fh.write("op_live:cafebabe")
+    with pytest.raises(ValueError, match="another fold holds the lock"):
+        with maintenance_lock(
+            fs, str(tmp_path), "op_b", takeover_stale_after=3600
+        ):
+            raise AssertionError("unreachable")
+    os.remove(lock_path)
+
+    # fencing: holder A acquires legitimately; its lock goes stale
+    # (simulated pause); B takes over; A's confirm() must raise and A's
+    # exit must NOT delete B's lock
+    with ExitStack() as stack:
+        confirm_a = stack.enter_context(
+            maintenance_lock(fs, str(tmp_path), "op_a")
+        )
+        os.utime(lock_path, (old, old))
+        confirm_b = stack.enter_context(
+            maintenance_lock(fs, str(tmp_path), "op_b", takeover_stale_after=3600)
+        )
+        with pytest.raises(ValueError, match="another fold holds the lock"):
+            confirm_a()
+        confirm_b()  # B still owns
+        # unwind: A exits first? ExitStack unwinds LIFO (B then A); B's
+        # exit deletes ITS lock, A's exit must then be a no-op
+    assert not os.path.exists(lock_path)

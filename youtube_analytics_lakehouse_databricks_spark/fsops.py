@@ -525,7 +525,12 @@ COMPACT_LOCK_NAME = ".compact_lock"
 
 
 @_contextmanager
-def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
+def maintenance_lock(
+    fs: DriverFS,
+    parent_dir: str,
+    op: str,
+    takeover_stale_after: float | None = None,
+):
     """Fold-vs-fold mutual exclusion for the compactions: one
     exclusive-create ``.compact_lock`` under the artifact, held for the
     whole maintenance call and released on EVERY exit path (so an
@@ -561,7 +566,32 @@ def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
     A transient read failure during confirmation retries three times
     before backing off; if the caller had in fact created the lock,
     backing off strands it (named stale-lock remediation applies) —
-    preferring a stranded lock over two live folds."""
+    preferring a stranded lock over two live folds.
+
+    ``takeover_stale_after`` (r16, default None = never): a lock whose
+    mtime is older than this many seconds is treated as stranded by a
+    DEAD process and TAKEN OVER — atomically replaced
+    (``write_text_committed``) with this caller's token, then
+    read-back confirmed like a normal acquisition. This automates the
+    runbook's manual stale-lock step for scheduled maintenance WITHOUT
+    weakening the read-back guarantee, because the fencing is the same
+    ``confirm()`` discipline the lock already has: if the "dead"
+    holder is in fact alive (paused, thrashing), its token no longer
+    reads back, so its next pre-destructive ``confirm()`` raises and
+    it aborts WITHOUT cleanup — abort-before-damage, never two live
+    folds past a destructive step. Residual risks, stated honestly:
+    (1) an alive-but-displaced holder loses work it had already staged
+    (spurious abort, no data loss — its stage belongs to the new
+    owner's recovery); (2) between the staleness stat and the replace,
+    the old holder could finish, release, and a FRESH fold acquire —
+    the replace then displaces a live fold (same spurious-abort
+    outcome, a milliseconds-wide window that needs the stale holder to
+    finish at that exact instant); (3) a holder that strands BETWEEN
+    its confirm() and one destructive step cannot be fenced by any
+    file-content scheme — size ``takeover_stale_after`` well above any
+    legitimate fold duration (hours, not minutes). Two concurrent
+    takeovers resolve like two concurrent creates: last write survives
+    the read-back, the loser refuses."""
     lock = f"{parent_dir}/{COMPACT_LOCK_NAME}"
     import time as _time
     from uuid import uuid4 as _uuid4
@@ -586,10 +616,22 @@ def maintenance_lock(fs: DriverFS, parent_dir: str, op: str):
                 _time.sleep(0.05 * (attempt + 1))
         return False  # persistently unreadable: do not claim ownership
 
+    def _lock_age() -> float | None:
+        try:
+            st = fs._fs.getFileStatus(fs._path(lock))
+        except Exception:
+            return None  # vanished (released) or unreadable
+        return max(0.0, _time.time() * 1000.0 - st.getModificationTime()) / 1000.0
+
     try:
         fs.create_exclusive(lock, token)
     except FileExistsError:
-        raise _refusal() from None
+        age = _lock_age() if takeover_stale_after is not None else None
+        if age is None or age <= float(takeover_stale_after):
+            raise _refusal() from None
+        # stranded-lock takeover: atomic replace + the usual read-back;
+        # a displaced-but-alive holder is fenced by its own confirm()
+        fs.write_text_committed(lock, token)
     owned = False
     try:
         owned = _owns()

@@ -245,6 +245,7 @@ def compact_audit_log(
     id_col: str = "doc_id",
     *,
     keep_latest: int = 16,
+    lock_takeover_after: float | None = None,
 ) -> int:
     """Fold every audit partition OLDER than the newest ``keep_latest``
     batches into one latest-verdict-per-doc partition; returns how many
@@ -307,7 +308,10 @@ def compact_audit_log(
     # and deleted (stale target -> rename into a vanished parent).
     from youtube_analytics_lakehouse_databricks_spark.fsops import maintenance_lock
 
-    with maintenance_lock(fs, audit_dir, "compact_audit_log") as lock_confirm:
+    with maintenance_lock(
+        fs, audit_dir, "compact_audit_log",
+        takeover_stale_after=lock_takeover_after,
+    ) as lock_confirm:
         ids = batch_partition_ids(fs, audit_dir)
         old = ids[:-keep_latest]
         if len(old) < 2:

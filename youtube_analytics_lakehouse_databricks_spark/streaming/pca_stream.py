@@ -86,7 +86,11 @@ def pca_moments_stream(
 
 
 def compact_streamed_moments(
-    spark: SparkSession, moments_dir: str, *, keep_latest: int = 16
+    spark: SparkSession,
+    moments_dir: str,
+    *,
+    keep_latest: int = 16,
+    lock_takeover_after: float | None = None,
 ) -> int:
     """Merge every batch partition OLDER than the newest ``keep_latest``
     into one consolidated partial; returns how many partitions were
@@ -134,7 +138,10 @@ def compact_streamed_moments(
     # the surviving marker can cover batches whose rows the other fold
     # already folded in, double-counting them on the next load
     fs = DriverFS(spark, moments_dir, "compact_streamed_moments")
-    with maintenance_lock(fs, moments_dir, "compact_streamed_moments") as confirm:
+    with maintenance_lock(
+        fs, moments_dir, "compact_streamed_moments",
+        takeover_stale_after=lock_takeover_after,
+    ) as confirm:
         return _compact_streamed_moments_locked(
             spark, fs, moments_dir, keep_latest, confirm
         )
