@@ -20,9 +20,13 @@ groupBy does well at corpus scale.
 
 Scale shape:
 
-- TRAINING is n explode+count aggregations (one per order, each with
-  map-side partial aggregation over the zipf-skewed gram keys) and n-1
-  equi-joins attaching each order's context count; model tables stay
+- TRAINING is ONE explode+count aggregation over the order-tagged gram
+  union (every order's grams ride a single corpus pass and a single
+  (k, ctx, w) exchange, with map-side partial aggregation over the
+  zipf-skewed gram keys; r16 — the previous one-agg-per-order shape
+  re-scanned the corpus per order AND per consumer of each lazy order
+  table, 6 passes at n=3) and n-1 equi-joins attaching each order's
+  context count over the eagerly materialized counts; model tables stay
   DataFrames end to end — nothing corpus-sized touches the driver, and
   `save`/`load` round-trip the model through parquet.
 - SCORING is one narrow gram explode of the probe corpus and n left
@@ -128,19 +132,53 @@ def train_ngram_lm(
     gram simply routes its probes to the next-lower order, the same
     graceful degradation Stupid Backoff applies to unseen grams.
     """
+    from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
+
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = df.select(norm_expr(text_col).alias("__norm")).select(
         _tok_arr().alias("__t")
     )
-    counts = []  # raw count tables (ctx, w, c) per order
+    # ONE corpus pass for every order (r16): the per-order gram arrays
+    # are tagged with their order and exploded TOGETHER, so the corpus
+    # is scanned/normalized/tokenized once and all orders' counts ride
+    # one (k, ctx, w) exchange. The previous shape ran one explode+agg
+    # per order: the model's lazy order tables re-derived their count
+    # subtrees at every consumer (the n-order union plan paid 5 corpus
+    # scans at n=3 — counts for orders 1 and 2 are each needed twice,
+    # as an order table and as the next order's context), plus one more
+    # for the totals collect. The eager lineage cut materializes the
+    # combined counts once — bounded: one row per distinct gram per
+    # order, the same frames the model already kept as DataFrames —
+    # and every downstream consumer (totals, order tables, context
+    # joins, save()) reads those blocks instead of re-counting.
+    tagged = []
     for k in range(1, n + 1):
-        ck = (
-            toks.select(F.explode(_grams(k)).alias("g"))
-            .groupBy(F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        counts.append(ck)
+        if k == 1:
+            tagged.append("transform(__t, x -> struct(1 as k, '' as ctx, x as w))")
+        else:
+            tagged.append(
+                f"case when size(__t) >= {k} then "
+                f"transform(sequence(1, size(__t) - {k - 1}), "
+                f"i -> struct({k} as k, concat_ws(' ', slice(__t, i, {k - 1})) as ctx, "
+                f"element_at(__t, i + {k - 1}) as w)) "
+                f"else array() end"
+            )
+    all_grams = toks.select(
+        F.explode(F.expr("concat(" + ", ".join(tagged) + ")")).alias("g")
+    )
+    combined = cut(
+        all_grams.groupBy(
+            F.col("g.k").alias("__k"), F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w")
+        ).agg(F.count(F.lit(1)).alias("c")),
+        eager=True,
+    )
+    # raw count tables (ctx, w, c) per order — filters over the one
+    # materialized frame, byte-identical to the per-order aggregations
+    counts = [
+        combined.filter(F.col("__k") == k).select("ctx", "w", "c")
+        for k in range(1, n + 1)
+    ]
 
     totals = counts[0].agg(
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
