@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators._topk import topk_pairs
+
 
 def cosine_topk(
     df: DataFrame,
@@ -108,15 +110,17 @@ def cosine_topk(
             cos = np.round(
                 (q_mat[s : s + step] @ c_mat.T) / np.outer(q_norm[s : s + step], c_norm), 6
             )
-            for j in range(cos.shape[0]):
-                i = s + j
-                mask = c_ids != q_ids[i]
-                cand_ids, cand_cos = c_ids[mask], cos[j][mask]
-                order = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
-                out_q.extend([q_ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+            oq, on, oc = topk_pairs(q_ids[s : s + step], c_ids, cos, k)
+            out_q.append(oq)
+            out_n.append(on)
+            out_c.append(oc)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
 
     partial = (
         queries.unionByName(corpus)
@@ -156,17 +160,24 @@ def bucket_topk(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> 
         import pandas as pd
 
         planes = None  # derived from the batch width: no driver round-trip
+        # packed-int bucket key (bit p of the key = sign bit of plane p):
+        # bijective with the former "0101..." string key, so the groups —
+        # and therefore the results — are identical, but the key is built
+        # by one vectorized matmul+dot instead of a per-row Python join,
+        # and 8 bytes of long cross the bucket exchange instead of an
+        # n_planes-char string
+        powers = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if planes is None:
                 planes = srp_plane_matrix(n_planes, mat.shape[1])
             bits = (mat @ planes.T) >= 0
             pdf = pdf.copy()
-            pdf["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
+            pdf["bucket"] = bits.astype(np.int64) @ powers
             yield pdf
 
     side = df.select(id_col, vec_col).mapInPandas(
-        bucketize, f"{id_col} long, {vec_col} array<float>, bucket string"
+        bucketize, f"{id_col} long, {vec_col} array<float>, bucket long"
     )
 
     def per_bucket(pdf):
@@ -260,19 +271,20 @@ def ivf_topk(
             # probes the LOWEST cell index (ORDER BY sim DESC, cell ASC —
             # the tie-break the cross-engine oracle mirrors)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            out_id, out_vec, out_cell, out_side = [], [], [], []
-            for i in range(len(pdf)):
-                out_id.append(pdf[id_col].iloc[i])
-                out_vec.append(pdf[vec_col].iloc[i])
-                out_cell.append(int(order[i, 0]))
-                out_side.append("c")
-                for c in order[i]:
-                    out_id.append(pdf[id_col].iloc[i])
-                    out_vec.append(pdf[vec_col].iloc[i])
-                    out_cell.append(int(c))
-                    out_side.append("q")
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()  # object array of arrays
             yield pd.DataFrame(
-                {"any_id": out_id, "vec": out_vec, "cell": out_cell, "side": out_side}
+                {
+                    "any_id": np.concatenate([ids, np.repeat(ids, n_probe)]),
+                    "vec": np.concatenate([vecs, np.repeat(vecs, n_probe)]),
+                    "cell": np.concatenate(
+                        [order[:, 0], order.ravel()]
+                    ).astype("int32"),
+                    "side": np.concatenate(
+                        [np.full(n, "c"), np.full(n * n_probe, "q")]
+                    ),
+                }
             )
 
     both = df.select(id_col, vec_col).mapInPandas(
@@ -293,14 +305,7 @@ def ivf_topk(
         q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
         q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
         cos = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 6)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i]
-            cand_ids, cand_cos = c_ids[mask], cos[i][mask]
-            order = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
-            out_q.extend([q_ids[i]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand_cos[order])
+        out_q, out_n, out_c = topk_pairs(q_ids, c_ids, cos, k)
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     per_cell_hits = both.groupBy("cell").applyInPandas(
