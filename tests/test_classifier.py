@@ -117,6 +117,27 @@ def test_inference_plan_jvm_only(spark, corpora, model):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+    # r16: zero-token docs ride the explode_outer sentinel row, not a
+    # corpus-wide restore join — the per-doc aggregation is the plan's
+    # ONLY exchange and no join may sort-merge
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_empty_doc_ignores_seed_bucket_weight(spark):
+    """xxhash64(NULL) returns the seed (42): the sentinel row's feat must
+    stay NULL, or every zero-token doc would silently pick up bucket 42's
+    weight. Pin it with a model that carries an explicit weight there."""
+    import math
+
+    model = QualityClassifier(
+        weights=[(42, 5.0)], bias=0.25, n_features=1 << 14, bigrams=False
+    )
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in score_quality(df, "doc_id", "text", model).collect()}
+    for r in rows.values():
+        assert r["quality_logit"] == pytest.approx(0.25)
+        assert r["quality_prob"] == pytest.approx(1.0 / (1.0 + math.exp(-0.25)))
 
 
 def test_curate_classifier_gate(spark, corpora, model):

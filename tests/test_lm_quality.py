@@ -292,7 +292,10 @@ def test_score_joins_key_on_hashes_not_strings(spark):
     # physical format: SortMergeJoin [keys...], [keys...], LeftOuter
     # (or BroadcastHashJoin ... LeftOuter when AQE broadcasts the model)
     conds = re.findall(r"Join \[([^\]]*)\], \[([^\]]*)\], LeftOuter", plan)
-    assert len(conds) >= model.n + 1, plan  # n order joins + doc re-attach
+    # exactly the n order joins: the former (n+1)-th doc re-attach join
+    # was replaced by the explode_outer sentinel row in r16 (the restore
+    # join was the plan's only SortMergeJoin at production sizes)
+    assert len(conds) == model.n, plan
     hash_joins = 0
     for left, right in conds:
         if "doc_id" in left:

@@ -24,7 +24,6 @@ then collects the (sample-sized) sparse matrix to fit.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,16 +35,30 @@ DEFAULT_N_FEATURES = 1 << 18
 
 
 def _feature_rows(
-    df: DataFrame, id_col: str, text_col: str, *, n_features: int, bigrams: bool
+    df: DataFrame, id_col: str, text_col: str, *, n_features: int, bigrams: bool,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """(id, feat): one row per token occurrence (+ one per bigram when
     enabled), feat = xxhash64 bucket. Narrow explode — the hash runs on
-    a bound COLUMN, inside codegen."""
+    a bound COLUMN, inside codegen.
+
+    ``keep_empty_docs``: zero-token docs keep one NULL-feat row
+    (explode_outer on the unigram leg) so a downstream per-doc
+    aggregation covers every input doc without a restore join — the
+    decontam._gram_hashes sentinel contract. Training leaves it off
+    (its groupBy must see only real features)."""
     toks = df.select(
         id_col,
         F.expr(f"filter(split({text_col}, ' ')," " x -> x <> '')").alias("__t"),
     )
-    uni = toks.select(id_col, F.explode("__t").alias("__g"))
+    uni_ex = F.explode_outer("__t") if keep_empty_docs else F.explode("__t")
+    uni = toks.select(id_col, uni_ex.alias("__g"))
+    feat = F.pmod(F.xxhash64("__g"), F.lit(n_features))
+    if keep_empty_docs:
+        # the sentinel row's feat must stay NULL: xxhash64(NULL) returns
+        # the SEED (42), which would alias bucket 42 and pick up its
+        # weight in the scoring join
+        feat = F.when(F.col("__g").isNotNull(), feat)
     if bigrams:
         bi = toks.select(
             id_col,
@@ -58,9 +71,7 @@ def _feature_rows(
             ).alias("__g"),
         )
         uni = uni.unionByName(bi)
-    return uni.select(
-        id_col, F.pmod(F.xxhash64("__g"), F.lit(n_features)).alias("feat")
-    )
+    return uni.select(id_col, feat.alias("feat"))
 
 
 @dataclass
@@ -178,13 +189,22 @@ def score_quality(
 ) -> DataFrame:
     """(id, quality_logit, quality_prob): distributed inference, JVM
     only. Docs with zero tokens score the bare bias. One exchange (the
-    per-doc aggregation); the weight table joins broadcast."""
+    per-doc aggregation); the weight table joins broadcast.
+
+    Zero-token docs ride a NULL-feat sentinel row (explode_outer in
+    _feature_rows) instead of the former corpus-wide restore join: the
+    sentinel never matches a weight (NULL join key), so the doc
+    aggregates __dot = 0 over __n = 1 and scores the bare bias through
+    the SAME arithmetic as every other doc. r16 — the restore join was
+    the plan's only SortMergeJoin, costing an extra Exchange + two
+    Sorts over the whole corpus id set (guide §2.4/§3)."""
     spark = df.sparkSession
     d = df.select(id_col, text_col)
     if normalize:
         d = d.select(id_col, norm_expr(text_col).alias(text_col))
     feats = _feature_rows(
-        d, id_col, text_col, n_features=model.n_features, bigrams=model.bigrams
+        d, id_col, text_col, n_features=model.n_features, bigrams=model.bigrams,
+        keep_empty_docs=True,
     )
     wdf = F.broadcast(model.weights_df(spark))
     per_doc = (
@@ -196,19 +216,8 @@ def score_quality(
         )
     )
     logit = F.col("__dot") / F.col("__n") + F.lit(model.bias)
-    scored = per_doc.select(
+    return per_doc.select(
         id_col,
         logit.alias("quality_logit"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("quality_prob"),
-    )
-    # docs with no tokens never produced a feature row: restore at bias
-    bias_p = 1.0 / (1.0 + math.exp(-model.bias))
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("quality_logit", F.lit(model.bias)).alias("quality_logit"),
-            F.coalesce("quality_prob", F.lit(bias_p)).alias("quality_prob"),
-        )
     )

@@ -291,6 +291,14 @@ def score_perplexity(
             F.xxhash64(F.lit(2 * k + 1), ctx, w),
         )
 
+    # Docs too short to score (fewer than n tokens -> empty gram array)
+    # keep ONE sentinel row via explode_outer instead of being restored
+    # by a corpus-wide left join afterwards (r16 — that join was the
+    # plan's only SortMergeJoin: an extra Exchange + two Sorts over the
+    # whole corpus id set, guide §2.4/§3). The sentinel's join keys are
+    # forced NULL (xxhash64 would otherwise hash just the seed literal),
+    # so no order table can match it, and the per-doc aggregation
+    # excludes it via the __real flag.
     key_cols = []
     for k in range(n, 0, -1):
         if k == n:
@@ -302,9 +310,13 @@ def score_perplexity(
                 f"concat_ws(' ', slice(split(g.ctx, ' '), -{k - 1}, {k - 1}))"
             )
         h1, h2 = _keys(k, ctx_k, F.col("g.w"))
-        key_cols += [h1.alias(f"__h1_{k}"), h2.alias(f"__h2_{k}")]
-    grams = toks.select(id_col, F.explode(_grams(n)).alias("g")).select(
-        id_col, *key_cols
+        real = F.col("g").isNotNull()
+        key_cols += [
+            F.when(real, h1).alias(f"__h1_{k}"),
+            F.when(real, h2).alias(f"__h2_{k}"),
+        ]
+    grams = toks.select(id_col, F.explode_outer(_grams(n)).alias("g")).select(
+        id_col, F.col("g").isNotNull().alias("__real"), *key_cols
     )
 
     # one left join per order, highest first, keyed on the hashes
@@ -332,19 +344,15 @@ def score_perplexity(
             F.col(c), expr
         )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_scored_grams"),
-        F.avg(F.log(expr)).alias("avg_logprob"),
+        F.count(F.when(F.col("__real"), 1)).alias("n_scored_grams"),
+        F.avg(F.when(F.col("__real"), F.log(expr))).alias("avg_logprob"),
     )
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_scored_grams", F.lit(0)).cast("long").alias("n_scored_grams"),
-            F.col("avg_logprob"),
-            F.exp(-F.col("avg_logprob")).alias("perplexity"),
-            F.col("avg_logprob").isNotNull().alias("scored"),
-        )
+    return per_doc.select(
+        id_col,
+        F.col("n_scored_grams").cast("long").alias("n_scored_grams"),
+        F.col("avg_logprob"),
+        F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        F.col("avg_logprob").isNotNull().alias("scored"),
     )
 
 

@@ -63,71 +63,61 @@ from youtube_analytics_lakehouse_databricks_spark.queries import read, register
     ),
 )
 def asof_purchase_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both temporal legs are windows over the SAME user_id partitioning,
+    # computed in one pass over raw events (r16 — guide §2.4 "windows
+    # partitioned like a preceding shuffle share it"):
+    #
+    # - as-of leg: last(click) carry-forward over (ts, is_purchase,
+    #   event_id) row order. Raw click rows ordered event_id ASC make
+    #   last() pick the MAX event_id among clicks at the latest ts' —
+    #   exactly the old groupBy(user_id, ts).agg(max(event_id))
+    #   pre-aggregation — and is_purchase sorting purchases AFTER
+    #   same-ts clicks keeps the ts' <= ts asof contract.
+    # - interval leg: count/sum over a RANGE frame [-1h, -1µs) on
+    #   unix_micros — value-identical to the old equi+range self-join
+    #   (e_ts >= p_ts - 1h AND e_ts < p_ts at microsecond resolution)
+    #   aggregated per purchase, without the join.
+    #
+    # The previous shape (clicks pre-agg + union window; anchors x events
+    # range join + per-purchase agg; purchase_id left join reuniting the
+    # legs) was 5 Exchanges + 2 SortMergeJoins; this is ONE Exchange and
+    # zero joins — at 100 TB the events table shuffles once, not five
+    # times. Oracle-verified hash-identical at both driver SFs.
     ev = read(spark, sf_dir, "events")
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select("user_id", "ts", "click_id", F.lit(0).alias("tag"), F.lit(None).cast("long").alias("purchase_id"))
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("long").alias("click_id"), F.lit(1).alias("tag"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    # clicks sort before purchases at equal ts (tag asc) => ts' <= ts matches
-    w = (
+    is_click = F.col("event_type") == "click"
+    w_asof = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("tag").asc(), F.col("click_id").asc_nulls_last())
+        .orderBy(F.col("ts").asc(), is_click.cast("int").desc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        clicks.unionByName(purchases)
-        .withColumn("prior_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn(
-            "prior_click_ts",
-            F.last(F.when(F.col("click_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w),
-        )
-    )
-    asof = carried.filter(F.col("tag") == 1).select(
-        "user_id",
-        "purchase_id",
-        F.col("ts").alias("purchase_ts"),
-        "prior_click_id",
-        "prior_click_ts",
-    )
-    # interval-join leg: equi key + range predicate (Spark executes the
-    # equi part as the join key, the range as a post-filter), aggregated
-    # per purchase and left-joined back (absent window -> 0)
-    anchors = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("event_id").alias("p_purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    pre = (
-        anchors.join(
-            ev.select(
-                F.col("user_id").alias("e_user_id"),
-                F.col("ts").alias("e_ts"),
-                F.col("event_type").alias("e_type"),
-            ),
-            on=(F.col("e_user_id") == F.col("p_user_id"))
-            & (F.col("e_ts") >= F.expr("p_ts - INTERVAL 1 HOUR"))
-            & (F.col("e_ts") < F.col("p_ts")),
-        )
-        .groupBy("p_purchase_id")
-        .agg(
-            F.count(F.lit(1)).alias("__n_ev"),
-            F.sum(F.when(F.col("e_type") == "click", 1).otherwise(0))
-            .cast("bigint")
-            .alias("__n_clk"),
-        )
+    # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is
+    # exact (the sessionization precedent)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3600 * 1_000_000, -1)
     )
     return (
-        asof.join(pre, asof["purchase_id"] == pre["p_purchase_id"], "left")
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+            .over(w_asof)
+            .alias("prior_click_id"),
+            F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+            .over(w_asof)
+            .alias("prior_click_ts"),
+            F.count(F.lit(1)).over(w_range).alias("__n_ev"),
+            F.sum(is_click.cast("int")).over(w_range).alias("__n_clk"),
+        )
+        .filter(F.col("event_type") == "purchase")
         .select(
             "user_id",
-            "purchase_id",
-            "purchase_ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
             "prior_click_id",
             "prior_click_ts",
             F.coalesce("__n_ev", F.lit(0)).cast("bigint").alias("n_events_prior_1h"),
