@@ -56,6 +56,7 @@ from youtube_analytics_lakehouse_databricks_spark.fsops import (
 )
 
 from youtube_analytics_lakehouse_databricks_spark.operators.mixing import require_integral_id
+from youtube_analytics_lakehouse_databricks_spark.operators._topk import topk_pairs
 from youtube_analytics_lakehouse_databricks_spark.operators.similarity import (
     _train_centroids,
     assign_cells,
@@ -141,13 +142,16 @@ def _probe_frame(
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
             sims = mn @ cents.T
             order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
-            out_id, out_vec, out_cell = [], [], []
-            for i in range(len(pdf)):
-                for c in order[i]:
-                    out_id.append(pdf[id_col].iloc[i])
-                    out_vec.append(pdf[vec_col].iloc[i])
-                    out_cell.append(int(c))
-            yield pd.DataFrame({"any_id": out_id, "vec": out_vec, "cell": out_cell})
+            # vectorized probe fan-out (row-major: same row order as the
+            # per-row append loop it replaces)
+            w = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "any_id": np.repeat(pdf[id_col].to_numpy(), w),
+                    "vec": np.repeat(pdf[vec_col].to_numpy(), w),
+                    "cell": order.ravel().astype("int32"),
+                }
+            )
 
     return queries.select(id_col, vec_col).mapInPandas(
         probe, "any_id long, vec array<float>, cell int"
@@ -637,15 +641,16 @@ def ivf_search(
                 cos = np.round(
                     (qm[qidx] @ c_mat.T) / np.outer(qn[qidx], c_norm), 6
                 )
-                for row, qi in enumerate(qidx):
-                    mask = c_ids != ids[qi] if excl else np.ones(len(c_ids), bool)
-                    cand_ids, cand_cos = c_ids[mask], cos[row][mask]
-                    order = np.lexsort((cand_ids, -cand_cos))[: min(kk, len(cand_ids))]
-                    out_q.extend([ids[qi]] * len(order))
-                    out_n.extend(cand_ids[order])
-                    out_c.extend(cand_cos[order])
+                oq, on, oc = topk_pairs(ids[qidx], c_ids, cos, kk, excl)
+                out_q.append(oq)
+                out_n.append(on)
+                out_c.append(oc)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                {
+                    "query_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+                    "neighbor_id": np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                    "cosine": np.concatenate(out_c) if out_c else np.empty(0, np.float64),
+                }
             )
 
     hits = corpus.mapInPandas(
@@ -737,14 +742,7 @@ def ivf_search_distributed(
         q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qs["vec"]])
         q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
         cos = np.round((q_mat @ c_mat.T) / np.outer(q_norm, c_norm), 6)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i] if excl else np.ones(len(c_ids), bool)
-            cand_ids, cand_cos = c_ids[mask], cos[i][mask]
-            order = np.lexsort((cand_ids, -cand_cos))[: min(kk, len(cand_ids))]
-            out_q.extend([q_ids[i]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand_cos[order])
+        out_q, out_n, out_c = topk_pairs(q_ids, c_ids, cos, kk, excl)
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     # cogroup, not union+groupBy: each side keeps its own distribution
@@ -1694,15 +1692,16 @@ def _ivfpq_scan(
                     adc += tq[:, s, :][:, codes[:, s]]
                 adc += bias_[qidx][:, int(cell)][:, None]
                 adc = np.round(adc, 6)
-                for row, qi in enumerate(qidx):
-                    mask = c_ids != ids[qi] if excl else np.ones(len(c_ids), bool)
-                    cand_ids, cand_adc = c_ids[mask], adc[row][mask]
-                    order = np.lexsort((cand_ids, -cand_adc))[: min(kk, len(cand_ids))]
-                    out_q.extend([ids[qi]] * len(order))
-                    out_n.extend(cand_ids[order])
-                    out_c.extend(cand_adc[order])
+                oq, on, oc = topk_pairs(ids[qidx], c_ids, adc, kk, excl)
+                out_q.append(oq)
+                out_n.append(on)
+                out_c.append(oc)
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "adc_cosine": out_c}
+                {
+                    "query_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+                    "neighbor_id": np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                    "adc_cosine": np.concatenate(out_c) if out_c else np.empty(0, np.float64),
+                }
             )
 
     hits = corpus.mapInPandas(
@@ -1806,14 +1805,7 @@ def ivfpq_search_distributed(
             adc += tbl[:, codes[:, s]]
         adc += (qn @ cents[cell])[:, None]
         adc = np.round(adc, 6)
-        out_q, out_n, out_c = [], [], []
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i] if excl else np.ones(len(c_ids), bool)
-            cand_ids, cand_adc = c_ids[mask], adc[i][mask]
-            order = np.lexsort((cand_ids, -cand_adc))[: min(kk, len(cand_ids))]
-            out_q.extend([q_ids[i]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand_adc[order])
+        out_q, out_n, out_c = topk_pairs(q_ids, c_ids, adc, kk, excl)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "adc_cosine": out_c}
         )

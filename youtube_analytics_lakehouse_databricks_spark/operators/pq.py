@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from youtube_analytics_lakehouse_databricks_spark.operators._topk import topk_pairs
 from youtube_analytics_lakehouse_databricks_spark.operators.mixing import require_integral_id
 
 __all__ = ["PQModel", "train_pq", "pq_encode", "pq_topk", "pq_audit"]
@@ -318,14 +319,7 @@ def _adc_scan(
             for s in range(tbl.shape[1]):
                 ip += tbl[:, s, :][:, codes[:, s]]
             cos = np.round(ip / np.outer(qn, norms), 6)
-            out_q, out_n, out_c = [], [], []
-            for i in range(nq):
-                mask = c_ids != ids[i] if excl else np.ones(len(c_ids), bool)
-                cand_ids, cand_cos = c_ids[mask], cos[i][mask]
-                order = np.lexsort((cand_ids, -cand_cos))[: min(kk, len(cand_ids))]
-                out_q.extend([ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand_cos[order])
+            out_q, out_n, out_c = topk_pairs(ids, c_ids, cos, kk, excl)
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "adc_cosine": out_c}
             )
