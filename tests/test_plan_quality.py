@@ -61,13 +61,21 @@ def test_no_python_udfs_in_relational_paths(spark, name):
 def test_doc_quality_scores_zero_exchange_zero_join(spark):
     """The flagship doc-grain row is ONE projection chain over documents
     (quality columns + the hashed_embedding bridge composed via
-    passthrough): no Exchange, no Join, no Python — shuffle-free at any
-    corpus size. The r13 shape joined two per-row projections of the
-    same table back on doc_id; AQE broadcast it at sf0.1 but at 100 TB
-    it was two corpus-wide exchanges + a sort-merge join (r13 VERDICT
-    'what's wrong' #1)."""
+    passthrough): no Join, no Python, no hash/agg exchange — shuffle-free
+    at any corpus size. The r13 shape joined two per-row projections of
+    the same table back on doc_id; AQE broadcast it at sf0.1 but at
+    100 TB it was two corpus-wide exchanges + a sort-merge join (r13
+    VERDICT 'what's wrong' #1). r16 allows exactly ONE RoundRobin
+    fan-out exchange: the single-row-group test scans otherwise run the
+    per-token sha2 folds on one task, and read_fanned's width guard
+    makes the fan a no-op on cluster-wide scans, so the at-scale plan is
+    still exchange-free."""
+    import re
+
     plan = _plan(spark, "doc_quality_scores")
-    assert "Exchange" not in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+    assert len(exchanges) <= 1, plan
+    assert "hashpartitioning" not in plan, plan  # fan-out only, never keyed
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtube_analytics_lakehouse_databricks_spark.queries import read, register
+from youtube_analytics_lakehouse_databricks_spark.queries import read, read_fanned, register
 
 def _units(col):
     """Round a double expression to integer 1e-4 units using only IEEE
@@ -69,6 +69,11 @@ def _davg_sql(expr: str, alias: str) -> str:
     doc="Flagship scan+filter+groupBy aggregate (TPC-H Q1 shape).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned (r16, measured): the map-side partial aggregate collapses
+    # 600k rows to 6 groups before any exchange, so the single-task scan
+    # shuffles ~nothing; a RoundRobin fan would shuffle every raw row
+    # (plus the sort-before-repartition) just to parallelize ~0.25 s of
+    # arithmetic — measured 0.42 -> 0.76 s WORSE at sf0.1
     li = read(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
@@ -228,7 +233,9 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Schema-on-read JSON parsing: from_json + field access + typed cast (P:18-43).",
 )
 def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
+    # from_json over every row is the per-row-compute-heavy case the
+    # single-task scan serializes; fan (scale-guarded no-op on wide scans)
+    ev = read_fanned(spark, sf_dir, "events")
     parsed = ev.select(
         "event_id", "user_id", F.from_json("props", "k INT").getField("k").alias("prop_k")
     )

@@ -125,6 +125,11 @@ def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned (r16, measured): the partial agg on sha2(norm_text)
+    # collapses to ~unique-doc groups map-side, so the one-task scan
+    # shuffles almost nothing; fanning shuffled every raw text first and
+    # measured 0.33 -> 0.52 s WORSE at sf0.1 (the doc_quality_scores
+    # projection, by contrast, has no aggregation to collapse behind)
     docs = read(spark, sf_dir, "documents")
     normed = docs.select(
         "doc_id",
@@ -456,7 +461,13 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it with a broadcast at sf0.1, but at 100 TB neither side
     # broadcasts and the row became two corpus-wide exchanges plus a
     # sort-merge join for output this select produces shuffle-free.
-    docs = read(spark, sf_dir, "documents")
+    # r16: fanned — the per-token sha2 folds are the heaviest per-row
+    # compute in the suite and the single-row-group scan ran them all on
+    # ONE task. The fan-out is the scale-guarded RoundRobin (read_fanned
+    # is a no-op once the scan is cluster-wide), so the "no hash/agg
+    # exchange, no join at any corpus size" property still holds — the
+    # plan test now pins exactly that (at most the fan-out exchange).
+    docs = read_fanned(spark, sf_dir, "documents")
     emb = text_ops.hashed_embedding(
         docs, "doc_id", "text", dim=HE_DIM, passthrough=("text",)
     )
@@ -633,8 +644,15 @@ DECONTAM_K = 5  # the ~45-token driver docs need a sub-13 gram to overlap
 def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youtube_analytics_lakehouse_databricks_spark.operators.decontam import decontaminate
 
+    # train side fanned BY doc_id: the normalization regexes + gram
+    # hashing parallelize AND the operator's per-doc aggregation reuses
+    # the fan-out's hash distribution (Generate/broadcast-join preserve
+    # it), eliding the agg exchange. The eval side stays a bare scan —
+    # it only feeds the broadcast gram build.
     docs = read(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 20 != 0)
+    train = read_fanned(spark, sf_dir, "documents", by="doc_id").filter(
+        F.col("doc_id") % 20 != 0
+    )
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     return decontaminate(train, ev, "doc_id", "text", k=DECONTAM_K)
 

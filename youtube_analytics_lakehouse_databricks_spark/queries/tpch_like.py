@@ -31,6 +31,10 @@ from youtube_analytics_lakehouse_databricks_spark.queries.relational import _dsu
     doc="TPC-H Q3 shape: segment filter -> 3-way join -> revenue agg -> deterministic top-10.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned (r16, interleaved A/B: 0.687 vs 0.923 s — the fan-out
+    # exchange of the fact costs more than the single-task probe it
+    # parallelizes, and handing AQE a materialized fact size invites a
+    # fact-broadcast build-side flip; see q5 below)
     customer, orders, lineitem = (
         read(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
     )
@@ -77,11 +81,26 @@ def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("region", "nation", "supplier", "lineitem", "part", "orders", "customer")
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # FACT-CENTRIC join order (r16): lineitem is the streamed left side of
+    # every join — the scale-correct posture (the fact must never be a
+    # build side) and the measured local win (interleaved A/B min-of-5:
+    # 0.95 s dim-first -> 0.60 s fact-centric). The old dim-first chain
+    # left the planner free to pick the fact join's build side — probed
+    # here: once the fact's size was materialized by a fan-out exchange,
+    # AQE BROADCAST THE 600k-row FACT and collapsed the probe onto the
+    # 202-row supplier chain's task. The supplier chain is one explicit
+    # broadcast (region+nation+supplier is dim-sized at any sf);
+    # orders/customer joins stay planner-chosen (broadcast at bench
+    # scale, shuffle at 100 TB). Deliberately NOT fanned: the fan-out
+    # exchange measured 0.5 s WORSE than letting the probes pipeline into
+    # the map-side partial agg on the scan task (nothing shuffles after).
+    sup_chain = F.broadcast(
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
     return (
-        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
-        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supplier), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(lineitem, F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(sup_chain, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
