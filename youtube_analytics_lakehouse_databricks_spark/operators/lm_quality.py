@@ -95,7 +95,13 @@ class NgramLM:
     def save(self, path: str) -> None:
         spark = self.orders[0].sparkSession
         for k, t in enumerate(self.orders, start=1):
-            t.write.mode("overwrite").parquet(f"{path}/order={k}")
+            # REBALANCE: let AQE size the output files by bytes instead
+            # of inheriting the training frame's partition count — a
+            # bench-scale model otherwise lands as 32 KB-sized files per
+            # order and every later load/broadcast pays 32 read tasks
+            # per table (guide §6 small-files); at 100 TB the same hint
+            # yields advisory-sized files, so it is scale-adaptive.
+            t.hint("rebalance").write.mode("overwrite").parquet(f"{path}/order={k}")
         meta = spark.createDataFrame(
             [(self.n, float(self.alpha), self.n_tokens, self.vocab_size)],
             "n int, alpha double, n_tokens long, vocab_size long",
@@ -271,7 +277,9 @@ def score_perplexity(
                 )
             )
         )
-        broadcast_model = thresh > 0 and model.n_tokens * 40 <= thresh
+        # the k-tagged union is ONE relation holding every order: bound
+        # its size by n tables of at most n_tokens rows each
+        broadcast_model = thresh > 0 and model.n * model.n_tokens * 40 <= thresh
     oov = 1.0 / float(model.n_tokens + model.vocab_size)
     toks = df.select(
         F.col(id_col), norm_expr(text_col).alias("__norm")
@@ -319,13 +327,30 @@ def score_perplexity(
         id_col, F.col("g").isNotNull().alias("__real"), *key_cols
     )
 
-    # one left join per order, highest first, keyed on the hashes
+    # One left join per order, highest first, keyed on the hashes — but
+    # against a SINGLE k-tagged union of every order table (r16): the
+    # per-order seed salt (2k, 2k+1) already confines matches to the
+    # probe's own order, so all n joins share ONE build-side plan and
+    # Spark's exchange reuse materializes the broadcast (or, for an
+    # over-threshold model, the shuffle) ONCE instead of n times —
+    # measured as the dominant serving cost (3 sequential broadcast
+    # builds ~= half the scoring wall at bench scale; guide §2.4).
+    # Cross-order aliasing is a different-seed 128-bit double-collision,
+    # the same budget the in-order keys already carry.
+    combined = None
+    for k in range(1, n + 1):
+        b1, b2 = _keys(k, F.col("ctx"), F.col("w"))
+        part = model.orders[k - 1].select(
+            b1.alias("__b1"), b2.alias("__b2"), F.col("s").alias("__s")
+        )
+        combined = part if combined is None else combined.unionByName(part)
     scored = grams
     score_cols = []
     for k in range(n, 0, -1):
-        b1, b2 = _keys(k, F.col("ctx"), F.col("w"))
-        tbl = model.orders[k - 1].select(
-            b1.alias(f"__b1_{k}"), b2.alias(f"__b2_{k}"), F.col("s").alias(f"__s{k}")
+        tbl = combined.select(
+            F.col("__b1").alias(f"__b1_{k}"),
+            F.col("__b2").alias(f"__b2_{k}"),
+            F.col("__s").alias(f"__s{k}"),
         )
         if broadcast_model:
             tbl = F.broadcast(tbl)

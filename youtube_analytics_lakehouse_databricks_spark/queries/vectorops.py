@@ -542,6 +542,11 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max() recovers n_exact for rows the left join left null; a query with
     # zero exact hits has null n_exact everywhere but its recall is 0 anyway.
     denom = F.max("n_exact").over(w)
+    # Grading join deliberately UNHINTED (r16, measured): forcing
+    # F.broadcast(exact) removes 2 exchanges but was a wash at bench
+    # scale (min 2.08 vs 2.00 s, overlapping spreads) and is wrong at
+    # 100 TB — the exact side is k rows per CORPUS vector, far past any
+    # broadcast cap; the planner must stay free to pick the shuffle.
     return (
         ivf.join(exact, ["query_id", "neighbor_id"], "left")
         .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)
@@ -996,6 +1001,7 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id")
     hits = F.sum(F.col("in_exact_topk").cast("double")).over(w)
     denom = F.max("n_exact").over(w)
+    # grading join unhinted — the embedding_ivf_ann rationale verbatim
     return (
         adc.join(exact, ["query_id", "neighbor_id"], "left")
         .withColumn("in_exact_topk", F.coalesce(F.col("in_exact"), F.lit(0)) == 1)

@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is 1 MB per post-shuffle partition — a
+        # byte heuristic that serializes COMPUTE-heavy exchanges whose
+        # payload is small: the IVF per-cell matmul exchange (~1 MB of
+        # vectors at bench scale) coalesced to ONE task, running every
+        # cell's Arrow kernel sequentially (measured via tools/
+        # stage_probe.py; guide §2.5's skew story with bytes standing in
+        # for work). 16k keeps such exchanges at ~parallelism tasks.
+        # Scale-adaptive by construction: with parallelismFirst (default
+        # true) the target is totalBytes/parallelism floored at this
+        # value, so any exchange carrying >= 16k * cores (512 KB here)
+        # coalesces exactly as before — at 100 TB the conf is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
