@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from youtube_analytics_lakehouse_databricks_spark.queries import Query, read_fanned, registry
+from youtube_analytics_lakehouse_databricks_spark.queries import Query, read, read_fanned, registry
 from youtube_analytics_lakehouse_databricks_spark.session import get_spark
 
 
@@ -79,10 +79,14 @@ def _bench_only() -> dict[str, Query]:
         return score_perplexity(docs, "doc_id", "text", _models[key])
 
     def shuffle_shard_export(spark, sf_dir):
-        # times the full export: assign + one exchange + sort + write
+        # times the full export: assign + one exchange + sort + write.
+        # BARE scan, not _docs (r16, measured 1.21 -> 1.01 s min): the
+        # shard repartition immediately follows, so the doc_id fan-out
+        # was a second exchange buying nothing — shard assignment is a
+        # narrow per-row hash.
         out = "/tmp/sparkgraft_bench_shards"
         write_shards(
-            _docs(spark, sf_dir).select("doc_id", "text"),
+            read(spark, sf_dir, "documents").select("doc_id", "text"),
             out,
             "doc_id",
             n_shards=32,
@@ -91,7 +95,14 @@ def _bench_only() -> dict[str, Query]:
         return spark.read.parquet(out)
 
     def mixture_sample_documents(spark, sf_dir):
-        return mixture_sample(_docs(spark, sf_dir), "source", "doc_id", alpha=0.3, seed=0)
+        # BARE scan (r16, measured 1.16 -> 0.79 s min): both of the
+        # operator's passes — the per-domain rate aggregation and the
+        # hash-draw filter — are narrow per-row work the fan-out exchange
+        # only taxed; the rate agg partial-aggregates to O(domains) rows
+        # map-side regardless of the scan's width.
+        return mixture_sample(
+            read(spark, sf_dir, "documents"), "source", "doc_id", alpha=0.3, seed=0
+        )
 
     def ivf_index_search(spark, sf_dir):
         # persisted-index SERVING path: the index builds once per sf

@@ -65,6 +65,12 @@ def main() -> None:
         except Exception as e:
             print(f"{name}: prime failed: {e}")
             continue
+        # bench.py's GC hygiene: without it, accumulated shuffle block
+        # files from prior queries skew later ones 2-4x
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         spark.catalog.clearCache()
         before = {s["stageId"] for s in _stages()}
         spark.sparkContext.setJobDescription(f"timed {name}")

@@ -528,10 +528,20 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         n_cells=IVF_N_CELLS, n_probe=IVF_N_PROBE, k=IVF_K,
     )
+    # The exact side reads the BARE scan (r16): its grid explode feeds its
+    # own (qb, tile) exchange, so the fan-out buys it nothing — and the
+    # explode-over-shuffle-rows stage measured 10x the wall of the same
+    # explode over the columnar parquet scan (0.89 vs 0.09 s at sf0.1,
+    # tools/stage_probe.py). Footer hints bound the tiles like the
+    # registered embedding_topk_cosine row.
+    n_rows, dim = _embedding_hints(sf_dir)
     # n_exact rides along on the exact side so recall's denominator is the
     # exact top-k size (min(k, corpus-1)), not however many rows IVF happened
     # to retrieve — avg over retrieved rows would report precision, not recall.
-    exact = cosine_topk(emb, "vec_id", "embedding", k=IVF_K).select(
+    exact = cosine_topk(
+        read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=IVF_K,
+        n_rows_hint=n_rows, dim_hint=dim,
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
     exact = exact.withColumn(
@@ -991,8 +1001,14 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # recall grading: identical to embedding_ivf_ann — n_exact rides on the
     # exact side so the denominator is the exact top-k size, not the
-    # retrieved count (precision vs recall).
-    exact = cosine_topk(emb, "vec_id", "embedding", k=PQ_K).select(
+    # retrieved count (precision vs recall). Bare scan + footer hints for
+    # the exact side (the embedding_ivf_ann r16 rationale: the grid
+    # explode feeds its own exchange, so the fan-out buys nothing).
+    n_rows, dim = _embedding_hints(sf_dir)
+    exact = cosine_topk(
+        read(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=PQ_K,
+        n_rows_hint=n_rows, dim_hint=dim,
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
     exact = exact.withColumn(
