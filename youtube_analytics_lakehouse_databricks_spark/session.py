@@ -46,12 +46,16 @@ def get_spark(
         # vectors at bench scale) coalesced to ONE task, running every
         # cell's Arrow kernel sequentially (measured via tools/
         # stage_probe.py; guide §2.5's skew story with bytes standing in
-        # for work). 16k keeps such exchanges at ~parallelism tasks.
+        # for work). 64k keeps such exchanges at several-per-core tasks;
+        # a 3-way interleaved sweep (16k / 64k / 1m over the affected
+        # queries) showed 16k over-splits the small RELATIONAL exchanges
+        # (exact_dedup 0.44 -> 0.68 s med) while 1m serializes the Arrow
+        # kernels (bucket_ann 1.44 vs 1.02 med) — 64k wins the sum.
         # Scale-adaptive by construction: with parallelismFirst (default
         # true) the target is totalBytes/parallelism floored at this
-        # value, so any exchange carrying >= 16k * cores (512 KB here)
+        # value, so any exchange carrying >= 64k * cores (2 MB here)
         # coalesces exactly as before — at 100 TB the conf is inert.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
