@@ -153,3 +153,54 @@ def test_embedding_topk_is_distributed_no_driver_collect(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "FlatMapGroupsInPandas" in buf.getvalue()
+
+
+def test_lsh_verify_reduces_sets_to_candidate_members(spark):
+    """r16: jaccard_verify_sets must cut both set legs to candidate
+    members BEFORE computing shingle-set arrays — a LeftSemi join pushed
+    below the set projection, so non-member docs never tokenize and the
+    corpus-sized b-leg broadcast is gone. The plan therefore carries the
+    semi-join, and the verify joins' build sides descend from it."""
+    plan = _plan(spark, "lsh_verified_near_dups")
+    assert "LeftSemi" in plan, plan
+    # 5 scans STATICALLY: signature chain, the member-id list's copy of
+    # it (AQE stage reuse dedupes the shared candidate exchange at
+    # runtime), and the two member-set legs — each of which sits above a
+    # LeftSemi so non-members never shingle. No corpus-sized
+    # SortMergeJoin may replace the candidate-sized broadcasts.
+    assert plan.count("Location: InMemoryFileIndex") == 5, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_scoring_shares_one_model_build(spark):
+    """r16: score_perplexity probes every order against ONE k-tagged
+    union of the model tables (the per-order seed salt confines matches),
+    so all n broadcast build sides are the same canonical plan and AQE
+    stage reuse materializes one. Statically: every BroadcastExchange
+    child is the same 3-scan Union; no per-order single-table builds."""
+    import re
+    import tempfile
+
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+        NgramLM,
+        score_perplexity,
+        train_ngram_lm,
+    )
+    from youtube_analytics_lakehouse_databricks_spark.queries import read
+
+    docs = read(spark, SF_DIR, "documents").filter("doc_id % 5 = 0")
+    with tempfile.TemporaryDirectory() as tmp:
+        # the SERVING shape: a persisted model loaded back (the scoring
+        # path the bench times); in-memory orders plan differently
+        train_ngram_lm(docs, "text", n=3).save(f"{tmp}/lm")
+        model = NgramLM.load(spark, f"{tmp}/lm")
+        df = score_perplexity(docs, "doc_id", "text", model)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+    plan = buf.getvalue()
+    n_bc = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, flags=re.MULTILINE))
+    n_union = len(re.findall(r"^\(\d+\) Union", plan, flags=re.MULTILINE))
+    assert n_bc == 3, plan  # one per order join...
+    assert n_union == 3, plan  # ...each over the SAME k-tagged union,
+    # canonically identical so runtime stage reuse dedupes the build
