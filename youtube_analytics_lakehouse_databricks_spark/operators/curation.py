@@ -493,7 +493,9 @@ def curate(
     )
     buckets = dedup_ops.band_buckets(banded, id_col, [f"band{b}" for b in range(bands)])
     cand = dedup_ops.candidates_from_buckets(buckets, max_bucket_size=max_bucket_size)
-    pairs = dedup_ops.jaccard_verify_sets(sets, id_col, cand, jaccard_threshold)
+    pairs = dedup_ops.jaccard_verify_sets(
+        sets, id_col, cand, jaccard_threshold, durable=durable
+    )
     comp = connected_components(pairs, "doc_a", "doc_b", durable=durable)
     near_dropped = comp.filter(F.col("node") != F.col("component"))
 

@@ -993,7 +993,16 @@ def curate_incremental(
         verify_sets = sets_all
     pairs = cut(
         dedup_ops.jaccard_verify_sets(
-            verify_sets, id_col, cand, jaccard_threshold
+            verify_sets,
+            id_col,
+            cand,
+            jaccard_threshold,
+            durable=durable,
+            # the state path above already cuts cand, restricts the
+            # stored sets scan to candidate ids, and pins the broadcast
+            # probe — skip the operator's own reduction so the pinned
+            # shape is not re-derived a second time
+            reduce_sets=state is None,
         ).select("doc_a", "doc_b"),
         durable=durable,
     )

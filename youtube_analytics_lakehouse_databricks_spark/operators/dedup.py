@@ -111,32 +111,85 @@ def minhash_from_sets(ds: DataFrame, id_col: str, n_hashes: int = 8, set_col: st
 
 
 def jaccard_verify_sets(
-    doc_sets: DataFrame, id_col: str, candidates: DataFrame, threshold: float
+    doc_sets: DataFrame,
+    id_col: str,
+    candidates: DataFrame,
+    threshold: float,
+    *,
+    durable: bool = False,
+    reduce_sets: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard >= threshold over candidate pairs, with
     the sets kept as arrays: |A ∩ B| via array_intersect, union by
     inclusion-exclusion — no shingle-level explode or join anywhere.
 
     The sets frame is first cut down to CANDIDATE MEMBERS with a
-    broadcast semi-join on the (bounded: <= 2 * |candidates|) distinct
-    id set — r16, guide §3.2's semi-join reduction: candidates are a
-    tiny fraction of the corpus after banding + the hot-bucket cap, so
+    semi-join on the (bounded: <= 2 * |candidates|) distinct id set —
+    r16, guide §3.2's semi-join reduction: candidates are a tiny
+    fraction of the corpus after banding + the hot-bucket cap, so
     without it both join legs computed shingle-set arrays for EVERY
     corpus document and the planner broadcast the full corpus-sized
     b-leg (measured at sf0.1: 5000 docs' sets built twice + broadcast
     for 773 member docs; the semi-join pushes below the set projection,
-    so non-members never tokenize). The candidate subtree feeds both
-    the id list and the verify probe, but its distinct aggregation ends
-    in an exchange Spark reuses — the banding pipeline still runs once
-    (plan-asserted in tests/test_plan_quality.py). After the reduction
-    both legs are candidate-sized: each join is a broadcast probe; if
-    candidates ever exceed the broadcast threshold the join degrades to
-    shuffling member-only set arrays on doc id — still O(candidates),
-    never O(corpus) and never O(pairs)."""
-    member_ids = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-    ).distinct()
-    member_sets = doc_sets.join(F.broadcast(member_ids), id_col, "left_semi")
+    so non-members never tokenize).
+
+    r17 — the candidates frame has three consumers (member-id list,
+    verify probe, and the count below), so it is MATERIALIZED once with
+    a lineage cut instead of relying on runtime exchange reuse across
+    two static copies of the banding pipeline (the r16 shape; the
+    driver measured its replan + duplicate broadcast builds at ~0.5 s
+    on the bench row). The materialized count is then the control-plane
+    bound that decides the join strategy, replacing r16's UNCONDITIONAL
+    broadcast hint (which ignored autoBroadcastJoinThreshold and could
+    not degrade — a multi-GB forced member-id broadcast at corpus-scale
+    candidate counts is a driver/executor OOM, the ADVICE r16 hazard):
+    when 2 * |candidates| ids provably fit the session's threshold, the
+    member-id semi-join and the verify probe are hinted broadcast; when
+    they do not, both joins stay unhinted — AQE picks the strategy, and
+    the worst case degrades to shuffling member-only set arrays on doc
+    id — still O(candidates + corpus-scan), never O(pairs).
+
+    ``reduce_sets=False`` skips the cut + member reduction for callers
+    that already restrict and pin the frames themselves
+    (curation_incremental's stored-index probe, which passes
+    batch-bounded pre-broadcast frames)."""
+    from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
+    from youtube_analytics_lakehouse_databricks_spark.operators.lm_quality import (
+        _parse_bytes,
+    )
+
+    if reduce_sets:
+        candidates = cut(candidates, durable=durable)
+        # control-plane count over the just-materialized blocks (the
+        # same job materializes them — one pass, then every consumer
+        # below reads blocks)
+        n_cand = candidates.count()
+        thresh = _parse_bytes(
+            str(
+                doc_sets.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", str(10 << 20)
+                )
+            )
+        )
+        # <= 2 ids per pair, ~64 B/id framed in a broadcast relation
+        small = thresh > 0 and 2 * n_cand * 64 <= thresh
+        member_ids = candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
+        if small:
+            member_ids = F.broadcast(member_ids)
+        # the member sets feed BOTH verify legs: cut them too, so the
+        # corpus scan + semi-join + set projection run once instead of
+        # once per leg (r17, interleaved A/B med 1.87 -> 1.73 s at
+        # sf0.1; at 100 TB it halves the verify stage's corpus scans).
+        # The blocks are candidate-bounded: <= 2 * |candidates| rows.
+        member_sets = cut(
+            doc_sets.join(member_ids, id_col, "left_semi"), durable=durable
+        )
+        if small:
+            candidates = F.broadcast(candidates)
+    else:
+        member_sets = doc_sets
     a = member_sets.select(
         F.col(id_col).alias("doc_a"),
         F.col("shset").alias("set_a"),

@@ -11,14 +11,16 @@ scheme from the MapReduce CC literature bounds it at O(log n) for
 adversarial chains). Lineage is truncated every round with an eager
 localCheckpoint so the plan does not grow with iterations — the standard
 Spark idiom for iterative algorithms (GraphX/Pregel does the same).
-Convergence detection rides along in the label projection itself (an
-``improved`` flag column), so the per-round existence check is a LIMIT 1
-scan of the already-materialized checkpoint — no extra join or shuffle.
+Convergence detection is an ``Observation`` metric collected DURING the
+checkpoint job itself (r17) — the improved-count accumulates as rows
+stream into the checkpoint, so a round is exactly ONE job (the r16 shape
+ran a second LIMIT-1 probe job per round, and the checkpoint carried an
+extra ``improved`` column it then dropped).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
@@ -43,24 +45,38 @@ def connected_components(
         eager=True,  # edge lineage (often an expensive
         # dedup pipeline) is materialized ONCE, not once per round
     )
-    # node set comes off the CHECKPOINTED symmetric edges (identical set:
-    # sym holds both directions), not off raw ``edges`` — deriving it from
-    # edges would re-execute the full upstream lineage a second time
-    nodes = sym.select("node").distinct()
-    labels = nodes.select("node", F.col("node").alias("component"))
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels.select(F.col("node").alias("nbr"), "component"), "nbr")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_min"))
+    if max_iter < 1:  # degenerate: the identity labeling
+        return sym.select("node").distinct().select(
+            "node", F.col("node").alias("component")
         )
+    labels: DataFrame | None = None
+    for _ in range(max_iter):
+        if labels is None:
+            # round 1 runs on the IDENTITY labeling, where min neighbor
+            # label == min neighbor id: no join against a labels frame,
+            # and the node set derives inside the same aggregation (the
+            # r16 shape paid a separate nodes-distinct shuffle plus a
+            # round-1 join that matched every label to itself). The
+            # aggregation reads the CHECKPOINTED symmetric edges, so the
+            # (often expensive) edge lineage still runs exactly once.
+            base = sym.groupBy("node").agg(F.min("nbr").alias("nbr_min")).select(
+                "node", F.col("node").alias("component"), "nbr_min"
+            )
+        else:
+            nbr_min = (
+                sym.join(labels.select(F.col("node").alias("nbr"), "component"), "nbr")
+                .groupBy("node")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            base = labels.join(nbr_min, "node", "left")
         # the improved flag is computed in the SAME projection the
-        # checkpoint materializes (new < old ⟺ nbr_min < old), so the
-        # convergence probe below reads checkpointed rows with a pushed
-        # LIMIT — no join against the previous labels, no extra shuffle
+        # checkpoint materializes (new < old ⟺ nbr_min < old) and
+        # aggregated by an Observation as the checkpoint job streams the
+        # rows — convergence costs no second job and the checkpointed
+        # blocks carry only (node, component)
+        obs = Observation()
         new_labels = cut(
-            labels.join(nbr_min, "node", "left")
-            .select(
+            base.select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
                     "component"
@@ -68,12 +84,14 @@ def connected_components(
                 (F.coalesce("nbr_min", "component") < F.col("component")).alias(
                     "improved"
                 ),
-            ),
+            )
+            .observe(obs, F.count(F.when(F.col("improved"), F.lit(1))).alias("n"))
+            .select("node", "component"),
             durable=durable,
             eager=True,
         )
-        improved = new_labels.filter("improved").limit(1).count()
-        labels = new_labels.drop("improved")
-        if improved == 0:
+        labels = new_labels
+        if int(obs.get["n"]) == 0:
             break
+    assert labels is not None  # max_iter >= 1
     return labels

@@ -277,9 +277,9 @@ def score_perplexity(
                 )
             )
         )
-        # the k-tagged union is ONE relation holding every order: bound
-        # its size by n tables of at most n_tokens rows each
-        broadcast_model = thresh > 0 and model.n * model.n_tokens * 40 <= thresh
+        # per-order build sides: each is ONE table of at most n_tokens
+        # rows (~40 B/row hashed)
+        broadcast_model = thresh > 0 and model.n_tokens * 40 <= thresh
     oov = 1.0 / float(model.n_tokens + model.vocab_size)
     toks = df.select(
         F.col(id_col), norm_expr(text_col).alias("__norm")
@@ -327,30 +327,23 @@ def score_perplexity(
         id_col, F.col("g").isNotNull().alias("__real"), *key_cols
     )
 
-    # One left join per order, highest first, keyed on the hashes — but
-    # against a SINGLE k-tagged union of every order table (r16): the
-    # per-order seed salt (2k, 2k+1) already confines matches to the
-    # probe's own order, so all n joins share ONE build-side plan and
-    # Spark's exchange reuse materializes the broadcast (or, for an
-    # over-threshold model, the shuffle) ONCE instead of n times —
-    # measured as the dominant serving cost (3 sequential broadcast
-    # builds ~= half the scoring wall at bench scale; guide §2.4).
-    # Cross-order aliasing is a different-seed 128-bit double-collision,
-    # the same budget the in-order keys already carry.
-    combined = None
-    for k in range(1, n + 1):
-        b1, b2 = _keys(k, F.col("ctx"), F.col("w"))
-        part = model.orders[k - 1].select(
-            b1.alias("__b1"), b2.alias("__b2"), F.col("s").alias("__s")
-        )
-        combined = part if combined is None else combined.unionByName(part)
+    # One left join per order, highest first, keyed on the hashes, each
+    # against ITS OWN order table (r17 — reverted from r16's shared
+    # k-tagged union build: the union made every build side a 3-scan
+    # plan whose dedup relied entirely on runtime exchange reuse, and
+    # the driver's ground truth measured the shape 62% SLOWER at bench
+    # scale, PERF_r16 0.507 -> 0.824 s; in the over-threshold shuffle
+    # path it was also strictly worse — every join's build read/sorted
+    # n x the rows it could match. Per-order builds are each one small
+    # table scan; the r16 sentinel-row win below is kept).
     scored = grams
     score_cols = []
     for k in range(n, 0, -1):
-        tbl = combined.select(
-            F.col("__b1").alias(f"__b1_{k}"),
-            F.col("__b2").alias(f"__b2_{k}"),
-            F.col("__s").alias(f"__s{k}"),
+        b1, b2 = _keys(k, F.col("ctx"), F.col("w"))
+        tbl = model.orders[k - 1].select(
+            b1.alias(f"__b1_{k}"),
+            b2.alias(f"__b2_{k}"),
+            F.col("s").alias(f"__s{k}"),
         )
         if broadcast_model:
             tbl = F.broadcast(tbl)

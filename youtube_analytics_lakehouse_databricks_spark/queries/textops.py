@@ -890,12 +890,15 @@ def shard_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit feeds BOTH the split and the kept-shard path: without a
     # lineage cut the scan + hash agg + keeper join re-derive per
     # consumer (r16, interleaved A/B: med 0.87 -> 0.75 s at sf0.1). The
-    # eager cut materializes 4 narrow columns per doc — at 100 TB that
-    # re-read is far cheaper than re-scanning the corpus and re-running
-    # the hash aggregation (the perplexity_buckets precedent).
+    # cut materializes 4 narrow columns per doc — at 100 TB that re-read
+    # is far cheaper than re-scanning the corpus and re-running the hash
+    # aggregation (the perplexity_buckets precedent). LAZY (r17, the
+    # ADVICE fix): materialization happens at the first action instead
+    # of at DataFrame-construction time, so merely building this query
+    # runs no Spark job.
     from youtube_analytics_lakehouse_databricks_spark.operators.lineage import cut
 
-    audit = cut(audit, eager=True)
+    audit = cut(audit)
     split = leakage_safe_split(
         audit,
         "doc_id",
