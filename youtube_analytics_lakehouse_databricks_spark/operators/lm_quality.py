@@ -173,10 +173,24 @@ def train_ngram_lm(
     all_grams = toks.select(
         F.explode(F.expr("concat(" + ", ".join(tagged) + ")")).alias("g")
     )
+    # the unigram totals (n_tokens, vocab) ride the SAME eager-cut job
+    # as an Observation metric (r17, the connected_components pattern):
+    # they accumulate as the combined counts stream into the checkpoint,
+    # so training runs ONE job here instead of a cut job plus a separate
+    # totals aggregation over the checkpointed blocks
+    from pyspark.sql import Observation
+
+    obs = Observation()
     combined = cut(
         all_grams.groupBy(
             F.col("g.k").alias("__k"), F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w")
-        ).agg(F.count(F.lit(1)).alias("c")),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .observe(
+            obs,
+            F.sum(F.when(F.col("__k") == 1, F.col("c"))).alias("n_tokens"),
+            F.count(F.when(F.col("__k") == 1, 1)).alias("vocab"),
+        ),
         eager=True,
     )
     # raw count tables (ctx, w, c) per order — filters over the one
@@ -186,9 +200,7 @@ def train_ngram_lm(
         for k in range(1, n + 1)
     ]
 
-    totals = counts[0].agg(
-        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
-    ).collect()[0]
+    totals = obs.get
     n_tokens, vocab = int(totals["n_tokens"] or 0), int(totals["vocab"])
     if n_tokens == 0:
         raise ValueError("training corpus has no tokens")
